@@ -1,0 +1,189 @@
+"""Core relational operators (SURVEY.md §2.3-§2.5 batch surface).
+
+Each function is a *logical plan builder*: it takes input DataFrames and
+returns an unevaluated DataFrame. Physical strategy (broadcast vs shuffle
+join, partial aggregation, pushdown) is Catalyst's job; we only declare
+intent and, where the stats can't know (small dims), hint ``broadcast``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_helloworld_spark.functions import davg, dec, dsum, words_of
+
+
+def word_count(lines: DataFrame, text_col: str = "text") -> DataFrame:
+    """The reference hello-world: source → flatMap split → map (word,1) →
+    keyBy → rolling sum (reference HelloWorldFlinkTest.java:39-49), with
+    its token filters (drop blank / ``http*`` / ``--`` tokens,
+    HelloWorldFlinkTest.java:195-200).
+
+    Batch final state of the rolling sum = plain group-by count. The
+    explode stays JVM-side; the aggregation is map-side partial + final
+    (HashAggregate pair), so it scales linearly with input splits.
+    """
+    return (
+        lines.select(F.explode(words_of(F.col(text_col))).alias("word"))
+        .where(
+            (F.col("word") != "")
+            & ~F.col("word").startswith("http")
+            & ~F.col("word").contains("--")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2000-12-01") -> DataFrame:
+    """TPC-H Q1-shaped keyed aggregation: filters + multi-agg group-by +
+    decimal money math (reference's rolling sums A1/A4 + BigDecimal math,
+    StateTest.java:584-621, evaluated to batch final state).
+
+    The shipdate predicate is pushed into the parquet scan; sums are exact
+    decimal (partition-order independent) cast back to double.
+    """
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,4)") + dec("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def denormalize_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Star-schema denormalization into one wide row — the batch analog of
+    the reference's capstone 5-stream ``BdWaybillOrder`` pipeline
+    (StateTest.java:639-872): every fact row enriched with all its
+    dimensions.
+
+    Scale shape: one shuffle join on the biggest pair
+    (lineitem ⋈ orders on orderkey); every other dim is broadcast, so the
+    plan has exactly one exchange of the fact table regardless of how many
+    dimensions are attached.
+    """
+    dims = (
+        F.broadcast(customer)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            revenue.cast("double").alias("revenue"),
+            "l_shipdate",
+            "o_orderstatus",
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("c_name").alias("customer_name"),
+            "c_mktsegment",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+def rolling_sum(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value: str,
+    alias: str = "running_total",
+) -> DataFrame:
+    """Per-key rolling aggregation with per-row emission — the reference's
+    ``KeyedStream.sum`` semantics ("滚动", HelloWorldFlinkTest.java:45,78):
+    every input row produces an updated cumulative row.
+
+    Batch expression: a window function over (key ORDER BY order). One
+    shuffle on the key; within partitions the cumulative sum is a single
+    sort + linear scan (WindowExec), no state explosion.
+    """
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(alias, F.sum(dec(value)).over(w).cast("double"))
+
+
+def rolling_fold(
+    df: DataFrame, key: str, order: list[str], value: str
+) -> DataFrame:
+    """``KeyedStream.fold`` (HelloWorldFlinkTest.java:409-415): rolling
+    accumulate with a *type-changing* output — each row carries its own
+    value plus the running total and running count per key."""
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("running_total", F.sum(dec(value)).over(w).cast("double")).withColumn(
+        "running_count", F.count(F.lit(1)).over(w)
+    )
+
+
+def last_non_null_merge(
+    df: DataFrame, key: str, order: str, merge_cols: list[str]
+) -> DataFrame:
+    """Per-key last-non-null-wins record merge — the reference's rolling
+    ``reduce`` with ``Optional.ofNullable(...).ifPresent(...)`` per field
+    (StateTest.java:371-382,686-697): later rows overwrite only the fields
+    they carry.
+
+    Batch final state: for each column, the last non-null value in arrival
+    order. Expressed as ``last(col, ignorenulls)`` over an unbounded
+    window + keep one row per key — deterministic because `order` is a
+    total order within key.
+    """
+    w_all = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rank = Window.partitionBy(key).orderBy(F.col(order).desc())
+    merged = df.select(
+        key,
+        order,
+        *[F.last(c, ignorenulls=True).over(w_all).alias(c) for c in merge_cols],
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w_rank))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", order)
+    )
+
+
+def filter_split(df: DataFrame, predicate: Column) -> tuple[DataFrame, DataFrame]:
+    """Side outputs (reference OutputTag + ctx.output, SURVEY.md §2.7):
+    one stream split into main/side by complementary filters. Both
+    branches share the parent plan; null predicate rows go to the side
+    channel (matching Flink: rows the main path doesn't select)."""
+    main = df.where(predicate)
+    side = df.where(~F.coalesce(predicate, F.lit(False)))
+    return main, side
+
+
+def union_streams(*dfs: DataFrame) -> DataFrame:
+    """Same-type stream union (reference ``union``,
+    HelloWorldFlinkTest.java:192; StateTest.java:683). ``unionByName``
+    keeps column alignment by name, with nulls for side-specific fields."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

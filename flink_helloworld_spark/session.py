@@ -1,0 +1,64 @@
+"""SparkSession builders tuned for the engine.
+
+Scale posture (100 TB design, local[N] test execution):
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  join-strategy re-planning replace the reference's hand-set per-operator
+  parallelism (`setParallelism`, reference HelloWorldFlink.java:141-250).
+- Arrow enabled for every pandas-UDF boundary (our custom stateful
+  operators are Arrow-batched, never row-at-a-time).
+- Shuffle partitions default small locally; on a real cluster this is
+  overridden by AQE + `spark.sql.adaptive.coalescePartitions` targeting
+  ~128 MB post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def build_session(
+    app_name: str = "flink-helloworld-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with the engine's scale defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet scans: vectorized reader + pushdown are defaults; pin them
+        # so the plan contract (PushedFilters / ReadSchema) is stable.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # Streaming state at scale: RocksDB spills keyed state to disk
+        # instead of holding it on-heap (reference keeps Flink heap state).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def get_spark() -> SparkSession:
+    """Active session if any, else a new one with engine defaults."""
+    active = SparkSession.getActiveSession()
+    return active if active is not None else build_session()

@@ -1,0 +1,71 @@
+"""Batch table loaders for the driver-generated parquet test tables.
+
+Covers the reference's bounded sources (SURVEY.md §2.1 S1/S2):
+``fromElements`` ↦ ``spark.createDataFrame``; ``readTextFile`` ↦
+``spark.read.text``; the TPC-H-ish star schema is plain parquet scans —
+Catalyst pushes filters/projections into the scan (check with
+``df.explain``: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_helloworld_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@dataclass(frozen=True)
+class Tables:
+    """Handle to the star-schema tables of one scale factor."""
+
+    spark: SparkSession
+    sf_dir: str
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TESTDATA_TABLES:
+            raise KeyError(f"unknown table {name!r}; known: {TESTDATA_TABLES}")
+        path = f"{self.sf_dir}/{name}.parquet"
+        if name == "events":
+            return _read_events(self.spark, path)
+        return self.spark.read.parquet(path)
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TESTDATA_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        """Register every table as a temp view for spark.sql queries."""
+        for name in TESTDATA_TABLES:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> Tables:
+    return Tables(spark=spark, sf_dir=sf_dir or DEFAULT_SF_DIR)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-per-record text scan (reference HelloWorldFlinkTest.java:190)."""
+    return spark.read.text(path)
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which the vectorized
+    parquet reader rejects (Spark timestamps are microsecond). Read the
+    raw int64 nanos via the legacy conf and truncate to micros with exact
+    integer division (matching DuckDB's ns→µs truncation, so oracle
+    comparisons agree); double division would lose precision at 1e18 ns.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

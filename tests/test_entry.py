@@ -1,0 +1,22 @@
+"""Driver-contract smoke tests: entry(), queries(), oracle_sql() wiring."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_every_query_has_oracle_and_runs(spark, sf_dir):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    missing = [name for name in qs if name not in oracles]
+    # non-SQL-expressible ops may omit oracles; everything else must pair
+    assert len(qs) > 0
+    for name, fn in qs.items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+    assert not [m for m in missing if not m.startswith("stream_")], missing
