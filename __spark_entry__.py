@@ -20,7 +20,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_helloworld_spark.operators import dedup as D
+from flink_helloworld_spark.operators import multimodal as MM
 from flink_helloworld_spark.operators import relational as R
+from flink_helloworld_spark.operators import similarity as S
+from flink_helloworld_spark.operators import text as T
 from flink_helloworld_spark.operators import windows as W
 from flink_helloworld_spark.functions import dsum
 from flink_helloworld_spark.sources.tables import load_tables
@@ -201,6 +205,66 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- north-star LLM-data-pipeline queries ---------------------------------
+
+
+def _q_dedup_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_buckets(load_tables(spark, sf_dir).documents)
+
+
+def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_dedup_pairs(load_tables(spark, sf_dir).documents)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load_tables(spark, sf_dir).documents)
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load_tables(spark, sf_dir).documents)
+
+
+def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_stats(load_tables(spark, sf_dir).documents)
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_score(load_tables(spark, sf_dir).documents)
+
+
+def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(load_tables(spark, sf_dir).documents)
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(load_tables(spark, sf_dir).documents)
+
+
+def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(load_tables(spark, sf_dir).embeddings, k=5)
+
+
+def _q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_cosine_topk(load_tables(spark, sf_dir).embeddings, k=5, planes=8)
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_binary(load_tables(spark, sf_dir).documents)
+    feats = MM.decode_image_features(media)
+    return feats.join(
+        media.select("doc_id", "media_type", "size_bytes", "checksum"), "doc_id"
+    )
+
+
+def _q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_binary(load_tables(spark, sf_dir).documents)
+    return (
+        MM.frame_sample(media, every_n=10)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.max("frame_index").alias("last_frame"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -220,6 +284,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "top_customers": _q_top_customers,
         "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_buckets": _q_dedup_minhash_buckets,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "similarity_topk": _q_similarity_topk,
+        "similarity_lsh_topk": _q_similarity_lsh_topk,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
     }
 
 
@@ -233,6 +309,121 @@ _D2 = "DECIMAL(12,2)"
 
 def _sum_d(col: str, alias: str) -> str:
     return f"CAST(SUM(CAST({col} AS {_D})) AS DOUBLE) AS {alias}"
+
+
+# DuckDB replicas of the engine's portable text primitives
+_WS = "list_filter(string_split(text, ' '), w -> w <> '')"
+_NUM_HASHES, _BANDS, _ROWS = 12, 4, 3
+
+
+def _shingle_ctes(n: int = 3) -> str:
+    return f"""
+      ws AS (SELECT doc_id, {_WS} AS ws FROM documents),
+      sh AS (SELECT doc_id,
+        list_sort(list_distinct(list_transform(
+          range(1, greatest(len(ws) - {n} + 2, 1)),
+          i -> array_to_string(ws[i:i+{n - 1}], ' ')))) AS sh
+        FROM ws)"""
+
+
+def _sig_cte() -> str:
+    exprs = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS sig{i}"
+        for i in range(_NUM_HASHES)
+    )
+    return f"sig AS (SELECT doc_id, {exprs} FROM sh WHERE len(sh) > 0)"
+
+
+def _buckets_cte() -> str:
+    selects = []
+    for b in range(_BANDS):
+        parts = " || '|' || ".join(f"sig{b * _ROWS + r}" for r in range(_ROWS))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sig"
+        )
+    return "buckets AS (" + " UNION ALL ".join(selects) + ")"
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    combine = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
+    return f"""
+      WITH tok AS (SELECT doc_id, unnest({_WS}) AS w FROM documents),
+      h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok),
+      s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+      SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM s"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _cosine_pairs_sql(join_cond: str, extra_cte: str = "") -> str:
+    dot = _dot_sql("q.embedding", "c.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    nc = _dot_sql("c.embedding", "c.embedding")
+    return f"""
+      {extra_cte}
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {dot} / nullif(sqrt({nq}) * sqrt({nc}), 0.0) AS cosine
+          FROM {join_cond}))
+      WHERE rank <= 5"""
+
+
+def _lang_id_sql() -> str:
+    """Replicates text.lang_id: marker-hit scores + fixed-order argmax."""
+    from flink_helloworld_spark.operators.text import _LANG_ORDER, LANG_MARKERS
+
+    lowered_ws = "list_filter(string_split(lower(text), ' '), w -> w <> '')"
+    score_exprs = []
+    for lang in _LANG_ORDER:
+        markers = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+        score_exprs.append(
+            f"CAST(len(list_filter({lowered_ws},"
+            f" w -> list_contains({markers}, w))) AS INT) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in _LANG_ORDER) + ")"
+    whens = " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in _LANG_ORDER
+    )
+    return f"""
+      WITH s AS (
+        SELECT doc_id, lang AS labeled_lang, {", ".join(score_exprs)}
+        FROM documents)
+      SELECT doc_id, labeled_lang,
+             {", ".join(f"score_{lang}" for lang in _LANG_ORDER)},
+             CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END AS pred_lang
+      FROM s"""
+
+
+def _lsh_bucket_sql(planes: int = 8, dims: int = 64) -> str:
+    """Replicates similarity.hyperplane_bucket: ±1 sign patterns derived
+    from md5, projections summed index-ascending."""
+    import hashlib
+
+    terms = []
+    for p in range(planes):
+        signs = [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            for d in range(dims)
+        ]
+        arr = "[" + ", ".join(str(s) for s in signs) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1, {dims} + 1),"
+            f" i -> embedding[i]::DOUBLE * ({arr}::DOUBLE[])[i]))"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -405,5 +596,111 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_buckets": f"""
+            WITH {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()}
+            SELECT doc_id, band_id, band_key FROM buckets
+        """,
+        "dedup_minhash_pairs": f"""
+            WITH {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()},
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM buckets x JOIN buckets y
+                ON x.band_id = y.band_id AND x.band_key = y.band_key
+               AND x.doc_id < y.doc_id)
+            SELECT doc_a, doc_b,
+              len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / nullif((len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE, 0.0)
+                AS jaccard,
+              jaccard >= 0.5 AS is_dup
+            FROM cand
+            JOIN sh sa ON doc_a = sa.doc_id
+            JOIN sh sb ON doc_b = sb.doc_id
+        """,
+        "dedup_simhash": _simhash_sql(),
+        "dedup_ngram_jaccard": f"""
+            WITH {_shingle_ctes()},
+            blk AS (
+              SELECT d.doc_id, d.lang AS blk, sh.sh
+              FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+              WHERE len(sh.sh) > 0)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              len(list_intersect(a.sh, b.sh))::DOUBLE
+                / nullif((len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 0.0)
+                AS jaccard
+            FROM blk a JOIN blk b
+              ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE jaccard >= 0.2
+        """,
+        "text_token_stats": rf"""
+            SELECT doc_id,
+              CAST(len({_WS}) AS INT) AS n_ws_tokens,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+              CAST(length(text) AS INT) AS n_chars_measured
+            FROM documents
+        """,
+        "text_quality": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                len({_WS}) AS n_words,
+                length(text) AS n_chars,
+                len(list_filter({_WS},
+                  w -> list_contains(['the','and','of','to','a'], w))) AS stop_hits,
+                len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+              FROM documents)
+            SELECT doc_id,
+              CAST(n_words AS INT) AS n_words,
+              (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) AS mean_word_len,
+              stop_hits::DOUBLE / nullif(n_words::DOUBLE, 0.0) AS stopword_ratio,
+              n_punct::DOUBLE / nullif(n_chars::DOUBLE, 0.0) AS punct_ratio,
+              ((CASE WHEN (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) >= 3.0
+                      AND (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) <= 10.0
+                     THEN 4 ELSE 0 END)
+               + (CASE WHEN stop_hits::DOUBLE / nullif(n_words::DOUBLE, 0.0) > 0.0 THEN 4 ELSE 0 END)
+               + (CASE WHEN n_punct::DOUBLE / nullif(n_chars::DOUBLE, 0.0) < 0.2 THEN 2 ELSE 0 END)
+              )::DOUBLE / 10.0 AS quality_score
+            FROM t
+        """,
+        "text_lang_id": _lang_id_sql(),
+        "text_fingerprint": r"""
+            WITH n AS (
+              SELECT doc_id,
+                regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+              FROM documents),
+            w AS (
+              SELECT doc_id, norm,
+                list_filter(string_split(norm, ' '), x -> x <> '') AS ws
+              FROM n)
+            SELECT doc_id, md5(norm) AS content_fp,
+              CASE WHEN len(ws) >= 4 THEN
+                list_min(list_transform(
+                  range(1, greatest(len(ws) - 2, 1)),
+                  i -> md5(array_to_string(ws[i:i+3], ' '))))
+              ELSE md5(norm) END AS piece_fp
+            FROM w
+        """,
+        "similarity_topk": _cosine_pairs_sql(
+            "embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id"
+        ),
+        "similarity_lsh_topk": _cosine_pairs_sql(
+            "b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id",
+            extra_cte=f"WITH b AS (SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings)",
+        ),
+        "multimodal_decode": """
+            SELECT doc_id,
+              CAST(1 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS INT) AS width,
+              CAST(1 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS INT) AS height,
+              CAST(1 + ('0x' || substr(md5(text), 5, 2))::INT % 4 AS INT) AS n_channels,
+              TRUE AS decode_ok,
+              'image/fake' AS media_type,
+              CAST(octet_length(encode(text)) AS INT) AS size_bytes,
+              md5(text) AS checksum
+            FROM documents
+        """,
+        "multimodal_frame_sample": """
+            SELECT doc_id,
+              (octet_length(encode(text)) - 1) // 10 + 1 AS n_sampled,
+              CAST(((octet_length(encode(text)) - 1) // 10) * 10 AS INT) AS last_frame
+            FROM documents
         """,
     }

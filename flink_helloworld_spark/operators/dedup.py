@@ -1,0 +1,209 @@
+"""Deduplication operators (north-star LLM-data pipeline surface).
+
+All hashing is md5-based (portable across engines, so DuckDB oracles can
+replay signatures exactly) and all plans are pure built-in column
+expressions — no Python UDFs — so shingling, minhashing and banding run
+inside whole-stage codegen and scale with input splits.
+
+Scale design:
+- exact dedup: one hash-aggregate (map-side partial) on md5(text).
+- MinHash-LSH: signatures are computed per-row (no shuffle); the only
+  shuffle is the band-bucket self-join, whose key (band_id, band_key)
+  is uniform by construction (md5), so no skew. Candidate verification
+  touches only colliding pairs, never the full N².
+- n-gram Jaccard: candidate pairs are bounded by a cheap blocking key
+  (lang) before the quadratic verify, the standard blocking trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- tokenization / shingling ---------------------------------------------
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda w: w != "")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct, sorted word n-gram shingles of a text column."""
+    ws = _words(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+    )
+    return F.when(F.size(ws) >= n, F.array_sort(F.array_distinct(grams))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the
+    kept (minimum) doc_id and the copy count."""
+    return docs.groupBy(F.md5(text_col).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_hashes: int = 12, shingle_n: int = 3) -> Column:
+    """MinHash signature as an array of `num_hashes` hex strings.
+
+    Permutation i is "order shingles by md5('i:'||shingle)"; the minimum
+    md5 under that order is the signature element. Lexicographic min of
+    md5 hex is a uniform random min — and identical in any engine.
+    """
+    sh = shingles(text, shingle_n)
+
+    def perm_min(i: int) -> Column:
+        # NB: the lambda must stay single-arg — a second parameter would
+        # be bound to the array index by transform(), not the closure.
+        prefix = f"{i}:"
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+    return F.array(*[perm_min(i) for i in range(num_hashes)])
+
+
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> list[Column]:
+    """Band the signature: band key = md5 of the band's joined rows.
+    Docs agreeing on any full band collide into the same bucket."""
+    return [
+        F.md5(F.concat_ws("|", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)]))
+        for b in range(bands)
+    ]
+
+
+def minhash_lsh_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, band_id, band_key) — the LSH bucket assignment. Grouping
+    by (band_id, band_key) yields candidate duplicate clusters."""
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    with_sig = docs.where(F.size(shingles(F.col(text_col), shingle_n)) > 0).select(
+        "doc_id", sig.alias("sig")
+    )
+    keys = lsh_band_keys(F.col("sig"), bands, rows)
+    exploded = with_sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_id"), k.alias("band_key")) for b, k in enumerate(keys)])
+        ).alias("bk"),
+    )
+    return exploded.select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    # nullif: two empty sets → NULL (not ANSI divide-by-zero)
+    return inter.cast("double") / F.nullif(union.cast("double"), F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified with exact Jaccard.
+
+    Only pairs colliding in ≥1 band are verified — the pair join is on
+    the band bucket, never a cross join. Output: (doc_a, doc_b, jaccard,
+    is_dup) with doc_a < doc_b.
+    """
+    buckets = minhash_lsh_buckets(docs, text_col, num_hashes, bands, shingle_n)
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = docs.select("doc_id", shingles(F.col(text_col), shingle_n).alias("sh"))
+    return (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("sa.sh"), F.col("sb.sh")).alias("jaccard"),
+        )
+        .withColumn("is_dup", F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-document SimHash fingerprint (token multiplicity counted).
+
+    Token hash = first 8 hex chars of md5 → 32-bit int; simhash bit j is
+    the sign of Σ_tokens (±1 by token-hash bit j). Near-duplicate docs
+    differ in few bits (compare with hamming_distance/bit ops downstream).
+    One explode + one hash-aggregate; no UDFs.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(_words(F.col(text_col))).alias("w")
+    ).withColumn("h", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long"))
+    bit_sums = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(F.lit(1 << j))) != 0, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    summed = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        sim = term if sim is None else sim + term
+    return summed.select("doc_id", sim.alias("simhash"))
+
+
+# --- blocked n-gram Jaccard (no minhash) ------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    block_col: str = "lang",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing a blocking key (classic
+    blocking: the quadratic verify runs per block, not globally)."""
+    sh = docs.select(
+        F.col("doc_id"), F.col(block_col).alias("blk"), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    return (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,116 @@
+"""Dedup / similarity / text / multimodal operators on constructed inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_helloworld_spark.operators import dedup as D
+from flink_helloworld_spark.operators import multimodal as MM
+from flink_helloworld_spark.operators import similarity as S
+from flink_helloworld_spark.operators import text as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_minhash_identical_docs_are_dup(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(spark, [text, text, "completely different words here apple banana cherry date"])
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} >= {(0, 1)}
+    exact = {(r.doc_a, r.doc_b): r for r in pairs}
+    assert exact[(0, 1)].jaccard == 1.0 and exact[(0, 1)].is_dup
+
+
+def test_minhash_near_dup_detected(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    near = base + " mike"  # one extra word
+    docs = _docs(spark, [base, near])
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard > 0.8
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "one two three four five six seven eight nine ten " * 5
+    docs = _docs(spark, [base, base + "eleven", "zz yy xx ww vv uu tt ss rr qq " * 5])
+    got = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(got[0], got[1]) < hamming(got[0], got[2])
+
+
+def test_exact_duplicates_counts(spark):
+    docs = _docs(spark, ["a b c", "a b c", "d e f"])
+    got = {r.keep_doc_id: r.n_copies for r in D.exact_duplicates(docs).collect()}
+    assert got == {0: 2, 2: 1}
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),  # closest to 0
+            (2, [0.0, 1.0], 1),  # orthogonal to 0
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.cosine_topk(emb, k=2).collect()
+    }
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2
+
+
+def test_lsh_topk_subset_of_bruteforce_candidates(spark, sf_dir):
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir).embeddings
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in S.lsh_cosine_topk(emb, k=3, planes=4).collect()}
+    # every approximate neighbor must be a real vector pair; recall>0
+    assert approx and len(approx & exact) > 0
+
+
+def test_quality_score_components(spark):
+    good = "the cat and the dog sat of the mat to rest for a while today"
+    bad = "!!! ??? !!! ??? !!! ??? !!! ???"
+    docs = _docs(spark, [good, bad])
+    got = {r.doc_id: r for r in T.quality_score(docs).collect()}
+    assert got[0].quality_score > got[1].quality_score
+    assert got[0].stopword_ratio > 0 and got[1].stopword_ratio == 0
+
+
+def test_lang_id_marker_detection(spark):
+    docs = _docs(spark, ["the cat and the dog of a house", "der hund und die katze ist das"])
+    got = {r.doc_id: r.pred_lang for r in T.lang_id(docs).collect()}
+    assert got == {0: "en", 1: "de"}
+
+
+def test_fingerprint_normalization(spark):
+    docs = _docs(spark, ["Hello   World  Foo Bar Baz", "hello world foo bar baz"])
+    got = [r.content_fp for r in T.fingerprint(docs).collect()]
+    assert got[0] == got[1]  # whitespace + case normalized away
+
+
+def test_multimodal_decode_deterministic(spark):
+    docs = _docs(spark, ["some document content", "other content"])
+    media = MM.attach_binary(docs)
+    feats = {r.doc_id: r for r in MM.decode_image_features(media).collect()}
+    assert all(1 <= f.width <= 64 and 1 <= f.height <= 64 for f in feats.values())
+    again = {r.doc_id: r for r in MM.decode_image_features(media).collect()}
+    assert {k: (v.width, v.height) for k, v in feats.items()} == {
+        k: (v.width, v.height) for k, v in again.items()
+    }
+
+
+def test_frame_sample_counts(spark):
+    docs = _docs(spark, ["x" * 25])  # 25 bytes → frames 0,10,20
+    media = MM.attach_binary(docs)
+    frames = [r.frame_index for r in MM.frame_sample(media, every_n=10).collect()]
+    assert frames == [0, 10, 20]
