@@ -1,0 +1,177 @@
+"""Streaming operators: scripted watermark replay (golden fixtures from
+the reference's EventTimeTest comments) + stateful custom operators.
+
+The 13-step late-data script is EventTimeTest.java:187-210 verbatim
+(values/timestamps/watermarks from the reference comments); expected
+window sums derive from its per-row annotations: [0,3s)=35+20,
+[3s,6s)=60+5, [6s,9s)=12+5, [9s,12s)=12+16, all late rows dropped.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_helloworld_spark.streaming import event_windows as EW
+from flink_helloworld_spark.streaming import stateful as ST
+from flink_helloworld_spark.streaming.coflatmap import co_flat_map_join
+from flink_helloworld_spark.streaming.replay import (
+    Step,
+    read_script_stream,
+    run_available_now,
+    write_script,
+)
+
+# EventTimeTest.java:187-210 — tumbling 3 s, no allowed lateness
+LATE_SCRIPT = [
+    Step("a", 35, 1000),
+    Step("a", 20, 1500, 3000),
+    Step("a", 11, 100),   # late: window [0,3000) already fired
+    Step("a", 23, 1700),  # late
+    Step("a", 60, 3100),
+    Step("a", 5, 4000, 7000),
+    Step("a", 3, 2300),   # late
+    Step("a", 3, 1500, 5000),  # late (watermark only moves forward)
+    Step("a", 12, 6500),  # NOT late: its window [6000,9000) end > wm 7000
+    Step("a", 5, 7100, 10000),
+    Step("a", 27, 8900),  # late
+    Step("a", 12, 9100),
+    Step("a", 16, 9300, 13000),
+]
+
+EXPECTED_WINDOW_SUMS = {0: 55, 3000: 65, 6000: 17, 9000: 28}
+
+
+def _replay(spark, steps, name, build, output_mode="append"):
+    workdir = tempfile.mkdtemp(prefix=f"{name}-")
+    write_script(steps, workdir)
+    stream = build(read_script_stream(spark, workdir))
+    return run_available_now(stream, name, output_mode)
+
+
+def test_tumbling_event_time_drops_late_rows(spark):
+    rows = _replay(
+        spark, LATE_SCRIPT, "late_fixture",
+        lambda s: EW.tumbling_sum_stream(s, "3 seconds"),
+    )
+    got = {int(r.window_start.timestamp() * 1000): r.window_sum for r in rows}
+    assert got == EXPECTED_WINDOW_SUMS
+
+
+def test_allowed_lateness_refires(spark):
+    # EventTimeTest.java:302 analog: with 2 s allowedLateness the late
+    # rows at 2300/1500 (script steps 7-8, watermark 7000) are still
+    # beyond grace, but row 11@100 (wm 3000, grace → 5000 > 3000+2000)…
+    # simplest golden check: update mode + widened delay admits the rows
+    # whose window_end + lateness > watermark at arrival.
+    rows = _replay(
+        spark, LATE_SCRIPT, "lateness_fixture",
+        lambda s: EW.tumbling_sum_stream(s, "3 seconds", delay="2 seconds"),
+        output_mode="update",
+    )
+    # update mode re-emits; final value per window = last emission
+    final = {}
+    for r in rows:
+        final[int(r.window_start.timestamp() * 1000)] = r.window_sum
+    # Flink rule: drop iff window.end-1 + lateness ≤ watermark.
+    # [0,3000): 11@100 (wm 3000, 2999+2000>3000) admitted → 66;
+    #           23@1700 admitted → 89;
+    #           3@2300 & 3@1500 (wm 7000, 4999≤7000) dropped.
+    # [6000,9000): 27@8900 (wm 10000, 8999+2000>10000) admitted → 44.
+    assert final[0] == 89
+    assert final[3000] == 65 and final[6000] == 44 and final[9000] == 28
+
+
+def test_late_rows_side_output(spark):
+    rows = _replay(
+        spark, LATE_SCRIPT, "side_fixture",
+        lambda s: EW.late_rows_stream(s, window_ms=3000),
+    )
+    late = {(r.v, r.event_ts_ms) for r in rows if r.is_late}
+    assert late == {(11, 100), (23, 1700), (3, 2300), (3, 1500), (27, 8900)}
+    assert len(rows) == 13  # every data row classified
+
+
+def test_session_window_merging(spark):
+    # WindowTest.java:222-242 shape: sessions merge when gap < 2 s
+    script = [
+        Step("a", 1, 1000),
+        Step("a", 2, 2500),   # within 2 s of 1000 → same session
+        Step("b", 5, 3000),
+        # wm 10500 fires a's [8000,10000) session (9999 ≤ 10500) but
+        # keeps b@9000 on time (session end-1 = 10999 > 10500)
+        Step("a", 4, 8000, 10500),  # new session (gap > 2 s)
+        Step("b", 6, 9000, 30000),
+    ]
+    rows = _replay(
+        spark, script, "session_fixture",
+        lambda s: EW.session_sum_stream(s, "2 seconds"),
+    )
+    got = {(r.k, int(r.window_start.timestamp() * 1000)): r.window_sum for r in rows}
+    assert got == {("a", 1000): 3, ("b", 3000): 5, ("a", 8000): 4, ("b", 9000): 6}
+
+
+def test_rolling_sum_stream_per_event_emission(spark):
+    script = [Step("a", 10, 1000), Step("a", 5, 2000), Step("b", 7, 1500), Step("a", 1, 3000)]
+    rows = _replay(
+        spark, script, "rolling_stream",
+        lambda s: ST.rolling_sum_stream(s.drop("event_time"), "k", "v", "seq"),
+    )
+    got = sorted((r.k, r.running_total) for r in rows)
+    assert got == [("a", 10.0), ("a", 15.0), ("a", 16.0), ("b", 7.0)]
+
+
+def test_count_window_stream_fires_every_n(spark):
+    script = [Step("a", i, 1000 * i) for i in range(1, 8)]  # 7 rows
+    rows = _replay(
+        spark, script, "count_window_stream",
+        lambda s: ST.count_window_stream(s.drop("event_time"), "k", "v", "seq", n=3),
+    )
+    got = sorted((r.bucket, r.window_sum) for r in rows)
+    assert got == [(0, 6.0), (1, 15.0)]  # 1+2+3, 4+5+6; 7 never fires
+
+
+def test_count_trigger_evictor_stream(spark):
+    script = [Step("a", i, 1000 * i) for i in range(1, 7)]
+    rows = _replay(
+        spark, script, "evictor_stream",
+        lambda s: ST.count_trigger_evictor_stream(
+            s.drop("event_time"), "k", "v", "seq", every=2, keep=3
+        ),
+    )
+    got = sorted((r.fire_seq, r.fired_sum) for r in rows)
+    assert got == [(2, 3.0), (4, 9.0), (6, 15.0)]  # trailing ≤3 sums
+
+
+def test_co_flat_map_join_buffers_until_dim_arrives(spark):
+    workdir = tempfile.mkdtemp(prefix="cfm-")
+    # facts before dimension: must buffer, then flush on dim arrival
+    import pandas as pd
+    import os, shutil, time as _time
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    files = [
+        [{"side": "L", "key": "k1", "_seq": 0, "amount": 10, "dim_name": None}],
+        [{"side": "L", "key": "k1", "_seq": 1, "amount": 20, "dim_name": None}],
+        [{"side": "R", "key": "k1", "_seq": 2, "amount": None, "dim_name": "dim-one"}],
+        [{"side": "L", "key": "k1", "_seq": 3, "amount": 30, "dim_name": None}],
+    ]
+    t0 = _time.time() - 60
+    for i, rows in enumerate(files):
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pd.DataFrame(rows).to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    raw = (
+        spark.readStream.schema("side string, key string, _seq long, amount long, dim_name string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    left = raw.where(F.col("side") == "L").select("key", "_seq", "amount")
+    right = raw.where(F.col("side") == "R").select("key", "_seq", "dim_name")
+    joined = co_flat_map_join(left, right, "key", ["amount"], ["dim_name"], "_seq")
+    rows = run_available_now(joined, "cfm_join")
+    got = sorted((r.amount, r.dim_name) for r in rows)
+    assert got == [(10, "dim-one"), (20, "dim-one"), (30, "dim-one")]
