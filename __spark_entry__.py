@@ -265,6 +265,44 @@ def _q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- capstone waybill pipeline (reference StateTest.java:639-872) ----------
+
+_WAYBILL_N = 500
+
+
+def _q_waybill_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S4: deterministic WaybillC generator (md5-derived "randomness")
+    from flink_helloworld_spark.sources import generators as G
+
+    return G.waybill_c(spark, _WAYBILL_N)
+
+
+def _q_waybill_cem_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1+A3+P7: C/E/M union → per-key last-non-null merge
+    from flink_helloworld_spark.operators import capstone as C
+    from flink_helloworld_spark.sources import generators as G
+
+    return C.cem_merge(
+        G.waybill_c(spark, _WAYBILL_N),
+        G.waybill_e(spark, _WAYBILL_N),
+        G.waybill_m(spark, _WAYBILL_N),
+    )
+
+
+def _q_waybill_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4 capstone: the BdWaybillOrder wide row (5 streams, 4 key stages)
+    from flink_helloworld_spark.operators import capstone as C
+
+    return C.bd_waybill_order(spark, _WAYBILL_N)
+
+
+def _q_product_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5/T5: income × latest-sale revenue in exact decimal
+    from flink_helloworld_spark.operators import capstone as C
+
+    return C.product_revenue(spark, _WAYBILL_N)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -296,6 +334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": _q_similarity_lsh_topk,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "waybill_generator": _q_waybill_generator,
+        "waybill_cem_merge": _q_waybill_cem_merge,
+        "waybill_capstone": _q_waybill_capstone,
+        "product_revenue": _q_product_revenue,
     }
 
 
@@ -327,9 +369,12 @@ def _shingle_ctes(n: int = 3) -> str:
 
 
 def _sig_cte() -> str:
+    from flink_helloworld_spark.operators.dedup import MINHASH_P, MINHASH_PARAMS
+
+    base = f"(('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P})"
     exprs = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS sig{i}"
-        for i in range(_NUM_HASHES)
+        f"list_min(list_transform(sh, s -> ({base} * {a} + {b}) % {MINHASH_P})) AS sig{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:_NUM_HASHES])
     )
     return f"sig AS (SELECT doc_id, {exprs} FROM sh WHERE len(sh) > 0)"
 
@@ -337,7 +382,9 @@ def _sig_cte() -> str:
 def _buckets_cte() -> str:
     selects = []
     for b in range(_BANDS):
-        parts = " || '|' || ".join(f"sig{b * _ROWS + r}" for r in range(_ROWS))
+        parts = " || '|' || ".join(
+            f"sig{b * _ROWS + r}::VARCHAR" for r in range(_ROWS)
+        )
         selects.append(
             f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sig"
         )
@@ -404,6 +451,59 @@ def _lang_id_sql() -> str:
              {", ".join(f"score_{lang}" for lang in _LANG_ORDER)},
              CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END AS pred_lang
       FROM s"""
+
+
+# DuckDB replicas of the deterministic waybill generators
+# (sources/generators.py — md5-derived fields, fixed GEN_EPOCH_MS)
+_GEN_EPOCH_MS = 1704067200000
+_TR = "'0123456789abcdef', '0101010101010101'"
+
+
+def _g_hash_int(seed: str, lo: int, hi: int) -> str:
+    span = hi - lo + 1
+    return (
+        f"CAST((('0x' || substr(md5('{seed}:' || seq), 1, 8))::BIGINT"
+        f" % {span} + {lo}) AS INT)"
+    )
+
+
+def _g_bits(seed: str, n: int) -> str:
+    hexes = f"md5('{seed}:' || seq)"
+    if n > 32:
+        hexes = f"({hexes} || md5('{seed}b:' || seq))"
+    return f"translate(substr({hexes}, 1, {n}), {_TR})"
+
+
+def _waybill_gen_ctes(n: int) -> str:
+    base_ts = f"make_timestamp({_GEN_EPOCH_MS * 1000})"
+    return f"""
+      seqs AS (SELECT seq FROM range(1, {n + 1}) t(seq)),
+      wc AS (SELECT
+        'JD' || lpad(seq::VARCHAR, 10, '0') AS waybill_code,
+        {_g_bits("sign", 30)} AS waybill_sign,
+        {_g_hash_int("site", 1, 9)}::VARCHAR AS site_code,
+        '站点' || {_g_hash_int("site", 1, 9)}::VARCHAR AS site_name,
+        seq AS time_stamp, seq FROM seqs),
+      we AS (SELECT
+        'JD' || lpad(seq::VARCHAR, 10, '0') AS waybill_code,
+        {_g_hash_int("busi", 1, 99)}::VARCHAR AS busi_no,
+        '商家' || {_g_hash_int("busi", 1, 99)}::VARCHAR AS busi_name,
+        {_g_bits("pay", 50)} AS send_pay, seq FROM seqs),
+      wm AS (SELECT
+        'JD' || lpad(seq::VARCHAR, 10, '0') AS waybill_code,
+        {base_ts} + INTERVAL ({_g_hash_int("pickup", 1, 9)}) DAY AS pickup_date,
+        {base_ts} + INTERVAL ({_g_hash_int("delivery", 1, 4)}) DAY AS delivery_date,
+        seq FROM seqs),
+      route AS (SELECT
+        'JD' || lpad(seq::VARCHAR, 10, '0') AS waybill_code,
+        'JD' || lpad(seq::VARCHAR, 10, '0') || '-' || pkg AS package_code,
+        make_timestamp(({_GEN_EPOCH_MS} + seq * 1000) * 1000) AS static_delivery_time,
+        seq FROM seqs, range(1, 6) p(pkg)),
+      ob AS (SELECT
+        'JD' || lpad(seq::VARCHAR, 10, '0') AS waybill_code,
+        'Order' || lpad(seq::VARCHAR, 10, '0') AS order_code,
+        make_timestamp(({_GEN_EPOCH_MS} + seq * 1000) * 1000) AS order_create_date,
+        seq FROM seqs)"""
 
 
 def _lsh_bucket_sql(planes: int = 8, dims: int = 64) -> str:
@@ -702,5 +802,50 @@ def oracle_sql() -> dict[str, str]:
               (octet_length(encode(text)) - 1) // 10 + 1 AS n_sampled,
               CAST(((octet_length(encode(text)) - 1) // 10) * 10 AS INT) AS last_frame
             FROM documents
+        """,
+        "waybill_generator": f"""
+            WITH {_waybill_gen_ctes(_WAYBILL_N)}
+            SELECT * FROM wc
+        """,
+        "waybill_cem_merge": f"""
+            WITH {_waybill_gen_ctes(_WAYBILL_N)}
+            SELECT wc.waybill_code, wc.waybill_sign, wc.site_code,
+                   wc.site_name, we.busi_no, we.busi_name, we.send_pay,
+                   wm.pickup_date, wm.delivery_date
+            FROM wc
+            JOIN we ON wc.waybill_code = we.waybill_code
+            JOIN wm ON wc.waybill_code = wm.waybill_code
+        """,
+        "waybill_capstone": f"""
+            WITH {_waybill_gen_ctes(_WAYBILL_N)}
+            SELECT route.waybill_code, wc.waybill_sign, wc.site_code,
+                   wc.site_name, we.busi_no, we.busi_name, we.send_pay,
+                   ob.order_code, route.package_code,
+                   wm.pickup_date, wm.delivery_date, ob.order_create_date,
+                   {_GEN_EPOCH_MS} + route.seq * 1000 AS ts
+            FROM route
+            JOIN wc ON route.waybill_code = wc.waybill_code
+            JOIN we ON route.waybill_code = we.waybill_code
+            JOIN wm ON route.waybill_code = wm.waybill_code
+            JOIN ob ON route.waybill_code = ob.waybill_code
+        """,
+        "product_revenue": f"""
+            WITH seqs AS (SELECT seq FROM range(1, {_WAYBILL_N + 1}) t(seq)),
+            income AS (SELECT
+              '类别' || chr(65 + {_g_hash_int("cat", 0, 6)}) AS product_name,
+              {_g_hash_int("income", 100, 2999)} AS income, seq FROM seqs),
+            sseqs AS (SELECT seq FROM range(1, {_WAYBILL_N // 5 + 1}) t(seq)),
+            sale_rows AS (SELECT
+              '类别' || chr(CAST(65 + ('0x' || substr(md5('scat:' || seq), 1, 8))::BIGINT % 7 AS INT)) AS product_name,
+              0.5 + (('0x' || substr(md5('sale:' || seq), 1, 8))::BIGINT % 5000)::DOUBLE / 10000.0 AS sale,
+              seq FROM sseqs),
+            latest_sale AS (SELECT product_name,
+              arg_max(sale, seq) AS sale FROM sale_rows GROUP BY product_name)
+            SELECT i.product_name,
+              SUM(i.income) AS total_income,
+              CAST(SUM(CAST(i.income AS DECIMAL(12,2)) * CAST(s.sale AS DECIMAL(12,4))) AS DOUBLE) AS total_revenue,
+              count(*) AS n_rows
+            FROM income i JOIN latest_sale s ON i.product_name = s.product_name
+            GROUP BY i.product_name
         """,
     }

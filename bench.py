@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with the noop sink (full computation, no driver
+collect). The set covers every operator family: relational agg, star
+denorm join, windows (tumbling/sliding/session/count), rolling,
+window-join, dedup (exact/minhash/simhash), similarity (LSH), text
+analysis, multimodal, capstone.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from flink_helloworld_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "wordcount",
+    "pricing_summary",
+    "denorm_wide",
+    "rolling_sum",
+    "tumbling_daily",
+    "sliding_hourly",
+    "session_windows",
+    "count_windows",
+    "window_join",
+    "merge_last_non_null",
+    "top_customers",
+    "json_extract",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "text_quality",
+    "text_lang_id",
+    "similarity_lsh_topk",
+    "multimodal_decode",
+    "waybill_capstone",
+]
+
+
+def main() -> None:
+    spark = build_session(app_name="fhs-bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

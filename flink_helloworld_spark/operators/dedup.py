@@ -53,31 +53,93 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # --- MinHash + LSH ----------------------------------------------------------
 
 
-def minhash_signature(text: Column, num_hashes: int = 12, shingle_n: int = 3) -> Column:
-    """MinHash signature as an array of `num_hashes` hex strings.
+# MinHash permutation parameters: h_i(x) = (a_i·x + b_i) mod p over the
+# 60-bit md5 base hash reduced mod p. Fixed constants shared with the
+# DuckDB oracle (deterministic, engine-portable integer arithmetic).
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (2 * i + 3, 104729 * (i + 1) % MINHASH_P) for i in range(64)
+]
 
-    Permutation i is "order shingles by md5('i:'||shingle)"; the minimum
-    md5 under that order is the signature element. Lexicographic min of
-    md5 hex is a uniform random min — and identical in any engine.
+
+def shingle_base_hash(shingle: Column) -> Column:
+    """60-bit md5-derived integer reduced mod p — ONE md5 per shingle;
+    every permutation is cheap arithmetic on top of it."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % MINHASH_P
+    )
+
+
+def minhash_signature_from_hashes(hm: Column, num_hashes: int = 12) -> Column:
+    """MinHash signature (array<long>) from an array of base hashes.
+
+    Permutation i is the affine map (a_i·h + b_i) mod p; with h < p and
+    a_i < p the product stays under 2^62 — exact in any 64-bit engine.
     """
+    def perm(a: int, b: int):
+        # closure factory: the transform lambda must be single-arg
+        # (extra params would be bound to the array index by Spark)
+        return lambda h: (h * a + b) % MINHASH_P
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hm, perm(a, b)))
+            for a, b in MINHASH_PARAMS[:num_hashes]
+        ]
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 12, shingle_n: int = 3) -> Column:
+    """MinHash signature of a text column (shingle → base hash → affine
+    permutation minima)."""
     sh = shingles(text, shingle_n)
-
-    def perm_min(i: int) -> Column:
-        # NB: the lambda must stay single-arg — a second parameter would
-        # be bound to the array index by transform(), not the closure.
-        prefix = f"{i}:"
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
-
-    return F.array(*[perm_min(i) for i in range(num_hashes)])
+    return minhash_signature_from_hashes(
+        F.transform(sh, shingle_base_hash), num_hashes
+    )
 
 
 def lsh_band_keys(sig: Column, bands: int, rows: int) -> list[Column]:
     """Band the signature: band key = md5 of the band's joined rows.
     Docs agreeing on any full band collide into the same bucket."""
     return [
-        F.md5(F.concat_ws("|", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)]))
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.element_at(sig, b * rows + r + 1).cast("string") for r in range(rows)],
+            )
+        )
         for b in range(bands)
     ]
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sh) — each doc's distinct shingle set, computed once and
+    shared by signature, banding, and Jaccard verification."""
+    return docs.select(
+        "doc_id", shingles(F.col(text_col), shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+
+
+def _buckets_from_shingles(
+    sh_df: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    rows = num_hashes // bands
+    sig = minhash_signature_from_hashes(
+        F.transform(F.col("sh"), shingle_base_hash), num_hashes
+    )
+    with_sig = sh_df.select("doc_id", sig.alias("sig"))
+    keys = lsh_band_keys(F.col("sig"), bands, rows)
+    return with_sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), k.alias("band_key"))
+                    for b, k in enumerate(keys)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
 
 
 def minhash_lsh_buckets(
@@ -89,19 +151,9 @@ def minhash_lsh_buckets(
 ) -> DataFrame:
     """(doc_id, band_id, band_key) — the LSH bucket assignment. Grouping
     by (band_id, band_key) yields candidate duplicate clusters."""
-    rows = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    with_sig = docs.where(F.size(shingles(F.col(text_col), shingle_n)) > 0).select(
-        "doc_id", sig.alias("sig")
+    return _buckets_from_shingles(
+        shingle_table(docs, text_col, shingle_n), num_hashes, bands
     )
-    keys = lsh_band_keys(F.col("sig"), bands, rows)
-    exploded = with_sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band_id"), k.alias("band_key")) for b, k in enumerate(keys)])
-        ).alias("bk"),
-    )
-    return exploded.select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -124,9 +176,12 @@ def minhash_dedup_pairs(
 
     Only pairs colliding in ≥1 band are verified — the pair join is on
     the band bucket, never a cross join. Output: (doc_a, doc_b, jaccard,
-    is_dup) with doc_a < doc_b.
+    is_dup) with doc_a < doc_b. The shingle table is persisted for the
+    duration of the plan: it feeds both bucket sides and both verify
+    sides, and recomputing the shingling 4× would dominate runtime.
     """
-    buckets = minhash_lsh_buckets(docs, text_col, num_hashes, bands, shingle_n)
+    sh = shingle_table(docs, text_col, shingle_n).persist()
+    buckets = _buckets_from_shingles(sh, num_hashes, bands)
     cand = (
         buckets.alias("x")
         .join(
@@ -138,7 +193,6 @@ def minhash_dedup_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = docs.select("doc_id", shingles(F.col(text_col), shingle_n).alias("sh"))
     return (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))

@@ -1,0 +1,110 @@
+"""Capstone pipeline: batch parity + streaming co_flat_map staging +
+idempotent keyed sink."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from flink_helloworld_spark.operators import capstone as C
+from flink_helloworld_spark.sources import generators as G
+from flink_helloworld_spark.streaming.coflatmap import co_flat_map_join
+from flink_helloworld_spark.streaming.replay import run_available_now
+from flink_helloworld_spark.streaming.sinks import KeyedUpsertSink
+
+
+def test_generators_are_deterministic(spark):
+    a = G.waybill_c(spark, 50).collect()
+    b = G.waybill_c(spark, 50).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    row = {r.waybill_code: r for r in a}["JD0000000001"]
+    assert len(row.waybill_sign) == 30 and set(row.waybill_sign) <= {"0", "1"}
+    assert 1 <= int(row.site_code) <= 9
+    assert row.site_name == f"站点{row.site_code}"
+
+
+def test_capstone_shape_and_fanout(spark):
+    wide = C.bd_waybill_order(spark, 100)
+    rows = wide.collect()
+    assert len(rows) == 500  # 5 packages per waybill
+    one = [r for r in rows if r.waybill_code == "JD0000000042"]
+    assert len(one) == 5
+    assert {r.package_code for r in one} == {f"JD0000000042-{i}" for i in range(1, 6)}
+    r = one[0]
+    assert r.order_code == "Order0000000042"
+    assert r.busi_name == f"商家{r.busi_no}"
+    assert r.pickup_date is not None and r.delivery_date is not None
+
+
+def test_capstone_plan_broadcasts_dims(spark):
+    wide = C.bd_waybill_order(spark, 100)
+    plan = wide._sc._jvm.PythonSQLUtils.explainString(
+        wide._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    # the fan-out stream must not be shuffled for the assembly joins:
+    # the only real (hash) exchange is the CEM merge stage
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_streaming_capstone_stage(spark):
+    """Route-link facts joined with merged-CEM dimension through the
+    stateful co_flat_map stage — facts arriving before their dimension
+    buffer and flush (reference StateTest.java:700-762)."""
+    n = 20
+    import pandas as pd
+
+    cem = C.cem_merge(
+        G.waybill_c(spark, n), G.waybill_e(spark, n), G.waybill_m(spark, n)
+    ).toPandas()
+    route = G.waybill_route_link(spark, n).toPandas()
+    workdir = tempfile.mkdtemp(prefix="capstream-")
+    t0 = time.time() - 120
+    # interleave: half the routes first (buffer), then CEM dims, then rest
+    route["_seq"] = range(len(route))
+    cem["_seq"] = range(len(route), len(route) + len(cem))
+    files = [
+        route.iloc[: len(route) // 2].assign(side="L"),
+        cem.assign(side="R"),
+        route.iloc[len(route) // 2 :].assign(side="L"),
+    ]
+    cols = ["side", "_seq", "waybill_code", "package_code", "site_name", "busi_name"]
+    for i, pdf in enumerate(files):
+        for c in cols:
+            if c not in pdf.columns:
+                pdf[c] = None
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pdf[cols].to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    raw = (
+        spark.readStream.schema(
+            "side string, _seq long, waybill_code string, package_code string,"
+            " site_name string, busi_name string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    left = raw.where(F.col("side") == "L").select("waybill_code", "_seq", "package_code")
+    right = raw.where(F.col("side") == "R").select(
+        "waybill_code", "_seq", "site_name", "busi_name"
+    )
+    joined = co_flat_map_join(
+        left, right, "waybill_code", ["package_code"], ["site_name", "busi_name"], "_seq"
+    )
+    rows = run_available_now(joined, "capstone_stream")
+    assert len(rows) == n * 5  # every package row enriched exactly once
+    assert all(r.site_name and r.busi_name for r in rows)
+
+
+def test_keyed_upsert_sink_is_idempotent(spark):
+    sink = KeyedUpsertSink(tempfile.mkdtemp(prefix="upsert-"), "k", "seq")
+    b0 = spark.createDataFrame([("a", 1, "v1"), ("b", 1, "x1")], "k string, seq int, val string")
+    b1 = spark.createDataFrame([("a", 2, "v2")], "k string, seq int, val string")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay of the same batch id → no-op
+    got = {r.k: (r.seq, r.val) for r in sink.read(spark).collect()}
+    assert got == {"a": (2, "v2"), "b": (1, "x1")}
