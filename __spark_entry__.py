@@ -265,6 +265,115 @@ def _q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- remaining §2 inventory: iteration, stateful filter, rolling extrema,
+# --- non-keyed windows, per-window last value, lookup surface, rollup ------
+
+
+def _q_iterate_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J5: iterate()/closeWith() feedback loop — +1 until > 5
+    from flink_helloworld_spark.plans import iterate_fixpoint
+
+    ev = load_tables(spark, sf_dir).events
+    start = ev.select("event_id", (F.col("event_id") % 9).alias("v"))
+    out = iterate_fixpoint(
+        start,
+        lambda d: d.select("event_id", (F.col("v") + 1).alias("v")),
+        F.col("v") <= 5,
+        max_iters=10,
+    )
+    return out.select("event_id", F.col("v").alias("v_final"))
+
+
+def _q_stateful_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P3 stateful: RichFilterFunction passing rows once the per-key
+    # cumulative total reaches 100 (reference StateTest.java:85-105)
+    ev = load_tables(spark, sf_dir).events
+    cum = R.rolling_sum(ev, "user_id", ["ts", "event_id"], "value")
+    return cum.where(F.col("running_total") >= 100.0).select(
+        "user_id", "event_id", "value", "running_total"
+    )
+
+
+def _q_rolling_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A10: rolling per-key max/min (discussed at HelloWorldFlinkTest.java:407)
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.max("value").over(w).alias("running_max"),
+        F.min("value").over(w).alias("running_min"),
+    )
+
+
+def _q_global_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A9: AllWindowedStream — non-keyed tumbling window (Spark
+    # parallelizes the partial aggregation; Flink forces parallelism 1)
+    ev = load_tables(spark, sf_dir).events
+    return W.tumbling_agg(
+        ev, "ts", "6 hours", [],
+        [F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value")],
+    )
+
+
+def _q_window_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7: buffer-all WindowFunction taking the last value per (key, window)
+    # (reference HelloWorldFlinkTest.java:337-348) — as max_by, no buffer
+    ev = load_tables(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.max_by("value", "event_id").alias("last_value"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "last_value")
+    )
+
+
+def _q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.10 ES get-by-id / Redis GET: point lookup; the filter reaches
+    # the parquet scan (PushedFilters)
+    return load_tables(spark, sf_dir).customer.where(F.col("c_custkey") == 42)
+
+
+def _q_multi_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.10 ES mget / WHERE id IN (...)
+    return (
+        load_tables(spark, sf_dir)
+        .customer.where(F.col("c_custkey").isin(1, 7, 42, 99, 120))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def _q_term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.10 ES termQuery + count
+    ev = load_tables(spark, sf_dir).events
+    return ev.where(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def _q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # beyond-reference (SURVEY §2.4 note): Catalyst rollup for free
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A11: distinct as a first-class stream op (reference only did it
+    # driver-side, KafKaTest.java:210)
+    ev = load_tables(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
 # --- capstone waybill pipeline (reference StateTest.java:639-872) ----------
 
 _WAYBILL_N = 500
@@ -338,6 +447,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waybill_cem_merge": _q_waybill_cem_merge,
         "waybill_capstone": _q_waybill_capstone,
         "product_revenue": _q_product_revenue,
+        "iterate_fixpoint": _q_iterate_fixpoint,
+        "stateful_filter": _q_stateful_filter,
+        "rolling_extrema": _q_rolling_extrema,
+        "global_window": _q_global_window,
+        "window_last_value": _q_window_last_value,
+        "point_lookup": _q_point_lookup,
+        "multi_get": _q_multi_get,
+        "term_count": _q_term_count,
+        "rollup_counts": _q_rollup_counts,
+        "distinct_users": _q_distinct_users,
     }
 
 
@@ -802,6 +921,58 @@ def oracle_sql() -> dict[str, str]:
               (octet_length(encode(text)) - 1) // 10 + 1 AS n_sampled,
               CAST(((octet_length(encode(text)) - 1) // 10) * 10 AS INT) AS last_frame
             FROM documents
+        """,
+        "iterate_fixpoint": """
+            SELECT event_id,
+                   CASE WHEN event_id % 9 > 5 THEN event_id % 9 ELSE 6 END AS v_final
+            FROM events
+        """,
+        "stateful_filter": f"""
+            WITH c AS (
+              SELECT user_id, event_id, value,
+                CAST(SUM(CAST(value AS {_D})) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                AS running_total
+              FROM events)
+            SELECT * FROM c WHERE running_total >= 100.0
+        """,
+        "rolling_extrema": """
+            SELECT user_id, event_id,
+              MAX(value) OVER w AS running_max,
+              MIN(value) OVER w AS running_min
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "global_window": f"""
+            SELECT make_timestamp(CAST(epoch(ts) AS BIGINT) // 21600 * 21600 * 1000000) AS window_start,
+                   make_timestamp((CAST(epoch(ts) AS BIGINT) // 21600 * 21600 + 21600) * 1000000) AS window_end,
+                   count(*) AS cnt, {_sum_d('value', 'sum_value')}
+            FROM events GROUP BY 1, 2
+        """,
+        "window_last_value": """
+            SELECT date_trunc('day', ts) AS window_start, user_id,
+                   arg_max(value, event_id) AS last_value
+            FROM events GROUP BY 1, 2
+        """,
+        "point_lookup": "SELECT * FROM customer WHERE c_custkey = 42",
+        "multi_get": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey IN (1, 7, 42, 99, 120)
+        """,
+        "term_count": """
+            SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase'
+        """,
+        "rollup_counts": f"""
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                   {_sum_d('l_quantity', 'sum_qty')}
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "waybill_generator": f"""
             WITH {_waybill_gen_ctes(_WAYBILL_N)}

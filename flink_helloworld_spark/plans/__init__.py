@@ -1,0 +1,45 @@
+"""Plan-level utilities: explain helpers + the batch iteration loop."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (for assertions on plan shape:
+    BroadcastHashJoin present, PushedFilters populated, exchange count)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def iterate_fixpoint(
+    df: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    continue_cond: Column,
+    max_iters: int = 100,
+) -> DataFrame:
+    """Feedback iteration (reference ``iterate()``/``closeWith()``,
+    HelloWorldFlinkTest.java:422-433: rows loop through +1 until > 5,
+    with two exits).
+
+    Streaming iteration has no Spark equivalent (SURVEY §2.5 J5 —
+    documented out of streaming scope); the batch expression is a
+    driver-side loop over DataFrames: rows matching ``continue_cond``
+    are fed back through ``step``, others exit. ``localCheckpoint``
+    truncates the growing lineage each round so the loop scales with
+    iterations.
+    """
+    from flink_helloworld_spark.operators.relational import union_streams
+
+    exited: list[DataFrame] = []
+    work = df
+    for _ in range(max_iters):
+        looping = work.where(continue_cond)
+        exited.append(work.where(~continue_cond))
+        if looping.isEmpty():
+            break
+        work = step(looping).localCheckpoint(eager=True)
+    else:
+        exited.append(work.where(continue_cond))  # max-iters safety exit
+    return union_streams(*exited)
