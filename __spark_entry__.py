@@ -481,10 +481,10 @@ def _shingle_ctes(n: int = 3) -> str:
     return f"""
       ws AS (SELECT doc_id, {_WS} AS ws FROM documents),
       sh AS (SELECT doc_id,
-        list_sort(list_distinct(list_transform(
+        list_distinct(list_transform(
           range(1, greatest(len(ws) - {n} + 2, 1)),
-          i -> array_to_string(ws[i:i+{n - 1}], ' ')))) AS sh
-        FROM ws)"""
+          i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS sh
+        FROM ws WHERE len(ws) >= {n})"""
 
 
 def _sig_cte() -> str:

@@ -52,6 +52,9 @@ def main() -> None:
     spark = build_session(app_name="fhs-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     qs = entrymod.queries()
+    # warm-up: JVM/codegen/scan init so timings reflect steady state
+    spark.range(1000).count()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

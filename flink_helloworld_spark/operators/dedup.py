@@ -28,13 +28,19 @@ def _words(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct, sorted word n-gram shingles of a text column."""
+    """Distinct word n-gram shingles of a text column (an unordered SET:
+    every consumer — minhash minima, band keys, Jaccard intersections —
+    is order-independent, so no sort is spent on it)."""
     ws = _words(text)
+    return shingles_from_words(ws, n)
+
+
+def shingles_from_words(ws: Column, n: int = 3) -> Column:
     grams = F.transform(
         F.sequence(F.lit(0), F.size(ws) - n),
         lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
     )
-    return F.when(F.size(ws) >= n, F.array_sort(F.array_distinct(grams))).otherwise(
+    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -114,20 +120,31 @@ def lsh_band_keys(sig: Column, bands: int, rows: int) -> list[Column]:
 
 def shingle_table(docs: DataFrame, text_col: str = "text", shingle_n: int = 3) -> DataFrame:
     """(doc_id, sh) — each doc's distinct shingle set, computed once and
-    shared by signature, banding, and Jaccard verification."""
-    return docs.select(
-        "doc_id", shingles(F.col(text_col), shingle_n).alias("sh")
-    ).where(F.size("sh") > 0)
+    shared by signature, banding, and Jaccard verification.
+
+    The word split is materialized as its own column first and the
+    emptiness filter runs on IT (cheap size check) — filtering on the
+    shingle column would duplicate the whole shingling expression into
+    the pushed-down predicate."""
+    words = docs.select("doc_id", _words(F.col(text_col)).alias("ws"))
+    return words.where(F.size("ws") >= shingle_n).select(
+        "doc_id", shingles_from_words(F.col("ws"), shingle_n).alias("sh")
+    )
 
 
 def _buckets_from_shingles(
     sh_df: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
     rows = num_hashes // bands
-    sig = minhash_signature_from_hashes(
-        F.transform(F.col("sh"), shingle_base_hash), num_hashes
+    # materialize the md5 base hashes as their own projection: the 12
+    # permutation minima all reference `hm`, and CollapseProject keeps a
+    # multiply-used non-cheap alias as a separate step — one md5 pass per
+    # shingle instead of 12
+    hm_df = sh_df.select(
+        "doc_id", F.transform(F.col("sh"), shingle_base_hash).alias("hm")
     )
-    with_sig = sh_df.select("doc_id", sig.alias("sig"))
+    sig = minhash_signature_from_hashes(F.col("hm"), num_hashes)
+    with_sig = hm_df.select("doc_id", sig.alias("sig"))
     keys = lsh_band_keys(F.col("sig"), bands, rows)
     return with_sig.select(
         "doc_id",
