@@ -248,6 +248,20 @@ def _q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_cosine_topk(load_tables(spark, sf_dir).embeddings, k=5, planes=8)
 
 
+def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup: bucketed candidates, exact cosine ≥ τ
+    # (τ=0.3 sized to the synthetic random embeddings; production would
+    # use ~0.9 on real embeddings)
+    return S.embedding_near_dup_pairs(
+        load_tables(spark, sf_dir).embeddings, threshold=0.3
+    )
+
+
+def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # flagship LLM-data cascade: quality → exact dedup → near-dup removal
+    return D.corpus_clean(load_tables(spark, sf_dir).documents)
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_binary(load_tables(spark, sf_dir).documents)
     feats = MM.decode_image_features(media)
@@ -441,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh_topk": _q_similarity_lsh_topk,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "corpus_clean": _q_corpus_clean,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "waybill_generator": _q_waybill_generator,
@@ -477,9 +493,9 @@ _WS = "list_filter(string_split(text, ' '), w -> w <> '')"
 _NUM_HASHES, _BANDS, _ROWS = 12, 4, 3
 
 
-def _shingle_ctes(n: int = 3) -> str:
+def _shingle_ctes(n: int = 3, source: str = "documents") -> str:
     return f"""
-      ws AS (SELECT doc_id, {_WS} AS ws FROM documents),
+      ws AS (SELECT doc_id, {_WS} AS ws FROM {source}),
       sh AS (SELECT doc_id,
         list_distinct(list_transform(
           range(1, greatest(len(ws) - {n} + 2, 1)),
@@ -905,6 +921,56 @@ def oracle_sql() -> dict[str, str]:
             "b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id",
             extra_cte=f"WITH b AS (SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings)",
         ),
+        "dedup_embedding_cosine": f"""
+            WITH b AS (SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings)
+            SELECT * FROM (
+              SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+                     {_dot_sql("q.embedding", "c.embedding")}
+                       / nullif(sqrt({_dot_sql("q.embedding", "q.embedding")})
+                                * sqrt({_dot_sql("c.embedding", "c.embedding")}), 0.0)
+                       AS cosine
+              FROM b q JOIN b c
+                ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
+            WHERE cosine >= 0.3
+        """,
+        "corpus_clean": f"""
+            WITH qscore AS (
+              SELECT doc_id,
+                len(list_filter({_WS},
+                  w -> list_contains(['the','and','of','to','a'], w))) AS stop_hits,
+                len({_WS}) AS n_words, length(text) AS n_chars,
+                len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+              FROM documents),
+            qkeep AS (
+              SELECT doc_id FROM qscore
+              WHERE ((CASE WHEN (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) >= 3.0
+                            AND (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) <= 10.0
+                           THEN 4 ELSE 0 END)
+                     + (CASE WHEN stop_hits::DOUBLE / nullif(n_words::DOUBLE, 0.0) > 0.0 THEN 4 ELSE 0 END)
+                     + (CASE WHEN n_punct::DOUBLE / nullif(n_chars::DOUBLE, 0.0) < 0.2 THEN 2 ELSE 0 END)
+                    )::DOUBLE / 10.0 >= 0.5),
+            qd AS (SELECT d.* FROM documents d JOIN qkeep USING (doc_id)),
+            ek AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+            surv AS (SELECT qd.* FROM qd JOIN ek USING (doc_id)),
+            {_shingle_ctes(source="surv").lstrip()}, {_sig_cte()}, {_buckets_cte()},
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM buckets x JOIN buckets y
+                ON x.band_id = y.band_id AND x.band_key = y.band_key
+               AND x.doc_id < y.doc_id),
+            pairs AS (
+              SELECT doc_a, doc_b,
+                len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                  / nullif((len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE, 0.0)
+                  AS jaccard
+              FROM cand
+              JOIN sh sa ON doc_a = sa.doc_id
+              JOIN sh sb ON doc_b = sb.doc_id),
+            dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jaccard >= 0.5)
+            SELECT s.doc_id, s.lang, s.n_chars
+            FROM surv s LEFT JOIN dropped dr ON s.doc_id = dr.doc_id
+            WHERE dr.doc_id IS NULL
+        """,
         "multimodal_decode": """
             SELECT doc_id,
               CAST(1 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS INT) AS width,

@@ -222,6 +222,45 @@ def minhash_dedup_pairs(
     )
 
 
+# --- end-to-end corpus cleaning ---------------------------------------------
+
+
+def corpus_clean(
+    docs: DataFrame,
+    quality_min: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The standard LLM corpus-cleaning cascade as ONE declarative plan:
+
+    1. quality filter (cheap per-row score ≥ `quality_min`),
+    2. exact dedup (keep the minimum doc_id per distinct text),
+    3. MinHash-LSH near-dup removal (for every surviving pair with
+       Jaccard ≥ `jaccard_threshold`, drop the higher doc_id).
+
+    Output: surviving (doc_id, lang, n_chars). Each stage shrinks the
+    input of the next, so the expensive near-dup join runs on the
+    already-reduced survivor set — the shape that matters at 100 TB.
+    """
+    from flink_helloworld_spark.operators.text import quality_score
+
+    q = quality_score(docs).where(F.col("quality_score") >= quality_min).select("doc_id")
+    quality_docs = docs.join(q, "doc_id")
+    exact_keep = quality_docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = quality_docs.join(exact_keep.select("doc_id"), "doc_id")
+    near_pairs = minhash_dedup_pairs(
+        survivors, "text", num_hashes, bands, shingle_n, jaccard_threshold
+    ).where(F.col("is_dup"))
+    dropped = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return survivors.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

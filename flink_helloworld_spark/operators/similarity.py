@@ -97,6 +97,43 @@ def _md5_hexchar(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()[0]
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: pairs of vectors in the
+    same hyperplane bucket with cosine ≥ threshold (id_a < id_b).
+
+    The scale path for semantic dedup: candidate generation is the
+    bucket self-join (uniform md5-derived buckets), the exact cosine runs
+    only on candidates."""
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_bucket(F.col(vec_col), planes, dims).alias("bucket"),
+    )
+    return (
+        v.alias("q")
+        .join(
+            v.alias("c"),
+            (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.id") < F.col("c.id")),
+        )
+        .select(
+            F.col("q.id").alias("id_a"),
+            F.col("c.id").alias("id_b"),
+            (
+                _dot(F.col("q.vec"), F.col("c.vec"))
+                / F.nullif(_norm(F.col("q.vec")) * _norm(F.col("c.vec")), F.lit(0.0))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     k: int = 5,
