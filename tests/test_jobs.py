@@ -1,0 +1,60 @@
+"""End-to-end streaming ETL job + streaming dedup."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_helloworld_spark.streaming.jobs import streaming_dedup_exact, waybill_etl_job
+from flink_helloworld_spark.streaming.replay import run_available_now
+
+
+def test_waybill_etl_job_end_to_end(spark):
+    sink, query = waybill_etl_job(
+        spark,
+        tempfile.mkdtemp(prefix="etl-sink-"),
+        tempfile.mkdtemp(prefix="etl-ck-"),
+        rows_per_second=200,
+    )
+    try:
+        time.sleep(8)
+    finally:
+        query.stop()
+        query.awaitTermination(60)
+    out = sink.read(spark)
+    rows = out.collect()
+    assert len(rows) > 50  # generator produced and sink upserted
+    one = rows[0]
+    assert one.waybill_code.startswith("JD") and len(one.waybill_code) == 12
+    assert one.sign_len == 30
+    # keyed upsert: exactly one row per waybill_code
+    assert out.groupBy("waybill_code").count().where("count > 1").count() == 0
+
+
+def test_streaming_dedup_within_watermark(spark):
+    workdir = tempfile.mkdtemp(prefix="sdedup-")
+    t0 = time.time() - 60
+    batches = [
+        [("k1", 1000, "a"), ("k2", 1500, "b")],
+        [("k1", 2000, "a-dup"), ("k3", 2500, "c")],   # k1 duplicate arrives
+        [("k1", 3000, "a-dup2"), ("k4", 3500, "d")],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["k", "ts_ms", "payload"])
+        p = os.path.join(workdir, f"b{i:02d}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    raw = (
+        spark.readStream.schema("k string, ts_ms long, payload string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+        .withColumn("event_time", F.timestamp_millis("ts_ms"))
+    )
+    deduped = streaming_dedup_exact(raw, ["k"], time_col="event_time", delay="1 hour")
+    rows = run_available_now(deduped.select("k", "payload"), "sdedup")
+    got = {r.k: r.payload for r in rows}
+    assert got == {"k1": "a", "k2": "b", "k3": "c", "k4": "d"}  # first wins
