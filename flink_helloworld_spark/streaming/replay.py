@@ -43,10 +43,20 @@ class Step:
     watermark_ms: int = -1
 
 
-def write_script(steps: list[Step], workdir: str) -> None:
+def write_script(steps: list[Step], workdir: str, wm_offset: int = 1) -> None:
     """Materialize one parquet file per micro-batch step (data row, then
     optionally its watermark-driver row), with strictly increasing mtimes
-    so the file source replays them in order."""
+    so the file source replays them in order.
+
+    ``wm_offset`` is added to each scripted watermark when emitting the
+    driver row. Default 1 = the Flink→Spark boundary translation (see
+    below). Scripts whose data rows OUTPACE the scripted watermark (Flink
+    bounded out-of-orderness: watermark may lag max event time
+    arbitrarily) need the standard Spark mapping — run the aggregation
+    with ``delay = max_out_of_orderness + allowed_lateness`` and pass
+    ``wm_offset = delay - allowed_lateness + 1`` so driver rows place the
+    Spark watermark (max_ts - delay) exactly at the Flink drop boundary
+    (flink_wm + 1 - lateness)."""
     shutil.rmtree(workdir, ignore_errors=True)
     os.makedirs(workdir)
     t0 = time.time() - len(steps) * 4  # strictly increasing mtimes
@@ -78,9 +88,9 @@ def write_script(steps: list[Step], workdir: str) -> None:
             # — matching Flink's "watermark applies to all subsequent
             # elements".
             for _ in range(2):
-                emit([{"k": WM_KEY, "v": 0, "event_ts_ms": s.watermark_ms + 1, "seq": seq}])
+                emit([{"k": WM_KEY, "v": 0, "event_ts_ms": s.watermark_ms + wm_offset, "seq": seq}])
                 seq += 1
-            last_wm = max(last_wm, s.watermark_ms + 1)
+            last_wm = max(last_wm, s.watermark_ms + wm_offset)
     if last_wm > 0:
         # end-of-input flush: Flink's bounded sources emit a final
         # Long.MAX_VALUE watermark that fires every remaining window.
