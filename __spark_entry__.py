@@ -248,6 +248,12 @@ def _q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_cosine_topk(load_tables(spark, sf_dir).embeddings, k=5, planes=8)
 
 
+def _q_similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow+BLAS vectorized exact top-k (no SQL oracle: BLAS float
+    # summation order differs; verified against similarity_topk in tests)
+    return S.cosine_topk_vectorized(load_tables(spark, sf_dir).embeddings, k=5)
+
+
 def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup: bucketed candidates, exact cosine ≥ τ
     # (τ=0.3 sized to the synthetic random embeddings; production would
@@ -455,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh_topk": _q_similarity_lsh_topk,
+        "similarity_topk_vectorized": _q_similarity_topk_vectorized,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "corpus_clean": _q_corpus_clean,
         "multimodal_decode": _q_multimodal_decode,

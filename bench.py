@@ -43,6 +43,8 @@ HEADLINE = [
     "text_quality",
     "text_lang_id",
     "similarity_lsh_topk",
+    "similarity_topk_vectorized",
+    "corpus_clean",
     "multimodal_decode",
     "waybill_capstone",
 ]

@@ -64,6 +64,81 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized exact top-k: Arrow-batched ``mapInPandas`` computing
+    query-block × index matrix products in NumPy (BLAS) — the fast path
+    when per-pair column expressions would be CPU-bound.
+
+    The index (all vectors, L2-normalized) is broadcast to executors —
+    the same memory contract as a broadcast join: index must fit per
+    executor (up to ~millions of rows × dims). Beyond that, shard the
+    index via ``lsh_cosine_topk`` buckets or an IVF partitioner and run
+    this kernel per shard. Queries stream through in Arrow batches, so
+    the scan side scales with partitions.
+
+    Values differ from ``cosine_topk`` only in float summation order
+    (BLAS vs sequential) — rankings agree except on ~1e-15 ties, so this
+    variant is verified against the exact baseline in tests rather than
+    the SQL oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    index_rows = emb.select(id_col, vec_col).collect()  # index build step
+    ids = np.array([r[0] for r in index_rows], dtype=np.int64)
+    mat = np.array([r[1] for r in index_rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = np.inf  # zero vectors never match
+    mat_n = mat / norms[:, None]
+    spark = emb.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat_n)
+
+    def topk(batches):
+        idx_ids, idx_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0.0] = np.inf
+            sims = (q / qn[:, None]) @ idx_mat.T  # one BLAS call per batch
+            out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
+            for row_i, qid in enumerate(q_ids):
+                s = sims[row_i]
+                self_mask = idx_ids == qid
+                s = np.where(self_mask, -np.inf, s)
+                # top-k by (sim desc, id asc): lexsort on (-sim, id)
+                order = np.lexsort((idx_ids, -s))[:k]
+                out["query_id"].extend([qid] * len(order))
+                out["rank"].extend(range(1, len(order) + 1))
+                out["neighbor_id"].extend(idx_ids[order])
+                out["cosine"].extend(s[order])
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("rank", IntegerType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    return emb.select(id_col, vec_col).mapInPandas(topk, schema)
+
+
 def hyperplane_bucket(vec: Column, planes: int = 8, dims: int = 64) -> Column:
     """Random-hyperplane LSH bucket id for a vector.
 

@@ -114,3 +114,22 @@ def test_frame_sample_counts(spark):
     media = MM.attach_binary(docs)
     frames = [r.frame_index for r in MM.frame_sample(media, every_n=10).collect()]
     assert frames == [0, 10, 20]
+
+
+def test_vectorized_topk_matches_exact(spark, sf_dir):
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir).embeddings
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in S.cosine_topk(emb, k=3).collect()
+    }
+    fast = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in S.cosine_topk_vectorized(emb, k=3).collect()
+    }
+    assert set(exact) == set(fast)
+    agree = sum(1 for key in exact if exact[key][0] == fast[key][0])
+    assert agree / len(exact) > 0.99  # only ~1e-15 float ties may differ
+    for key in exact:
+        assert abs(exact[key][1] - fast[key][1]) < 1e-9
