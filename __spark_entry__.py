@@ -376,6 +376,15 @@ def _q_term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.9 skew mitigation: two-level salted aggregation — exact decimal
+    # makes the salting invisible in results (oracle = plain GROUP BY)
+    from flink_helloworld_spark.operators.skew import salted_sum
+
+    ev = load_tables(spark, sf_dir).events
+    return salted_sum(ev, "event_type", "value", "event_id", buckets=16)
+
+
 def _q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # beyond-reference (SURVEY §2.4 note): Catalyst rollup for free
     li = load_tables(spark, sf_dir).lineitem
@@ -478,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": _q_point_lookup,
         "multi_get": _q_multi_get,
         "term_count": _q_term_count,
+        "salted_sum": _q_salted_sum,
         "rollup_counts": _q_rollup_counts,
         "distinct_users": _q_distinct_users,
     }
@@ -1036,6 +1046,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "term_count": """
             SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase'
+        """,
+        "salted_sum": f"""
+            SELECT event_type,
+                   {_sum_d('value', 'total')},
+                   count(*) AS cnt
+            FROM events GROUP BY event_type
         """,
         "rollup_counts": f"""
             SELECT l_returnflag, l_linestatus, count(*) AS cnt,

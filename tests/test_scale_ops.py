@@ -1,0 +1,89 @@
+"""Scale-path operators: salting, bucketed co-located joins, and the
+transformWithStateInPandas upgrade path."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_helloworld_spark.operators.skew import salted_sum
+from flink_helloworld_spark.plans import explain_str
+from flink_helloworld_spark.sources.tables import load_tables
+
+
+def test_salted_sum_equals_plain_sum(spark, sf_dir):
+    ev = load_tables(spark, sf_dir).events
+    salted = {
+        r.event_type: (r.total, r.cnt)
+        for r in salted_sum(ev, "event_type", "value", "event_id", 16).collect()
+    }
+    plain = {
+        r.event_type: (r.total, r.cnt)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    }
+    assert salted == plain  # exact decimal: salting is invisible in results
+
+
+def test_salted_sum_spreads_hot_keys(spark, sf_dir):
+    ev = load_tables(spark, sf_dir).events
+    plan = explain_str(salted_sum(ev, "event_type", "value", "event_id", 16), "simple")
+    # first exchange must partition on (key, salt), not the hot key alone
+    assert "hashpartitioning(event_type" in plan and "_salt" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Bucketing co-locates join keys at write time: the bucketed join
+    plans with zero exchanges on either side (SURVEY §2.9: pre-partition
+    instead of per-query shuffles)."""
+    t = load_tables(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS or_b")
+    t.lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("or_b")
+    li, orders = spark.table("li_b"), spark.table("or_b")
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_quantity", "o_totalprice"
+    )
+    plan = explain_str(joined, "simple")
+    assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+    # and it still computes the right thing
+    assert joined.count() == t.lineitem.join(
+        t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).count()
+
+
+def test_transform_with_state_rolling_sum(spark):
+    """The applyInPandasWithState → transformWithStateInPandas port
+    produces identical per-event rolling sums."""
+    # transformWithStateInPandas needs protobuf at runtime (absent in
+    # this container) — the module is the documented upgrade path and
+    # this test runs wherever protobuf exists
+    pytest.importorskip("google.protobuf")
+    import os, time
+    import pandas as pd
+
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import rolling_sum_tws
+
+    workdir = tempfile.mkdtemp(prefix="tws-")
+    rows = [("a", 0, 10.0), ("a", 1, 5.0), ("b", 2, 7.0), ("a", 3, 1.0)]
+    t0 = time.time() - 60
+    for i, r in enumerate(rows):
+        p = os.path.join(workdir, f"f{i:02d}.parquet")
+        pd.DataFrame([r], columns=["k", "seq", "v"]).to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("k string, seq long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    out = run_available_now(rolling_sum_tws(stream), "tws_rolling")
+    got = sorted((r.k, r.running_total) for r in out)
+    assert got == [("a", 10.0), ("a", 15.0), ("a", 16.0), ("b", 7.0)]
