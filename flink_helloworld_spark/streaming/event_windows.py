@@ -96,6 +96,35 @@ def session_sum_stream(
     )
 
 
+def stream_stream_window_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str = "event_time",
+    right_time: str = "event_time",
+    delay: str = "0 milliseconds",
+    range_ms: int = 5000,
+) -> DataFrame:
+    """Streaming equi-join within a time range (SURVEY §2.5 J2's true
+    streaming form): both sides watermarked, joined on key + a bounded
+    event-time range so Spark's symmetric hash join can evict state
+    (unbounded-range stream joins would buffer forever).
+
+    The reference's window join (a.join(b).where...window(Tumbling...),
+    WindowTest.java:585-602) pairs rows in the same tumbling window; the
+    range condition |t_l - t_r| < range is the generalization Flink
+    calls an interval join (mentioned at WindowTest.java:565-566)."""
+    lw = left.withWatermark(left_time, delay).alias("l")
+    rw = right.withWatermark(right_time, delay).alias("r")
+    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    return lw.join(
+        rw,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rt >= lt - F.expr(f"INTERVAL {range_ms} MILLISECONDS"))
+        & (rt <= lt + F.expr(f"INTERVAL {range_ms} MILLISECONDS")),
+    )
+
+
 LATE_SCHEMA = StructType(
     [
         StructField("k", StringType()),

@@ -71,6 +71,22 @@ class KeyedUpsertSink:
         return spark.read.parquet(self._data_path())
 
 
+def partitioned_lake_sink(
+    df: DataFrame, path: str, checkpoint_dir: str, partition_cols: list[str]
+):
+    """Append-mode partitioned parquet lake writer: the data-lake sink a
+    100 TB pipeline lands in (hive-style partition dirs → partition
+    pruning for readers). Exactly-once per file via the sink's
+    checkpointed manifest."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(*partition_cols)
+        .outputMode("append")
+    )
+
+
 def console_sink(df: DataFrame, label: str = "out", num_rows: int = 20):
     """print()/print(label) (K1, HelloWorldFlinkTest.java:46,105):
     console streaming sink, label ↦ queryName."""

@@ -42,9 +42,15 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     """Bucketing co-locates join keys at write time: the bucketed join
     plans with zero exchanges on either side (SURVEY §2.9: pre-partition
     instead of per-query shuffles)."""
+    import shutil
+
     t = load_tables(spark, sf_dir)
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS or_b")
+    # a fresh metastore may not know tables whose files survived a
+    # previous session — clear the locations too
+    for name in ("li_b", "or_b"):
+        shutil.rmtree(f"/tmp/fhs-warehouse/{name}", ignore_errors=True)
     t.lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
     t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("or_b")
     li, orders = spark.table("li_b"), spark.table("or_b")

@@ -175,3 +175,48 @@ def test_co_flat_map_join_buffers_until_dim_arrives(spark):
     rows = run_available_now(joined, "cfm_join")
     got = sorted((r.amount, r.dim_name) for r in rows)
     assert got == [(10, "dim-one"), (20, "dim-one"), (30, "dim-one")]
+
+
+def test_stream_stream_window_join(spark):
+    """J2 streaming form: views ⋈ purchases within ±5 s per user, both
+    sides watermarked (state evictable)."""
+    script = [
+        Step("u1", 100, 1000),   # view-ish event
+        Step("u1", 200, 3000),   # within 5 s of 1000 → pairs
+        Step("u2", 300, 2000),
+        Step("u1", 400, 20000, 30000),  # far from earlier u1 rows
+    ]
+    workdir = tempfile.mkdtemp(prefix="ssj-")
+    write_script(script, workdir)
+    raw = read_script_stream(spark, workdir).where(F.col("k") != "__wm__")
+    left = raw.where(F.col("v") % 200 != 0).select(
+        "k", F.col("v").alias("lv"), "event_time"
+    )
+    right = raw.where(F.col("v") % 200 == 0).select(
+        "k", F.col("v").alias("rv"), F.col("event_time").alias("revent_time")
+    )
+    from flink_helloworld_spark.streaming.event_windows import stream_stream_window_join
+
+    joined = stream_stream_window_join(
+        left, right, "k", "event_time", "revent_time", range_ms=5000
+    ).select(F.col("l.k").alias("k"), "lv", "rv")
+    rows = run_available_now(joined, "ssj")
+    assert {(r.k, r.lv, r.rv) for r in rows} == {("u1", 100, 200)}
+
+
+def test_partitioned_lake_sink(spark):
+    import os
+
+    from flink_helloworld_spark.streaming.sinks import partitioned_lake_sink
+
+    script = [Step("a", 1, 1000), Step("b", 2, 2000), Step("a", 3, 3000)]
+    workdir = tempfile.mkdtemp(prefix="lake-src-")
+    write_script(script, workdir)
+    out_dir = tempfile.mkdtemp(prefix="lake-out-")
+    ck = tempfile.mkdtemp(prefix="lake-ck-")
+    stream = read_script_stream(spark, workdir).select("k", "v", "event_ts_ms")
+    q = partitioned_lake_sink(stream, out_dir, ck, ["k"]).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    back = spark.read.parquet(out_dir)
+    assert {r.k for r in back.select("k").distinct().collect()} >= {"a", "b"}
+    assert any(d.startswith("k=") for d in os.listdir(out_dir))  # hive dirs
