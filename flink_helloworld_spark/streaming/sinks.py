@@ -22,12 +22,21 @@ class KeyedUpsertSink:
 
     Latest row per key wins (doc-id upsert); a replayed micro-batch
     (same batch_id) is skipped — the batch-id ledger is the dedup the
-    reference gets from ES document versioning."""
+    reference gets from ES document versioning. With ``tombstone_col``,
+    a latest row where that column is true DELETES the key (ES
+    bulk-delete / delete-by-key, ElasticsearchTest.java:331-349)."""
 
-    def __init__(self, path: str, key_col: str, order_col: str | None = None):
+    def __init__(
+        self,
+        path: str,
+        key_col: str,
+        order_col: str | None = None,
+        tombstone_col: str | None = None,
+    ):
         self.path = path
         self.key_col = key_col
         self.order_col = order_col
+        self.tombstone_col = tombstone_col
         self._seen_path = os.path.join(path, "_batches")
         os.makedirs(self._seen_path, exist_ok=True)
 
@@ -56,6 +65,11 @@ class KeyedUpsertSink:
                 .where(F.col("_rn") == 1)
                 .drop("_rn")
             )
+            if self.tombstone_col and self.tombstone_col in latest.columns:
+                # a winning tombstone removes the key entirely
+                latest = latest.where(
+                    ~F.coalesce(F.col(self.tombstone_col), F.lit(False))
+                )
             tmp = data + ".tmp"
             latest.write.mode("overwrite").parquet(tmp)
             if os.path.exists(data):

@@ -108,3 +108,20 @@ def test_keyed_upsert_sink_is_idempotent(spark):
     sink(b1, 1)  # replay of the same batch id → no-op
     got = {r.k: (r.seq, r.val) for r in sink.read(spark).collect()}
     assert got == {"a": (2, "v2"), "b": (1, "x1")}
+
+
+def test_keyed_upsert_sink_tombstone_delete(spark):
+    sink = KeyedUpsertSink(
+        tempfile.mkdtemp(prefix="upsert-del-"), "k", "seq", tombstone_col="deleted"
+    )
+    b0 = spark.createDataFrame(
+        [("a", 1, "v1", False), ("b", 1, "x1", False)],
+        "k string, seq int, val string, deleted boolean",
+    )
+    b1 = spark.createDataFrame(
+        [("a", 2, None, True)], "k string, seq int, val string, deleted boolean"
+    )
+    sink(b0, 0)
+    sink(b1, 1)  # tombstone for 'a'
+    got = {r.k: r.val for r in sink.read(spark).collect()}
+    assert got == {"b": "x1"}  # 'a' deleted, 'b' intact
