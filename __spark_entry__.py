@@ -376,6 +376,59 @@ def _q_term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join (custom temporal op): each purchase paired with the
+    # user's latest click at/before it
+    from flink_helloworld_spark.operators.temporal_joins import as_of_join
+
+    ev = load_tables(spark, sf_dir).events
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return as_of_join(
+        purchases, clicks, "user_id", "ts", "click_ts", ["click_id", "click_ts"]
+    )
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # range join: purchase↔error pairs within 10 minutes per user
+    from flink_helloworld_spark.operators.temporal_joins import range_join
+
+    ev = load_tables(spark, sf_dir).events
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("e_id"), F.col("ts").alias("e_ts")
+    )
+    return range_join(p, e, "user_id", "p_ts", "e_ts", 600_000).select(
+        F.col("l.user_id").alias("user_id"), "p_id", "e_id"
+    )
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # beyond-reference analytics: exact interpolated percentiles
+    # (Spark percentile == DuckDB quantile_cont, bit-identical)
+    ev = load_tables(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+def _q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # beyond-reference: full cube (Catalyst grouping sets for free)
+    li = load_tables(spark, sf_dir).lineitem
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def _q_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.9 skew mitigation: two-level salted aggregation — exact decimal
     # makes the salting invisible in results (oracle = plain GROUP BY)
@@ -487,6 +540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": _q_point_lookup,
         "multi_get": _q_multi_get,
         "term_count": _q_term_count,
+        "as_of_join": _q_as_of_join,
+        "range_join": _q_range_join,
+        "percentiles": _q_percentiles,
+        "cube_counts": _q_cube_counts,
         "salted_sum": _q_salted_sum,
         "rollup_counts": _q_rollup_counts,
         "distinct_users": _q_distinct_users,
@@ -1046,6 +1103,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "term_count": """
             SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase'
+        """,
+        "as_of_join": """
+            SELECT l.user_id, l.event_id, l.ts, l.value,
+                   r.click_id AS asof_click_id, r.click_ts AS asof_click_ts
+            FROM (SELECT user_id, event_id, ts, value FROM events
+                  WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT user_id, event_id AS click_id, ts AS click_ts
+                            FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.click_ts
+        """,
+        "range_join": """
+            SELECT p.user_id, p.event_id AS p_id, e.event_id AS e_id
+            FROM events p JOIN events e
+              ON p.user_id = e.user_id
+             AND abs(epoch_ms(p.ts) - epoch_ms(e.ts)) <= 600000
+            WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+        """,
+        "percentiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.95) AS p95,
+                   min(value) AS min_v, max(value) AS max_v
+            FROM events GROUP BY event_type
+        """,
+        "cube_counts": """
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "salted_sum": f"""
             SELECT event_type,

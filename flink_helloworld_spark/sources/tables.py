@@ -46,6 +46,9 @@ class Tables:
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> Tables:
+    # engine timestamp contract: UTC session semantics (oracle parity —
+    # DuckDB timestamps are UTC-naive); safe to set at runtime
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return Tables(spark=spark, sf_dir=sf_dir or DEFAULT_SF_DIR)
 
 
