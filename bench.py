@@ -35,6 +35,9 @@ HEADLINE = [
     "count_windows",
     "window_join",
     "merge_last_non_null",
+    "as_of_join",
+    "range_join",
+    "percentiles",
     "top_customers",
     "json_extract",
     "dedup_exact",
