@@ -49,11 +49,15 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality: word-length shape, stopword presence,
     punctuation density — the standard cheap pre-filter for LLM corpora
     (à la C4/Gopher rules), as one pass of column arithmetic."""
-    ws = _words(F.col(text_col))
+    # materialize the word array once: several expressions below use it,
+    # and in-projection reuse would recompute the split per reference
+    # (CollapseProject keeps a multiply-used non-cheap alias separate)
+    base = docs.select("doc_id", F.col(text_col).alias("_t"), _words(F.col(text_col)).alias("ws"))
+    ws = F.col("ws")
     n_words = F.size(ws)
-    n_chars = F.length(text_col)
+    n_chars = F.length("_t")
     stop_hits = F.size(F.filter(ws, lambda w: w.isin(*LANG_MARKERS["en"])))
-    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_punct = F.size(F.regexp_extract_all(F.col("_t"), F.lit(r"[^A-Za-z0-9\s]"), 0))
     # nullif guards: empty docs (0 words / 0 chars) yield NULL ratios
     # instead of ANSI-mode DIVIDE_BY_ZERO at scale
     words_d = F.nullif(n_words.cast("double"), F.lit(0.0))
@@ -68,7 +72,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when(stop_ratio > 0.0, 4).otherwise(0)
         + F.when(punct_ratio < 0.2, 2).otherwise(0)
     ).cast("double") / F.lit(10.0)
-    return docs.select(
+    return base.select(
         "doc_id",
         n_words.alias("n_words"),
         mean_wlen.alias("mean_word_len"),
@@ -81,16 +85,21 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-lexicon language ID: count per-language marker hits among
     tokens; predict the argmax with a fixed tie-break order."""
-    ws = _words(F.lower(F.col(text_col)))
+    # word array materialized once, shared by the 5 per-language scores
+    base = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        _words(F.lower(F.col(text_col))).alias("ws"),
+    )
 
     def marker_hits(markers: list[str]) -> Column:
         # single-arg lambda: a second param would bind the array index
-        return F.size(F.filter(ws, lambda w: w.isin(*markers)))
+        return F.size(F.filter(F.col("ws"), lambda w: w.isin(*markers)))
 
     scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
-    scored = docs.select(
+    scored = base.select(
         "doc_id",
-        F.col("lang").alias("labeled_lang"),
+        "labeled_lang",
         *[scores[lang].alias(f"score_{lang}") for lang in _LANG_ORDER],
     )
     best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_ORDER])
