@@ -376,6 +376,28 @@ def _q_term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sql_q5_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL API surface (SURVEY §3 lifecycle): the same engine through
+    # spark.sql over registered views — TPC-H Q5-shaped multi-join
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql("""
+        SELECT n_name AS nation,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                 AS revenue,
+               count(*) AS cnt
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY n_name
+    """)
+
+
 def _q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of join (custom temporal op): each purchase paired with the
     # user's latest click at/before it
@@ -540,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": _q_point_lookup,
         "multi_get": _q_multi_get,
         "term_count": _q_term_count,
+        "sql_q5_revenue": _q_sql_q5_revenue,
         "as_of_join": _q_as_of_join,
         "range_join": _q_range_join,
         "percentiles": _q_percentiles,
@@ -888,7 +911,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS cnt
             FROM events GROUP BY event_type
         """,
@@ -1104,6 +1127,22 @@ def oracle_sql() -> dict[str, str]:
         "term_count": """
             SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase'
         """,
+        "sql_q5_revenue": """
+            SELECT n_name AS nation,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS cnt
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY n_name
+        """,
         "as_of_join": """
             SELECT l.user_id, l.event_id, l.ts, l.value,
                    r.click_id AS asof_click_id, r.click_ts AS asof_click_ts
@@ -1186,7 +1225,7 @@ def oracle_sql() -> dict[str, str]:
             latest_sale AS (SELECT product_name,
               arg_max(sale, seq) AS sale FROM sale_rows GROUP BY product_name)
             SELECT i.product_name,
-              SUM(i.income) AS total_income,
+              CAST(SUM(i.income) AS BIGINT) AS total_income,
               CAST(SUM(CAST(i.income AS DECIMAL(12,2)) * CAST(s.sale AS DECIMAL(12,4))) AS DOUBLE) AS total_revenue,
               count(*) AS n_rows
             FROM income i JOIN latest_sale s ON i.product_name = s.product_name
