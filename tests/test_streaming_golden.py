@@ -118,3 +118,52 @@ def test_late_side_output_reference_script(spark):
     )
     assert {r.v for r in side if r.is_late} == LATE_SIDE_EXPECTED_LATE_VALUES
     assert len(side) == len(LATE_SIDE_SCRIPT)
+
+
+# WindowTest.java:222-242 — session gap 2 s, keys {a,b}, merge scenarios
+SESSION_SCRIPT = [
+    Step("a", 21, 1000),          # window [1000,3000)
+    Step("a", 32, 1500),          # merges → [1000,3500)
+    Step("a", 13, 3600, 5500),    # new session [3600,5600); wm fires prior
+    Step("b", 3, 5600),           # b: [5600,7600)
+    Step("b", 9, 6000),           # merges → [5600,8000)
+    Step("b", 22, 7500),          # merges → [5600,9500)
+    Step("b", 50, 10000),         # new b session [10000,12000)
+    Step("b", 12, 11000, 9500),   # merges → [10000,13000); wm fires prior
+    Step("b", 5, 15000, 13500),   # new session; wm fires [10000,13000)
+]
+
+SESSION_EXPECTED = {
+    ("a", 1000): 53,
+    ("a", 3600): 13,
+    ("b", 5600): 34,
+    ("b", 10000): 62,
+    ("b", 15000): 5,
+}
+
+
+def test_session_merge_reference_script(spark):
+    rows = _replay(
+        spark, SESSION_SCRIPT, "golden_session",
+        lambda s: EW.session_sum_stream(s, "2 seconds"),
+    )
+    got = {(r.k, int(r.window_start.timestamp() * 1000)): r.window_sum for r in rows}
+    assert got == SESSION_EXPECTED
+
+
+def test_basic_event_time_reference_script(spark):
+    # EventTimeTest.java:60-83 — the 4-row basic script, tumbling 2 s:
+    # [0,2000) fires 20+30 at wm 2100; 1900 arrives late (dropped);
+    # [2000,4000)=22 flushes at end of input.
+    script = [
+        Step("a", 20, 500),
+        Step("a", 30, 1800, 2100),
+        Step("a", 11, 1900),  # late
+        Step("a", 22, 3000),
+    ]
+    rows = _replay(
+        spark, script, "golden_basic",
+        lambda s: EW.tumbling_sum_stream(s, "2 seconds"),
+    )
+    got = {int(r.window_start.timestamp() * 1000): r.window_sum for r in rows}
+    assert got == {0: 50, 2000: 22}
