@@ -376,6 +376,36 @@ def _q_term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequence analytics: per user, first signup -> first subsequent
+    # purchase, with a 7-day conversion flag
+    ev = load_tables(spark, sf_dir).events
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    first_after = (
+        signups.join(purchases, "user_id")
+        .where(F.col("p_ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    return signups.join(first_after, ["user_id", "signup_ts"], "left").select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        (
+            F.col("first_purchase_ts").isNotNull()
+            & (F.unix_millis("first_purchase_ts") - F.unix_millis("signup_ts")
+               <= 7 * 86400 * 1000)
+        ).alias("converted_7d"),
+    )
+
+
 def _q_sql_q5_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQL API surface (SURVEY §3 lifecycle): the same engine through
     # spark.sql over registered views — TPC-H Q5-shaped multi-join
@@ -562,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": _q_point_lookup,
         "multi_get": _q_multi_get,
         "term_count": _q_term_count,
+        "funnel_conversion": _q_funnel_conversion,
         "sql_q5_revenue": _q_sql_q5_revenue,
         "as_of_join": _q_as_of_join,
         "range_join": _q_range_join,
@@ -1126,6 +1157,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "term_count": """
             SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase'
+        """,
+        "funnel_conversion": """
+            WITH s AS (
+              SELECT user_id, min(ts) AS signup_ts FROM events
+              WHERE event_type = 'signup' GROUP BY user_id),
+            fa AS (
+              SELECT e.user_id, s.signup_ts, min(e.ts) AS first_purchase_ts
+              FROM events e JOIN s ON e.user_id = s.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+              GROUP BY e.user_id, s.signup_ts)
+            SELECT s.user_id, s.signup_ts, fa.first_purchase_ts,
+                   (fa.first_purchase_ts IS NOT NULL
+                    AND epoch_ms(fa.first_purchase_ts) - epoch_ms(s.signup_ts)
+                        <= 7 * 86400 * 1000) AS converted_7d
+            FROM s LEFT JOIN fa
+              ON s.user_id = fa.user_id AND s.signup_ts = fa.signup_ts
         """,
         "sql_q5_revenue": """
             SELECT n_name AS nation,

@@ -13,6 +13,19 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
 
+def observed(df: DataFrame, name: str, *metric_cols: Column):
+    """Accumulator-style metrics (reference IntCounter accumulators /
+    sink-side running sums, SURVEY §2.4 A12, StateTest.java:934-943):
+    attach named aggregate observations evaluated as a side effect of
+    the next action — the declarative substitute for per-operator
+    counters. Returns (df_with_observation, Observation handle); read
+    ``obs.get`` after an action."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metric_cols), obs
+
+
 def iterate_fixpoint(
     df: DataFrame,
     step: Callable[[DataFrame], DataFrame],

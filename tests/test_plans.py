@@ -67,3 +67,17 @@ def test_minhash_is_pure_columnar(spark, sf_dir):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_observed_metrics(spark, sf_dir):
+    from flink_helloworld_spark.plans import observed
+
+    ev = load_tables(spark, sf_dir).events
+    df, obs = observed(
+        ev, "ingest_metrics",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+    n = df.count()  # action triggers the observation
+    got = obs.get
+    assert got["rows"] == n and got["sum_value"] > 0
