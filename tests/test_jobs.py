@@ -58,3 +58,32 @@ def test_streaming_dedup_within_watermark(spark):
     rows = run_available_now(deduped.select("k", "payload"), "sdedup")
     got = {r.k: r.payload for r in rows}
     assert got == {"k1": "a", "k2": "b", "k3": "c", "k4": "d"}  # first wins
+
+
+def test_streaming_wordcount_update_mode(spark):
+    """The reference hello-world (HelloWorldFlinkTest.java:39-49) as a
+    real streaming query: lines stream in, per-word counts update per
+    micro-batch (rolling-sum emission ≈ Flink's per-record sum)."""
+    import pandas as pd
+
+    from flink_helloworld_spark.operators.relational import word_count
+    from flink_helloworld_spark.streaming.replay import run_available_now
+
+    workdir = tempfile.mkdtemp(prefix="wc-stream-")
+    t0 = time.time() - 60
+    batches = [["to be or not to be"], ["that is the question"], ["to be sure"]]
+    for i, lines in enumerate(batches):
+        p = os.path.join(workdir, f"b{i:02d}.parquet")
+        pd.DataFrame({"text": lines}).to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    rows = run_available_now(word_count(stream), "wc_stream", output_mode="update")
+    # update mode re-emits growing counts; final per word = max emission
+    final = {}
+    for r in rows:
+        final[r.word] = max(final.get(r.word, 0), r.cnt)
+    assert final["to"] == 3 and final["be"] == 3 and final["question"] == 1
