@@ -376,6 +376,22 @@ def _q_term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hypertable continuous-aggregate shape: hour+day buckets in one pass
+    from flink_helloworld_spark.operators.rollups import hypertable_rollup
+
+    ev = load_tables(spark, sf_dir).events
+    return hypertable_rollup(ev, "ts", ["event_type"], "value")
+
+
+def _q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable KMV distinct sketch (md5-based, engine-reproducible)
+    from flink_helloworld_spark.operators.rollups import kmv_distinct
+
+    ev = load_tables(spark, sf_dir).events
+    return kmv_distinct(ev, "event_type", "user_id", k=8)
+
+
 def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence analytics: per user, first signup -> first subsequent
     # purchase, with a 7-day conversion flag
@@ -592,6 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": _q_point_lookup,
         "multi_get": _q_multi_get,
         "term_count": _q_term_count,
+        "hypertable_rollup": _q_hypertable_rollup,
+        "kmv_distinct_sketch": _q_kmv_distinct_sketch,
         "funnel_conversion": _q_funnel_conversion,
         "sql_q5_revenue": _q_sql_q5_revenue,
         "as_of_join": _q_as_of_join,
@@ -1140,8 +1158,8 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "global_window": f"""
-            SELECT make_timestamp(CAST(epoch(ts) AS BIGINT) // 21600 * 21600 * 1000000) AS window_start,
-                   make_timestamp((CAST(epoch(ts) AS BIGINT) // 21600 * 21600 + 21600) * 1000000) AS window_end,
+            SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 * 1000000) AS window_start,
+                   make_timestamp((CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 + 21600) * 1000000) AS window_end,
                    count(*) AS cnt, {_sum_d('value', 'sum_value')}
             FROM events GROUP BY 1, 2
         """,
@@ -1157,6 +1175,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "term_count": """
             SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase'
+        """,
+        "hypertable_rollup": f"""
+            SELECT '1 hour' AS granularity,
+                   make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000) AS bucket_start,
+                   event_type, count(*) AS cnt, {_sum_d('value', 'sum_value')}
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT '1 day',
+                   make_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 * 1000000),
+                   event_type, count(*), CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+            FROM events GROUP BY 2, 3
+        """,
+        "kmv_distinct_sketch": """
+            WITH hashed AS (
+              SELECT DISTINCT event_type,
+                ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+              FROM events),
+            kept AS (
+              SELECT event_type, h,
+                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+              FROM hashed)
+            SELECT event_type, max(h) AS kth_min,
+                   count(*) AS n_kept,
+                   CASE WHEN count(*) < 8 THEN count(*)::DOUBLE
+                        ELSE 7.0 / (max(h)::DOUBLE / 1152921504606846976.0)
+                   END AS distinct_estimate
+            FROM kept WHERE rn <= 8 GROUP BY event_type
         """,
         "funnel_conversion": """
             WITH s AS (
