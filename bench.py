@@ -50,6 +50,10 @@ HEADLINE = [
     "corpus_clean",
     "multimodal_decode",
     "waybill_capstone",
+    "hypertable_rollup",
+    "kmv_distinct_sketch",
+    "funnel_conversion",
+    "sql_q5_revenue",
 ]
 
 

@@ -13,6 +13,15 @@ pattern: add a ``_side`` discriminator, union the schemas
 key. State is JSON-encoded in a two-field struct — simple, schema-stable,
 and bounded by a configurable buffer cap (100 TB discipline: no unbounded
 per-key state).
+
+Chaining: Spark rejects multiple ``applyInPandasWithState`` operators in
+one streaming query ("Multiple applyInPandasWithStates are not
+supported"), so multi-stage pipelines like the reference's 4-stage
+capstone (StateTest.java:639-872) stage through sinks: each co-flat-map
+stage writes a parquet/Kafka hop the next stage streams from (the same
+topology Flink gets from its network shuffles, made durable). The
+transformWithState API (streaming/tws.py) lifts this restriction on
+Spark 4 clusters with protobuf available.
 """
 
 from __future__ import annotations
