@@ -125,3 +125,86 @@ def test_keyed_upsert_sink_tombstone_delete(spark):
     sink(b1, 1)  # tombstone for 'a'
     got = {r.k: r.val for r in sink.read(spark).collect()}
     assert got == {"b": "x1"}  # 'a' deleted, 'b' intact
+
+
+def test_streaming_capstone_two_stages_via_parquet_hop(spark):
+    """Multi-stage stateful streaming (the 4-stage reference capstone
+    shape): Spark forbids two applyInPandasWithState ops in one query,
+    so stage 1 (route ⋈ CEM) lands in a parquet hop that stage 2
+    (⋈ order branch) streams from — the documented staging pattern,
+    exercised end-to-end."""
+    n = 10
+    import pandas as pd
+
+    cem = C.cem_merge(
+        G.waybill_c(spark, n), G.waybill_e(spark, n), G.waybill_m(spark, n)
+    ).toPandas()
+    route = G.waybill_route_link(spark, n).toPandas()
+    orders = (
+        G.waybill_order(spark, n)
+        .join(G.orders_stream(spark, n), F.col("order_id") == F.col("order_code"))
+        .select("waybill_code", "order_code")
+        .toPandas()
+    )
+
+    def write_stream_files(workdir, frames, cols):
+        t0 = time.time() - 120
+        for i, pdf in enumerate(frames):
+            for c in cols:
+                if c not in pdf.columns:
+                    pdf[c] = None
+            p = os.path.join(workdir, f"f{i:03d}.parquet")
+            pdf[cols].to_parquet(p, index=False)
+            os.utime(p, (t0 + i, t0 + i))
+
+    # ---- stage 1: route ⋈ CEM → parquet hop
+    in1 = tempfile.mkdtemp(prefix="cap2-in1-")
+    hop = tempfile.mkdtemp(prefix="cap2-hop-")
+    route["_seq"] = range(len(route))
+    cem["_seq"] = range(len(route), len(route) + len(cem))
+    cols1 = ["side", "_seq", "waybill_code", "package_code", "site_name"]
+    write_stream_files(in1, [route.assign(side="L"), cem.assign(side="R")], cols1)
+    raw1 = (
+        spark.readStream.schema(
+            "side string, _seq long, waybill_code string, package_code string, site_name string"
+        ).option("maxFilesPerTrigger", "1").parquet(in1)
+    )
+    s1 = co_flat_map_join(
+        raw1.where(F.col("side") == "L").select("waybill_code", "_seq", "package_code"),
+        raw1.where(F.col("side") == "R").select("waybill_code", "_seq", "site_name"),
+        "waybill_code", ["package_code"], ["site_name"], "_seq",
+    )
+    q1 = (
+        s1.writeStream.format("parquet")
+        .option("path", hop)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cap2-ck1-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+
+    # ---- stage 2: hop ⋈ order branch (second stateful op, new query)
+    in2 = tempfile.mkdtemp(prefix="cap2-in2-")
+    stage1_out = spark.read.parquet(hop).toPandas()
+    stage1_out["side"] = "L"
+    stage1_out["_seq"] = range(len(stage1_out))
+    orders["side"] = "R"
+    orders["_seq"] = range(len(stage1_out), len(stage1_out) + len(orders))
+    cols2 = ["side", "_seq", "waybill_code", "package_code", "site_name", "order_code"]
+    write_stream_files(in2, [orders, stage1_out], cols2)  # dims first here
+    raw2 = (
+        spark.readStream.schema(
+            "side string, _seq long, waybill_code string, package_code string,"
+            " site_name string, order_code string"
+        ).option("maxFilesPerTrigger", "1").parquet(in2)
+    )
+    s2 = co_flat_map_join(
+        raw2.where(F.col("side") == "L").select(
+            "waybill_code", "_seq", "package_code", "site_name"
+        ),
+        raw2.where(F.col("side") == "R").select("waybill_code", "_seq", "order_code"),
+        "waybill_code", ["package_code", "site_name"], ["order_code"], "_seq",
+    )
+    rows = run_available_now(s2, "cap2_final")
+    assert len(rows) == n * 5
+    assert all(r.order_code and r.site_name and r.package_code for r in rows)
