@@ -220,3 +220,60 @@ def test_partitioned_lake_sink(spark):
     back = spark.read.parquet(out_dir)
     assert {r.k for r in back.select("k").distinct().collect()} >= {"a", "b"}
     assert any(d.startswith("k=") for d in os.listdir(out_dir))  # hive dirs
+
+
+def test_co_flat_map_state_ttl_expires(spark):
+    """T8 state TTL: with a processing-time TTL, idle keys are dropped —
+    a fact arriving after expiry must re-buffer (its dimension state was
+    cleared) instead of joining against stale state."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    workdir = tempfile.mkdtemp(prefix="cfmttl-")
+    ck = tempfile.mkdtemp(prefix="cfmttl-ck-")
+    cols = ["side", "key", "_seq", "amount", "dim_name"]
+
+    def put(i, row):
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pd.DataFrame([dict(zip(cols, row))]).to_parquet(p, index=False)
+        os.utime(p, (_time.time(), _time.time()))
+
+    out_dir = tempfile.mkdtemp(prefix="cfmttl-out-")
+
+    def run_once(qname):
+        # parquet sink: the memory sink cannot recover from a checkpoint
+        raw = (
+            spark.readStream.schema(
+                "side string, key string, _seq long, amount long, dim_name string"
+            ).parquet(workdir)
+        )
+        left = raw.where(F.col("side") == "L").select("key", "_seq", "amount")
+        right = raw.where(F.col("side") == "R").select("key", "_seq", "dim_name")
+        joined = co_flat_map_join(
+            left, right, "key", ["amount"], ["dim_name"], "_seq",
+            state_ttl_ms=500,
+        )
+        q = (
+            joined.writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        # availableNow + checkpoint recovery occasionally lingers after
+        # the final commit; bounded wait + explicit stop
+        q.awaitTermination(45)
+        q.stop()
+        q.awaitTermination(30)
+        return spark.read.parquet(out_dir).collect()
+
+    put(0, ("R", "k1", 0, None, "dim-one"))
+    put(1, ("L", "k1", 1, 10, None))
+    first = run_once("cfmttl_a")
+    assert [(r.amount, r.dim_name) for r in first] == [(10, "dim-one")]
+    _time.sleep(1.2)  # let the 500 ms TTL lapse between runs
+    put(2, ("L", "k1", 2, 20, None))
+    second = run_once("cfmttl_b")
+    # state expired: the new fact re-buffers (no stale-dimension join) —
+    # cumulative sink output is unchanged from run one
+    assert [(r.amount, r.dim_name) for r in second] == [(10, "dim-one")]
