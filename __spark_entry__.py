@@ -376,6 +376,18 @@ def _q_term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot (beyond-reference DataFrame surface): per-user event-type
+    # count matrix, explicit value list for a deterministic schema
+    ev = load_tables(spark, sf_dir).events
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
 def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hypertable continuous-aggregate shape: hour+day buckets in one pass
     from flink_helloworld_spark.operators.rollups import hypertable_rollup
@@ -608,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": _q_point_lookup,
         "multi_get": _q_multi_get,
         "term_count": _q_term_count,
+        "pivot_counts": _q_pivot_counts,
         "hypertable_rollup": _q_hypertable_rollup,
         "kmv_distinct_sketch": _q_kmv_distinct_sketch,
         "funnel_conversion": _q_funnel_conversion,
@@ -1175,6 +1188,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "term_count": """
             SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase'
+        """,
+        "pivot_counts": """
+            SELECT user_id,
+              CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+              CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+              CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+              CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+              CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+            FROM events GROUP BY user_id
         """,
         "hypertable_rollup": f"""
             SELECT '1 hour' AS granularity,
