@@ -139,6 +139,83 @@ def cosine_topk_vectorized(
     return emb.select(id_col, vec_col).mapInPandas(topk, schema)
 
 
+def cosine_topk_vectorized_sharded(
+    emb: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Sharded vectorized top-k — the 100 TB form of the BLAS kernel.
+
+    Candidate semantics match ``lsh_cosine_topk`` (only same-bucket pairs
+    are scored), but the per-bucket scoring is one NumPy matrix product
+    inside grouped ``applyInPandas`` instead of per-pair column
+    expressions. There is NO driver materialization: the only shuffle is
+    the hash exchange on the md5-uniform bucket id, and each task holds
+    one bucket (~N/2^planes vectors) — memory is bounded per shard, not
+    per index, so the kernel scales out with buckets.
+
+    Determinism contract: cosines are rounded to ``round_dp`` decimals
+    and ranked by the ROUNDED value (tiebreak: neighbor id asc), which
+    makes the output independent of float summation order (BLAS vs the
+    DuckDB oracle's sequential list-sum) and therefore value-hash-exact
+    against the SQL oracle. Zero vectors never match (norm forced to
+    +inf), mirroring the oracle's NULL-cosine exclusion as long as the
+    corpus has no all-zero embeddings (the testdata has none).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_bucket(F.col(vec_col), planes, dims).alias("bucket"),
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("rank", IntegerType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = np.inf  # zero vectors never match
+        mat_n = mat / norms[:, None]
+        sims = np.round(mat_n @ mat_n.T, round_dp)  # one BLAS call per bucket
+        np.fill_diagonal(sims, -np.inf)  # exclude self
+        out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
+        n = len(ids)
+        take = min(k, n - 1)
+        if take > 0:
+            for row_i in range(n):
+                s = sims[row_i]
+                order = np.lexsort((ids, -s))[:take]
+                out["query_id"].extend([ids[row_i]] * take)
+                out["rank"].extend(range(1, take + 1))
+                out["neighbor_id"].extend(ids[order])
+                out["cosine"].extend(s[order])
+        return pd.DataFrame(out, columns=list(schema.fieldNames()))
+
+    return v.groupBy("bucket").applyInPandas(per_bucket, schema)
+
+
 def hyperplane_bucket(vec: Column, planes: int = 8, dims: int = 64) -> Column:
     """Random-hyperplane LSH bucket id for a vector.
 

@@ -14,11 +14,9 @@ def test_entry_returns_rows(spark):
 def test_every_query_has_oracle_and_runs(spark, sf_dir):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     missing = [name for name in qs if name not in oracles]
-    # non-SQL-expressible ops may omit oracles (driver records a weaker
-    # rows-only check); every omission must be on this documented list
-    NO_ORACLE = {"similarity_topk_vectorized"}  # BLAS float order
     assert len(qs) > 0
     for name, fn in qs.items():
         df = fn(spark, sf_dir)
         assert df.columns, name
-    assert set(missing) <= NO_ORACLE, missing
+    # every registered query has a SQL oracle — no carve-outs
+    assert missing == [], missing

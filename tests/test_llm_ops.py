@@ -133,3 +133,26 @@ def test_vectorized_topk_matches_exact(spark, sf_dir):
     assert agree / len(exact) > 0.99  # only ~1e-15 float ties may differ
     for key in exact:
         assert abs(exact[key][1] - fast[key][1]) < 1e-9
+
+
+def test_sharded_vectorized_topk_matches_lsh(spark, sf_dir):
+    """The sharded BLAS kernel scores the same candidate set as
+    lsh_cosine_topk; neighbor rankings must agree everywhere except
+    rounded-cosine ties (where the sharded kernel's id-asc tiebreak on
+    the ROUNDED value may legitimately reorder near-equal neighbors)."""
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir).embeddings
+    lsh = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in S.lsh_cosine_topk(emb, k=3, planes=8).collect()
+    }
+    fast = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in S.cosine_topk_vectorized_sharded(emb, k=3, planes=8).collect()
+    }
+    assert set(lsh) == set(fast)
+    for key in lsh:
+        assert abs(lsh[key][1] - fast[key][1]) < 1e-6
+    agree = sum(1 for key in lsh if lsh[key][0] == fast[key][0])
+    assert agree / len(lsh) > 0.99

@@ -64,6 +64,26 @@ def test_minhash_is_pure_columnar(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_sharded_vectorized_topk_has_no_driver_collect(spark, sf_dir, monkeypatch):
+    """The 100 TB ANN kernel must be fully lazy: building the plan may not
+    materialize the index on the driver (the old kernel's collect()), and
+    the physical plan is one bucket exchange feeding grouped Pandas."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    from flink_helloworld_spark.operators import similarity as S
+
+    def _boom(self, *a, **kw):  # any driver materialization fails the test
+        raise AssertionError("driver collect() during plan construction")
+
+    monkeypatch.setattr(SparkDF, "collect", _boom)
+    monkeypatch.setattr(SparkDF, "toPandas", _boom)
+    emb = load_tables(spark, sf_dir).embeddings
+    df = S.cosine_topk_vectorized_sharded(emb, k=5, planes=8)
+    plan = explain_str(df, "simple")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # bucket shuffle only
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
