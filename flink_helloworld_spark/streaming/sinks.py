@@ -18,13 +18,34 @@ from pyspark.sql import functions as F
 
 
 class KeyedUpsertSink:
-    """foreachBatch upsert into a parquet "index" keyed by `key_col`.
+    """foreachBatch upsert into a hash-sharded parquet "index" keyed by
+    `key_col`.
 
     Latest row per key wins (doc-id upsert); a replayed micro-batch
     (same batch_id) is skipped — the batch-id ledger is the dedup the
     reference gets from ES document versioning. With ``tombstone_col``,
     a latest row where that column is true DELETES the key (ES
-    bulk-delete / delete-by-key, ElasticsearchTest.java:331-349)."""
+    bulk-delete / delete-by-key, ElasticsearchTest.java:331-349).
+
+    Scale contract (the part ES gives the reference for free):
+
+    - the index is hash-sharded into ``num_shards`` directories
+      (``data/_shard=K/``); a micro-batch rewrites ONLY the shards its
+      keys land in, so write amplification per batch is
+      O(index/num_shards × touched_shards), not O(index);
+    - each shard swap is rename-aside (``shard -> shard.old``,
+      ``tmp -> shard``, drop ``.old``): a crash at ANY point leaves a
+      readable shard (``_recover`` rolls a half-swapped shard back on
+      the next batch), never an empty index;
+    - the batch ledger is a parquet table inside the store itself
+      (``_ledger/``), written AFTER all shard swaps: a crash before the
+      ledger append replays the batch, and the merge is idempotent
+      (latest-per-key of (new ∪ same-incoming) = new).
+
+    In production the same contract is one ``MERGE INTO`` on a
+    Delta/Iceberg table; this sink keeps the engine dependency-free
+    while preserving the partition-scoped-rewrite shape.
+    """
 
     def __init__(
         self,
@@ -32,30 +53,82 @@ class KeyedUpsertSink:
         key_col: str,
         order_col: str | None = None,
         tombstone_col: str | None = None,
+        num_shards: int = 16,
     ):
         self.path = path
         self.key_col = key_col
         self.order_col = order_col
         self.tombstone_col = tombstone_col
-        self._seen_path = os.path.join(path, "_batches")
-        os.makedirs(self._seen_path, exist_ok=True)
+        self.num_shards = num_shards
+        os.makedirs(self._data_path(), exist_ok=True)
+        # observability: shards rewritten per applied batch (tests assert
+        # the partition-scoped contract through this)
+        self.last_touched_shards: list[int] = []
 
     def _data_path(self) -> str:
         return os.path.join(self.path, "data")
 
+    def _ledger_path(self) -> str:
+        return os.path.join(self.path, "_ledger")
+
+    def _shard_dir(self, shard: int) -> str:
+        return os.path.join(self._data_path(), f"_shard={shard}")
+
+    def _shard_col(self):
+        return F.pmod(F.xxhash64(F.col(self.key_col).cast("string")), F.lit(self.num_shards))
+
+    def _recover(self) -> None:
+        """Roll back any half-finished shard swap from a crash."""
+        import shutil
+
+        data = self._data_path()
+        for name in os.listdir(data):
+            if not name.endswith(".old"):
+                continue
+            final = os.path.join(data, name[: -len(".old")])
+            old = os.path.join(data, name)
+            if os.path.exists(final):
+                shutil.rmtree(old)  # swap completed; drop the backup
+            else:
+                os.rename(old, final)  # crashed mid-swap; restore
+        for name in os.listdir(data):
+            if name.endswith(".tmp"):
+                shutil.rmtree(os.path.join(data, name))
+
+    def _applied(self, spark, batch_id: int) -> bool:
+        ledger = self._ledger_path()
+        if not os.path.exists(ledger) or not any(
+            f.endswith(".parquet") for f in os.listdir(ledger)
+        ):
+            return False
+        return (
+            spark.read.parquet(ledger)
+            .where(F.col("batch_id") == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        )
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(self._seen_path, f"{batch_id}.done")
-        if os.path.exists(marker):  # replayed batch → idempotent skip
-            return
+        import shutil
+
         spark = batch_df.sparkSession
+        if self._applied(spark, batch_id):  # replayed batch → idempotent skip
+            return
+        self._recover()
         incoming = batch_df.persist()
         try:
-            data = self._data_path()
-            if os.path.exists(data):
-                current = spark.read.parquet(data)
+            touched = sorted(
+                r[0]
+                for r in incoming.select(self._shard_col().alias("_shard"))
+                .distinct()
+                .collect()  # shard IDs only: bounded by num_shards, metadata not data
+            )
+            existing = [s for s in touched if os.path.exists(self._shard_dir(s))]
+            merged = incoming
+            if existing:
+                current = spark.read.parquet(*[self._shard_dir(s) for s in existing])
                 merged = current.unionByName(incoming, allowMissingColumns=True)
-            else:
-                merged = incoming
             order = F.col(self.order_col) if self.order_col else F.monotonically_increasing_id()
             from pyspark.sql import Window
 
@@ -70,19 +143,32 @@ class KeyedUpsertSink:
                 latest = latest.where(
                     ~F.coalesce(F.col(self.tombstone_col), F.lit(False))
                 )
-            tmp = data + ".tmp"
-            latest.write.mode("overwrite").parquet(tmp)
-            if os.path.exists(data):
-                import shutil
-
-                shutil.rmtree(data)
-            os.rename(tmp, data)
-            open(marker, "w").close()
+            # one job writes every touched shard (hive-style dirs), then
+            # each shard dir swaps in atomically
+            tmp = os.path.join(self._data_path(), f"batch-{batch_id}.tmp")
+            latest.withColumn("_shard", self._shard_col()).write.mode(
+                "overwrite"
+            ).partitionBy("_shard").parquet(tmp)
+            for s in touched:
+                shard, old = self._shard_dir(s), self._shard_dir(s) + ".old"
+                new = os.path.join(tmp, f"_shard={s}")
+                if os.path.exists(shard):
+                    os.rename(shard, old)
+                if os.path.exists(new):
+                    os.rename(new, shard)
+                # else: every key in this shard tombstoned → shard dropped
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+            shutil.rmtree(tmp)
+            spark.createDataFrame(
+                [(int(batch_id),)], "batch_id long"
+            ).write.mode("append").parquet(self._ledger_path())
+            self.last_touched_shards = touched
         finally:
             incoming.unpersist()
 
     def read(self, spark) -> DataFrame:
-        return spark.read.parquet(self._data_path())
+        return spark.read.parquet(self._data_path()).drop("_shard")
 
 
 def partitioned_lake_sink(
