@@ -473,7 +473,13 @@ def _q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
     )
     return as_of_join(
-        purchases, clicks, "user_id", "ts", "click_ts", ["click_id", "click_ts"]
+        purchases,
+        clicks,
+        "user_id",
+        "ts",
+        "click_ts",
+        ["click_id", "click_ts"],
+        right_id="click_id",  # deterministic winner on tied click_ts
     )
 
 
@@ -1273,13 +1279,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "as_of_join": """
-            SELECT l.user_id, l.event_id, l.ts, l.value,
-                   r.click_id AS asof_click_id, r.click_ts AS asof_click_ts
-            FROM (SELECT user_id, event_id, ts, value FROM events
-                  WHERE event_type = 'purchase') l
-            ASOF LEFT JOIN (SELECT user_id, event_id AS click_id, ts AS click_ts
-                            FROM events WHERE event_type = 'click') r
-              ON l.user_id = r.user_id AND l.ts >= r.click_ts
+            -- explicit arg-max formulation instead of DuckDB ASOF JOIN so
+            -- the tie rule is spelled out: greatest click_ts, then greatest
+            -- click_id — the same (time, id) tiebreak as the Spark operator
+            WITH l AS (SELECT user_id, event_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+                 r AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+                       FROM events WHERE event_type = 'click'),
+                 j AS (
+                   SELECT l.user_id, l.event_id, l.ts, l.value,
+                          r.click_id, r.click_ts,
+                          row_number() OVER (
+                            PARTITION BY l.event_id
+                            ORDER BY r.click_ts DESC, r.click_id DESC) AS rn
+                   FROM l LEFT JOIN r
+                     ON l.user_id = r.user_id AND r.click_ts <= l.ts)
+            SELECT user_id, event_id, ts, value,
+                   click_id AS asof_click_id, click_ts AS asof_click_ts
+            FROM j WHERE rn = 1
         """,
         "range_join": """
             SELECT p.user_id, p.event_id AS p_id, e.event_id AS e_id

@@ -65,6 +65,82 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     ).count()
 
 
+def _asof_fixture(spark, n_right: int):
+    """One hot key with n_right right rows — the pair-join blowup case."""
+    left = spark.createDataFrame(
+        [("k", i, i * 1000) for i in range(0, 100)], "key string, event_id long, t long"
+    ).select("key", "event_id", F.timestamp_millis(F.col("t")).alias("t"))
+    right = spark.createDataFrame(
+        [("k", i, i * 10) for i in range(n_right)], "key string, r_id long, rt long"
+    ).select("key", "r_id", F.timestamp_millis(F.col("rt")).alias("rt"))
+    return left, right
+
+
+def test_as_of_join_linear_matches_pairs(spark):
+    from flink_helloworld_spark.operators.temporal_joins import as_of_join, as_of_join_pairs
+
+    left, right = _asof_fixture(spark, 500)
+    lin = {
+        (r.key, r.event_id): (r.asof_r_id, r.asof_rt)
+        for r in as_of_join(
+            left, right, "key", "t", "rt", ["r_id", "rt"], right_id="r_id"
+        ).collect()
+    }
+    pairs = {
+        (r.key, r.event_id): (r.asof_r_id, r.asof_rt)
+        for r in as_of_join_pairs(
+            left, right, "key", "t", "rt", ["r_id", "rt"], right_id="r_id"
+        ).collect()
+    }
+    assert lin == pairs and len(lin) == 100
+
+
+def test_as_of_join_hot_key_no_pair_blowup(spark):
+    """The linear as-of join has NO join node: a hot key with 10k right
+    rows flows through one sort, never an O(L×R) pair materialization."""
+    from flink_helloworld_spark.operators.temporal_joins import as_of_join
+
+    left, right = _asof_fixture(spark, 10_000)
+    df = as_of_join(left, right, "key", "t", "rt", ["r_id", "rt"], right_id="r_id")
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan  # union + window only — structurally O(L+R)
+    assert plan.count("Exchange hashpartitioning") == 1  # the key sort shuffle
+    got = {r.event_id: r.asof_r_id for r in df.collect()}
+    # left t = i*1000 ms; right rt = j*10 ms, j<10k → winner j = min(i*100, 9999)
+    assert all(got[i] == min(i * 100, 9_999) for i in range(100))
+
+
+def test_as_of_join_tied_right_times_deterministic(spark):
+    """ADVICE: tied right timestamps must resolve to the greatest
+    right_id, in both formulations."""
+    from flink_helloworld_spark.operators.temporal_joins import as_of_join, as_of_join_pairs
+
+    left = spark.createDataFrame(
+        [("k", 1, 5000)], "key string, event_id long, t long"
+    ).select("key", "event_id", F.timestamp_millis(F.col("t")).alias("t"))
+    right = spark.createDataFrame(
+        [("k", rid, 1000) for rid in (3, 7, 5)], "key string, r_id long, rt long"
+    ).select("key", "r_id", F.timestamp_millis(F.col("rt")).alias("rt"))
+    for fn in (as_of_join, as_of_join_pairs):
+        (row,) = fn(left, right, "key", "t", "rt", ["r_id"], right_id="r_id").collect()
+        assert row.asof_r_id == 7, fn.__name__
+
+
+def test_as_of_join_inner_drops_unmatched(spark):
+    from flink_helloworld_spark.operators.temporal_joins import as_of_join
+
+    left = spark.createDataFrame(
+        [("k", 1, 500), ("k", 2, 5000)], "key string, event_id long, t long"
+    ).select("key", "event_id", F.timestamp_millis(F.col("t")).alias("t"))
+    right = spark.createDataFrame(
+        [("k", 9, 1000)], "key string, r_id long, rt long"
+    ).select("key", "r_id", F.timestamp_millis(F.col("rt")).alias("rt"))
+    rows = as_of_join(
+        left, right, "key", "t", "rt", ["r_id"], how="inner", right_id="r_id"
+    ).collect()
+    assert [(r.event_id, r.asof_r_id) for r in rows] == [(2, 9)]
+
+
 def test_transform_with_state_rolling_sum(spark):
     """The applyInPandasWithState → transformWithStateInPandas port
     produces identical per-event rolling sums."""
