@@ -1163,10 +1163,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "multimodal_frame_sample": """
+            -- empty payloads have no frames: excluded here exactly as the
+            -- operator's size_bytes > 0 filter excludes them
             SELECT doc_id,
               (octet_length(encode(text)) - 1) // 10 + 1 AS n_sampled,
               CAST(((octet_length(encode(text)) - 1) // 10) * 10 AS INT) AS last_frame
             FROM documents
+            WHERE octet_length(encode(text)) > 0
         """,
         "iterate_fixpoint": """
             SELECT event_id,

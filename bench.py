@@ -64,12 +64,15 @@ def main() -> None:
     # warm-up: JVM/codegen/scan init so timings reflect steady state
     spark.range(1000).count()
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    from flink_helloworld_spark.operators.dedup import release_shared_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        release_shared_caches()  # shingle cache must not leak across queries
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

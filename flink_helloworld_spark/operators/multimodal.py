@@ -120,10 +120,12 @@ def frame_sample(media: DataFrame, every_n: int = 10, n_frames_col: str = "size_
     """Frame sampling plumbing: one output row per sampled frame index.
 
     Stands in for video frame extraction: the explode happens JVM-side;
-    only the (stubbed) per-frame decode would be Python."""
-    return media.select(
+    only the (stubbed) per-frame decode would be Python. A zero-byte
+    payload has no frames and emits no rows (the greatest(...) guard
+    alone would emit a phantom frame 0 for empty input)."""
+    return media.where(F.col(n_frames_col) > 0).select(
         "doc_id",
         F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col(n_frames_col).cast("int") - 1, F.lit(0)), F.lit(every_n))
+            F.sequence(F.lit(0), F.col(n_frames_col).cast("int") - 1, F.lit(every_n))
         ).alias("frame_index"),
     )

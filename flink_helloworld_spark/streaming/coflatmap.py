@@ -26,10 +26,14 @@ Spark 4 clusters with protobuf available.
 
 from __future__ import annotations
 
+import base64
+import datetime
+import decimal
 import json
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,6 +46,69 @@ STATE_SCHEMA = StructType(
         StructField("buf_json", StringType()),
     ]
 )
+
+
+def _enc(v: Any) -> Any:
+    """JSON-encode one state value with a type tag, so decode restores the
+    ORIGINAL type. Both the dimension and the fact buffer go through this
+    same codec — an asymmetric encode (str-ified facts vs raw dims) breaks
+    Arrow conversion against out_schema when typed values cross a
+    micro-batch boundary."""
+    if v is None:
+        return None
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        if pd.isna(v):
+            return None
+        return {"__t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"__t": "date", "v": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"__t": "dec", "v": str(v)}
+    if isinstance(v, (bytes, bytearray)):
+        return {"__t": "b64", "v": base64.b64encode(bytes(v)).decode("ascii")}
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return {"__t": "list", "v": [_enc(x) for x in v]}
+    if isinstance(v, dict):
+        return {"__t": "map", "v": {k: _enc(x) for k, x in v.items()}}
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    raise TypeError(f"unsupported state value type {type(v).__name__!r}")
+
+
+def _dec(v: Any) -> Any:
+    if isinstance(v, dict) and "__t" in v:
+        t, val = v["__t"], v["v"]
+        if t == "ts":
+            return pd.Timestamp(val)
+        if t == "date":
+            return datetime.date.fromisoformat(val)
+        if t == "dec":
+            return decimal.Decimal(val)
+        if t == "b64":
+            return base64.b64decode(val)
+        if t == "list":
+            return [_dec(x) for x in val]
+        if t == "map":
+            return {k: _dec(x) for k, x in val.items()}
+    return v
+
+
+def encode_record(d: dict | None) -> str | None:
+    return None if d is None else json.dumps({k: _enc(v) for k, v in d.items()})
+
+
+def decode_record(s: str | None) -> dict | None:
+    return None if s is None else {k: _dec(v) for k, v in json.loads(s).items()}
+
+
+def encode_records(rows: list[dict]) -> str:
+    return json.dumps([{k: _enc(v) for k, v in d.items()} for d in rows])
+
+
+def decode_records(s: str | None) -> list[dict]:
+    return [] if not s else [{k: _dec(v) for k, v in d.items()} for d in json.loads(s)]
 
 LEFT, RIGHT = "L", "R"
 
@@ -96,8 +163,8 @@ def co_flat_map_join(
             yield pd.DataFrame(columns=[f.name for f in out_fields])
             return
         dim_json, buf_json = state.get if state.exists else (None, None)
-        dim: dict | None = json.loads(dim_json) if dim_json else None
-        buf: list[dict] = json.loads(buf_json) if buf_json else []
+        dim: dict | None = decode_record(dim_json)
+        buf: list[dict] = decode_records(buf_json)
         out_rows: list[dict] = []
 
         def emit(fact: dict) -> None:
@@ -119,7 +186,7 @@ def co_flat_map_join(
                         emit(fact)
                     else:  # buffer until dimension arrives, oldest evicted
                         buf = buf[-(max_buffer - 1) :] + [fact]
-        state.update((json.dumps(dim) if dim else None, json.dumps(buf, default=str)))
+        state.update((encode_record(dim), encode_records(buf)))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(out_rows, columns=[f.name for f in out_fields])

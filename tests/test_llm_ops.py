@@ -116,6 +116,15 @@ def test_frame_sample_counts(spark):
     assert frames == [0, 10, 20]
 
 
+def test_frame_sample_empty_payload_has_no_frames(spark):
+    """ADVICE r1: a zero-byte payload must emit zero rows (not a phantom
+    frame 0), matching the oracle's size > 0 exclusion."""
+    docs = _docs(spark, ["", "ab"])
+    media = MM.attach_binary(docs)
+    rows = MM.frame_sample(media, every_n=10).collect()
+    assert [(r.frame_index) for r in rows] == [0]  # only the 2-byte doc
+
+
 def test_vectorized_topk_matches_exact(spark, sf_dir):
     from flink_helloworld_spark.sources.tables import load_tables
 

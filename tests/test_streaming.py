@@ -177,6 +177,101 @@ def test_co_flat_map_join_buffers_until_dim_arrives(spark):
     assert got == [(10, "dim-one"), (20, "dim-one"), (30, "dim-one")]
 
 
+def test_state_codec_round_trips_types():
+    """ADVICE r1: dim and buffer share one type-aware codec — typed values
+    must come back as their original types, not strings."""
+    import datetime
+    from decimal import Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from flink_helloworld_spark.streaming.coflatmap import (
+        decode_record,
+        decode_records,
+        encode_record,
+        encode_records,
+    )
+
+    rec = {
+        "ts": pd.Timestamp("2024-03-01 12:30:45.123456"),
+        "date": datetime.date(2024, 3, 1),
+        "dec": Decimal("12.34"),
+        "blob": b"\x00\x01\xff",
+        "arr": [1, pd.Timestamp("2024-01-01")],
+        "m": {"fee": Decimal("0.5")},
+        "s": "plain",
+        "i": np.int64(7),
+        "f": 1.5,
+        "none": None,
+        "nat": pd.NaT,
+    }
+    out = decode_record(encode_record(rec))
+    assert out["ts"] == rec["ts"] and isinstance(out["ts"], pd.Timestamp)
+    assert out["date"] == rec["date"] and isinstance(out["date"], datetime.date)
+    assert out["dec"] == rec["dec"] and isinstance(out["dec"], Decimal)
+    assert out["blob"] == rec["blob"] and isinstance(out["blob"], bytes)
+    assert out["arr"] == [1, pd.Timestamp("2024-01-01")]
+    assert out["m"] == {"fee": Decimal("0.5")}
+    assert out["s"] == "plain" and out["i"] == 7 and out["f"] == 1.5
+    assert out["none"] is None and out["nat"] is None  # NaT → null
+    assert decode_record(None) is None
+    assert decode_records(encode_records([rec]))[0]["dec"] == Decimal("12.34")
+
+
+def test_co_flat_map_join_typed_columns_cross_batches(spark):
+    """ADVICE r1 regression: a timestamp DIMENSION column (the documented
+    WaybillM pickup_date case) and a timestamp FACT column must survive the
+    state round-trip across micro-batch boundaries and still satisfy the
+    Arrow out_schema."""
+    workdir = tempfile.mkdtemp(prefix="cfm-typed-")
+    import pandas as pd
+    import os, shutil, time as _time
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    ts_fact = pd.Timestamp("2024-05-01 10:00:00")
+    ts_dim = pd.Timestamp("2024-05-02 08:30:00")
+    files = [
+        # batch 0: fact BEFORE dim → typed fact buffers in state
+        [{"side": "L", "key": "k1", "_seq": 0, "amount": 10, "fact_ts": ts_fact,
+          "pickup_date": pd.NaT}],
+        # batch 1: dim arrives (timestamp column) → flush; dim stored typed
+        [{"side": "R", "key": "k1", "_seq": 1, "amount": None, "fact_ts": pd.NaT,
+          "pickup_date": ts_dim}],
+        # batch 2: fact joins against the dim DECODED from state
+        [{"side": "L", "key": "k1", "_seq": 2, "amount": 30,
+          "fact_ts": ts_fact + pd.Timedelta(hours=1), "pickup_date": pd.NaT}],
+    ]
+    t0 = _time.time() - 60
+    for i, rows in enumerate(files):
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pdf = pd.DataFrame(rows)
+        for c in ("fact_ts", "pickup_date"):  # micros, not pandas nanos
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    raw = (
+        spark.readStream.schema(
+            "side string, key string, _seq long, amount long,"
+            " fact_ts timestamp, pickup_date timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    left = raw.where(F.col("side") == "L").select("key", "_seq", "amount", "fact_ts")
+    right = raw.where(F.col("side") == "R").select("key", "_seq", "pickup_date")
+    joined = co_flat_map_join(
+        left, right, "key", ["amount", "fact_ts"], ["pickup_date"], "_seq"
+    )
+    rows = run_available_now(joined, "cfm_typed")
+    got = sorted((r.amount, r.fact_ts, r.pickup_date) for r in rows)
+    assert got == [
+        (10, ts_fact.to_pydatetime(), ts_dim.to_pydatetime()),
+        (30, (ts_fact + pd.Timedelta(hours=1)).to_pydatetime(), ts_dim.to_pydatetime()),
+    ]
+
+
 def test_stream_stream_window_join(spark):
     """J2 streaming form: views ⋈ purchases within ±5 s per user, both
     sides watermarked (state evictable)."""

@@ -86,6 +86,10 @@ def main() -> int:
             print(f"[FAIL] {qname}: SPARK ERROR\n{traceback.format_exc()}")
             failures += 1
             continue
+        finally:
+            from flink_helloworld_spark.operators.dedup import release_shared_caches
+
+            release_shared_caches()  # no cross-query cache leak
         t1 = time.time()
         sql = oracles.get(qname)
         if sql is None:
