@@ -380,6 +380,30 @@ def _q_term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.10 Redis kv-cache enrichment (RedisTest.java:61-136): per-fact
+    # dimension GET as a broadcast hash join — dim ships once, probes are
+    # executor-local, no exchange on the fact side
+    from flink_helloworld_spark.operators.lookup import lookup_enrich
+
+    t = load_tables(spark, sf_dir)
+    return lookup_enrich(
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        t.customer,
+        on=("o_custkey", "c_custkey"),
+        dim_cols=["c_name", "c_mktsegment"],
+    )
+
+
+def _q_lookup_multi_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.10 Redis MGET via the lookup helper (IN-list pushed to the scan)
+    from flink_helloworld_spark.operators.lookup import lookup_multi_get
+
+    return lookup_multi_get(
+        load_tables(spark, sf_dir).customer, "c_custkey", [1, 7, 42, 99, 120]
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
 def _q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pivot (beyond-reference DataFrame surface): per-user event-type
     # count matrix, explicit value list for a deterministic schema
@@ -628,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_window": _q_global_window,
         "window_last_value": _q_window_last_value,
         "point_lookup": _q_point_lookup,
+        "lookup_enrich": _q_lookup_enrich,
+        "lookup_multi_get": _q_lookup_multi_get,
         "multi_get": _q_multi_get,
         "term_count": _q_term_count,
         "pivot_counts": _q_pivot_counts,
@@ -1206,6 +1232,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "point_lookup": "SELECT * FROM customer WHERE c_custkey = 42",
+        "lookup_enrich": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   c_custkey, c_name, c_mktsegment
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """,
+        "lookup_multi_get": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey IN (1, 7, 42, 99, 120)
+        """,
         "multi_get": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
             WHERE c_custkey IN (1, 7, 42, 99, 120)

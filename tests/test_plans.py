@@ -84,6 +84,27 @@ def test_sharded_vectorized_topk_has_no_driver_collect(spark, sf_dir, monkeypatc
     assert plan.count("Exchange hashpartitioning") == 1  # bucket shuffle only
 
 
+def test_lookup_enrich_broadcasts_dim_no_fact_shuffle(spark, sf_dir):
+    """The Redis-GET equivalent must be a broadcast hash join: dim ships
+    once, facts stream through with zero exchanges."""
+    from flink_helloworld_spark.operators.lookup import lookup_enrich
+
+    t = load_tables(spark, sf_dir)
+    df = lookup_enrich(
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        t.customer,
+        on=("o_custkey", "c_custkey"),
+        dim_cols=["c_name", "c_mktsegment"],
+    )
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # fact side unshuffled
+    # dim column pruning reaches the scan
+    full = explain_str(df)
+    cust_schema = [l for l in full.splitlines() if "customer.parquet" in l or "ReadSchema" in l]
+    assert any("c_custkey" in l and "c_acctbal" not in l for l in cust_schema)
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

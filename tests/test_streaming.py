@@ -177,6 +177,42 @@ def test_co_flat_map_join_buffers_until_dim_arrives(spark):
     assert got == [(10, "dim-one"), (20, "dim-one"), (30, "dim-one")]
 
 
+def test_lookup_enrich_stream_static(spark, sf_dir):
+    """lookup_enrich on a STREAMING fact source: Structured Streaming's
+    stream-static broadcast join — the Redis cache probe per micro-batch,
+    dim re-read so a refreshed dim table is picked up."""
+    import os, shutil, time as _time
+
+    import pandas as pd
+
+    from flink_helloworld_spark.operators.lookup import lookup_enrich
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    workdir = tempfile.mkdtemp(prefix="lookup-ss-")
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    t0 = _time.time() - 60
+    for i, custkey in enumerate([1, 2, 999_999_999]):  # last: GET miss
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pd.DataFrame(
+            [{"fact_id": i, "o_custkey": custkey}]
+        ).to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    facts = (
+        spark.readStream.schema("fact_id long, o_custkey long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    dim = load_tables(spark, sf_dir).customer
+    enriched = lookup_enrich(
+        facts, dim, on=("o_custkey", "c_custkey"), dim_cols=["c_name"]
+    )
+    rows = {r.fact_id: r.c_name for r in run_available_now(enriched, "lookup_ss")}
+    assert len(rows) == 3
+    assert rows[0] is not None and rows[1] is not None
+    assert rows[2] is None  # miss → null, fact retained
+
+
 def test_state_codec_round_trips_types():
     """ADVICE r1: dim and buffer share one type-aware codec — typed values
     must come back as their original types, not strings."""
