@@ -81,6 +81,16 @@ def kafka_json_source(
     ).select("data.*", "kafka_key", "topic", "partition", "offset", "kafka_timestamp")
 
 
+def kafka_payload(df: DataFrame, key_col: str) -> DataFrame:
+    """The sink's serialization step, separated so it's testable without
+    a broker: key = key_col as string bytes, value = whole-row JSON
+    (reference KafkaSerializationSchema, HelloWorldFlink.java:145-162)."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[c for c in df.columns])).alias("value"),
+    )
+
+
 def kafka_json_sink_writer(
     df: DataFrame,
     brokers: str,
@@ -94,10 +104,7 @@ def kafka_json_sink_writer(
     Returns the configured DataStreamWriter (caller starts it). Delivery
     is at-least-once under checkpointing; see module docstring for the
     exactly-once mapping."""
-    payload = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*[c for c in df.columns])).alias("value"),
-    )
+    payload = kafka_payload(df, key_col)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
