@@ -16,12 +16,14 @@ per-key state).
 
 Chaining: Spark rejects multiple ``applyInPandasWithState`` operators in
 one streaming query ("Multiple applyInPandasWithStates are not
-supported"), so multi-stage pipelines like the reference's 4-stage
-capstone (StateTest.java:639-872) stage through sinks: each co-flat-map
-stage writes a parquet/Kafka hop the next stage streams from (the same
-topology Flink gets from its network shuffles, made durable). The
-transformWithState API (streaming/tws.py) lifts this restriction on
-Spark 4 clusters with protobuf available.
+supported"). Consecutive stages that SHARE the grouping key need no
+second operator at all — ``streaming/chain.py`` fuses them into one
+``applyInPandasWithState`` (the reference's waybill-keyed stage chain,
+StateTest.java:639-872, runs as a single query that way). Only a re-key
+between stateful stages (its order-id keyed branch) still stages through
+a durable parquet/Kafka hop — the same place Flink inserts a network
+shuffle. The transformWithState API (streaming/tws.py) lifts the
+restriction entirely on Spark 4 clusters with protobuf available.
 """
 
 from __future__ import annotations

@@ -185,6 +185,209 @@ def test_keyed_upsert_sink_recovers_from_crash_mid_swap(spark):
     )  # recovery cleaned up
 
 
+def test_streaming_capstone_two_fused_stateful_stages_one_query(spark):
+    """The reference's single-job multi-stage topology
+    (StateTest.java:639-872) without the parquet hop: route-link facts
+    chain through TWO buffer-until-dim stages (CEM dim, then order dim)
+    fused into ONE applyInPandasWithState — one streaming query, no
+    intermediate sink, typed (timestamp) dim state crossing batches."""
+    import pandas as pd
+    import shutil
+
+    from flink_helloworld_spark.plans import explain_str
+    from flink_helloworld_spark.streaming.chain import chain_stateful_join
+
+    workdir = tempfile.mkdtemp(prefix="chain-")
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    odate = pd.Timestamp("2024-06-01 09:00:00")
+    base = {
+        "waybill_code": "JD01", "package_code": None, "site_name": None,
+        "order_code": None, "order_create_date": pd.NaT,
+    }
+    files = [
+        # fact before ANY dim → parks in stage-0 buffer
+        [{**base, "side": "F", "_seq": 0, "package_code": "JD01-1"}],
+        # CEM dim arrives → fact flushes stage 0, parks in stage-1 buffer
+        [{**base, "side": "D0", "_seq": 1, "site_name": "站点7"}],
+        # second fact: joins stage 0 immediately, parks at stage 1
+        [{**base, "side": "F", "_seq": 2, "package_code": "JD01-2"}],
+        # order dim arrives (timestamp col) → both flush fully joined
+        [{**base, "side": "D1", "_seq": 3, "order_code": "Order01",
+          "order_create_date": odate}],
+        # third fact: flows straight through both stages in one batch
+        [{**base, "side": "F", "_seq": 4, "package_code": "JD01-3"}],
+    ]
+    t0 = time.time() - 60
+    for i, rows in enumerate(files):
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pdf = pd.DataFrame(rows)
+        pdf["order_create_date"] = pdf["order_create_date"].astype("datetime64[us]")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    raw = (
+        spark.readStream.schema(
+            "waybill_code string, package_code string, site_name string,"
+            " order_code string, order_create_date timestamp,"
+            " side string, _seq long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    facts = raw.where(F.col("side") == "F").select("waybill_code", "_seq", "package_code")
+    cem = raw.where(F.col("side") == "D0").select("waybill_code", "_seq", "site_name")
+    order = raw.where(F.col("side") == "D1").select(
+        "waybill_code", "_seq", "order_code", "order_create_date"
+    )
+    chained = chain_stateful_join(
+        facts,
+        [(cem, ["site_name"]), (order, ["order_code", "order_create_date"])],
+        "waybill_code",
+        ["package_code"],
+    )
+    # ONE stateful operator in the whole query — fused, not staged
+    plan = explain_str(chained, "simple")
+    assert plan.count("FlatMapGroupsInPandasWithState") == 1
+    rows = run_available_now(chained, "chain_capstone")
+    got = sorted(
+        (r.package_code, r.site_name, r.order_code, r.order_create_date) for r in rows
+    )
+    od = odate.to_pydatetime()
+    assert got == [
+        ("JD01-1", "站点7", "Order01", od),
+        ("JD01-2", "站点7", "Order01", od),
+        ("JD01-3", "站点7", "Order01", od),
+    ]
+
+
+def test_streaming_capstone_full_topology_minimum_queries(spark):
+    """The COMPLETE 4-stage reference capstone (StateTest.java:639-872)
+    in the minimum number of streaming queries Spark allows: the order
+    branch (keyed by order_id — the one place Flink itself re-keys) runs
+    as its own stateful query into a durable hop; everything keyed by
+    waybill_code (CEM dim + route facts + order-branch result) runs as
+    ONE fused applyInPandasWithState via chain_stateful_join. Two
+    queries total, one stateful operator each."""
+    import shutil
+
+    import pandas as pd
+
+    from flink_helloworld_spark.streaming.chain import chain_stateful_join
+
+    n = 10
+
+    def write_stream_files(workdir, frames, cols):
+        t0 = time.time() - 120
+        for i, pdf in enumerate(frames):
+            pdf = pdf.copy()
+            for c in cols:
+                if c not in pdf.columns:
+                    pdf[c] = None
+            for c in cols:
+                if c.endswith("_date") or c == "create_time":
+                    pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
+            p = os.path.join(workdir, f"f{i:03d}.parquet")
+            pdf[cols].to_parquet(p, index=False)
+            os.utime(p, (t0 + i, t0 + i))
+
+    # ---- query 1 (order-id keyed): WaybillOrder ⋈ Order → durable hop
+    wo = G.waybill_order(spark, n).toPandas()  # order_id, waybill_code, seq
+    oh = G.orders_stream(spark, n).toPandas()  # order_code, create_time, seq
+    oh = oh.rename(columns={"order_code": "order_id"})
+    in1 = tempfile.mkdtemp(prefix="capfull-in1-")
+    hop = tempfile.mkdtemp(prefix="capfull-hop-")
+    shutil.rmtree(hop)
+    wo["_seq"] = range(len(wo))
+    oh["_seq"] = range(len(wo), len(wo) + len(oh))
+    cols1 = ["side", "_seq", "order_id", "waybill_code", "create_time"]
+    # facts (waybill links) first, order headers second → links buffer
+    write_stream_files(in1, [wo.assign(side="L"), oh.assign(side="R")], cols1)
+    raw1 = (
+        spark.readStream.schema(
+            "side string, _seq long, order_id string, waybill_code string,"
+            " create_time timestamp"
+        ).option("maxFilesPerTrigger", "1").parquet(in1)
+    )
+    s1 = co_flat_map_join(
+        raw1.where(F.col("side") == "L").select("order_id", "_seq", "waybill_code"),
+        raw1.where(F.col("side") == "R").select("order_id", "_seq", "create_time"),
+        "order_id", ["waybill_code"], ["create_time"], "_seq",
+    )
+    q1 = (
+        s1.writeStream.format("parquet")
+        .option("path", hop)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="capfull-ck1-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+
+    # ---- query 2 (waybill-code keyed, FUSED): route ⋈ CEM ⋈ order-result
+    cem = C.cem_merge(
+        G.waybill_c(spark, n), G.waybill_e(spark, n), G.waybill_m(spark, n)
+    ).toPandas()
+    route = G.waybill_route_link(spark, n).toPandas()
+    ores = spark.read.parquet(hop).toPandas()
+    ores = ores.rename(columns={"order_id": "order_code", "create_time": "order_create_date"})
+    in2 = tempfile.mkdtemp(prefix="capfull-in2-")
+    route["_seq"] = range(len(route))
+    cem["_seq"] = range(len(route), len(route) + len(cem))
+    ores["_seq"] = range(len(route) + len(cem), len(route) + len(cem) + len(ores))
+    cols2 = [
+        "side", "_seq", "waybill_code", "package_code", "site_name", "busi_name",
+        "pickup_date", "order_code", "order_create_date",
+    ]
+    # route facts first (buffer), then CEM dim, then order-branch result
+    write_stream_files(
+        in2,
+        [route.assign(side="F"), cem.assign(side="D0"), ores.assign(side="D1")],
+        cols2,
+    )
+    raw2 = (
+        spark.readStream.schema(
+            "side string, _seq long, waybill_code string, package_code string,"
+            " site_name string, busi_name string, pickup_date timestamp,"
+            " order_code string, order_create_date timestamp"
+        ).option("maxFilesPerTrigger", "1").parquet(in2)
+    )
+    facts = raw2.where(F.col("side") == "F").select(
+        "waybill_code", "_seq", "package_code"
+    )
+    cem_s = raw2.where(F.col("side") == "D0").select(
+        "waybill_code", "_seq", "site_name", "busi_name", "pickup_date"
+    )
+    ores_s = raw2.where(F.col("side") == "D1").select(
+        "waybill_code", "_seq", "order_code", "order_create_date"
+    )
+    final = chain_stateful_join(
+        facts,
+        [
+            (cem_s, ["site_name", "busi_name", "pickup_date"]),
+            (ores_s, ["order_code", "order_create_date"]),
+        ],
+        "waybill_code",
+        ["package_code"],
+    )
+    rows = run_available_now(final, "capfull_final")
+    assert len(rows) == n * 5  # every package fully assembled exactly once
+    by_wb = {}
+    for r in rows:
+        by_wb.setdefault(r.waybill_code, []).append(r)
+        assert r.site_name and r.busi_name and r.order_code
+        assert r.pickup_date is not None and r.order_create_date is not None
+    assert all(len(v) == 5 for v in by_wb.values())
+    # parity with the BATCH capstone assembly on the same generators
+    batch = {
+        (r.waybill_code, r.package_code): (r.site_name, r.busi_name, r.order_code)
+        for r in C.bd_waybill_order(spark, n).collect()
+    }
+    stream = {
+        (r.waybill_code, r.package_code): (r.site_name, r.busi_name, r.order_code)
+        for r in rows
+    }
+    assert stream == batch
+
+
 def test_streaming_capstone_two_stages_via_parquet_hop(spark):
     """Multi-stage stateful streaming (the 4-stage reference capstone
     shape): Spark forbids two applyInPandasWithState ops in one query,
