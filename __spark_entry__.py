@@ -258,6 +258,14 @@ def _q_similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN: deterministic md5-sampled centroids, nearest-cell
+    # assignment, multi-probe candidate join — the second scale path
+    return S.ivf_cosine_topk(
+        load_tables(spark, sf_dir).embeddings, k=5, n_centroids=16, n_probe=2
+    )
+
+
 def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup: bucketed candidates, exact cosine ≥ τ
     # (τ=0.3 sized to the synthetic random embeddings; production would
@@ -638,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh_topk": _q_similarity_lsh_topk,
         "similarity_topk_vectorized": _q_similarity_topk_vectorized,
+        "similarity_ivf_topk": _q_similarity_ivf_topk,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "corpus_clean": _q_corpus_clean,
         "multimodal_decode": _q_multimodal_decode,
@@ -1122,6 +1131,41 @@ def oracle_sql() -> dict[str, str]:
             "b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id",
             extra_cte=f"WITH b AS (SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings)",
         ),
+        "similarity_ivf_topk": f"""
+            WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+            h AS (SELECT id, vec,
+                    ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS _h
+                  FROM v),
+            cent AS (
+              SELECT id AS centroid_id, vec AS cvec FROM (
+                SELECT *, row_number() OVER (ORDER BY _h, id) AS _rn FROM h)
+              WHERE _rn <= 16),
+            scored AS (
+              SELECT v.id, v.vec, c.centroid_id,
+                     {_dot_sql("v.vec", "c.cvec")}
+                       / nullif(sqrt({_dot_sql("v.vec", "v.vec")})
+                                * sqrt({_dot_sql("c.cvec", "c.cvec")}), 0.0) AS csim
+              FROM v CROSS JOIN cent c),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY id ORDER BY csim DESC, centroid_id) AS _crn
+              FROM scored),
+            cells AS (SELECT id, vec, centroid_id FROM ranked WHERE _crn = 1),
+            probes AS (SELECT id AS query_id, vec AS qvec, centroid_id
+                       FROM ranked WHERE _crn <= 2),
+            pairs AS (
+              SELECT p.query_id, c.id AS neighbor_id,
+                     {_dot_sql("p.qvec", "c.vec")}
+                       / nullif(sqrt({_dot_sql("p.qvec", "p.qvec")})
+                                * sqrt({_dot_sql("c.vec", "c.vec")}), 0.0) AS cosine
+              FROM probes p JOIN cells c USING (centroid_id)
+              WHERE p.query_id <> c.id)
+            SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM pairs)
+            WHERE rank <= 5
+        """,
         "similarity_topk_vectorized": _cosine_pairs_sql(
             "b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id",
             extra_cte=f"WITH b AS (SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings)",

@@ -47,6 +47,7 @@ HEADLINE = [
     "text_lang_id",
     "similarity_lsh_topk",
     "similarity_topk_vectorized",
+    "similarity_ivf_topk",
     "corpus_clean",
     "multimodal_decode",
     "waybill_capstone",
@@ -61,9 +62,12 @@ def main() -> None:
     spark = build_session(app_name="fhs-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     qs = entrymod.queries()
-    # warm-up: JVM/codegen/scan init so timings reflect steady state
+    # warm-up: JVM/codegen init + parquet footer reads for every table the
+    # headline touches, so the first timed query isn't charged for either
     spark.range(1000).count()
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    for t in ("region", "lineitem", "orders", "customer", "events",
+              "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     from flink_helloworld_spark.operators.dedup import release_shared_caches
 
     timings: dict[str, float] = {}

@@ -144,6 +144,27 @@ def test_vectorized_topk_matches_exact(spark, sf_dir):
         assert abs(exact[key][1] - fast[key][1]) < 1e-9
 
 
+def test_ivf_topk_structure_and_determinism(spark, sf_dir):
+    """IVF ANN: ranks contiguous from 1, neighbors distinct per query,
+    cosines in range, and the whole thing reproducible (deterministic
+    centroids — no fitted state). Value semantics are pinned by the
+    DuckDB oracle (similarity_ivf_topk)."""
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir).embeddings
+    rows = S.ivf_cosine_topk(emb, k=5, n_centroids=16, n_probe=2).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert -1.000001 <= r.cosine <= 1.000001
+    for q, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), q
+        assert len({r.neighbor_id for r in rs}) == len(rs), q
+    again = S.ivf_cosine_topk(emb, k=5, n_centroids=16, n_probe=2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_sharded_vectorized_topk_matches_lsh(spark, sf_dir):
     """The sharded BLAS kernel scores the same candidate set as
     lsh_cosine_topk; neighbor rankings must agree everywhere except
