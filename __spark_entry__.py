@@ -240,6 +240,37 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(load_tables(spark, sf_dir).documents)
 
 
+def _q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.pii_scrub(load_tables(spark, sf_dir).documents)
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_stats(load_tables(spark, sf_dir).documents)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic per-stratum sampling: language rebalancing shape
+    from flink_helloworld_spark.operators.sampling import stratified_sample
+
+    docs = load_tables(spark, sf_dir).documents
+    return stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.5, "zh": 1.0}, default_fraction=0.2
+    ).select("doc_id", "lang")
+
+
+def _q_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stable train/holdout tagging; aggregated so the gate checks both
+    # the assignment arithmetic and the disjoint-exhaustive property
+    from flink_helloworld_spark.operators.sampling import train_holdout_split
+
+    docs = load_tables(spark, sf_dir).documents
+    return (
+        train_holdout_split(docs, "doc_id", holdout_fraction=0.1)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(load_tables(spark, sf_dir).embeddings, k=5)
 
@@ -643,6 +674,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
+        "text_pii_scrub": _q_text_pii_scrub,
+        "text_repetition": _q_text_repetition,
+        "stratified_sample": _q_stratified_sample,
+        "split_holdout": _q_split_holdout,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh_topk": _q_similarity_lsh_topk,
         "similarity_topk_vectorized": _q_similarity_topk_vectorized,
@@ -770,6 +805,31 @@ def _cosine_pairs_sql(join_cond: str, extra_cte: str = "", round_dp: int | None 
                  {cos} AS cosine
           FROM {join_cond}))
       WHERE rank <= 5"""
+
+
+def _pii_scrub_sql() -> str:
+    """Replicates text.pii_scrub: counts taken on the progressively
+    cleaned text, replacements chained in _PII_ORDER. Patterns come from
+    the SAME dict the operator uses (Java-regex ∩ RE2), so they cannot
+    drift."""
+    from flink_helloworld_spark.operators.text import _PII_ORDER, PII_PATTERNS
+
+    prev, ctes, carried = "text", [], []
+    for i, kind in enumerate(_PII_ORDER):
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        carry = "".join(f" {c}," for c in carried)
+        ctes.append(
+            f"s{i} AS (SELECT doc_id,{carry}"
+            f" len(regexp_extract_all({prev}, '{pat}')) AS n_{kind},"
+            f" regexp_replace({prev}, '{pat}', '<{kind.upper()}>', 'g') AS t{i}"
+            f" FROM {'documents' if i == 0 else f's{i - 1}'})"
+        )
+        carried.append(f"n_{kind}")
+        prev = f"t{i}"
+    return f"""
+      WITH {", ".join(ctes)}
+      SELECT doc_id, {", ".join(carried)}, {prev} AS clean_text
+      FROM s{len(_PII_ORDER) - 1}"""
 
 
 def _lang_id_sql() -> str:
@@ -1123,6 +1183,45 @@ def oracle_sql() -> dict[str, str]:
                   i -> md5(array_to_string(ws[i:i+3], ' '))))
               ELSE md5(norm) END AS piece_fp
             FROM w
+        """,
+        "text_pii_scrub": _pii_scrub_sql(),
+        "text_repetition": """
+            WITH ws AS (
+              SELECT doc_id,
+                list_filter(string_split(text, ' '), w -> w <> '') AS w
+              FROM documents),
+            b AS (
+              SELECT doc_id, unnest(list_transform(
+                range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+              FROM ws WHERE len(w) >= 2),
+            pb AS (SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY 1, 2),
+            pd AS (SELECT doc_id, sum(cnt) AS n_bigrams,
+                          count(*) AS n_distinct, max(cnt) AS top_cnt
+                   FROM pb GROUP BY 1)
+            SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+              (n_bigrams - n_distinct)::DOUBLE
+                / nullif(n_bigrams::DOUBLE, 0.0) AS dup_bigram_frac,
+              top_cnt::DOUBLE / nullif(n_bigrams::DOUBLE, 0.0) AS top_bigram_frac
+            FROM pd
+            UNION ALL
+            SELECT doc_id, 0 AS n_bigrams, 0.0 AS dup_bigram_frac,
+                   0.0 AS top_bigram_frac
+            FROM ws WHERE len(w) < 2
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('strat' || doc_id::VARCHAR), 1, 15))::BIGINT
+                    % 10000
+                  < CASE WHEN lang = 'en' THEN 5000
+                         WHEN lang = 'zh' THEN 10000
+                         ELSE 2000 END
+        """,
+        "split_holdout": """
+            SELECT CASE WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR),
+                              1, 15))::BIGINT % 10000 < 1000
+                        THEN 'holdout' ELSE 'train' END AS split,
+                   count(*) AS cnt
+            FROM documents GROUP BY 1
         """,
         "similarity_topk": _cosine_pairs_sql(
             "embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id"

@@ -110,6 +110,83 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("pred_lang", pred)
 
 
+# Redaction patterns shared with the oracle: Java-regex ∩ RE2 syntax only
+# (no lookaround, no backrefs), so Spark and DuckDB match identically.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "digits": r"[0-9]{7,}",  # long digit runs: phone/account/card-ish
+}
+_PII_ORDER = ["email", "url", "digits"]  # applied in this order
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII/boilerplate scrubbing: redact emails, URLs, and long digit
+    runs with typed placeholders, reporting per-kind hit counts — the
+    standard pre-training privacy pass. Pure ``regexp_replace`` /
+    ``regexp_extract_all`` column expressions (codegen; patterns chosen
+    to parse identically under Java regex and RE2 so the oracle
+    replays them)."""
+    clean = F.col(text_col)
+    counts = []
+    for kind in _PII_ORDER:
+        pat = PII_PATTERNS[kind]
+        counts.append(
+            F.size(F.regexp_extract_all(clean, F.lit(pat), 0)).alias(f"n_{kind}")
+        )
+        clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
+    return docs.select("doc_id", *counts, clean.alias("clean_text"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition signals (the Gopher-style quality gates): fraction of
+    duplicate word bigrams and the share of the single most frequent
+    bigram. High values flag boilerplate/spam for removal.
+
+    Shape: bigrams explode once, then one hash-aggregate per (doc,
+    bigram) and one per doc — map-side partials both times, linear in
+    corpus size. Docs with <2 words report zero repetition."""
+    ws = _words(F.col(text_col))
+    # guard: sequence(0, -1) would auto-step BACKWARD in Spark, inventing
+    # phantom bigrams for docs with <2 words — emit an empty array instead
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    per_bigram = exploded.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    dup_frac = (F.col("n_bigrams") - F.col("n_distinct")).cast("double") / F.nullif(
+        F.col("n_bigrams").cast("double"), F.lit(0.0)
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.nullif(
+        F.col("n_bigrams").cast("double"), F.lit(0.0)
+    )
+    stats = per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        dup_frac.alias("dup_bigram_frac"),
+        top_frac.alias("top_bigram_frac"),
+    )
+    # docs with <2 words have no bigrams at all: report explicit zeros
+    short = docs.where(F.size(ws) < 2).select(
+        "doc_id",
+        F.lit(0).alias("n_bigrams"),
+        F.lit(0.0).alias("dup_bigram_frac"),
+        F.lit(0.0).alias("top_bigram_frac"),
+    )
+    return stats.unionByName(short)
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: md5 of whitespace-normalized lowercase
     text (exact-dup key) + a locality-sensitive piece fingerprint (min

@@ -125,6 +125,54 @@ def test_frame_sample_empty_payload_has_no_frames(spark):
     assert [(r.frame_index) for r in rows] == [0]  # only the 2-byte doc
 
 
+def test_pii_scrub_redacts_and_counts(spark):
+    from flink_helloworld_spark.operators import text as T
+
+    docs = _docs(
+        spark,
+        ["contact bob@example.com or https://foo.bar/x?id=1 call 12345678 now"],
+    )
+    (row,) = T.pii_scrub(docs).collect()
+    assert (row.n_email, row.n_url, row.n_digits) == (1, 1, 1)
+    assert row.clean_text == "contact <EMAIL> or <URL> call <DIGITS> now"
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from flink_helloworld_spark.operators import text as T
+
+    docs = _docs(spark, ["spam spam spam spam", "all words here differ", "x"])
+    got = {r.doc_id: r for r in T.repetition_stats(docs).collect()}
+    spammy, clean, tiny = got[0], got[1], got[2]
+    assert spammy.n_bigrams == 3 and spammy.dup_bigram_frac > 0.6
+    assert spammy.top_bigram_frac == 1.0  # one bigram everywhere
+    assert clean.dup_bigram_frac == 0.0
+    assert (tiny.n_bigrams, tiny.dup_bigram_frac) == (0, 0.0)  # <2 words
+
+
+def test_deterministic_sampling_is_stable_and_disjoint(spark, sf_dir):
+    from flink_helloworld_spark.operators.sampling import (
+        deterministic_sample,
+        train_holdout_split,
+    )
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir).documents
+    a = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    assert a == b and 0 < len(a) < docs.count()  # reproducible, non-trivial
+    # repartitioning must not change membership (the df.sample failure mode)
+    c = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(7), "doc_id", 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == c
+    split = train_holdout_split(docs, "doc_id", 0.1).select("doc_id", "split").collect()
+    assert {r.split for r in split} == {"train", "holdout"}
+    assert len(split) == docs.count()  # exhaustive, disjoint by construction
+
+
 def test_vectorized_topk_matches_exact(spark, sf_dir):
     from flink_helloworld_spark.sources.tables import load_tables
 
