@@ -609,6 +609,46 @@ def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES-relevance surface: per-doc top-5 salient terms (tf * ln(N/df)),
+    # ranked on the 6-dp-rounded score for engine portability
+    from flink_helloworld_spark.operators import ranking as RK
+
+    return RK.tfidf_top_terms(load_tables(spark, sf_dir).documents, k=5)
+
+
+_BM25_TERMS = ("hash", "join")
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES match-query scoring (Lucene BM25, k1=1.2 b=0.75), top-20 hits
+    from flink_helloworld_spark.operators import ranking as RK
+
+    return RK.bm25_search(
+        load_tables(spark, sf_dir).documents, _BM25_TERMS, topn=20
+    )
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transitive closure over near-dup pairs: connected components →
+    # (doc, canonical=min id in component, cluster size)
+    pairs = D.minhash_dedup_pairs(load_tables(spark, sf_dir).documents).where(
+        "is_dup"
+    )
+    return D.duplicate_clusters(pairs)
+
+
+def _q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flink SQL "Window Top-N": top-3 event types per tumbling day
+    ev = load_tables(spark, sf_dir).events
+    return W.window_topn(ev, "ts", "1 day", "event_type", n=3)
+
+
+def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD2 history: per-customer order-priority validity intervals
+    return R.scd2_intervals(load_tables(spark, sf_dir).orders)
+
+
 # --- capstone waybill pipeline (reference StateTest.java:639-872) ----------
 
 _WAYBILL_N = 500
@@ -712,6 +752,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_sum": _q_salted_sum,
         "rollup_counts": _q_rollup_counts,
         "distinct_users": _q_distinct_users,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_search": _q_bm25_search,
+        "dedup_clusters": _q_dedup_clusters,
+        "window_topn": _q_window_topn,
+        "scd2_intervals": _q_scd2_intervals,
     }
 
 
@@ -776,6 +821,51 @@ def _simhash_sql(bits: int = 32) -> str:
       h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok),
       s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
       SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM s"""
+
+
+def _bm25_sql() -> str:
+    # constants are computed in Python and repr-interpolated so BOTH
+    # engines evaluate the exact same doubles in the same expression
+    # order as operators/ranking.bm25_search (k1+1, 1-b precomputed there
+    # the same way); score contributions are added in fixed term order
+    from flink_helloworld_spark.operators.ranking import BM25_B, BM25_K1
+
+    k1, b = BM25_K1, BM25_B
+    t0, t1 = _BM25_TERMS
+    in_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+    def _contrib(tf: str, df: str) -> str:
+        idf = f"ln(1.0 + (n - {df} + 0.5) / ({df} + 0.5))"
+        norm = f"({tf} + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))"
+        return (
+            f"(CASE WHEN {tf} > 0 THEN {idf} * {tf} * {k1 + 1.0!r} / {norm} "
+            f"ELSE 0.0 END)"
+        )
+
+    return f"""
+        WITH dl AS (SELECT doc_id, len({_WS})::DOUBLE AS dl FROM documents),
+        stats AS (SELECT count(*)::DOUBLE AS n,
+                         sum(len({_WS}))::DOUBLE / count(*)::DOUBLE AS avgdl
+                  FROM documents),
+        w AS (SELECT doc_id, unnest({_WS}) AS term FROM documents),
+        tf AS (SELECT doc_id,
+                 SUM(CASE WHEN term = '{t0}' THEN 1 ELSE 0 END)::DOUBLE AS tf0,
+                 SUM(CASE WHEN term = '{t1}' THEN 1 ELSE 0 END)::DOUBLE AS tf1
+               FROM w WHERE term IN ({in_list}) GROUP BY doc_id),
+        df AS (SELECT
+                 count(DISTINCT CASE WHEN term = '{t0}' THEN doc_id END)::DOUBLE AS df0,
+                 count(DISTINCT CASE WHEN term = '{t1}' THEN doc_id END)::DOUBLE AS df1
+               FROM w WHERE term IN ({in_list})),
+        base AS (SELECT tf.doc_id, tf0, tf1, dl.dl, stats.n, stats.avgdl,
+                        df.df0, df.df1
+                 FROM tf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN df),
+        scored AS (SELECT doc_id,
+          round({_contrib("tf0", "df0")} + {_contrib("tf1", "df1")}, 6) AS bm25
+          FROM base)
+        SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+                 AS rank, doc_id, bm25
+        FROM scored WHERE bm25 > 0 QUALIFY rank <= 20
+    """
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -1512,6 +1602,82 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "tfidf_top_terms": f"""
+            WITH w AS (SELECT doc_id, unnest({_WS}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM w),
+            scored AS (
+              SELECT tf.doc_id, tf.term, CAST(tf.tf AS INT) AS tf,
+                     round(tf.tf * ln(n.n::DOUBLE / df.df::DOUBLE), 6) AS tfidf
+              FROM tf JOIN df USING (term) CROSS JOIN n)
+            SELECT doc_id, term, tf, tfidf,
+                   CAST(row_number() OVER (
+                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+            FROM scored QUALIFY rank <= 5
+        """,
+        "bm25_search": _bm25_sql(),
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()},
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM buckets x JOIN buckets y
+                ON x.band_id = y.band_id AND x.band_key = y.band_key
+               AND x.doc_id < y.doc_id),
+            dup AS (
+              SELECT doc_a, doc_b FROM cand
+              JOIN sh sa ON doc_a = sa.doc_id
+              JOIN sh sb ON doc_b = sb.doc_id
+              WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / nullif((len(sa.sh) + len(sb.sh)
+                          - len(list_intersect(sa.sh, sb.sh)))::DOUBLE, 0.0)
+                >= 0.5),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM dup
+              UNION ALL SELECT doc_b, doc_a FROM dup),
+            walk(node, lab) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, w.lab FROM walk w
+              JOIN edges e ON e.src = w.node WHERE w.lab < e.dst),
+            lab AS (SELECT node AS doc_id, min(lab) AS cluster_id
+                    FROM walk GROUP BY node)
+            SELECT doc_id, cluster_id,
+                   CAST(count(*) OVER (PARTITION BY cluster_id) AS INT)
+                     AS cluster_size
+            FROM lab
+        """,
+        "window_topn": """
+            WITH agg AS (
+              SELECT date_trunc('day', ts) AS window_start, event_type,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2)
+            SELECT window_start, event_type, cnt,
+                   CAST(row_number() OVER (
+                     PARTITION BY window_start
+                     ORDER BY cnt DESC, event_type) AS INT) AS rank
+            FROM agg QUALIFY rank <= 3
+        """,
+        "scd2_intervals": """
+            WITH seq AS (
+              SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                     lag(o_orderpriority) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+              FROM orders),
+            chg AS (
+              SELECT o_custkey, o_orderpriority,
+                     o_orderdate AS valid_from, o_orderkey
+              FROM seq WHERE prev IS NULL OR prev <> o_orderpriority)
+            SELECT o_custkey, o_orderpriority, valid_from,
+                   lead(valid_from) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY valid_from, o_orderkey) AS valid_to,
+                   lead(valid_from) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY valid_from, o_orderkey) IS NULL AS is_current
+            FROM chg
         """,
         "waybill_generator": f"""
             WITH {_waybill_gen_ctes(_WAYBILL_N)}

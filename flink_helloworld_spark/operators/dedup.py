@@ -333,3 +333,74 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# --- duplicate clustering (connected components) ----------------------------
+
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document in a
+    duplicate cluster labeled with the cluster's minimum doc_id (the
+    canonical survivor) plus the cluster size.
+
+    This is the stage after ``minhash_dedup_pairs``: pairwise matches say
+    "A~B, B~C"; keeping one copy per GROUP needs the transitive closure.
+    Input: (doc_a, doc_b) rows with doc_a < doc_b (already filtered to
+    is_dup). Output: (doc_id, cluster_id, cluster_size) for every doc in
+    a cluster of size >= 2, cluster_id = min doc_id of the component.
+
+    Algorithm: iterative min-label propagation to a fixpoint —
+    label(v) <- min(label(v), min over neighbors' labels) — the same
+    driver-loop shape as plans.iterate_fixpoint, with localCheckpoint
+    truncating lineage per round. Near-dup components are shallow (a
+    cluster of k rewrites of one page has diameter ~1-2), so this
+    converges in 2-3 rounds; for adversarial long-chain graphs switch to
+    alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce"), which contracts paths logarithmically with
+    the same per-round join shape. Each round is one shuffle on node id;
+    nothing is collected to the driver except the 1-row convergence count.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    from pyspark.sql import Window
+
+    # size via window on the label key (one shuffle) — a size TABLE would
+    # be one row per cluster, far too big to broadcast at corpus scale
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count("*").over(w).cast("int").alias("cluster_size"),
+    )

@@ -1,0 +1,168 @@
+"""Term-relevance ranking: TF-IDF and BM25 over the documents table.
+
+The reference fronts its results with Elasticsearch (HelloWorldFlink.java
+term-query surface, RedisTest.java lookup cache); ES relevance is BM25.
+These operators re-express that scoring Spark-first so a user of the
+reference's search surface can rank documents without an external engine:
+
+- ``tfidf_top_terms``: per-document top-k salient terms (the classic
+  keyword-extraction pass a training-data pipeline runs for topic
+  filtering / source diagnostics).
+- ``bm25_search``: score documents against a small bag of query terms
+  with Lucene-style BM25 (k1/b defaults match Lucene), returning the
+  top-n hits — the batch analog of the ES ``match`` query.
+
+Scale shape (100 TB): everything is exploded-words → hash aggregations
+with map-side partial combine. The document-frequency table is
+vocabulary-sized — usually broadcastable, but left to AQE to promote
+(raw web vocabularies reach 1e8+ terms); corpus scalars (N, avgdl) ride a
+1-row broadcast cross join, never a driver collect. No Python UDFs.
+
+Float determinism contract: scores are rounded to 6 dp BEFORE ranking in
+both this plan and the DuckDB oracle, and per-term BM25 contributions are
+added in fixed expression order (not a variable-order SUM), so value
+hashes match across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import _words
+
+# Lucene defaults (BM25Similarity.java constructor)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _doc_terms(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, term) — one row per word occurrence (not distinct)."""
+    return docs.select(
+        "doc_id", F.explode(_words(F.col(text_col))).alias("term")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (idf = ln(N/df)).
+
+    Output: (doc_id, term, tf, tfidf, rank) with tfidf rounded to 6 dp
+    and rank computed ON the rounded value (term asc tiebreak), so the
+    ranking is float-summation-order independent.
+    """
+    terms = _doc_terms(docs, text_col)
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = terms.agg(F.countDistinct("doc_id").alias("n"))
+    # df is vocabulary-sized: small for curated corpora but can reach 1e8+
+    # terms on raw web text, so no forced broadcast — AQE promotes the
+    # join to broadcast at runtime when the measured size allows
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = ("the", "data"),
+    topn: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 score of every matching document against ``query_terms``,
+    top-n by (score desc, doc_id) — the ES ``match`` query, batch-side.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))          (Lucene BM25)
+    w(t,d) = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    score  = w(t1,d) + w(t2,d) + ...   -- FIXED expression order per doc
+
+    The per-term tf columns come from one conditional aggregation over the
+    exploded words (one shuffle on doc_id); df and the N/avgdl scalars are
+    broadcast. Scores are rounded to 6 dp before ranking.
+    """
+    terms = list(query_terms)
+    words = docs.select(
+        "doc_id", F.explode(_words(F.col(text_col))).alias("term")
+    )
+    # one pass: per-doc tf for each query term (conditional agg, map-side
+    # combinable) — only docs containing >=1 query term survive
+    tf_cols = [
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    tfs = (
+        words.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(*tf_cols)
+    )
+    # df per query term from the same filtered stream (vocab-of-|q| rows)
+    dfs = (
+        words.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    # corpus scalars: N = all docs, avgdl over all docs (dl = word count)
+    stats = docs.select(F.size(_words(F.col(text_col))).alias("dl")).agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    dl = docs.select("doc_id", F.size(_words(F.col(text_col))).alias("dl"))
+
+    base = (
+        tfs.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    # pivot df values into scalar columns via a broadcast 1-row agg so the
+    # score expression stays a fixed-order column formula
+    df_row = dfs.groupBy().pivot("term", terms).agg(F.first("df"))
+    base = base.crossJoin(F.broadcast(df_row))
+
+    def contrib(i: int, t: str):
+        tf = F.col(f"tf_{i}").cast("double")
+        df_c = F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n").cast("double") - df_c + F.lit(0.5)) / (df_c + F.lit(0.5))
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return F.when(tf > 0, idf * tf * F.lit(k1 + 1.0) / norm).otherwise(F.lit(0.0))
+
+    score = contrib(0, terms[0])
+    for i, t in enumerate(terms[1:], start=1):
+        score = score + contrib(i, t)
+
+    scored = base.select(
+        "doc_id", F.round(score, 6).alias("bm25")
+    ).where(F.col("bm25") > 0)
+    # distributed top-n (TakeOrderedAndProject: per-partition heads merged
+    # on the driver — no global sort, no single-partition window), then
+    # rank the <= topn survivors with a trivially small window
+    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(topn)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "doc_id", "bm25"
+    )

@@ -187,3 +187,42 @@ def union_streams(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def scd2_intervals(
+    orders: DataFrame,
+    key: str = "o_custkey",
+    attr: str = "o_orderpriority",
+    time_col: str = "o_orderdate",
+    seq_col: str = "o_orderkey",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse a keyed
+    change stream into validity intervals [valid_from, valid_to) per
+    attribute value, open interval (NULL valid_to) = current.
+
+    The warehouse-side equivalent of the reference's last-non-null keyed
+    merge (StateTest.java rolling reduce): instead of keeping only the
+    latest value, keep every change with its validity range. Two window
+    passes over the same (key, time, seq) ordering — change detection via
+    lag(), interval close via lead() — one shuffle total (same partition
+    key both passes, Catalyst reuses the sort). seq_col breaks same-day
+    ties deterministically.
+    """
+    from pyspark.sql import Window as Wspec
+
+    w = Wspec.partitionBy(key).orderBy(time_col, seq_col)
+    chg = (
+        orders.select(key, attr, time_col, seq_col)
+        .withColumn("_prev", F.lag(attr).over(w))
+        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr)))
+        .select(key, attr, F.col(time_col).alias("valid_from"), seq_col)
+    )
+    w2 = Wspec.partitionBy(key).orderBy("valid_from", seq_col)
+    nxt = F.lead("valid_from").over(w2)
+    return chg.select(
+        key,
+        attr,
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

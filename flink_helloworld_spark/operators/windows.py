@@ -121,3 +121,37 @@ def _project_window(out: DataFrame) -> DataFrame:
         F.col("w.end").alias("window_end"),
         *rest,
     )
+
+
+def window_topn(
+    df: DataFrame,
+    time_col: str,
+    size: str,
+    key_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-window Top-N keys by count — Flink SQL's "Window Top-N"
+    (the deduplication/ranking pattern Flink documents as
+    ROW_NUMBER() OVER a window TVF; the reference's keyed windowed
+    aggregations in WindowTest.java are the manual form of it).
+
+    One windowed hash-aggregate (map-side combinable) then a
+    rank-per-window window function over the already-aggregated rows
+    (|windows| x |keys| rows, tiny vs input). Tie-break on key asc keeps
+    the ranking deterministic across engines and partitionings.
+    """
+    from pyspark.sql import Window as Wspec
+
+    agg = df.groupBy(F.window(time_col, size).alias("w"), key_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    flat = agg.select(
+        F.col("w.start").alias("window_start"), key_col, "cnt"
+    )
+    rank_w = Wspec.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), F.col(key_col)
+    )
+    return (
+        flat.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        .where(F.col("rank") <= n)
+    )

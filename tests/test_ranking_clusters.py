@@ -1,0 +1,125 @@
+"""Tests for term-relevance ranking (TF-IDF / BM25), duplicate
+clustering (connected components), window Top-N, and SCD2 intervals."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from flink_helloworld_spark.operators.dedup import duplicate_clusters
+from flink_helloworld_spark.operators.ranking import bm25_search, tfidf_top_terms
+from flink_helloworld_spark.operators.relational import scd2_intervals
+from flink_helloworld_spark.operators.windows import window_topn
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_tfidf_surfaces_rare_term(spark):
+    # "zebra" appears once in one doc of three -> its top term; "the" is
+    # in every doc -> idf ln(1)=0, never ranked above a rare term
+    docs = _docs(
+        spark,
+        [
+            (1, "the zebra the the"),
+            (2, "the cat the"),
+            (3, "the dog"),
+        ],
+    )
+    out = tfidf_top_terms(docs, k=1).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert by_doc[1].term == "zebra"
+    assert by_doc[1].tfidf == round(1 * math.log(3 / 1), 6)
+    # doc 3: "dog" (idf ln(3)) beats "the" (idf 0)
+    assert by_doc[3].term == "dog"
+
+
+def test_bm25_rewards_term_frequency_and_rarity(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "hash hash hash join"),  # both terms, high tf
+            (2, "hash table scan"),  # one term
+            (3, "sort merge only"),  # no query terms -> excluded
+            (4, "join"),  # one term, shortest doc
+        ],
+    )
+    out = bm25_search(docs, ("hash", "join"), topn=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids
+    assert ids[0] == 1  # both terms + high tf wins
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    assert all(r.bm25 > 0 for r in out)
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    # chain 1-2-3-4-5 must collapse to one cluster labeled 1 (needs
+    # multiple propagation rounds), plus an island {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "doc_a bigint, doc_b bigint",
+    )
+    out = {r.doc_id: r for r in duplicate_clusters(pairs).collect()}
+    assert len(out) == 7
+    for d in (1, 2, 3, 4, 5):
+        assert out[d].cluster_id == 1 and out[d].cluster_size == 5
+    for d in (10, 11):
+        assert out[d].cluster_id == 10 and out[d].cluster_size == 2
+
+
+def test_window_topn_ranks_within_each_window(spark):
+    ev = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", "a"),
+            ("2024-01-01 11:00:00", "a"),
+            ("2024-01-01 12:00:00", "b"),
+            ("2024-01-02 10:00:00", "c"),
+        ],
+        "ts string, event_type string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = window_topn(ev, "ts", "1 day", "event_type", n=1).collect()
+    got = {str(r.window_start.date()): r.event_type for r in out}
+    assert got == {"2024-01-01": "a", "2024-01-02": "c"}
+
+
+def test_scd2_intervals_collapse_and_close(spark):
+    orders = spark.createDataFrame(
+        [
+            # cust 1: P1 (two rows, collapsed) -> P2 -> current
+            (101, 1, "P1", "2024-01-01"),
+            (102, 1, "P1", "2024-01-05"),
+            (103, 1, "P2", "2024-02-01"),
+            # cust 2: single value, open interval
+            (201, 2, "P9", "2024-03-01"),
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string, o_orderdate string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    rows = sorted(
+        scd2_intervals(orders).collect(),
+        key=lambda r: (r.o_custkey, str(r.valid_from)),
+    )
+    assert len(rows) == 3  # consecutive same-priority rows collapsed
+    c1p1, c1p2, c2 = rows
+    assert c1p1.o_orderpriority == "P1" and not c1p1.is_current
+    assert str(c1p1.valid_to) == str(c1p2.valid_from)
+    assert c1p2.is_current and c1p2.valid_to is None
+    assert c2.o_custkey == 2 and c2.is_current
+
+
+def test_bm25_stable_under_repartition(spark):
+    docs = _docs(
+        spark,
+        [(i, f"hash join value {'hash ' * (i % 4)}") for i in range(1, 40)],
+    )
+    a = bm25_search(docs, ("hash", "join"), topn=10).collect()
+    b = bm25_search(docs.repartition(7), ("hash", "join"), topn=10).collect()
+    assert [(r.rank, r.doc_id, r.bm25) for r in a] == [
+        (r.rank, r.doc_id, r.bm25) for r in b
+    ]
