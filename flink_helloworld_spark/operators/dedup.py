@@ -20,19 +20,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# DataFrames persisted for intra-plan reuse (the shingle table feeds four
-# plan branches in minhash_dedup_pairs). Persisting is load-bearing, but
-# the cache outlives the query's action — callers that run many queries
-# in one session (bench loop, correctness gate) release between queries.
-_SHARED_CACHES: list[DataFrame] = []
-
-
-def release_shared_caches() -> None:
-    """Unpersist every DataFrame cached for intra-plan reuse. Call after
-    the action that consumed the query (safe to call any time: Spark
-    recomputes unpersisted data if a plan is re-run)."""
-    while _SHARED_CACHES:
-        _SHARED_CACHES.pop().unpersist()
+# Intra-plan persist registry (the shingle table feeds four plan branches
+# in minhash_dedup_pairs); re-exported here for back-compat with callers
+# that learned the name from this module.
+from ._cache import _SHARED_CACHES, release_shared_caches, share  # noqa: F401
 
 
 # --- tokenization / shingling ---------------------------------------------
@@ -212,8 +203,7 @@ def minhash_dedup_pairs(
     duration of the plan: it feeds both bucket sides and both verify
     sides, and recomputing the shingling 4× would dominate runtime.
     """
-    sh = shingle_table(docs, text_col, shingle_n).persist()
-    _SHARED_CACHES.append(sh)  # released via release_shared_caches()
+    sh = share(shingle_table(docs, text_col, shingle_n))
     buckets = _buckets_from_shingles(sh, num_hashes, bands)
     cand = (
         buckets.alias("x")

@@ -339,7 +339,16 @@ def ivf_cosine_topk(
         ).alias("csim"),
     )
     w_assign = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
-    ranked = scored.withColumn("_crn", F.row_number().over(w_assign))
+    from ._cache import share
+
+    # the N×C assignment feeds BOTH the cells side and the probes side of
+    # the candidate join — persist it once instead of recomputing the
+    # cross-join per branch (released via release_shared_caches)
+    ranked = share(
+        scored.withColumn("_crn", F.row_number().over(w_assign)).where(
+            F.col("_crn") <= n_probe
+        )
+    )
     cells = ranked.where(F.col("_crn") == 1).select("id", "vec", "vnorm", "centroid_id")
     probes = ranked.where(F.col("_crn") <= n_probe).select(
         F.col("id").alias("query_id"),
