@@ -609,6 +609,27 @@ def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Z-order (Morton) clustering of events over (user_id, time): per
+    # target file, the min/max stats a reader prunes with
+    from flink_helloworld_spark.operators.layout import zorder_layout_stats
+
+    ev = load_tables(spark, sf_dir).events
+    keyed = ev.select(
+        "user_id", F.col("ts").cast("long").alias("ts_sec")
+    )
+    return zorder_layout_stats(keyed, "user_id", "ts_sec")
+
+
+def _q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable HyperLogLog (md5 buckets, integer register sum) — the
+    # mergeable COUNT(DISTINCT) sketch next to KMV
+    from flink_helloworld_spark.operators.rollups import hll_distinct
+
+    ev = load_tables(spark, sf_dir).events
+    return hll_distinct(ev, "event_type", "user_id")
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES-relevance surface: per-doc top-5 salient terms (tf * ln(N/df)),
     # ranked on the 6-dp-rounded score for engine portability
@@ -757,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "window_topn": _q_window_topn,
         "scd2_intervals": _q_scd2_intervals,
+        "hll_distinct_sketch": _q_hll_distinct_sketch,
+        "zorder_layout": _q_zorder_layout,
     }
 
 
@@ -865,6 +888,60 @@ def _bm25_sql() -> str:
         SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
                  AS rank, doc_id, bm25
         FROM scored WHERE bm25 > 0 QUALIFY rank <= 20
+    """
+
+
+def _hll_sql() -> str:
+    # mirrors rollups.hll_distinct: md5 bucket/rank, integer register sum
+    # (no float summation), one repr-interpolated numerator constant
+    from flink_helloworld_spark.operators.rollups import HLL_M, HLL_NUMER
+
+    e_raw = f"{HLL_NUMER!r} / (s + n_zero::BIGINT * {1 << 49}::BIGINT)::DOUBLE"
+    lc = f"{float(HLL_M)!r} * ln({float(HLL_M)!r} / n_zero::DOUBLE)"
+    return f"""
+        WITH h AS (
+          SELECT event_type,
+            ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT % {HLL_M}
+              AS bucket,
+            ('0x' || substr(md5(user_id::VARCHAR), 3, 12))::BIGINT AS w
+          FROM events),
+        regs AS (
+          SELECT event_type, bucket,
+            max(CASE WHEN w > 0 THEN 49 - length(bin(w)) ELSE 49 END) AS m_j
+          FROM h GROUP BY 1, 2),
+        g AS (
+          SELECT event_type,
+            SUM(1::BIGINT << (49 - m_j)) AS s,
+            CAST({HLL_M} - count(*) AS INT) AS n_zero
+          FROM regs GROUP BY 1)
+        SELECT event_type, n_zero,
+          round(CASE WHEN {e_raw} <= {2.5 * HLL_M!r} AND n_zero > 0
+                     THEN {lc} ELSE {e_raw} END, 6) AS distinct_estimate
+        FROM g
+    """
+
+
+def _zorder_sql(bits: int = 16, file_bits: int = 8) -> str:
+    # mirrors layout.zorder_key / zorder_layout_stats: Morton interleave
+    # of (user_id, floor-epoch seconds) low bits, top file_bits -> file
+    interleave = " + ".join(
+        f"(((xm >> {j}) % 2) << {2 * j}) + (((ym >> {j}) % 2) << {2 * j + 1})"
+        for j in range(bits)
+    )
+    return f"""
+        WITH keyed AS (
+          SELECT user_id AS x,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS y,
+                 user_id % {1 << bits} AS xm,
+                 CAST(floor(epoch(ts)) AS BIGINT) % {1 << bits} AS ym
+          FROM events),
+        z AS (SELECT x, y, ({interleave}) AS zkey FROM keyed)
+        SELECT CAST(zkey >> {2 * bits - file_bits} AS INT) AS file_id,
+               count(*) AS n_rows,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+        FROM z
+    GROUP BY 1
     """
 
 
@@ -1618,6 +1695,8 @@ def oracle_sql() -> dict[str, str]:
             FROM scored QUALIFY rank <= 5
         """,
         "bm25_search": _bm25_sql(),
+        "hll_distinct_sketch": _hll_sql(),
+        "zorder_layout": _zorder_sql(),
         "dedup_clusters": f"""
             WITH RECURSIVE {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()},
             cand AS (

@@ -58,6 +58,7 @@ HEADLINE = [
     "waybill_capstone",
     "hypertable_rollup",
     "kmv_distinct_sketch",
+    "hll_distinct_sketch",
     "funnel_conversion",
     "sql_q5_revenue",
 ]

@@ -1,0 +1,68 @@
+"""Data-layout operators: Z-order (Morton) clustering keys.
+
+At 100 TB the dominant cost is scan I/O; sorting a table by a
+space-filling curve over its hot filter columns lets min/max file stats
+prune multi-dimensional predicates (the Delta/Iceberg ``OPTIMIZE ZORDER
+BY`` idea, re-expressed as plain columns so any writer — including
+``partitioned_lake_sink`` — can use it).
+
+Everything is integer bit arithmetic (shifts, masks, adds) inside
+codegen; the same expressions regenerate in ANSI SQL for the DuckDB
+oracle, so layout keys are engine-portable and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` bits of two non-negative integer
+    columns: result bit 2j is x's bit j, bit 2j+1 is y's bit j. Higher
+    key bits alternate the two dimensions, so sorting by the key gives
+    both columns locality (each file covers a tight x-range AND y-range).
+
+    The expression is a balanced sum of 2*bits shift/mask terms —
+    constant-folded into one codegen stage, no UDF."""
+    x = x.cast("long") % F.lit(1 << bits).cast("long")
+    y = y.cast("long") % F.lit(1 << bits).cast("long")
+    terms = []
+    for j in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, j) % 2, 2 * j))
+        terms.append(F.shiftleft(F.shiftright(y, j) % 2, 2 * j + 1))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def zorder_layout_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    file_bits: int = 8,
+) -> DataFrame:
+    """Assign each row a Z-order key over (x, y), bucket rows into
+    2^``file_bits`` target files by the key's top bits, and report the
+    per-file min/max column stats a reader would prune with.
+
+    This is the *planning* half of an OPTIMIZE ZORDER: at scale the
+    repartitionByRange(z) + write happens in the sink; here the stats
+    table itself demonstrates (and lets tests assert) that every file
+    covers a bounded slice of BOTH dimensions — the property plain
+    single-column sorting cannot give."""
+    z = zorder_key(F.col(x_col), F.col(y_col), bits)
+    keyed = df.select(
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+        F.shiftright(z, 2 * bits - file_bits).cast("int").alias("file_id"),
+    )
+    return keyed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )

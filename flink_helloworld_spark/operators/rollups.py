@@ -84,3 +84,64 @@ def kmv_distinct(
             ).alias("distinct_estimate"),
         )
     )
+
+
+# --- portable HyperLogLog -----------------------------------------------
+
+HLL_M = 64  # registers (2^6); alpha_64 from the HLL paper
+HLL_ALPHA = 0.709
+# estimator numerator alpha * m^2 * 2^49, precomputed so BOTH engines
+# divide ONE literal double by the exact integer register sum
+HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(1 << 49)
+
+
+def hll_distinct(df: DataFrame, group: str, value: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per group, engine-portable.
+
+    Native HLL implementations (Spark ``approx_count_distinct``, DuckDB
+    ``approx_count_distinct``) use private hash/register layouts, so their
+    estimates can never cross-check. This one is reproducible anywhere:
+
+    - bucket  = first 8 md5 bits mod 64, w = next 48 bits
+    - rho     = 49 - bit_length(w)  (leading-zero rank; ``bin()`` drops
+      leading zeros identically in Spark and DuckDB, so bit_length is
+      ``length(bin(w))`` — no float log2, whose last-ulp differences
+      between JVM and libm would flip floor() at powers of two)
+    - register M_j = max rho per bucket; the register SUM of the HLL
+      estimator (sum 2^-M_j) is carried as the exact integer
+      sum(2^(49 - M_j)) — float summation order cannot leak in
+    - estimate = alpha*m^2*2^49 / S, with the paper's linear-counting
+      fallback m*ln(m/V) when E <= 2.5m and V (empty registers) > 0
+
+    Mergeable: registers from disjoint partitions combine with max().
+    One hash-aggregate per level (value-dedup is implicit in max), all
+    column expressions — the 100 TB shape for COUNT(DISTINCT) dashboards.
+    """
+    h = F.md5(F.col(value).cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M).alias(
+        "bucket"
+    )
+    w = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
+    rho = F.when(w > 0, F.lit(49) - F.length(F.bin(w))).otherwise(F.lit(49))
+    regs = (
+        df.select(F.col(group), bucket, rho.cast("int").alias("rho"))
+        .groupBy(group, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    per_group = regs.groupBy(group).agg(
+        F.sum(F.expr("shiftleft(1L, 49 - m_j)")).alias("s"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("int").alias("n_zero"),
+    )
+    # absent buckets are empty registers (M_j = 0): each contributes
+    # 2^-0 = 1, i.e. 2^49 at this scale — add them back before estimating
+    s_total = F.col("s") + F.col("n_zero").cast("long") * F.lit(1 << 49).cast("long")
+    e_raw = F.lit(HLL_NUMER) / s_total.cast("double")
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / F.col("n_zero").cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero") > 0), lc
+    ).otherwise(e_raw)
+    return per_group.select(
+        group, "n_zero", F.round(est, 6).alias("distinct_estimate")
+    )

@@ -123,3 +123,64 @@ def test_bm25_stable_under_repartition(spark):
     assert [(r.rank, r.doc_id, r.bm25) for r in a] == [
         (r.rank, r.doc_id, r.bm25) for r in b
     ]
+
+
+def test_hll_distinct_accuracy_and_stability(spark):
+    from flink_helloworld_spark.operators.rollups import hll_distinct
+
+    # 1000 distinct values in one group: estimate within standard HLL
+    # error for m=64 (~13% rel std -> allow 3 sigma)
+    df = spark.createDataFrame(
+        [("g", i) for i in range(1000)], "grp string, v bigint"
+    )
+    est = hll_distinct(df, "grp", "v").collect()[0]
+    assert abs(est.distinct_estimate - 1000) / 1000 < 0.4
+    assert est.n_zero == 0
+    # duplicates don't move the estimate (register max is idempotent)
+    dup = df.union(df)
+    est_dup = hll_distinct(dup, "grp", "v").collect()[0]
+    assert est_dup.distinct_estimate == est.distinct_estimate
+    # partitioning doesn't move it either (integer register sum)
+    est_rep = hll_distinct(df.repartition(13), "grp", "v").collect()[0]
+    assert est_rep.distinct_estimate == est.distinct_estimate
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from flink_helloworld_spark.operators.rollups import hll_distinct
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(8)], "grp string, v bigint"
+    )
+    est = hll_distinct(df, "grp", "v").collect()[0]
+    # 8 distinct -> linear counting regime; tight at this cardinality
+    assert est.n_zero > 0
+    assert abs(est.distinct_estimate - 8) < 2.5
+
+
+def test_zorder_interleave_bits(spark):
+    from flink_helloworld_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(3, 0), (0, 3), (65535, 65535)], "x bigint, y bigint"
+    )
+    out = df.select(
+        zorder_key(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    # x fills even bits, y odd bits
+    assert [r.z for r in out] == [0b0101, 0b1010, (1 << 32) - 1]
+
+
+def test_zorder_files_bound_both_dimensions(spark):
+    from flink_helloworld_spark.operators.layout import zorder_layout_stats
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x bigint, y bigint"
+    )
+    stats = zorder_layout_stats(grid, "x", "y", bits=5, file_bits=4).collect()
+    assert len(stats) == 16
+    for r in stats:
+        # each target file covers an 8x8 block: BOTH dimensions bounded,
+        # which single-column sorting cannot do
+        assert r.max_x - r.min_x <= 7
+        assert r.max_y - r.min_y <= 7
+        assert r.n_rows == 64
