@@ -609,6 +609,28 @@ def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES index-build parity: top-50 terms' sorted posting lists + df
+    from flink_helloworld_spark.operators.ranking import inverted_index
+
+    return inverted_index(load_tables(spark, sf_dir).documents, top_terms=50)
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min sketch: estimated vs true frequency for the 10 most
+    # active users (est >= true by construction)
+    from flink_helloworld_spark.operators.rollups import cms_point_estimates
+
+    ev = load_tables(spark, sf_dir).events
+    top10 = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+        .limit(10)
+    )
+    return cms_point_estimates(ev, "user_id", top10)
+
+
 def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Z-order (Morton) clustering of events over (user_id, time): per
     # target file, the min/max stats a reader prunes with
@@ -780,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": _q_scd2_intervals,
         "hll_distinct_sketch": _q_hll_distinct_sketch,
         "zorder_layout": _q_zorder_layout,
+        "term_postings": _q_term_postings,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
     }
 
 
@@ -918,6 +942,39 @@ def _hll_sql() -> str:
           round(CASE WHEN {e_raw} <= {2.5 * HLL_M!r} AND n_zero > 0
                      THEN {lc} ELSE {e_raw} END, 6) AS distinct_estimate
         FROM g
+    """
+
+
+def _cms_sql() -> str:
+    # mirrors rollups.cms_sketch / cms_point_estimates: d md5-seeded hash
+    # rows x w counters, estimate = min over the probed cells
+    from flink_helloworld_spark.operators.rollups import CMS_D, CMS_W
+
+    def col_expr(seed: int) -> str:
+        return (
+            f"('0x' || substr(md5('{seed}:' || user_id::VARCHAR), 1, 8))"
+            f"::BIGINT % {CMS_W}"
+        )
+
+    cells = " UNION ALL ".join(
+        f"SELECT {d} AS row_id, {col_expr(d)} AS col_id FROM events"
+        for d in range(CMS_D)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT user_id, true_cnt, {d} AS row_id, {col_expr(d)} AS col_id"
+        f" FROM top10"
+        for d in range(CMS_D)
+    )
+    return f"""
+        WITH cells AS ({cells}),
+        sk AS (SELECT row_id, col_id, count(*) AS cnt
+               FROM cells GROUP BY 1, 2),
+        top10 AS (SELECT user_id, count(*) AS true_cnt FROM events
+                  GROUP BY 1 ORDER BY true_cnt DESC, user_id LIMIT 10),
+        probes AS ({probes})
+        SELECT user_id, true_cnt, min(cnt) AS cms_est
+        FROM probes JOIN sk USING (row_id, col_id)
+        GROUP BY 1, 2
     """
 
 
@@ -1697,6 +1754,18 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_sql(),
         "hll_distinct_sketch": _hll_sql(),
         "zorder_layout": _zorder_sql(),
+        "term_postings": f"""
+            WITH w AS (
+              SELECT DISTINCT doc_id, unnest({_WS}) AS term FROM documents),
+            p AS (
+              SELECT term, CAST(count(*) AS INT) AS df,
+                     array_to_string(list(doc_id ORDER BY doc_id), ',')
+                       AS postings
+              FROM w GROUP BY term)
+            SELECT term, df, postings FROM p
+            ORDER BY df DESC, term LIMIT 50
+        """,
+        "cms_heavy_hitters": _cms_sql(),
         "dedup_clusters": f"""
             WITH RECURSIVE {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()},
             cand AS (

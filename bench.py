@@ -59,6 +59,9 @@ HEADLINE = [
     "hypertable_rollup",
     "kmv_distinct_sketch",
     "hll_distinct_sketch",
+    "cms_heavy_hitters",
+    "term_postings",
+    "zorder_layout",
     "funnel_conversion",
     "sql_q5_revenue",
 ]

@@ -166,3 +166,30 @@ def bm25_search(
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"), "doc_id", "bm25"
     )
+
+
+def inverted_index(
+    docs: DataFrame, text_col: str = "text", top_terms: int = 50
+) -> DataFrame:
+    """Build the posting lists of a term index — the batch construction
+    of what Elasticsearch maintains incrementally (the reference's search
+    backend): per term, the sorted doc_id posting list and its document
+    frequency, for the ``top_terms`` highest-df terms.
+
+    One distinct (term, doc) aggregation then one group per term;
+    collect_list stays bounded because a posting list is per-term (skewed
+    stopword terms are real at corpus scale — production would shard
+    postings longer than a block size; df itself comes from the same
+    group, not a second pass). Postings serialize to a CSV string so the
+    output hashes identically across engines."""
+    terms = (
+        docs.select("doc_id", F.explode(_words(F.col(text_col))).alias("term"))
+        .distinct()
+    )
+    postings = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("int").alias("df"),
+        F.array_join(
+            F.sort_array(F.collect_list("doc_id")), ","
+        ).alias("postings"),
+    )
+    return postings.orderBy(F.col("df").desc(), "term").limit(top_terms)

@@ -145,3 +145,65 @@ def hll_distinct(df: DataFrame, group: str, value: str) -> DataFrame:
     return per_group.select(
         group, "n_zero", F.round(est, 6).alias("distinct_estimate")
     )
+
+
+# --- Count-Min sketch ---------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row
+
+
+def _cms_col(value: Column, seed: int) -> Column:
+    h = F.md5(F.concat(F.lit(f"{seed}:"), value.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_W
+
+
+def cms_sketch(df: DataFrame, value: str) -> DataFrame:
+    """Count-Min sketch of a column: (row_id, col_id, cnt) counters.
+
+    d=4 md5-seeded hash rows x w=256 counters — fixed O(d*w) state per
+    sketch however large the input, mergeable by adding counters. Built
+    in ONE scan: each row explodes to its d (row, col) cells, then one
+    hash-aggregate (map-side combinable)."""
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row_id"),
+                        _cms_col(F.col(value), d).alias("col_id"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row_id", "c.col_id")
+    return cells.groupBy("row_id", "col_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_point_estimates(df: DataFrame, value: str, probes: DataFrame) -> DataFrame:
+    """Estimate each probe key's frequency from the sketch: min over the
+    d counters the key hashes to. Guarantees est >= true count (never
+    undercounts); collisions only inflate. ``probes`` must carry the key
+    in a column named like ``value`` (extra columns pass through)."""
+    sketch = cms_sketch(df, value)
+    cells = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row_id"),
+                        _cms_col(F.col(value), d).alias("col_id"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select(*probes.columns, "c.row_id", "c.col_id")
+    keep = [c for c in probes.columns]
+    return (
+        cells.join(F.broadcast(sketch), ["row_id", "col_id"])
+        .groupBy(*keep)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -184,3 +184,28 @@ def test_zorder_files_bound_both_dimensions(spark):
         assert r.max_x - r.min_x <= 7
         assert r.max_y - r.min_y <= 7
         assert r.n_rows == 64
+
+
+def test_inverted_index_postings_sorted(spark):
+    from flink_helloworld_spark.operators.ranking import inverted_index
+
+    docs = _docs(
+        spark, [(3, "b a"), (1, "a b"), (2, "a a c")]
+    )
+    rows = {r.term: r for r in inverted_index(docs).collect()}
+    assert rows["a"].df == 3 and rows["a"].postings == "1,2,3"
+    assert rows["b"].df == 2 and rows["b"].postings == "1,3"
+    assert rows["c"].df == 1 and rows["c"].postings == "2"
+
+
+def test_cms_never_undercounts(spark):
+    from flink_helloworld_spark.operators.rollups import cms_point_estimates
+
+    df = spark.createDataFrame(
+        [(i % 17,) for i in range(500)], "k bigint"
+    )
+    true = df.groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt"))
+    out = cms_point_estimates(df, "k", true).collect()
+    assert len(out) == 17
+    for r in out:
+        assert r.cms_est >= r.true_cnt  # CMS one-sided error guarantee
