@@ -307,7 +307,13 @@ def ivf_cosine_topk(
     Scale shape: assignment is an N×C broadcast nested-loop (C small);
     the only hash shuffle is the cell-keyed candidate join; compared
     pairs drop by ~C/n_probe vs brute force. All pure column
-    expressions — codegen end-to-end, no Python."""
+    expressions — codegen end-to-end, no Python.
+
+    Sizing: within-cell work is quadratic in cell size (N/C rows), so C
+    must grow with the corpus — the standard IVF rule is C ≈ √N, which
+    keeps per-cell candidate pairs ~N·n_probe and total work linear-ish.
+    The default C=16 suits the sf-gate corpora; SCALE_NOTES.md measures
+    what happens when C stays fixed while density grows 10×."""
     from pyspark.sql import Window
 
     v = emb.select(

@@ -72,3 +72,35 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV file source. An explicit ``schema`` ("a INT, b STRING") skips
+    the inference pass — at scale inference is a full extra read of the
+    data, so production paths should always pass one."""
+    reader = spark.read.option("header", header).option("delimiter", delimiter)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-lines file source (one object per line — the same wire shape
+    the reference's Kafka JSON topics carry, as a file; kafka.py's
+    from_json projection handles the broker form). Pass ``schema`` for
+    the same no-inference reason as read_csv; unparseable lines land in
+    ``_corrupt_record`` instead of failing the job."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -59,3 +59,91 @@ def streaming_dedup_exact(
     if time_col is None:
         return stream.dropDuplicates(keys)
     return stream.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_window_topn_job(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    size: str = "1 day",
+    n: int = 3,
+    delay: str = "10 minutes",
+):
+    """Continuous Window Top-N (Flink SQL's streaming Top-N): per
+    tumbling window, maintain the top-``n`` keys by count as events
+    arrive, emitting updates into the keyed upsert sink.
+
+    Spark shape: a watermarked windowed count runs in UPDATE mode (the
+    aggregation state is watermark-bounded), so a micro-batch carries
+    only the CHANGED (window, key) aggregate rows. Ranking a batch alone
+    would therefore drop previously-seen contenders — so the upsert sink
+    holds the aggregate rows keyed by window#key (the ES-document analog)
+    and each batch re-ranks the sink's state for just the touched windows
+    into a second upsert table keyed by window#rank. Both upserts ride
+    the sink's batch-id ledger: replays are no-ops end-to-end. Rank slots
+    only ever get overwritten (counts are monotone), never orphaned.
+
+    Returns (agg_sink, topn_sink, query); topn_sink's parquet is the
+    live Top-N table.
+    """
+    agg = (
+        stream.withWatermark(time_col, delay)
+        .groupBy(F.window(time_col, size).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col).alias("key"),
+            "cnt",
+        )
+    )
+    agg_sink = KeyedUpsertSink(f"{sink_path}/agg", "window_key", "cnt")
+    topn_sink = KeyedUpsertSink(f"{sink_path}/topn", "window_rank", "cnt")
+
+    def rank_and_upsert(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as Wspec
+
+        batch = batch.withColumn(
+            "window_key",
+            F.concat_ws("#", F.col("window_start").cast("string"), "key"),
+        ).localCheckpoint(eager=True)  # update-mode batch is consumed twice
+        agg_sink(batch, batch_id)
+        touched = [
+            r.window_start
+            for r in batch.select("window_start").distinct().collect()
+        ]
+        if not touched:
+            return
+        # current aggregate state for the touched windows (tiny slice:
+        # |touched windows| x |keys|), re-ranked and upserted by slot
+        state = agg_sink.read(batch.sparkSession).where(
+            F.col("window_start").isin(touched)
+        )
+        ranked = (
+            state.withColumn(
+                "rank",
+                F.row_number().over(
+                    Wspec.partitionBy("window_start").orderBy(
+                        F.col("cnt").desc(), F.col("key")
+                    )
+                ),
+            )
+            .where(F.col("rank") <= n)
+            .withColumn(
+                "window_rank",
+                F.concat_ws(
+                    "#", F.col("window_start").cast("string"), F.col("rank")
+                ),
+            )
+            .select("window_rank", "window_start", "rank", "key", "cnt")
+        )
+        topn_sink(ranked, batch_id)
+
+    query = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(rank_and_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    return agg_sink, topn_sink, query

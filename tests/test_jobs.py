@@ -87,3 +87,48 @@ def test_streaming_wordcount_update_mode(spark):
     for r in rows:
         final[r.word] = max(final.get(r.word, 0), r.cnt)
     assert final["to"] == 3 and final["be"] == 3 and final["question"] == 1
+
+
+def test_streaming_window_topn_overtake(spark):
+    """Continuous Top-N must rank against the FULL aggregate state, not
+    the micro-batch: key c overtakes a in a later batch that carries only
+    c's update row."""
+    import tempfile
+
+    from flink_helloworld_spark.streaming.jobs import streaming_window_topn_job
+
+    workdir = tempfile.mkdtemp(prefix="topn-in-")
+    t0 = time.time() - 60
+    day = 1704067200000  # 2024-01-01 00:00:00 UTC, ms
+    h = 3600 * 1000
+    batches = [
+        [("a", day), ("a", day + h), ("a", day + 2 * h), ("b", day), ("b", day + h)],
+        [("c", day + 3 * h), ("c", day + 4 * h)],
+        [("c", day + 5 * h), ("c", day + 6 * h)],
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(workdir, f"b{i:02d}.parquet")
+        pd.DataFrame(rows, columns=["event_type", "ts_ms"]).to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("event_type string, ts_ms long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+    )
+    agg_sink, topn_sink, query = streaming_window_topn_job(
+        stream,
+        tempfile.mkdtemp(prefix="topn-sink-"),
+        tempfile.mkdtemp(prefix="topn-ck-"),
+        n=2,
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        query.awaitTermination(60)
+    top = {r.rank: (r.key, r.cnt) for r in topn_sink.read(spark).collect()}
+    # c (4) overtook a (3); b (2) fell out of the top 2
+    assert top == {1: ("c", 4), 2: ("a", 3)}
+    aggs = {r.key: r.cnt for r in agg_sink.read(spark).collect()}
+    assert aggs == {"a": 3, "b": 2, "c": 4}

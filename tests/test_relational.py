@@ -100,3 +100,20 @@ def test_union_streams_aligns_by_name(spark):
     u = R.union_streams(a, b)
     assert set(u.columns) == {"id", "a", "b"}
     assert u.count() == 2
+
+
+def test_csv_and_jsonl_sources(spark, tmp_path):
+    from flink_helloworld_spark.sources.tables import read_csv, read_jsonl
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,name\n1,alpha\n2,beta\n")
+    out = read_csv(spark, str(csv), schema="id INT, name STRING").collect()
+    assert [(r.id, r.name) for r in sorted(out, key=lambda r: r.id)] == [
+        (1, "alpha"),
+        (2, "beta"),
+    ]
+
+    jl = tmp_path / "in.jsonl"
+    jl.write_text('{"id": 1, "v": 2.5}\n{"id": 2, "v": -1.0}\n')
+    rows = read_jsonl(spark, str(jl), schema="id INT, v DOUBLE").collect()
+    assert {r.id: r.v for r in rows} == {1: 2.5, 2: -1.0}
