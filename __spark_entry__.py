@@ -609,6 +609,46 @@ def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_changelog_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # upsert-kafka/CDC semantics, batch form: events become a keyed
+    # changelog (error = tombstone), materialized to current state
+    from flink_helloworld_spark.operators.relational import apply_changelog
+
+    ev = load_tables(spark, sf_dir).events
+    changes = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    return apply_changelog(changes, key="user_id", seq="event_id")
+
+
+def _q_sql_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape through the SQL API: segment filter + 3-way join +
+    # revenue ranking (decimal-exact), distributed top-10
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q3_SQL)
+
+
+_Q3_SQL = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
 def _q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES index-build parity: top-50 terms' sorted posting lists + df
     from flink_helloworld_spark.operators.ranking import inverted_index
@@ -804,6 +844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "term_postings": _q_term_postings,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "changelog_materialize": _q_changelog_materialize,
+        "sql_q3_shipping": _q_sql_q3_shipping,
     }
 
 
@@ -1766,6 +1808,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY df DESC, term LIMIT 50
         """,
         "cms_heavy_hitters": _cms_sql(),
+        "changelog_materialize": """
+            WITH ch AS (
+              SELECT user_id, event_id, value,
+                     CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+                       AS op
+              FROM events),
+            latest AS (
+              SELECT user_id,
+                     arg_max(op, event_id) AS op,
+                     arg_max(value, event_id) AS value,
+                     max(event_id) AS event_id
+              FROM ch GROUP BY user_id)
+            SELECT user_id, event_id, value FROM latest WHERE op <> 'D'
+        """,
+        "sql_q3_shipping": _Q3_SQL,
         "dedup_clusters": f"""
             WITH RECURSIVE {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()},
             cand AS (

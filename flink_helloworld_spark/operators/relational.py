@@ -226,3 +226,29 @@ def scd2_intervals(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def apply_changelog(
+    changes: DataFrame,
+    key: str,
+    seq: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize a changelog stream into its current table — the batch
+    form of Flink's upsert-kafka table conversion (and of this engine's
+    streaming KeyedUpsertSink, which applies the same semantics
+    incrementally with tombstones): for each key keep only the row with
+    the highest ``seq``; if that row is a delete, the key is gone.
+
+    ``seq`` must be unique per key (a changelog offset/LSN — the Kafka
+    offset in the reference's topology); this keeps the winner
+    deterministic across engines. One window shuffle on the key."""
+    from pyspark.sql import Window as Wspec
+
+    w = Wspec.partitionBy(key).orderBy(F.col(seq).desc())
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn", op_col)
+    )

@@ -122,3 +122,47 @@ def test_observed_metrics(spark, sf_dir):
     n = df.count()  # action triggers the observation
     got = obs.get
     assert got["rows"] == n and got["sum_value"] > 0
+
+
+def test_bm25_topn_is_take_ordered_not_global_window(spark, sf_dir):
+    """Top-n must compile to TakeOrderedAndProject (per-partition heads),
+    never a single-partition global sort/window over all matches."""
+    from flink_helloworld_spark.operators.ranking import bm25_search
+
+    df = bm25_search(load_tables(spark, sf_dir).documents, ("hash", "join"))
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    # the rank window runs ABOVE the limit (<= topn rows), never below it
+    # (scalar 1-row aggregates below may legitimately use SinglePartition)
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_hll_is_two_hash_aggregates_no_python(spark, sf_dir):
+    from flink_helloworld_spark.operators.rollups import hll_distinct
+
+    ev = load_tables(spark, sf_dir).events
+    plan = explain_str(hll_distinct(ev, "event_type", "user_id"), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # register build + estimate: exactly two shuffle boundaries
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_max" in plan  # register max combines map-side
+
+
+def test_cms_sketch_single_scan_partial_agg(spark, sf_dir):
+    from flink_helloworld_spark.operators.rollups import cms_sketch
+
+    ev = load_tables(spark, sf_dir).events
+    plan = explain_str(cms_sketch(ev, "user_id"), "simple")
+    assert plan.count("Scan parquet") == 1  # one pass builds all d rows
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_zorder_key_stays_in_codegen(spark, sf_dir):
+    from flink_helloworld_spark.operators.layout import zorder_layout_stats
+
+    ev = load_tables(spark, sf_dir).events
+    keyed = ev.select("user_id", F.col("ts").cast("long").alias("ts_sec"))
+    plan = explain_str(zorder_layout_stats(keyed, "user_id", "ts_sec"), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # file_id agg only

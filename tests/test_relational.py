@@ -117,3 +117,22 @@ def test_csv_and_jsonl_sources(spark, tmp_path):
     jl.write_text('{"id": 1, "v": 2.5}\n{"id": 2, "v": -1.0}\n')
     rows = read_jsonl(spark, str(jl), schema="id INT, v DOUBLE").collect()
     assert {r.id: r.v for r in rows} == {1: 2.5, 2: -1.0}
+
+
+def test_apply_changelog_tombstones_and_reinserts(spark):
+    from flink_helloworld_spark.operators.relational import apply_changelog
+
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "a", "U"),
+            (1, 20, "b", "U"),   # k1 updated
+            (2, 11, "x", "U"),
+            (2, 21, None, "D"),  # k2 deleted
+            (3, 12, "y", "U"),
+            (3, 22, None, "D"),
+            (3, 32, "z", "U"),   # k3 deleted then re-inserted
+        ],
+        "k bigint, seq bigint, v string, op string",
+    )
+    out = {r.k: r.v for r in apply_changelog(changes, "k", "seq").collect()}
+    assert out == {1: "b", 3: "z"}  # k2 stays deleted, k3 resurrected
