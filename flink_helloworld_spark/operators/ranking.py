@@ -53,11 +53,16 @@ def tfidf_top_terms(
     ranking is float-summation-order independent.
     """
     terms = _doc_terms(docs, text_col)
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_t = terms.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
+    # ONE pass over the token stream; df and N re-aggregate the (doc,
+    # term) tf table — already distinct pairs, orders of magnitude
+    # smaller than the tokens — instead of re-exploding the corpus
+    from ._cache import share
+
+    tf = share(
+        terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     )
-    n_docs = terms.agg(F.countDistinct("doc_id").alias("n"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n"))
     # df is vocabulary-sized: small for curated corpora but can reach 1e8+
     # terms on raw web text, so no forced broadcast — AQE promotes the
     # join to broadcast at runtime when the measured size allows
