@@ -271,6 +271,41 @@ def _q_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # training-mixture materialization: exact per-language doc counts,
+    # hash-ordered so the pick is reproducible and prefix-consistent
+    from flink_helloworld_spark.operators.sampling import mixture_quota_sample
+
+    docs = load_tables(spark, sf_dir).documents
+    return mixture_quota_sample(
+        docs, "lang", "doc_id", {"en": 50, "de": 40, "zh": 40}, default_quota=10
+    ).select("doc_id", "lang", "pick_rank")
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # concat-and-chunk packing plan (2048-token bins, 8 shards) over
+    # whitespace token counts
+    from flink_helloworld_spark.functions import words_of
+    from flink_helloworld_spark.operators.sampling import pack_sequences
+
+    docs = load_tables(spark, sf_dir).documents.select(
+        "doc_id",
+        F.size(F.filter(words_of(F.col("text")), lambda w: w != "")).alias(
+            "n_tokens"
+        ),
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", capacity=2048, shards=8)
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eval-set decontamination: 5% of docs (doc_id % 20 == 0) act as the
+    # benchmark; every remaining doc is checked for 5-gram overlap
+    docs = load_tables(spark, sf_dir).documents
+    benchmark = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return D.ngram_decontaminate(corpus, benchmark, n=5)
+
+
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(load_tables(spark, sf_dir).embeddings, k=5)
 
@@ -732,6 +767,152 @@ def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.scd2_intervals(load_tables(spark, sf_dir).orders)
 
 
+# --- TPC-H breadth (SURVEY §3 SQL surface; slim-schema adaptations) --------
+# The driver's tables drop shipmode/commitdate/partsupp, so Q4/Q12/Q16
+# are not expressible; these six cover the remaining canonical shapes:
+# pure scan-agg (Q6), two-sided dimension join (Q7), group-by + top-k
+# join back (Q10), conditional aggregation ratio (Q14), having-semi-join
+# (Q18), and scalar-subquery + anti-join (Q22).
+
+
+def _q_sql_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6: single-scan filtered aggregate — the pushdown showcase
+    # (both filters and the 3-column projection reach the parquet scan)
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def _q_sql_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7: bilateral trade volume by (supplier nation, customer
+    # nation, year) — lineitem resolves both sides' nations
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q7_SQL)
+
+
+_Q7_SQL = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def _q_sql_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q10: top-20 customers by revenue lost to returns in a
+    # quarter; deterministic top-k via (revenue DESC, c_custkey) tiebreak
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q10_SQL)
+
+
+_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue,
+           c_acctbal, n_name, c_mktsegment
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate < TIMESTAMP '1998-04-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def _q_sql_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14: promo revenue share — conditional aggregation over a
+    # broadcast part join; both sums exact decimal, divided as doubles
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    disc = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    joined = li.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast(DEC)))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(disc).cast("double").alias("total_revenue"),
+    ).select(
+        (100.0 * F.col("promo_revenue") / F.nullif(F.col("total_revenue"), F.lit(0.0)))
+        .alias("promo_pct"),
+        "promo_revenue",
+        "total_revenue",
+    )
+
+
+def _q_sql_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18: orders whose total quantity exceeds 300 — HAVING
+    # semi-join back to the fact, top-100 by (o_totalprice, o_orderkey)
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q18_SQL)
+
+
+_Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+def _q_sql_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 adaptation (slim schema has no phone country codes):
+    # above-average-balance customers with NO orders since 2000-01-01 —
+    # scalar aggregate broadcast + left-anti join, per-segment rollup
+    t = load_tables(spark, sf_dir)
+    avg_bal = t.customer.agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("avg_bal")
+    )
+    recent = t.orders.where(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    rich = t.customer.join(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_bal"),
+    )
+
+
 # --- capstone waybill pipeline (reference StateTest.java:639-872) ----------
 
 _WAYBILL_N = 500
@@ -801,6 +982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "stratified_sample": _q_stratified_sample,
         "split_holdout": _q_split_holdout,
+        "mixture_sample": _q_mixture_sample,
+        "pack_sequences": _q_pack_sequences,
+        "decontaminate": _q_decontaminate,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh_topk": _q_similarity_lsh_topk,
         "similarity_topk_vectorized": _q_similarity_topk_vectorized,
@@ -846,6 +1030,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "changelog_materialize": _q_changelog_materialize,
         "sql_q3_shipping": _q_sql_q3_shipping,
+        "sql_q6_forecast": _q_sql_q6_forecast,
+        "sql_q7_volume": _q_sql_q7_volume,
+        "sql_q10_returns": _q_sql_q10_returns,
+        "sql_q14_promo": _q_sql_q14_promo,
+        "sql_q18_large_orders": _q_sql_q18_large_orders,
+        "sql_q22_idle_customers": _q_sql_q22_idle_customers,
     }
 
 
@@ -1489,6 +1679,60 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM documents GROUP BY 1
         """,
+        "mixture_sample": """
+            SELECT doc_id, lang, pick_rank FROM (
+                SELECT doc_id, lang,
+                       CAST(row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY ('0x' || substr(md5('mix' || doc_id::VARCHAR),
+                                   1, 15))::BIGINT % 10000,
+                                  doc_id) AS INT) AS pick_rank
+                FROM documents)
+            WHERE pick_rank <= CASE WHEN lang = 'en' THEN 50
+                                    WHEN lang = 'de' THEN 40
+                                    WHEN lang = 'zh' THEN 40
+                                    ELSE 10 END
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len({_WS}) AS BIGINT) AS n_tokens,
+                     ('0x' || substr(md5('pack' || doc_id::VARCHAR),
+                      1, 15))::BIGINT % 10000 AS h
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens, CAST(h % 8 AS INT) AS shard,
+                     CAST(coalesce(SUM(n_tokens) OVER (
+                       PARTITION BY h % 8 ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_offset
+              FROM t)
+            SELECT doc_id, n_tokens, shard, start_offset,
+                   start_offset // 2048 AS chunk_id,
+                   n_tokens > 0 AND
+                     (start_offset + n_tokens - 1) // 2048
+                       <> start_offset // 2048 AS spans_boundary
+            FROM s
+        """,
+        "decontaminate": f"""
+            WITH ws AS (SELECT doc_id, {_WS} AS ws FROM documents),
+            sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                range(1, greatest(len(ws) - 5 + 2, 1)),
+                i -> array_to_string(ws[i:i+4], ' '))) AS sh
+              FROM ws WHERE len(ws) >= 5),
+            bench AS (SELECT DISTINCT g FROM (
+              SELECT unnest(sh) AS g FROM sh WHERE doc_id % 20 = 0)),
+            corp AS (SELECT doc_id, unnest(sh) AS g FROM sh
+                     WHERE doc_id % 20 <> 0),
+            hits AS (SELECT doc_id, count(*) AS n
+                     FROM corp JOIN bench USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(n, 0) AS n_hit_ngrams,
+                   coalesce(n, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+            LEFT JOIN hits USING (doc_id)
+        """,
         "similarity_topk": _cosine_pairs_sql(
             "embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id"
         ),
@@ -1823,6 +2067,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, value FROM latest WHERE op <> 'D'
         """,
         "sql_q3_shipping": _Q3_SQL,
+        "sql_q6_forecast": f"""
+            SELECT CAST(SUM(CAST(l_extendedprice AS {_D2})
+                            * CAST(l_discount AS {_D2})) AS DOUBLE) AS revenue,
+                   count(*) AS cnt
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "sql_q7_volume": _Q7_SQL,
+        "sql_q10_returns": _Q10_SQL,
+        "sql_q14_promo": f"""
+            WITH s AS (
+                SELECT
+                  CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS {_D2})
+                            * (1 - CAST(l_discount AS {_D2}))
+                       ELSE CAST(0 AS {_D2}) END) AS DOUBLE) AS promo_revenue,
+                  CAST(SUM(CAST(l_extendedprice AS {_D2})
+                           * (1 - CAST(l_discount AS {_D2}))) AS DOUBLE)
+                    AS total_revenue
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                  AND l_shipdate < TIMESTAMP '1997-10-01'
+            )
+            SELECT 100.0 * promo_revenue / NULLIF(total_revenue, 0.0)
+                     AS promo_pct,
+                   promo_revenue, total_revenue
+            FROM s
+        """,
+        "sql_q18_large_orders": _Q18_SQL,
+        "sql_q22_idle_customers": f"""
+            SELECT c_mktsegment, count(*) AS n_cust,
+                   {_sum_d('c_acctbal', 'total_bal')}
+            FROM customer c
+            WHERE c_acctbal > (
+                SELECT CAST(SUM(CAST(c_acctbal AS {_D})) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)
+                FROM customer
+            )
+            AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+            )
+            GROUP BY c_mktsegment
+        """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()},
             cand AS (

@@ -394,3 +394,40 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         F.col("label").alias("cluster_id"),
         F.count("*").over(w).cast("int").alias("cluster_size"),
     )
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Eval-set decontamination: flag corpus docs sharing any word
+    ``n``-gram with a benchmark document (the standard pretraining
+    hygiene step — exact n-gram overlap, n=5..13 in published recipes).
+
+    Scale shape: the benchmark side (eval suites, ~10^5 grams) collapses
+    to a DISTINCT gram set and is broadcast, so the 100 TB corpus side is
+    a map-side hash semi-probe + one partial-aggregated groupBy on
+    doc_id — the corpus text itself never shuffles. Returns one row per
+    corpus doc: (doc_id, n_hit_ngrams, contaminated).
+    """
+    bench_grams = benchmark.select(
+        F.explode(shingles(F.col(text_col), n)).alias("g")
+    ).distinct()
+    corpus_grams = corpus.select(
+        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))  # grams pre-distinct per doc
+    )
+    return corpus.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+        (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )

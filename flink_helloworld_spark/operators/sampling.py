@@ -67,3 +67,83 @@ def train_holdout_split(
             F.lit("train")
         ),
     )
+
+
+def mixture_quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    quotas: dict[str, int],
+    default_quota: int = 0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Fixed-COUNT mixture building: exactly min(quota, N) rows per
+    stratum, chosen in md5-hash order — how a training mixture spec
+    ("50k docs of en, 40k of de, ...") is materialized reproducibly.
+
+    One shuffle (rank within stratum); the hash order makes the pick
+    stable under reruns and engine changes, and prefix-consistent:
+    raising a quota only ADDS rows, never swaps earlier picks.
+    """
+    from pyspark.sql import Window
+
+    h = _hash_bucket(F.col(id_col), salt)
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    quota = F.lit(default_quota)
+    for value, q in quotas.items():
+        quota = F.when(F.col(strata_col) == value, F.lit(q)).otherwise(quota)
+    return (
+        df.withColumn("pick_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("pick_rank") <= quota)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    capacity: int = 2048,
+    shards: int = 16,
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan: docs are shuffled into a
+    deterministic md5 order, concatenated, and the token stream is cut
+    every ``capacity`` tokens. Emits, per doc, which chunk its first
+    token lands in and whether it straddles a cut.
+
+    Sharded so the running sum is a per-shard window (one shuffle on the
+    shard key, ~uniform by md5): at 100 TB each shard packs
+    independently — the global-concatenation order no executor could
+    hold is never materialized.
+    """
+    from pyspark.sql import Window
+
+    h = _hash_bucket(F.col(id_col), salt)
+    shard = F.pmod(h, F.lit(shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = F.col(token_count_col).cast("long")
+    start = F.coalesce(F.sum(toks).over(w), F.lit(0).cast("long"))
+    out = (
+        df.select(
+            F.col(id_col),
+            toks.alias("n_tokens"),
+            h.alias("h"),
+            shard.cast("int").alias("shard"),
+        )
+        .withColumn("start_offset", start)
+        .withColumn("chunk_id", F.expr(f"start_offset DIV {capacity}"))
+        .withColumn(
+            "spans_boundary",
+            (F.col("n_tokens") > 0)
+            & (
+                F.expr(f"(start_offset + n_tokens - 1) DIV {capacity}")
+                != F.col("chunk_id")
+            ),
+        )
+        .drop("h")
+    )
+    return out

@@ -234,3 +234,65 @@ def test_sharded_vectorized_topk_matches_lsh(spark, sf_dir):
         assert abs(lsh[key][1] - fast[key][1]) < 1e-6
     agree = sum(1 for key in lsh if lsh[key][0] == fast[key][0])
     assert agree / len(lsh) > 0.99
+
+
+def test_mixture_quota_sample_exact_counts(spark):
+    from flink_helloworld_spark.operators.sampling import mixture_quota_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_quota_sample(
+        df, "lang", "doc_id", {"en": 5, "de": 100}, default_quota=0
+    )
+    counts = {r.lang: r.cnt for r in out.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    assert counts["en"] == 5          # quota enforced
+    assert counts["de"] == 20         # clamped at stratum size
+    # prefix consistency: raising a quota only adds rows
+    small = {r.doc_id for r in out.where("lang = 'en'").collect()}
+    bigger = mixture_quota_sample(df, "lang", "doc_id", {"en": 9}, default_quota=0)
+    big = {r.doc_id for r in bigger.collect()}
+    assert small <= big
+
+
+def test_pack_sequences_contiguous_chunks(spark):
+    from flink_helloworld_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 700) for i in range(40)]  # 700-token docs, 2048 capacity
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", capacity=2048, shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(out) == 40
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.start_offset)
+        # offsets are the exclusive cumsum: contiguous, gap-free stream
+        expect = 0
+        for r in rs:
+            assert r.start_offset == expect
+            assert r.chunk_id == r.start_offset // 2048
+            end_chunk = (r.start_offset + r.n_tokens - 1) // 2048
+            assert r.spans_boundary == (end_chunk != r.chunk_id)
+            expect += r.n_tokens
+
+
+def test_ngram_decontaminate_flags_overlap(spark):
+    from flink_helloworld_spark.operators.dedup import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "he said the quick brown fox jumps high today"),  # shares 5-grams
+            (2, "completely unrelated sentence with other words entirely"),
+            (3, "too short"),  # < 5 words: no shingles, must still appear
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_decontaminate(corpus, bench, n=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].contaminated and out[1].n_hit_ngrams >= 1
+    assert not out[2].contaminated and out[2].n_hit_ngrams == 0
+    assert not out[3].contaminated
