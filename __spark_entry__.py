@@ -306,6 +306,35 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_decontaminate(corpus, benchmark, n=5)
 
 
+def _q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flink CEP parity: signup followedBy purchase within 7 days, with
+    # notFollowedBy(error) between them — one window pass, no NFA
+    from flink_helloworld_spark.operators.cep import followed_by_within
+
+    ev = load_tables(spark, sf_dir).events
+    return followed_by_within(
+        ev,
+        key="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        first="signup",
+        second="purchase",
+        within_ms=7 * 86400 * 1000,
+        not_between="error",
+    )
+
+
+def _q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TimescaleDB time_bucket_gapfill + locf: dense daily timeline per
+    # user with carried-forward sums over the gaps
+    from flink_helloworld_spark.operators.rollups import time_bucket_gapfill
+
+    ev = load_tables(spark, sf_dir).events
+    return time_bucket_gapfill(
+        ev, key="user_id", time_col="ts", value="value", bucket_ms=86_400_000
+    )
+
+
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(load_tables(spark, sf_dir).embeddings, k=5)
 
@@ -983,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "split_holdout": _q_split_holdout,
         "mixture_sample": _q_mixture_sample,
+        "cep_pattern": _q_cep_pattern,
+        "gapfill_locf": _q_gapfill_locf,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
         "similarity_topk": _q_similarity_topk,
@@ -1678,6 +1709,54 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'holdout' ELSE 'train' END AS split,
                    count(*) AS cnt
             FROM documents GROUP BY 1
+        """,
+        "cep_pattern": """
+            WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_ms(ts) AS tsm
+              FROM events),
+            scan AS (
+              SELECT user_id, event_id AS a_id, tsm AS a_ts_ms, event_type,
+                min(CASE WHEN event_type = 'purchase' THEN tsm END) OVER (
+                  PARTITION BY user_id ORDER BY tsm, event_id
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS b_ts_ms,
+                min(CASE WHEN event_type = 'error' THEN tsm END) OVER (
+                  PARTITION BY user_id ORDER BY tsm, event_id
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS c_ts_ms
+              FROM e),
+            m AS (
+              SELECT user_id, a_id, a_ts_ms, b_ts_ms FROM scan
+              WHERE event_type = 'signup'
+                AND b_ts_ms IS NOT NULL
+                AND b_ts_ms - a_ts_ms <= 604800000
+                AND (c_ts_ms IS NULL OR c_ts_ms > b_ts_ms))
+            SELECT m.user_id, a_id, min(e.event_id) AS b_id,
+                   a_ts_ms, b_ts_ms, b_ts_ms - a_ts_ms AS lag_ms
+            FROM m JOIN e ON e.user_id = m.user_id AND e.tsm = m.b_ts_ms
+                         AND e.event_type = 'purchase'
+            GROUP BY m.user_id, a_id, a_ts_ms, b_ts_ms
+        """,
+        "gapfill_locf": f"""
+            WITH agg AS (
+              SELECT user_id,
+                     epoch_ms(ts) - epoch_ms(ts) % 86400000 AS bucket,
+                     count(*) AS cnt, {_sum_d('value', 'sum_value')}
+              FROM events GROUP BY 1, 2),
+            spans AS (
+              SELECT user_id, min(bucket) AS b_min, max(bucket) AS b_max
+              FROM agg GROUP BY user_id),
+            dense AS (
+              SELECT user_id,
+                     unnest(generate_series(b_min, b_max, 86400000)) AS bucket
+              FROM spans)
+            SELECT d.user_id, d.bucket,
+                   coalesce(a.cnt, 0) AS cnt,
+                   last_value(a.sum_value IGNORE NULLS) OVER (
+                     PARTITION BY d.user_id ORDER BY d.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sum_value,
+                   a.cnt IS NULL AS filled
+            FROM dense d LEFT JOIN agg a
+              ON d.user_id = a.user_id AND d.bucket = a.bucket
         """,
         "mixture_sample": """
             SELECT doc_id, lang, pick_rank FROM (

@@ -207,3 +207,57 @@ def cms_point_estimates(df: DataFrame, value: str, probes: DataFrame) -> DataFra
         .groupBy(*keep)
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value: str,
+    bucket_ms: int,
+    locf: bool = True,
+) -> DataFrame:
+    """TimescaleDB ``time_bucket_gapfill`` + ``locf``: per key, emit EVERY
+    bucket between that key's first and last observation; buckets with no
+    rows get cnt=0 and (with ``locf``) the last observed sum carried
+    forward. Output: (key, bucket_ms epoch, cnt, sum_value, filled).
+
+    Scale shape: aggregate first (events collapse to one row per
+    key×bucket before anything is generated), then per-key
+    ``sequence()``-explode the bucket range and left-join the aggregates
+    on the same key partitioning — the dense timeline is produced
+    post-reduction, never against raw events. Row count is bounded by
+    key_count × (time_span / bucket), independent of input size.
+    """
+    tsm = F.unix_millis(F.col(time_col))
+    bucket = (tsm - F.pmod(tsm, F.lit(bucket_ms))).alias("bucket")
+    agg = df.groupBy(F.col(key), bucket).agg(
+        F.count(F.lit(1)).alias("cnt"), dsum(value, "sum_value")
+    )
+    spans = agg.groupBy(key).agg(
+        F.min("bucket").alias("b_min"), F.max("bucket").alias("b_max")
+    )
+    dense = spans.select(
+        key,
+        F.explode(
+            F.sequence("b_min", "b_max", F.lit(bucket_ms).cast("long"))
+        ).alias("bucket"),
+    )
+    joined = dense.join(agg, [key, "bucket"], "left")
+    filled_sum: Column
+    if locf:
+        w = (
+            Window.partitionBy(key)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled_sum = F.last("sum_value", ignorenulls=True).over(w)
+    else:
+        filled_sum = F.col("sum_value")
+    return joined.select(
+        key,
+        "bucket",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        filled_sum.alias("sum_value"),
+        F.col("cnt").isNull().alias("filled"),
+    )

@@ -166,3 +166,40 @@ def test_zorder_key_stays_in_codegen(spark, sf_dir):
     plan = explain_str(zorder_layout_stats(keyed, "user_id", "ts_sec"), "simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1  # file_id agg only
+
+
+def test_q6_filters_and_pruning_reach_scan(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = explain_str(entry.queries()["sql_q6_forecast"](spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema  # 5-column scan, nothing more
+
+
+def test_q14_broadcasts_part_dim(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = explain_str(entry.queries()["sql_q14_promo"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 0  # no shuffle at all
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = explain_str(entry.queries()["decontaminate"](spark, sf_dir), "simple")
+    # benchmark gram set broadcast: corpus side must not hash-exchange
+    # for the semi-probe join (only the final doc_id agg/join may)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cep_pattern_single_sort_no_pair_blowup(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = explain_str(entry.queries()["cep_pattern"](spark, sf_dir), "simple")
+    # the pattern scan is window-based: no cartesian/broadcast-nested-loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan

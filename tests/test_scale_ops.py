@@ -169,3 +169,61 @@ def test_transform_with_state_rolling_sum(spark):
     out = run_available_now(rolling_sum_tws(stream), "tws_rolling")
     got = sorted((r.k, r.running_total) for r in out)
     assert got == [("a", 10.0), ("a", 15.0), ("a", 16.0), ("b", 7.0)]
+
+
+def test_followed_by_within_semantics(spark):
+    from flink_helloworld_spark.operators.cep import followed_by_within
+
+    def ev(i, u, t, typ):
+        return (i, u, t, typ)
+
+    rows = [
+        # u1: A at 1000, B at 2000 -> match (lag 1000)
+        ev(1, 1, 1000, "A"), ev(2, 1, 2000, "B"),
+        # u2: A at 1000, C at 1500, B at 2000 -> blocked by C
+        ev(3, 2, 1000, "A"), ev(4, 2, 1500, "C"), ev(5, 2, 2000, "B"),
+        # u3: A at 1000, B at 9000 -> outside window
+        ev(6, 3, 1000, "A"), ev(7, 3, 9000, "B"),
+        # u4: A at 1000, C AFTER B (B 2000, C 3000) -> still a match
+        ev(8, 4, 1000, "A"), ev(9, 4, 2000, "B"), ev(10, 4, 3000, "C"),
+        # u5: two Bs after A -> earliest wins
+        ev(11, 5, 1000, "A"), ev(12, 5, 1500, "B"), ev(13, 5, 1800, "B"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, ty) for i, u, t, ty in rows],
+        "event_id long, user_id long, ms long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ms")))
+    out = {
+        r.user_id: r
+        for r in followed_by_within(
+            df, "user_id", "ts", "event_type", "A", "B",
+            within_ms=5000, not_between="C",
+        ).collect()
+    }
+    assert set(out) == {1, 4, 5}
+    assert out[1].b_id == 2 and out[1].lag_ms == 1000
+    assert out[4].b_id == 9
+    assert out[5].b_id == 12 and out[5].lag_ms == 500
+
+
+def test_gapfill_locf_fills_and_carries(spark):
+    from flink_helloworld_spark.operators.rollups import time_bucket_gapfill
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 100, 20.0), (1, 3050, 5.0),  # gap at bucket 1000,2000
+         (2, 500, 7.0)],                                 # single-bucket key
+        "user_id long, ms long, value double",
+    ).withColumn("ts", F.timestamp_millis(F.col("ms")))
+    out = {
+        (r.user_id, r.bucket): r
+        for r in time_bucket_gapfill(
+            df, "user_id", "ts", "value", bucket_ms=1000
+        ).collect()
+    }
+    assert len(out) == 5  # u1: buckets 0..3000 dense; u2: one bucket
+    assert out[(1, 0)].cnt == 2 and out[(1, 0)].sum_value == 30.0
+    assert out[(1, 1000)].cnt == 0 and out[(1, 1000)].filled
+    assert out[(1, 1000)].sum_value == 30.0  # carried forward
+    assert out[(1, 2000)].sum_value == 30.0
+    assert out[(1, 3000)].cnt == 1 and out[(1, 3000)].sum_value == 5.0
+    assert out[(2, 0)].cnt == 1 and not out[(2, 0)].filled
