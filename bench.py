@@ -64,6 +64,14 @@ HEADLINE = [
     "zorder_layout",
     "funnel_conversion",
     "sql_q5_revenue",
+    "sql_q6_forecast",
+    "sql_q10_returns",
+    "sql_q18_large_orders",
+    "decontaminate",
+    "pack_sequences",
+    "mixture_sample",
+    "cep_pattern",
+    "gapfill_locf",
 ]
 
 

@@ -355,10 +355,12 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .localCheckpoint(eager=False)
     )
+    # seed with round 1's fixpoint step: label(v) = min(v, neighbors(v))
+    # — same cost as a distinct-nodes init, one fewer loop iteration
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("_m"))
+        .select("node", F.least("node", "_m").alias("label"))
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
@@ -367,21 +369,21 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry a changed-flag through the checkpoint so convergence is a
+        # scan of the materialized step, not another old-vs-new join job
+        stepped = (
             labels.join(nbr_min, labels.node == nbr_min.node2, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "new_label"
+                ),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where("_chg").count()
+        labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     from pyspark.sql import Window
