@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pandas as pd
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -408,3 +410,51 @@ def test_co_flat_map_state_ttl_expires(spark):
     # state expired: the new fact re-buffers (no stale-dimension join) —
     # cumulative sink output is unchanged from run one
     assert [(r.amount, r.dim_name) for r in second] == [(10, "dim-one")]
+
+
+def test_followed_by_within_stream_matches_batch_semantics(spark):
+    """Streaming CEP: match across batch boundary, C-block, same-ms C
+    ties, window expiry — mirrors the batch operator's rules."""
+    import os
+    import time as _time
+
+    from flink_helloworld_spark.streaming.cep import followed_by_within_stream
+
+    workdir = tempfile.mkdtemp(prefix="cep-stream-")
+    batches = [
+        # batch 0: u1 A@1000; u2 A@1000 then C@1500 (killed)
+        [(1, 1, 1000, "A"), (3, 2, 1000, "A"), (4, 2, 1500, "C")],
+        # batch 1: u1 B@2000 (binds, unresolved until ms passes);
+        #          u2 B@2000 (no pending A -> nothing)
+        [(2, 1, 2000, "B"), (5, 2, 2000, "B")],
+        # batch 2: u3 A@1000 B@2000 C@2000 -> same-ms C blocks;
+        #          u4 A@1000 B@9000 -> first B out of window kills
+        [(6, 3, 1000, "A"), (7, 3, 2000, "B"), (8, 3, 2000, "C"),
+         (9, 4, 1000, "A"), (10, 4, 9000, "B")],
+        # batch 3: far-future flush rows close every key's pending ms
+        [(98, 1, 10_000_000, "flush"), (96, 2, 10_000_000, "flush"),
+         (97, 3, 10_000_000, "flush"), (95, 4, 10_000_000, "flush")],
+    ]
+    t0 = _time.time() - 40
+    for i, rows in enumerate(batches):
+        path = os.path.join(workdir, f"b{i:02d}.parquet")
+        pd.DataFrame(
+            rows, columns=["event_id", "user_id", "tsm", "event_type"]
+        ).to_parquet(path, index=False)
+        os.utime(path, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, tsm long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(workdir)
+    )
+    out = run_available_now(
+        followed_by_within_stream(
+            stream, "user_id", "event_id", "tsm", "event_type",
+            first="A", second="B", within_ms=5000, not_between="C",
+        ),
+        "cep_stream",
+    )
+    matches = {(r.user_id, r.a_id, r.b_id, r.lag_ms) for r in out}
+    assert matches == {(1, 1, 2, 1000)}  # only u1 matches
