@@ -306,6 +306,25 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_decontaminate(corpus, benchmark, n=5)
 
 
+def _q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable fixed-bin histogram quantiles (the approximate scale
+    # path beside the exact `percentiles` operator)
+    from flink_helloworld_spark.operators.rollups import histogram_quantiles
+
+    ev = load_tables(spark, sf_dir).events
+    return histogram_quantiles(ev, "event_type", "value", bin_width=5.0)
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # snapshot-ingest dedup: docs with doc_id % 10 < 8 are the existing
+    # corpus; the rest arrive as a new drop and classify against it
+    docs = load_tables(spark, sf_dir).documents
+    return D.incremental_dedup(
+        docs.where(F.col("doc_id") % 10 < 8),
+        docs.where(F.col("doc_id") % 10 >= 8),
+    )
+
+
 def _q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Flink CEP parity: signup followedBy purchase within 7 days, with
     # notFollowedBy(error) between them — one window pass, no NFA
@@ -1014,6 +1033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "cep_pattern": _q_cep_pattern,
         "gapfill_locf": _q_gapfill_locf,
+        "histogram_quantiles": _q_histogram_quantiles,
+        "dedup_incremental": _q_dedup_incremental,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
         "similarity_topk": _q_similarity_topk,
@@ -1709,6 +1730,41 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'holdout' ELSE 'train' END AS split,
                    count(*) AS cnt
             FROM documents GROUP BY 1
+        """,
+        "histogram_quantiles": """
+            WITH bins AS (
+              SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+                     count(*) AS bin_cnt
+              FROM events GROUP BY 1, 2),
+            cum AS (
+              SELECT event_type, bin,
+                SUM(bin_cnt) OVER (PARTITION BY event_type ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+                SUM(bin_cnt) OVER (PARTITION BY event_type) AS total
+              FROM bins)
+            SELECT event_type, 'p50' AS quantile, min(bin) * 5.0 AS value_est
+            FROM cum WHERE cum_cnt * 100 >= total * 50 GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 'p95', min(bin) * 5.0
+            FROM cum WHERE cum_cnt * 100 >= total * 95 GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 'p99', min(bin) * 5.0
+            FROM cum WHERE cum_cnt * 100 >= total * 99 GROUP BY event_type
+        """,
+        "dedup_incremental": """
+            WITH ex AS (
+              SELECT DISTINCT md5(text) AS h FROM documents
+              WHERE doc_id % 10 < 8),
+            rk AS (
+              SELECT doc_id, h,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+              FROM (SELECT doc_id, md5(text) AS h FROM documents
+                    WHERE doc_id % 10 >= 8))
+            SELECT rk.doc_id,
+              CASE WHEN ex.h IS NOT NULL THEN 'dup_of_corpus'
+                   WHEN rk.rk > 1 THEN 'dup_in_batch'
+                   ELSE 'new' END AS status
+            FROM rk LEFT JOIN ex ON rk.h = ex.h
         """,
         "cep_pattern": """
             WITH e AS (

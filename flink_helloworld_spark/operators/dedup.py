@@ -433,3 +433,40 @@ def ngram_decontaminate(
         F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
         (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def incremental_dedup(
+    existing: DataFrame, incoming: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Snapshot-ingest dedup: classify each incoming doc against the
+    already-ingested corpus AND its own batch — the shape every
+    continuously-growing training corpus runs on each crawl drop.
+
+    Returns (doc_id, status) with status in {'new', 'dup_of_corpus',
+    'dup_in_batch'}: batch duplicates keep their minimum doc_id as the
+    'new' representative (when the content is absent from the corpus).
+
+    Scale shape: both sides reduce to content hashes before any join —
+    the corpus side is DISTINCT hashes (its own dedup index, reusable
+    across drops), joined on the hash key; no text ever shuffles. The
+    within-batch rank is a window over the same hash key, so the whole
+    op is two hash-partitioned passes over hashes, not documents.
+    """
+    from pyspark.sql import Window
+
+    ex = existing.select(F.md5(text_col).alias("h")).distinct().withColumn(
+        "_in_corpus", F.lit(True)
+    )
+    inc = incoming.select("doc_id", F.md5(text_col).alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ranked = inc.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.join(ex, "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_in_corpus").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("_rk") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

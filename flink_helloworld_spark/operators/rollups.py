@@ -261,3 +261,59 @@ def time_bucket_gapfill(
         filled_sum.alias("sum_value"),
         F.col("cnt").isNull().alias("filled"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group: str,
+    value: str,
+    bin_width: float,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Approximate per-group quantiles from a fixed-width histogram —
+    the mergeable scale path next to the exact ``percentile`` operator.
+
+    One scan builds (group, bin) counts (map-side combinable, state =
+    distinct bins, not rows); a cumulative window over the tiny bin
+    table picks the first bin whose cumulative count reaches q·N and
+    reports its lower edge. Error is bounded by ``bin_width`` by
+    construction; histograms merge by adding bin counts, so per-day
+    sketches roll up to months for free. Integer bin arithmetic keeps
+    it engine-portable (no float summation order anywhere).
+    """
+    bin_col = F.floor(F.col(value) / F.lit(bin_width)).cast("long")
+    bins = df.groupBy(F.col(group), bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("bin_cnt")
+    )
+    w_cum = (
+        Window.partitionBy(group)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group)
+    cum = bins.select(
+        group,
+        "bin",
+        F.sum("bin_cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("bin_cnt").over(w_all).alias("total"),
+    )
+    parts = []
+    for q in quantiles:
+        qname = f"p{int(round(q * 100)):02d}"
+        hit = (
+            cum.where(
+                F.col("cum_cnt") * 100 >= F.col("total") * int(round(q * 100))
+            )
+            .groupBy(group)
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                group,
+                F.lit(qname).alias("quantile"),
+                (F.col("bin") * F.lit(bin_width)).alias("value_est"),
+            )
+        )
+        parts.append(hit)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -296,3 +296,43 @@ def test_ngram_decontaminate_flags_overlap(spark):
     assert out[1].contaminated and out[1].n_hit_ngrams >= 1
     assert not out[2].contaminated and out[2].n_hit_ngrams == 0
     assert not out[3].contaminated
+
+
+def test_histogram_quantiles_bounded_error(spark, sf_dir):
+    from flink_helloworld_spark.operators.rollups import histogram_quantiles
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, sf_dir).events
+    est = {
+        (r.event_type, r.quantile): r.value_est
+        for r in histogram_quantiles(ev, "event_type", "value", 5.0).collect()
+    }
+    exact = {
+        (r.event_type, q): v
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+        for q, v in (("p50", r.p50), ("p95", r.p95))
+    }
+    for key, true_v in exact.items():
+        assert abs(est[key] - true_v) <= 5.0, key  # one-bin error bound
+
+
+def test_incremental_dedup_classification(spark):
+    from flink_helloworld_spark.operators.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(10, "alpha"),   # in corpus
+         (11, "gamma"),   # new
+         (12, "gamma"),   # dup of 11 within the batch
+         (13, "delta")],  # new
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in incremental_dedup(existing, incoming).collect()}
+    assert out == {10: "dup_of_corpus", 11: "new", 12: "dup_in_batch", 13: "new"}
