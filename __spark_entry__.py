@@ -1789,6 +1789,7 @@ def oracle_sql() -> dict[str, str]:
                    a_ts_ms, b_ts_ms, b_ts_ms - a_ts_ms AS lag_ms
             FROM m JOIN e ON e.user_id = m.user_id AND e.tsm = m.b_ts_ms
                          AND e.event_type = 'purchase'
+                         AND (e.tsm > m.a_ts_ms OR e.event_id > m.a_id)
             GROUP BY m.user_id, a_id, a_ts_ms, b_ts_ms
         """,
         "gapfill_locf": f"""

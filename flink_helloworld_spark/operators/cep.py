@@ -77,10 +77,17 @@ def followed_by_within(
         )
     )
     b_events = e.where(F.col(type_col) == second).select(
-        F.col(key), F.col(id_col).alias("b_id"), F.col("_tsm").alias("b_ts_ms")
+        F.col(key).alias("_bk"), F.col(id_col).alias("b_id"), F.col("_tsm").alias("_b_tsm")
     )
     return (
-        a.join(b_events, [key, "b_ts_ms"])
+        a.join(
+            b_events,
+            (a[key] == b_events["_bk"])
+            & (a["b_ts_ms"] == b_events["_b_tsm"])
+            # same-ms Bs that precede A in (ts, id) sequence order are
+            # not in A's following frame — exclude them from recovery
+            & ((b_events["_b_tsm"] > a["a_ts_ms"]) | (b_events["b_id"] > a["a_id"])),
+        )
         .groupBy(key, "a_id", "a_ts_ms", "b_ts_ms")
         .agg(F.min("b_id").alias("b_id"))
         .select(

@@ -276,10 +276,13 @@ def histogram_quantiles(
     One scan builds (group, bin) counts (map-side combinable, state =
     distinct bins, not rows); a cumulative window over the tiny bin
     table picks the first bin whose cumulative count reaches q·N and
-    reports its lower edge. Error is bounded by ``bin_width`` by
-    construction; histograms merge by adding bin counts, so per-day
-    sketches roll up to months for free. Integer bin arithmetic keeps
-    it engine-portable (no float summation order anywhere).
+    reports its lower edge. The estimate is within ``bin_width`` of the
+    ⌈q·N⌉-th order statistic (the DISCRETE percentile — that value lands
+    in the reported bin by construction); interpolated percentiles can
+    differ by more when a quantile falls in a gap between populated
+    bins. Histograms merge by adding bin counts, so per-day sketches
+    roll up to months for free. Integer bin arithmetic keeps it
+    engine-portable (no float summation order anywhere).
     """
     bin_col = F.floor(F.col(value) / F.lit(bin_width)).cast("long")
     bins = df.groupBy(F.col(group), bin_col.alias("bin")).agg(

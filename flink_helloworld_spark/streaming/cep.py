@@ -71,9 +71,14 @@ def followed_by_within_stream(
         out: list[dict] = []
 
         def finalize_closed(now_tsm: int) -> None:
-            # emit B-bound entries whose ms group has closed un-blocked
+            # emit B-bound entries whose ms group has closed un-blocked,
+            # and expire unbound As whose window has passed (no future
+            # event at tsm >= now can match them) — this is what keeps
+            # state O(pending patterns) instead of O(stream)
             still = []
             for e in pending:
+                if e.get("bt") is None and now_tsm - e["at"] > within_ms:
+                    continue
                 if e.get("bt") is not None and now_tsm > e["bt"]:
                     out.append(
                         {

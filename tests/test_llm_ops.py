@@ -299,6 +299,11 @@ def test_ngram_decontaminate_flags_overlap(spark):
 
 
 def test_histogram_quantiles_bounded_error(spark, sf_dir):
+    """Estimate is within one bin of the DISCRETE percentile (the
+    ceil(qN)-th order statistic) — the operator's actual guarantee;
+    interpolated percentiles can drift further across sparse gaps."""
+    import math
+
     from flink_helloworld_spark.operators.rollups import histogram_quantiles
     from flink_helloworld_spark.sources.tables import load_tables
 
@@ -307,18 +312,14 @@ def test_histogram_quantiles_bounded_error(spark, sf_dir):
         (r.event_type, r.quantile): r.value_est
         for r in histogram_quantiles(ev, "event_type", "value", 5.0).collect()
     }
-    exact = {
-        (r.event_type, q): v
-        for r in ev.groupBy("event_type")
-        .agg(
-            F.percentile("value", F.lit(0.5)).alias("p50"),
-            F.percentile("value", F.lit(0.95)).alias("p95"),
-        )
-        .collect()
-        for q, v in (("p50", r.p50), ("p95", r.p95))
-    }
-    for key, true_v in exact.items():
-        assert abs(est[key] - true_v) <= 5.0, key  # one-bin error bound
+    by_type: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for etype, vals in by_type.items():
+        vals.sort()
+        for q, qname in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            disc = vals[max(math.ceil(q * len(vals)) - 1, 0)]
+            assert abs(est[(etype, qname)] - disc) <= 5.0, (etype, qname)
 
 
 def test_incremental_dedup_classification(spark):

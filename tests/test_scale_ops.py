@@ -227,3 +227,20 @@ def test_gapfill_locf_fills_and_carries(spark):
     assert out[(1, 2000)].sum_value == 30.0
     assert out[(1, 3000)].cnt == 1 and out[(1, 3000)].sum_value == 5.0
     assert out[(2, 0)].cnt == 1 and not out[(2, 0)].filled
+
+
+def test_followed_by_within_same_ms_b_before_a_excluded(spark):
+    """Regression: a B at the SAME ms as A but earlier in (ts, id)
+    sequence order must not be reported as the match — the recovery
+    join picks the first B *following* A."""
+    from flink_helloworld_spark.operators.cep import followed_by_within
+
+    df = spark.createDataFrame(
+        [(3, 1, 1000, "B"), (5, 1, 1000, "A"), (7, 1, 1000, "B")],
+        "event_id long, user_id long, ms long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ms")))
+    out = followed_by_within(
+        df, "user_id", "ts", "event_type", "A", "B", within_ms=5000
+    ).collect()
+    assert len(out) == 1
+    assert out[0].b_id == 7 and out[0].lag_ms == 0

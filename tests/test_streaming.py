@@ -458,3 +458,42 @@ def test_followed_by_within_stream_matches_batch_semantics(spark):
     )
     matches = {(r.user_id, r.a_id, r.b_id, r.lag_ms) for r in out}
     assert matches == {(1, 1, 2, 1000)}  # only u1 matches
+
+
+def test_followed_by_within_stream_expires_unmatchable_as(spark):
+    """State bound: an A whose window passed with no B/C is dropped from
+    state (and never matches a too-late B)."""
+    import os
+    import time as _time
+
+    from flink_helloworld_spark.streaming.cep import followed_by_within_stream
+
+    workdir = tempfile.mkdtemp(prefix="cep-expire-")
+    batches = [
+        [(1, 1, 1000, "A")],
+        [(2, 1, 50_000, "view")],   # advances time past the window
+        [(3, 1, 51_000, "B")],      # too late: A must already be gone
+        [(4, 1, 99_000_000, "flush")],
+    ]
+    t0 = _time.time() - 40
+    for i, rows in enumerate(batches):
+        path = os.path.join(workdir, f"b{i:02d}.parquet")
+        pd.DataFrame(
+            rows, columns=["event_id", "user_id", "tsm", "event_type"]
+        ).to_parquet(path, index=False)
+        os.utime(path, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, tsm long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(workdir)
+    )
+    out = run_available_now(
+        followed_by_within_stream(
+            stream, "user_id", "event_id", "tsm", "event_type",
+            first="A", second="B", within_ms=5000, not_between="C",
+        ),
+        "cep_expire",
+    )
+    assert out == []
