@@ -961,6 +961,108 @@ def _q_sql_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8 shape: one nation's share of a region's PROMO revenue by
+    # order year — nested conditional-aggregation ratio over a 6-way join
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q8_SQL)
+
+
+_Q8_SQL = """
+    WITH volumes AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 AS DECIMAL(18,4)) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN part     ON p_partkey = l_partkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / NULLIF(CAST(SUM(volume) AS DOUBLE), 0.0) AS mkt_share,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM volumes
+    GROUP BY o_year
+"""
+
+
+def _q_sql_q13_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13: distribution of customers by order count (left join so
+    # zero-order customers would bucket at 0)
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q13_SQL)
+
+
+_Q13_SQL = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+"""
+
+
+def _q_sql_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15: supplier(s) achieving the maximum quarterly revenue —
+    # the scalar-max-over-aggregate shape (ties all emitted)
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q15_SQL)
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def _q_sql_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17: revenue from orders below 20% of a part's average
+    # quantity — correlated-average decorrelated into a pre-agg join
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q17_SQL)
+
+
+_Q17_SQL = """
+    WITH part_avg AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           count(*) AS cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+"""
+
+
 # --- capstone waybill pipeline (reference StateTest.java:639-872) ----------
 
 _WAYBILL_N = 500
@@ -1088,6 +1190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_q14_promo": _q_sql_q14_promo,
         "sql_q18_large_orders": _q_sql_q18_large_orders,
         "sql_q22_idle_customers": _q_sql_q22_idle_customers,
+        "sql_q8_market_share": _q_sql_q8_market_share,
+        "sql_q13_order_dist": _q_sql_q13_order_dist,
+        "sql_q15_top_supplier": _q_sql_q15_top_supplier,
+        "sql_q17_small_qty": _q_sql_q17_small_qty,
     }
 
 
@@ -2251,6 +2357,10 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY c_mktsegment
         """,
+        "sql_q8_market_share": _Q8_SQL,
+        "sql_q13_order_dist": _Q13_SQL,
+        "sql_q15_top_supplier": _Q15_SQL,
+        "sql_q17_small_qty": _Q17_SQL,
         "dedup_clusters": f"""
             WITH RECURSIVE {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()},
             cand AS (

@@ -147,3 +147,80 @@ def streaming_window_topn_job(
         .start()
     )
     return agg_sink, topn_sink, query
+
+
+def streaming_kmv_distinct_job(
+    stream: DataFrame,
+    group: str,
+    value: str,
+    k: int = 64,
+) -> DataFrame:
+    """Streaming KMV distinct-count: per group, maintain the k smallest
+    distinct md5 hashes ACROSS micro-batches and emit the refreshed
+    sketch each batch the group is touched (update semantics).
+
+    This is the streaming twin of ``operators/rollups.kmv_distinct`` and
+    demonstrates why KMV (unlike engine-private approx_count_distinct
+    state) is the 100 TB streaming sketch: state is an O(k) integer set,
+    merging is "union, keep k smallest" — associative and replayable, so
+    a restart from checkpoint or a late batch reaches the same sketch.
+    Emitted estimates are IDENTICAL to recomputing the batch operator
+    over all data seen so far (asserted in tests).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from flink_helloworld_spark.operators.rollups import HASH_SPACE
+
+    key_type = stream.schema[group].dataType
+    out_schema = StructType(
+        [
+            StructField(group, key_type),
+            StructField("kth_min", LongType()),
+            StructField("n_kept", LongType()),
+            StructField("distinct_estimate", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("hashes", StringType())])
+
+    def fn(kk, batches, state: GroupState):
+        kept: list[int] = (
+            [int(x) for x in state.get[0].split(",") if x]
+            if state.exists
+            else []
+        )
+        seen = set(kept)
+        touched = False
+        for pdf in batches:
+            for h in pdf["_h"]:
+                touched = True
+                h = int(h)
+                if h not in seen:
+                    seen.add(h)
+                    kept.append(h)
+        if not touched:
+            yield pd.DataFrame([], columns=[f.name for f in out_schema.fields])
+            return
+        kept = sorted(seen)[:k]
+        state.update((",".join(str(x) for x in kept),))
+        n = len(kept)
+        est = float(n) if n < k else (k - 1) / (kept[-1] / HASH_SPACE)
+        yield pd.DataFrame(
+            [{group: kk[0], "kth_min": kept[-1], "n_kept": n, "distinct_estimate": est}]
+        )
+
+    from flink_helloworld_spark.functions import md5_prefix_long
+
+    hashed = stream.select(
+        F.col(group), md5_prefix_long(F.col(value).cast("string")).alias("_h")
+    )
+    return hashed.groupBy(group).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -21,7 +21,16 @@ def test_waybill_etl_job_end_to_end(spark):
         rows_per_second=200,
     )
     try:
-        time.sleep(8)
+        # poll until the sink has committed enough rows (fixed sleeps
+        # flake under load: the first micro-batch can outlast them)
+        deadline = time.time() + 90
+        n = 0
+        while time.time() < deadline and n <= 50:
+            time.sleep(2)
+            try:
+                n = sink.read(spark).count()
+            except Exception:  # no committed batch yet
+                n = 0
     finally:
         query.stop()
         query.awaitTermination(60)
@@ -132,3 +141,47 @@ def test_streaming_window_topn_overtake(spark):
     assert top == {1: ("c", 4), 2: ("a", 3)}
     aggs = {r.key: r.cnt for r in agg_sink.read(spark).collect()}
     assert aggs == {"a": 3, "b": 2, "c": 4}
+
+
+def test_streaming_kmv_matches_batch_recompute(spark):
+    """Cross-batch sketch mergeability: the streaming KMV state after N
+    batches must equal the batch operator recomputed over ALL rows —
+    bit-identical kth_min and estimate, not approximately."""
+    from flink_helloworld_spark.operators.rollups import kmv_distinct
+    from flink_helloworld_spark.streaming.jobs import streaming_kmv_distinct_job
+
+    workdir = tempfile.mkdtemp(prefix="kmv-stream-")
+    batches = [
+        [("click", f"u{i}") for i in range(0, 40)],
+        [("click", f"u{i}") for i in range(20, 80)],   # overlap: dedup in state
+        [("view", f"u{i}") for i in range(0, 10)],
+    ]
+    t0 = time.time() - 30
+    for i, rows in enumerate(batches):
+        path = os.path.join(workdir, f"b{i:02d}.parquet")
+        pd.DataFrame(rows, columns=["event_type", "user_id"]).to_parquet(
+            path, index=False
+        )
+        os.utime(path, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("event_type string, user_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(workdir)
+    )
+    out = run_available_now(
+        streaming_kmv_distinct_job(stream, "event_type", "user_id", k=16),
+        "kmv_stream",
+        output_mode="update",
+    )
+    # update mode: last emission per key is the final sketch
+    final = {}
+    for r in out:
+        final[r.event_type] = (r.kth_min, r.n_kept, r.distinct_estimate)
+    all_rows = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(all_rows, "event_type string, user_id string")
+    expect = {
+        r.event_type: (r.kth_min, r.n_kept, r.distinct_estimate)
+        for r in kmv_distinct(batch_df, "event_type", "user_id", k=16).collect()
+    }
+    assert final == expect
+    assert final["view"][1] == 10 and final["view"][2] == 10.0  # exact below k
