@@ -306,6 +306,63 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_decontaminate(corpus, benchmark, n=5)
 
 
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product-quantization codes (4 subspaces × 16 centroids): the
+    # compression half of IVF+PQ — integer-packed argmin, oracle-exact
+    return S.pq_assign(load_tables(spark, sf_dir).embeddings)
+
+
+def _q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-user trailing-10-event median (windowed exact percentile —
+    # Spark percentile == DuckDB quantile_cont bit-for-bit)
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.percentile("value", F.lit(0.5)).over(w).alias("trailing_median"),
+    )
+
+
+def _q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dbt-style constraint audit in ONE pass over each table: violation
+    # counts for FK integrity, duplicate keys, nulls, and range rules
+    t = load_tables(spark, sf_dir)
+    fk = (
+        t.orders.alias("o").join(
+            t.customer.select("c_custkey").alias("c"),
+            F.col("o.o_custkey") == F.col("c.c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_custkey_fk").alias("check_name"), "violations")
+    )
+    dup = (
+        t.orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_pk_unique").alias("check_name"), "violations")
+    )
+    nulls = t.lineitem.agg(
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias(
+            "violations"
+        )
+    ).select(F.lit("lineitem_quantity_not_null").alias("check_name"), "violations")
+    rng = t.lineitem.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("violations")
+    ).select(F.lit("lineitem_discount_range").alias("check_name"), "violations")
+    return fk.unionByName(dup).unionByName(nulls).unionByName(rng)
+
+
 def _q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeable fixed-bin histogram quantiles (the approximate scale
     # path beside the exact `percentiles` operator)
@@ -1137,6 +1194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": _q_gapfill_locf,
         "histogram_quantiles": _q_histogram_quantiles,
         "dedup_incremental": _q_dedup_incremental,
+        "rolling_median": _q_rolling_median,
+        "quality_checks": _q_quality_checks,
+        "pq_codes": _q_pq_codes,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
         "similarity_topk": _q_similarity_topk,
@@ -1545,6 +1605,36 @@ def _lsh_bucket_sql(planes: int = 8, dims: int = 64) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+def _pq_sql(m: int = 4, ksub: int = 16, dims: int = 64) -> str:
+    """Replicates similarity.pq_assign: md5-rank codebooks, sequential
+    per-subspace squared-L2, integer-packed argmin."""
+    sub = dims // m
+    packs = []
+    for j in range(m):
+        base = j * sub
+        d = (
+            f"(v.vec[{base} + i]::DOUBLE - c.cvec[{base} + i]::DOUBLE)"
+        )
+        packs.append(
+            f"round(list_sum(list_transform(range(1, {sub + 1}), i -> {d} * {d})) "
+            f"* 1000000.0)::BIGINT * {ksub} + c.cid AS _p{j}"
+        )
+    codes = ", ".join(
+        f"CAST(min(_p{j}) % {ksub} AS INT) AS code_{j}" for j in range(m)
+    )
+    return f"""
+        WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        h AS (SELECT id, vec,
+                ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS _h
+              FROM v),
+        cent AS (SELECT row_number() OVER (ORDER BY _h, id) - 1 AS cid,
+                        vec AS cvec
+                 FROM h QUALIFY row_number() OVER (ORDER BY _h, id) <= {ksub}),
+        p AS (SELECT v.id, {', '.join(packs)} FROM v CROSS JOIN cent c)
+        SELECT id AS vec_id, {codes} FROM p GROUP BY id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "wordcount": """
@@ -1836,6 +1926,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'holdout' ELSE 'train' END AS split,
                    count(*) AS cnt
             FROM documents GROUP BY 1
+        """,
+        "pq_codes": _pq_sql(),
+        "rolling_median": """
+            SELECT user_id, event_id,
+                   quantile_cont(value, 0.5) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                     AS trailing_median
+            FROM events
+        """,
+        "quality_checks": """
+            SELECT 'orders_custkey_fk' AS check_name, count(*) AS violations
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'orders_pk_unique', count(*)
+            FROM (SELECT o_orderkey FROM orders
+                  GROUP BY o_orderkey HAVING count(*) > 1)
+            UNION ALL
+            SELECT 'lineitem_quantity_not_null',
+                   CAST(coalesce(SUM(CASE WHEN l_quantity IS NULL
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem_discount_range',
+                   CAST(coalesce(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM lineitem
         """,
         "histogram_quantiles": """
             WITH bins AS (

@@ -428,3 +428,71 @@ def lsh_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def pq_assign(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code assignment — the compression half of
+    the IVF+PQ index that makes 100 TB-scale ANN memory-feasible: each
+    vector becomes ``m`` sub-codes (here 4×log2(16)=16 bits instead of
+    64 floats).
+
+    Codebooks are deterministic md5-rank samples (same scheme as
+    ``ivf_cosine_topk`` — reproducible without fitted k-means state, so
+    the oracle replays them): centroid c's subvector j is the codebook
+    entry (j, c). Assignment = argmin squared-L2 per subspace, ties to
+    the lowest centroid id; the argmin is computed as an integer MIN of
+    ``round(dist·1e6)·ksub + cid`` so no float ordering ever crosses an
+    engine boundary.
+
+    Scale shape: one broadcast cross join (ksub rows) + one hash agg on
+    the vector id — codegen end-to-end, no Python, no shuffle of the
+    embedding column beyond its own scan.
+    """
+    from pyspark.sql import Window
+
+    sub = dims // m
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    md5_rank = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    cent = (
+        v.withColumn("_h", md5_rank)
+        .withColumn(
+            "_rn", F.row_number().over(Window.orderBy(F.col("_h"), F.col("id")))
+        )
+        .where(F.col("_rn") <= ksub)
+        .select((F.col("_rn") - 1).alias("cid"), F.col("vec").alias("cvec"))
+    )
+
+    def sq_l2(j: int) -> Column:
+        a = F.slice(F.col("vec"), j * sub + 1, sub)
+        b = F.slice(F.col("cvec"), j * sub + 1, sub)
+        diff_sq = F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        return F.aggregate(diff_sq, F.lit(0.0), lambda acc, d: acc + d)
+
+    packed = v.crossJoin(F.broadcast(cent)).select(
+        "id",
+        *[
+            (
+                F.round(sq_l2(j) * 1_000_000.0).cast("long") * ksub + F.col("cid")
+            ).alias(f"_p{j}")
+            for j in range(m)
+        ],
+    )
+    return packed.groupBy("id").agg(
+        *[
+            (F.min(f"_p{j}") % ksub).cast("int").alias(f"code_{j}")
+            for j in range(m)
+        ]
+    ).select(F.col("id").alias(id_col), *[f"code_{j}" for j in range(m)])

@@ -337,3 +337,36 @@ def test_incremental_dedup_classification(spark):
     )
     out = {r.doc_id: r.status for r in incremental_dedup(existing, incoming).collect()}
     assert out == {10: "dup_of_corpus", 11: "new", 12: "dup_in_batch", 13: "new"}
+
+
+def test_pq_assign_nearest_codebook_entry(spark):
+    from flink_helloworld_spark.operators.similarity import pq_assign
+
+    # 8-dim vectors, m=2 subspaces of 4 dims, ksub=2 centroids.
+    # md5-rank picks two of the vectors as codebook entries; every
+    # vector's code must point at the sub-distance-minimizing entry.
+    import hashlib
+
+    vecs = {
+        1: [0.0] * 4 + [9.0] * 4,
+        2: [1.0] * 4 + [0.0] * 4,
+        3: [0.9] * 4 + [8.5] * 4,
+        4: [0.1] * 4 + [0.2] * 4,
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    out = {r.vec_id: (r.code_0, r.code_1) for r in
+           pq_assign(df, m=2, ksub=2, dims=8).collect()}
+    ranked = sorted(vecs, key=lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i))
+    cents = ranked[:2]  # cid 0, 1 in rank order
+    f32 = lambda xs: [float(__import__("numpy").float32(x)) for x in xs]
+    for vid, v in vecs.items():
+        for j, (lo, hi) in enumerate([(0, 4), (4, 8)]):
+            dists = [
+                (round(sum((a - b) * (a - b) for a, b in
+                           zip(f32(v[lo:hi]), f32(vecs[c][lo:hi]))) * 1e6), cid)
+                for cid, c in enumerate(cents)
+            ]
+            expect = min(dists)[1]
+            assert out[vid][j] == expect, (vid, j)
