@@ -306,6 +306,31 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_decontaminate(corpus, benchmark, n=5)
 
 
+def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full training-data prep pipeline as ONE declarative plan:
+    # quality filter -> exact dedup -> near-dup removal (corpus_clean)
+    # -> eval-set decontamination -> concat-and-chunk packing. Each
+    # stage shrinks the next stage's input; Catalyst sees it whole.
+    from flink_helloworld_spark.functions import words_of
+    from flink_helloworld_spark.operators.sampling import pack_sequences
+
+    docs = load_tables(spark, sf_dir).documents
+    benchmark = docs.where(F.col("doc_id") % 20 == 0)
+    cleaned = D.corpus_clean(docs).select("doc_id")
+    corpus = docs.join(cleaned, "doc_id").where(F.col("doc_id") % 20 != 0)
+    decon = D.ngram_decontaminate(corpus, benchmark, n=5)
+    keep = corpus.join(
+        decon.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    toks = keep.select(
+        "doc_id",
+        F.size(F.filter(words_of(F.col("text")), lambda w: w != "")).alias(
+            "n_tokens"
+        ),
+    )
+    return pack_sequences(toks, "doc_id", "n_tokens", capacity=2048, shards=8)
+
+
 def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # product-quantization codes (4 subspaces × 16 centroids): the
     # compression half of IVF+PQ — integer-packed argmin, oracle-exact
@@ -1197,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median": _q_rolling_median,
         "quality_checks": _q_quality_checks,
         "pq_codes": _q_pq_codes,
+        "pretrain_prep": _q_pretrain_prep,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
         "similarity_topk": _q_similarity_topk,
@@ -1305,6 +1331,46 @@ def _buckets_cte() -> str:
             f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sig"
         )
     return "buckets AS (" + " UNION ALL ".join(selects) + ")"
+
+
+_CORPUS_CLEAN_SQL = f"""
+    WITH qscore AS (
+      SELECT doc_id,
+        len(list_filter({_WS},
+          w -> list_contains(['the','and','of','to','a'], w))) AS stop_hits,
+        len({_WS}) AS n_words, length(text) AS n_chars,
+        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+      FROM documents),
+    qkeep AS (
+      SELECT doc_id FROM qscore
+      WHERE ((CASE WHEN (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) >= 3.0
+                    AND (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) <= 10.0
+                   THEN 4 ELSE 0 END)
+             + (CASE WHEN stop_hits::DOUBLE / nullif(n_words::DOUBLE, 0.0) > 0.0 THEN 4 ELSE 0 END)
+             + (CASE WHEN n_punct::DOUBLE / nullif(n_chars::DOUBLE, 0.0) < 0.2 THEN 2 ELSE 0 END)
+            )::DOUBLE / 10.0 >= 0.5),
+    qd AS (SELECT d.* FROM documents d JOIN qkeep USING (doc_id)),
+    ek AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+    surv AS (SELECT qd.* FROM qd JOIN ek USING (doc_id)),
+    {_shingle_ctes(source="surv").lstrip()}, {_sig_cte()}, {_buckets_cte()},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM buckets x JOIN buckets y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b,
+        len(list_intersect(sa.sh, sb.sh))::DOUBLE
+          / nullif((len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE, 0.0)
+          AS jaccard
+      FROM cand
+      JOIN sh sa ON doc_a = sa.doc_id
+      JOIN sh sb ON doc_b = sb.doc_id),
+    dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jaccard >= 0.5)
+    SELECT s.doc_id, s.lang, s.n_chars
+    FROM surv s LEFT JOIN dropped dr ON s.doc_id = dr.doc_id
+    WHERE dr.doc_id IS NULL
+"""
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -1928,6 +1994,52 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "pq_codes": _pq_sql(),
+        "pretrain_prep": f"""
+            WITH cleaned AS ({_CORPUS_CLEAN_SQL}),
+            corpus AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN cleaned c ON d.doc_id = c.doc_id
+              WHERE d.doc_id % 20 <> 0),
+            bws AS (SELECT doc_id, {_WS} AS ws FROM documents
+                    WHERE doc_id % 20 = 0),
+            bsh AS (SELECT list_distinct(list_transform(
+                      range(1, greatest(len(ws) - 5 + 2, 1)),
+                      i -> array_to_string(ws[i:i+4], ' '))) AS sh
+                    FROM bws WHERE len(ws) >= 5),
+            bench AS (SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM bsh)),
+            cws AS (SELECT doc_id, {_WS} AS ws FROM corpus),
+            csh AS (SELECT doc_id, list_distinct(list_transform(
+                      range(1, greatest(len(ws) - 5 + 2, 1)),
+                      i -> array_to_string(ws[i:i+4], ' '))) AS sh
+                    FROM cws WHERE len(ws) >= 5),
+            contaminated AS (
+              SELECT DISTINCT cg.doc_id
+              FROM (SELECT doc_id, unnest(sh) AS g FROM csh) cg
+              JOIN bench USING (g)),
+            keep AS (
+              SELECT c.doc_id, c.text FROM corpus c
+              LEFT JOIN contaminated x ON c.doc_id = x.doc_id
+              WHERE x.doc_id IS NULL),
+            t AS (
+              SELECT doc_id,
+                     CAST(len({_WS}) AS BIGINT) AS n_tokens,
+                     ('0x' || substr(md5('pack' || doc_id::VARCHAR),
+                      1, 15))::BIGINT % 10000 AS h
+              FROM keep),
+            s AS (
+              SELECT doc_id, n_tokens, CAST(h % 8 AS INT) AS shard,
+                     CAST(coalesce(SUM(n_tokens) OVER (
+                       PARTITION BY h % 8 ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_offset
+              FROM t)
+            SELECT doc_id, n_tokens, shard, start_offset,
+                   start_offset // 2048 AS chunk_id,
+                   n_tokens > 0 AND
+                     (start_offset + n_tokens - 1) // 2048
+                       <> start_offset // 2048 AS spans_boundary
+            FROM s
+        """,
         "rolling_median": """
             SELECT user_id, event_id,
                    quantile_cont(value, 0.5) OVER (
@@ -2153,44 +2265,7 @@ def oracle_sql() -> dict[str, str]:
                 ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
             WHERE cosine >= 0.3
         """,
-        "corpus_clean": f"""
-            WITH qscore AS (
-              SELECT doc_id,
-                len(list_filter({_WS},
-                  w -> list_contains(['the','and','of','to','a'], w))) AS stop_hits,
-                len({_WS}) AS n_words, length(text) AS n_chars,
-                len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
-              FROM documents),
-            qkeep AS (
-              SELECT doc_id FROM qscore
-              WHERE ((CASE WHEN (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) >= 3.0
-                            AND (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) <= 10.0
-                           THEN 4 ELSE 0 END)
-                     + (CASE WHEN stop_hits::DOUBLE / nullif(n_words::DOUBLE, 0.0) > 0.0 THEN 4 ELSE 0 END)
-                     + (CASE WHEN n_punct::DOUBLE / nullif(n_chars::DOUBLE, 0.0) < 0.2 THEN 2 ELSE 0 END)
-                    )::DOUBLE / 10.0 >= 0.5),
-            qd AS (SELECT d.* FROM documents d JOIN qkeep USING (doc_id)),
-            ek AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
-            surv AS (SELECT qd.* FROM qd JOIN ek USING (doc_id)),
-            {_shingle_ctes(source="surv").lstrip()}, {_sig_cte()}, {_buckets_cte()},
-            cand AS (
-              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-              FROM buckets x JOIN buckets y
-                ON x.band_id = y.band_id AND x.band_key = y.band_key
-               AND x.doc_id < y.doc_id),
-            pairs AS (
-              SELECT doc_a, doc_b,
-                len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                  / nullif((len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE, 0.0)
-                  AS jaccard
-              FROM cand
-              JOIN sh sa ON doc_a = sa.doc_id
-              JOIN sh sb ON doc_b = sb.doc_id),
-            dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jaccard >= 0.5)
-            SELECT s.doc_id, s.lang, s.n_chars
-            FROM surv s LEFT JOIN dropped dr ON s.doc_id = dr.doc_id
-            WHERE dr.doc_id IS NULL
-        """,
+        "corpus_clean": _CORPUS_CLEAN_SQL,
         "multimodal_decode": """
             SELECT doc_id,
               CAST(1 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS INT) AS width,

@@ -72,6 +72,15 @@ HEADLINE = [
     "mixture_sample",
     "cep_pattern",
     "gapfill_locf",
+    "histogram_quantiles",
+    "dedup_incremental",
+    "pq_codes",
+    "rolling_median",
+    "quality_checks",
+    "sql_q8_market_share",
+    "sql_q13_order_dist",
+    "sql_q17_small_qty",
+    "pretrain_prep",
 ]
 
 
