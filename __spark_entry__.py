@@ -331,6 +331,34 @@ def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_tokens", capacity=2048, shards=8)
 
 
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # arbitrary GROUPING SETS (beyond cube/rollup): per-flag, per-status,
+    # and grand-total rows in one pass, with grouping ids
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+def _q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unpivot/melt: wide per-row metrics to long (metric, value), then
+    # exact per-metric totals — the reverse of pivot_counts
+    li = load_tables(spark, sf_dir).lineitem
+    long = li.select(
+        "l_orderkey",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount) AS (metric, value)"
+        ),
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("value", "total")
+    )
+
+
 def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # product-quantization codes (4 subspaces × 16 centroids): the
     # compression half of IVF+PQ — integer-packed argmin, oracle-exact
@@ -1223,6 +1251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_checks": _q_quality_checks,
         "pq_codes": _q_pq_codes,
         "pretrain_prep": _q_pretrain_prep,
+        "grouping_sets_counts": _q_grouping_sets,
+        "unpivot_metrics": _q_unpivot_metrics,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
         "similarity_topk": _q_similarity_topk,
@@ -1992,6 +2022,23 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'holdout' ELSE 'train' END AS split,
                    count(*) AS cnt
             FROM documents GROUP BY 1
+        """,
+        "grouping_sets_counts": f"""
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                   {_sum_d('l_quantity', 'sum_qty')}
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "unpivot_metrics": f"""
+            SELECT metric, count(*) AS cnt, {_sum_d('value', 'total')}
+            FROM (
+                SELECT l_orderkey, 'quantity' AS metric, l_quantity AS value
+                FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, 'extendedprice', l_extendedprice FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, 'discount', l_discount FROM lineitem)
+            GROUP BY metric
         """,
         "pq_codes": _pq_sql(),
         "pretrain_prep": f"""

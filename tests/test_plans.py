@@ -203,3 +203,14 @@ def test_cep_pattern_single_sort_no_pair_blowup(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_pretrain_prep_stays_jvm_side_with_broadcast_probe(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = explain_str(entry.queries()["pretrain_prep"](spark, sf_dir), "simple")
+    # five-stage composition must stay declarative: no Python eval, no
+    # cartesian blowup; the decontamination probe broadcasts
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
