@@ -331,6 +331,24 @@ def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_tokens", capacity=2048, shards=8)
 
 
+def _q_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.9 skew: salted JOIN (dim replicated x8, fact salted by row id) —
+    # row-identical to the plain join the oracle computes
+    from flink_helloworld_spark.operators.skew import salted_join
+
+    ev = load_tables(spark, sf_dir).events
+    profile = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_user_events")
+    )
+    return salted_join(
+        ev.select("user_id", "event_id", "event_type"),
+        profile,
+        "user_id",
+        "event_id",
+        buckets=8,
+    )
+
+
 def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arbitrary GROUPING SETS (beyond cube/rollup): per-flag, per-status,
     # and grand-total rows in one pass, with grouping ids
@@ -1253,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_prep": _q_pretrain_prep,
         "grouping_sets_counts": _q_grouping_sets,
         "unpivot_metrics": _q_unpivot_metrics,
+        "salted_enrich": _q_salted_enrich,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
         "similarity_topk": _q_similarity_topk,
@@ -2022,6 +2041,13 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'holdout' ELSE 'train' END AS split,
                    count(*) AS cnt
             FROM documents GROUP BY 1
+        """,
+        "salted_enrich": """
+            SELECT e.user_id, e.event_id, e.event_type, p.n_user_events
+            FROM events e
+            JOIN (SELECT user_id, count(*) AS n_user_events
+                  FROM events GROUP BY user_id) p
+              ON e.user_id = p.user_id
         """,
         "grouping_sets_counts": f"""
             SELECT l_returnflag, l_linestatus, count(*) AS cnt,

@@ -39,3 +39,31 @@ def salted_sum(
         F.sum("_partial_sum").cast("double").alias(alias),
         F.sum("_partial_cnt").alias("cnt"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_col: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Salted equi-join for hot join keys: the fact side gets a
+    deterministic salt from an existing row-id column; the dim side is
+    replicated ``buckets`` times so every (key, salt) pair still finds
+    its match. Results are row-identical to the plain join (the oracle)
+    while each hot key's fact rows spread over ``buckets`` reducers.
+
+    This is the manual form of what AQE skew-join does adaptively — the
+    explicit version matters when the dim is too big to broadcast AND a
+    key is hot enough that one reducer would spill (the 100 TB
+    worst case). Replication cost: dim × buckets rows through the
+    shuffle, the standard trade.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets))
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(buckets)]))
+    )
+    return salted_fact.join(replicated_dim, [key, "_salt"]).drop("_salt")

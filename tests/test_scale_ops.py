@@ -244,3 +244,16 @@ def test_followed_by_within_same_ms_b_before_a_excluded(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].b_id == 7 and out[0].lag_ms == 0
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from flink_helloworld_spark.operators.skew import salted_join
+
+    ev = load_tables(spark, sf_dir).events.select("user_id", "event_id")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    plain = {(r.user_id, r.event_id, r.n) for r in ev.join(dim, "user_id").collect()}
+    salted = {
+        (r.user_id, r.event_id, r.n)
+        for r in salted_join(ev, dim, "user_id", "event_id", buckets=8).collect()
+    }
+    assert salted == plain
