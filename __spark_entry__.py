@@ -331,6 +331,41 @@ def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_tokens", capacity=2048, shards=8)
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequence analytics: per-user event-type transition counts (the
+    # Markov matrix) — one lag window + one agg
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cohort retention: users bucketed by first-seen week, distinct
+    # active users per (cohort week, weeks-since) offset
+    ev = load_tables(spark, sf_dir).events
+    tsm = F.unix_millis(F.col("ts"))
+    wk = (tsm - F.pmod(tsm, F.lit(604_800_000))).alias("wk")
+    weekly = ev.select("user_id", wk).distinct()
+    first = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        weekly.join(first, "user_id")
+        .groupBy(
+            "cohort_wk",
+            ((F.col("wk") - F.col("cohort_wk")) / F.lit(604_800_000))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def _q_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.9 skew: salted JOIN (dim replicated x8, fact salted by row id) —
     # row-identical to the plain join the oracle computes
@@ -1272,6 +1307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_counts": _q_grouping_sets,
         "unpivot_metrics": _q_unpivot_metrics,
         "salted_enrich": _q_salted_enrich,
+        "event_transitions": _q_event_transitions,
+        "retention_cohorts": _q_retention_cohorts,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
         "similarity_topk": _q_similarity_topk,
@@ -2041,6 +2078,30 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'holdout' ELSE 'train' END AS split,
                    count(*) AS cnt
             FROM documents GROUP BY 1
+        """,
+        "event_transitions": """
+            SELECT prev_type, next_type, count(*) AS cnt FROM (
+                SELECT lag(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type,
+                       event_type AS next_type
+                FROM events)
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        """,
+        "retention_cohorts": """
+            WITH weekly AS (
+              SELECT DISTINCT user_id,
+                     epoch_ms(ts) - epoch_ms(ts) % 604800000 AS wk
+              FROM events),
+            first AS (
+              SELECT user_id, min(wk) AS cohort_wk FROM weekly
+              GROUP BY user_id)
+            SELECT cohort_wk,
+                   CAST((wk - cohort_wk) // 604800000 AS BIGINT) AS week_offset,
+                   count(DISTINCT w.user_id) AS n_users
+            FROM weekly w JOIN first f ON w.user_id = f.user_id
+            GROUP BY cohort_wk, week_offset
         """,
         "salted_enrich": """
             SELECT e.user_id, e.event_id, e.event_type, p.n_user_events
