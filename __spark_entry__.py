@@ -314,10 +314,17 @@ def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_helloworld_spark.functions import words_of
     from flink_helloworld_spark.operators.sampling import pack_sequences
 
+    from flink_helloworld_spark.operators._cache import share
+
     docs = load_tables(spark, sf_dir).documents
     benchmark = docs.where(F.col("doc_id") % 20 == 0)
     cleaned = D.corpus_clean(docs).select("doc_id")
-    corpus = docs.join(cleaned, "doc_id").where(F.col("doc_id") % 20 != 0)
+    # corpus carries the whole cleaning cascade in its lineage and feeds
+    # three plan branches (gram explode, decontam base join, final keep)
+    # — persist it once or Catalyst recomputes the LSH subtree per branch
+    corpus = share(
+        docs.join(cleaned, "doc_id").where(F.col("doc_id") % 20 != 0)
+    )
     decon = D.ngram_decontaminate(corpus, benchmark, n=5)
     keep = corpus.join(
         decon.where(~F.col("contaminated")).select("doc_id"), "doc_id"
@@ -457,13 +464,17 @@ def _q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("orders_pk_unique").alias("check_name"), "violations")
     )
     nulls = t.lineitem.agg(
-        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias(
-            "violations"
-        )
+        F.coalesce(
+            F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("violations")
     ).select(F.lit("lineitem_quantity_not_null").alias("check_name"), "violations")
     rng = t.lineitem.agg(
-        F.sum(
-            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         ).alias("violations")
     ).select(F.lit("lineitem_discount_range").alias("check_name"), "violations")
     return fk.unionByName(dup).unionByName(nulls).unionByName(rng)

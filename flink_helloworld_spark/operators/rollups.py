@@ -65,9 +65,13 @@ def kmv_distinct(
     fewer than k distinct values the estimate is exact (the kept count).
     Estimator: (k-1) / (kth_min / 2^60).
     """
-    hashed = df.select(
-        F.col(group), _h60(F.col(value).cast("string")).alias("h")
-    ).distinct()
+    # nulls carry no distinct value (COUNT DISTINCT semantics); a NULL
+    # hash would also sort below every real hash and poison rank 1
+    hashed = (
+        df.where(F.col(value).isNotNull())
+        .select(F.col(group), _h60(F.col(value).cast("string")).alias("h"))
+        .distinct()
+    )
     w = Window.partitionBy(group).orderBy("h")
     kept = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
     return (

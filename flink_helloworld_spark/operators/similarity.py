@@ -458,10 +458,10 @@ def pq_assign(
     from pyspark.sql import Window
 
     sub = dims // m
+    from flink_helloworld_spark.functions import md5_prefix_long
+
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    md5_rank = F.conv(
-        F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    md5_rank = md5_prefix_long(F.col("id").cast("string"))
     cent = (
         v.withColumn("_h", md5_rank)
         .withColumn(

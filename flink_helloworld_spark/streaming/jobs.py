@@ -191,23 +191,15 @@ def streaming_kmv_distinct_job(
     state_schema = StructType([StructField("hashes", StringType())])
 
     def fn(kk, batches, state: GroupState):
-        kept: list[int] = (
-            [int(x) for x in state.get[0].split(",") if x]
+        # state = the k smallest distinct hashes seen so far; merge is
+        # "union, keep k smallest" (fn only fires for keys with input)
+        seen: set[int] = (
+            {int(x) for x in state.get[0].split(",") if x}
             if state.exists
-            else []
+            else set()
         )
-        seen = set(kept)
-        touched = False
         for pdf in batches:
-            for h in pdf["_h"]:
-                touched = True
-                h = int(h)
-                if h not in seen:
-                    seen.add(h)
-                    kept.append(h)
-        if not touched:
-            yield pd.DataFrame([], columns=[f.name for f in out_schema.fields])
-            return
+            seen.update(int(h) for h in pdf["_h"])
         kept = sorted(seen)[:k]
         state.update((",".join(str(x) for x in kept),))
         n = len(kept)
@@ -218,7 +210,10 @@ def streaming_kmv_distinct_job(
 
     from flink_helloworld_spark.functions import md5_prefix_long
 
-    hashed = stream.select(
+    # nulls carry no distinct value (COUNT DISTINCT semantics) — and
+    # md5(NULL) would reach the state fn as NaN; same rule as the batch
+    # twin, so streaming-equals-batch still holds
+    hashed = stream.where(F.col(value).isNotNull()).select(
         F.col(group), md5_prefix_long(F.col(value).cast("string")).alias("_h")
     )
     return hashed.groupBy(group).applyInPandasWithState(
