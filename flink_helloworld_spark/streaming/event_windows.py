@@ -104,6 +104,7 @@ def stream_stream_window_join(
     right_time: str = "event_time",
     delay: str = "0 milliseconds",
     range_ms: int = 5000,
+    how: str = "inner",
 ) -> DataFrame:
     """Streaming equi-join within a time range (SURVEY §2.5 J2's true
     streaming form): both sides watermarked, joined on key + a bounded
@@ -113,7 +114,12 @@ def stream_stream_window_join(
     The reference's window join (a.join(b).where...window(Tumbling...),
     WindowTest.java:585-602) pairs rows in the same tumbling window; the
     range condition |t_l - t_r| < range is the generalization Flink
-    calls an interval join (mentioned at WindowTest.java:565-566)."""
+    calls an interval join (mentioned at WindowTest.java:565-566).
+
+    ``how='leftOuter'`` emits unmatched left rows (right columns null)
+    once the watermark proves no in-range right row can still arrive —
+    the same eviction rule that bounds the join state drives the null
+    emission, so the outer form costs nothing extra."""
     lw = left.withWatermark(left_time, delay).alias("l")
     rw = right.withWatermark(right_time, delay).alias("r")
     lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
@@ -122,6 +128,7 @@ def stream_stream_window_join(
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (rt >= lt - F.expr(f"INTERVAL {range_ms} MILLISECONDS"))
         & (rt <= lt + F.expr(f"INTERVAL {range_ms} MILLISECONDS")),
+        how,
     )
 
 

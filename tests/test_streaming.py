@@ -497,3 +497,39 @@ def test_followed_by_within_stream_expires_unmatchable_as(spark):
         "cep_expire",
     )
     assert out == []
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark):
+    """leftOuter interval join: u2's lone left row has no right match in
+    range — it must still emit (null right) once the watermark passes
+    its window; matched rows emit as in the inner form."""
+    script = [
+        Step("u1", 100, 1000),
+        Step("u1", 200, 3000),            # matches u1@1000 (within 5 s)
+        Step("u2", 300, 2000),            # left row, no right match ever
+        # far-future rows on BOTH sides: the join watermark is the MIN of
+        # the two inputs' watermarks, so each must advance independently
+        Step("u3", 500, 90000, 95000),    # lands on the left split
+        Step("u4", 600, 91000, 96000),    # lands on the right split
+    ]
+    workdir = tempfile.mkdtemp(prefix="ssj-outer-")
+    write_script(script, workdir)
+    raw = read_script_stream(spark, workdir).where(F.col("k") != "__wm__")
+    left = raw.where(F.col("v") % 200 != 0).select(
+        "k", F.col("v").alias("lv"), "event_time"
+    )
+    right = raw.where(F.col("v") % 200 == 0).select(
+        "k", F.col("v").alias("rv"), F.col("event_time").alias("revent_time")
+    )
+    from flink_helloworld_spark.streaming.event_windows import (
+        stream_stream_window_join,
+    )
+
+    joined = stream_stream_window_join(
+        left, right, "k", "event_time", "revent_time",
+        range_ms=5000, how="leftOuter",
+    ).select(F.col("l.k").alias("k"), "lv", "rv")
+    rows = {(r.k, r.lv, r.rv) for r in run_available_now(joined, "ssj_outer")}
+    assert ("u1", 100, 200) in rows            # matched pair intact
+    assert ("u2", 300, None) in rows           # unmatched left emitted
+    assert ("u1", 100, None) not in rows       # matched row not duplicated
