@@ -338,6 +338,72 @@ def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_tokens", capacity=2048, shards=8)
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer planning: top-50 vocabulary with each term's share of
+    # ALL token occurrences and the running (cumulative) coverage — the
+    # curve that sizes a vocab. Rank ties break lexicographically.
+    from pyspark.sql import Window
+
+    from flink_helloworld_spark.functions import words_of
+
+    docs = load_tables(spark, sf_dir).documents
+    counts = (
+        docs.select(F.explode(words_of(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    w_rank = Window.orderBy(F.col("cnt").desc(), "w")
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= 50)
+        .join(F.broadcast(total))
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.select(
+        "rank",
+        "w",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("total_tokens").cast("double")).alias(
+            "share"
+        ),
+        (
+            F.sum("cnt").over(w_cum).cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("cum_coverage"),
+    )
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RAG-style chunking plan: 64-token windows, stride 48 (16-token
+    # overlap) — one row per (doc, chunk) with offset and actual length
+    from flink_helloworld_spark.functions import words_of
+
+    docs = load_tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(words_of(F.col("text")), lambda w: w != "")).alias(
+            "n_tokens"
+        ),
+    ).where(F.col("n_tokens") > 0)
+    starts = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(48))
+        ).alias("start_tok"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start_tok") / 48).cast("int").alias("chunk_idx"),
+        "start_tok",
+        F.least(F.lit(64), F.col("n_tokens") - F.col("start_tok")).alias(
+            "chunk_len"
+        ),
+    )
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence analytics: per-user event-type transition counts (the
     # Markov matrix) — one lag window + one agg
@@ -1319,6 +1385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": _q_unpivot_metrics,
         "salted_enrich": _q_salted_enrich,
         "event_transitions": _q_event_transitions,
+        "vocab_coverage": _q_vocab_coverage,
+        "chunk_documents": _q_chunk_documents,
         "retention_cohorts": _q_retention_cohorts,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
@@ -2089,6 +2157,41 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'holdout' ELSE 'train' END AS split,
                    count(*) AS cnt
             FROM documents GROUP BY 1
+        """,
+        "vocab_coverage": """
+            WITH counts AS (
+              SELECT w, count(*) AS cnt FROM (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS w
+                FROM documents)
+              GROUP BY w),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM counts),
+            ranked AS (
+              SELECT w, cnt,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, w) AS INT)
+                       AS rank
+              FROM counts QUALIFY rank <= 50)
+            SELECT rank, w, cnt,
+                   cnt::DOUBLE / total_tokens::DOUBLE AS share,
+                   CAST(SUM(cnt) OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT)::DOUBLE / total_tokens::DOUBLE
+                     AS cum_coverage
+            FROM ranked, tot
+        """,
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS INT) AS n_tokens
+              FROM documents)
+            SELECT doc_id,
+                   CAST(s // 48 AS INT) AS chunk_idx,
+                   CAST(s AS INT) AS start_tok,
+                   CAST(least(64, n_tokens - s) AS INT) AS chunk_len
+            FROM (SELECT doc_id, n_tokens,
+                         unnest(generate_series(0, n_tokens - 1, 48)) AS s
+                  FROM t WHERE n_tokens > 0)
         """,
         "event_transitions": """
             SELECT prev_type, next_type, count(*) AS cnt FROM (
