@@ -1,0 +1,99 @@
+"""Property-based invariants (hypothesis) for the determinism-critical
+operators: these hold for ANY input, not just the driver tables, so they
+pin the algebraic contracts the oracle gate relies on. Example counts
+are kept small — each example pays a Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+_settings = settings(max_examples=5, deadline=None)
+
+
+@st.composite
+def _token_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    return [(i, draw(st.integers(min_value=0, max_value=5000))) for i in range(n)]
+
+
+@given(rows=_token_rows())
+@_settings
+def test_pack_sequences_offsets_partition_the_stream(spark, rows):
+    """For any token counts: per shard, start offsets are the exclusive
+    cumsum (contiguous, gap-free) and chunk ids are consistent."""
+    from flink_helloworld_spark.operators.sampling import pack_sequences
+
+    import hashlib
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", capacity=512, shards=4).collect()
+    assert len(out) == len(rows)
+
+    def h(doc_id: int) -> int:  # replay sampling._hash_bucket
+        return int(hashlib.md5(f"pack{doc_id}".encode()).hexdigest()[:15], 16) % 10000
+
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        # the operator's order is (hash, doc_id) — zero-token docs make
+        # (start_offset, doc_id) ambiguous, so replay the real order
+        rs.sort(key=lambda r: (h(r.doc_id), r.doc_id))
+        expect = 0
+        for r in rs:
+            assert r.start_offset == expect
+            assert r.chunk_id == r.start_offset // 512
+            expect += r.n_tokens
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_settings
+def test_salted_sum_equals_plain_sum(spark, rows):
+    """Salting must be invisible: exact-decimal two-level aggregation
+    equals the plain groupBy for any values and any key mix."""
+    from flink_helloworld_spark.operators.skew import salted_sum
+
+    data = [(k, float(v) / 100.0, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, v double, rid long")
+    salted = {
+        r.k: (r.total, r.cnt)
+        for r in salted_sum(df, "k", "v", "rid", buckets=4).collect()
+    }
+    plain = {
+        r.k: (r.total, r.cnt)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=12
+    )
+)
+@_settings
+def test_exact_duplicates_partitions_rows(spark, texts):
+    """keep + copies accounting: n_copies sums to the row count and each
+    distinct text appears exactly once, for arbitrary (incl. empty and
+    whitespace-only) texts."""
+    from flink_helloworld_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = exact_duplicates(df).collect()
+    assert sum(r.n_copies for r in out) == len(texts)
+    assert len({r.text_hash for r in out}) == len(out)
+    assert len(out) == len(set(texts))
