@@ -219,3 +219,44 @@ def streaming_kmv_distinct_job(
     return hashed.groupBy(group).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_ingest_job(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    time_col: str = "event_time",
+    text_col: str = "text",
+    min_words: int = 3,
+    delay: str = "10 minutes",
+):
+    """Streaming corpus ingest: the pretrain-prep front half as one
+    continuous query — cheap per-row quality gate (word count + non-empty
+    after trim), exact content dedup within the watermark horizon, then
+    the partitioned lake sink. Returns the started-ready DataStreamWriter
+    (caller .start()s it).
+
+    Scale shape: the quality filter is a stateless row predicate (no
+    state, pushes into the scan); dedup state is bounded by the
+    watermark window; the sink partitions by ingest date so downstream
+    batch jobs (corpus_clean's LSH stage, packing) prune to fresh
+    partitions. This is the streaming complement of `pretrain_prep` —
+    heavy near-dup/LSH work stays in scheduled batch over the lake.
+    """
+    from flink_helloworld_spark.operators.dedup import _words
+
+    filtered = stream.where(
+        (F.size(_words(F.col(text_col))) >= min_words)
+        & (F.trim(F.col(text_col)) != "")
+    )
+    deduped = (
+        filtered.withWatermark(time_col, delay)
+        .withColumn("content_hash", F.md5(F.col(text_col)))
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    dated = deduped.withColumn("ingest_date", F.to_date(F.col(time_col)))
+    from flink_helloworld_spark.streaming.sinks import partitioned_lake_sink
+
+    return partitioned_lake_sink(
+        dated, sink_path, checkpoint_dir, ["ingest_date"]
+    )

@@ -185,3 +185,45 @@ def test_streaming_kmv_matches_batch_recompute(spark):
     }
     assert final == expect
     assert final["view"][1] == 10 and final["view"][2] == 10.0  # exact below k
+
+
+def test_streaming_ingest_job_filters_dedups_partitions(spark):
+    """Streaming pretrain-prep front half: low-quality rows dropped,
+    watermark-window duplicates suppressed, lake partitioned by date."""
+    import glob
+
+    from flink_helloworld_spark.streaming.jobs import streaming_ingest_job
+
+    workdir = tempfile.mkdtemp(prefix="ingest-src-")
+    sink = tempfile.mkdtemp(prefix="ingest-lake-")
+    ck = tempfile.mkdtemp(prefix="ingest-ck-")
+    base = 1704067200000  # 2024-01-01
+    day = 86400000
+    batches = [
+        [(1, "the quick brown fox jumps", base),
+         (2, "xx", base),                              # < 3 words: dropped
+         (3, "the quick brown fox jumps", base + 1)],   # dup of 1: dropped
+        [(4, "an entirely different document body", base + day)],
+    ]
+    t0 = time.time() - 30
+    for i, rows in enumerate(batches):
+        p = os.path.join(workdir, f"b{i:02d}.parquet")
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ms"])
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(workdir)
+        .withColumn("event_time", F.timestamp_millis(F.col("ms")))
+    )
+    q = streaming_ingest_job(stream, sink, ck, min_words=3).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    rows = {r.doc_id for r in out.collect()}
+    assert rows == {1, 4}
+    # hive partition dirs by ingest date
+    parts = {os.path.basename(p) for p in glob.glob(os.path.join(sink, "ingest_date=*"))}
+    assert parts == {"ingest_date=2024-01-01", "ingest_date=2024-01-02"}
