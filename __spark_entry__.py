@@ -338,6 +338,33 @@ def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_tokens", capacity=2048, shards=8)
 
 
+def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # join-pruning sketch: per-event-type 256-bit bloom over user_id;
+    # probe 5 known-ish ids + 3 absent ids per type. false = definitely
+    # absent (the pruning guarantee both engines replay bit-for-bit)
+    from flink_helloworld_spark.operators.rollups import (
+        bloom_filter_build,
+        bloom_might_contain,
+    )
+
+    ev = load_tables(spark, sf_dir).events
+    filters = bloom_filter_build(ev, "event_type", "user_id")
+    probes = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.array(
+                    *[F.lit(i).cast("long") for i in (1, 2, 3, 4, 5)],
+                    *[F.lit(i).cast("long") for i in (999999991, 999999992, 999999993)],
+                )
+            ).alias("user_id"),
+        )
+    )
+    return bloom_might_contain(filters, probes, "event_type", "user_id")
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer planning: top-50 vocabulary with each term's share of
     # ALL token occurrences and the running (cumulative) coverage — the
@@ -1386,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_enrich": _q_salted_enrich,
         "event_transitions": _q_event_transitions,
         "vocab_coverage": _q_vocab_coverage,
+        "bloom_membership": _q_bloom_membership,
         "chunk_documents": _q_chunk_documents,
         "retention_cohorts": _q_retention_cohorts,
         "pack_sequences": _q_pack_sequences,
@@ -2157,6 +2185,18 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'holdout' ELSE 'train' END AS split,
                    count(*) AS cnt
             FROM documents GROUP BY 1
+        """,
+        "bloom_membership": """
+            WITH filters AS (
+              SELECT event_type, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 0 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 0 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 0 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_0, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 1 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 1 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 1 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_1, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 2 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 2 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 2 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_2, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 3 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 3 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 3 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_3, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 4 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 4 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 4 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_4, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 5 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 5 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 5 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_5, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 6 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 6 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 6 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_6, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 7 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 7 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 7 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_7, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 8 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 8 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 8 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_8, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 9 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 9 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 9 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_9, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 10 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 10 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 10 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_10, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 11 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 11 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 11 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_11, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 12 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 12 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 12 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_12, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 13 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 13 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 13 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_13, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 14 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 14 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 14 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_14, bit_or(CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 15 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 15 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END | CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 15 THEN (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT))) ELSE 0::BIGINT END) AS lane_15
+              FROM events GROUP BY event_type),
+            probes AS (
+              SELECT event_type, unnest([1, 2, 3, 4, 5,
+                     999999991, 999999992, 999999993]::BIGINT[]) AS user_id
+              FROM (SELECT DISTINCT event_type FROM events))
+            SELECT p.event_type, p.user_id,
+                   ((CASE WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 0 THEN lane_0 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 1 THEN lane_1 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 2 THEN lane_2 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 3 THEN lane_3 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 4 THEN lane_4 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 5 THEN lane_5 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 6 THEN lane_6 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 7 THEN lane_7 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 8 THEN lane_8 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 9 THEN lane_9 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 10 THEN lane_10 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 11 THEN lane_11 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 12 THEN lane_12 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 13 THEN lane_13 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 14 THEN lane_14 WHEN (('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 15 THEN lane_15 END) & (1::BIGINT << (CAST((('0x' || substr(md5('b0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT)))) != 0 AND ((CASE WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 0 THEN lane_0 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 1 THEN lane_1 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 2 THEN lane_2 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 3 THEN lane_3 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 4 THEN lane_4 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 5 THEN lane_5 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 6 THEN lane_6 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 7 THEN lane_7 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 8 THEN lane_8 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 9 THEN lane_9 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 10 THEN lane_10 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 11 THEN lane_11 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 12 THEN lane_12 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 13 THEN lane_13 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 14 THEN lane_14 WHEN (('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 15 THEN lane_15 END) & (1::BIGINT << (CAST((('0x' || substr(md5('b1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT)))) != 0 AND ((CASE WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 0 THEN lane_0 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 1 THEN lane_1 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 2 THEN lane_2 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 3 THEN lane_3 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 4 THEN lane_4 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 5 THEN lane_5 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 6 THEN lane_6 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 7 THEN lane_7 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 8 THEN lane_8 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 9 THEN lane_9 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 10 THEN lane_10 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 11 THEN lane_11 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 12 THEN lane_12 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 13 THEN lane_13 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 14 THEN lane_14 WHEN (('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) // 63 = 15 THEN lane_15 END) & (1::BIGINT << (CAST((('0x' || substr(md5('b2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1008) % 63 AS INT)))) != 0 AS might_contain
+            FROM probes p JOIN filters USING (event_type)
         """,
         "vocab_coverage": """
             WITH counts AS (

@@ -324,3 +324,72 @@ def histogram_quantiles(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+
+BLOOM_LANES = 16  # 16 lanes x 63 usable bits = 1008-bit filter
+BLOOM_LANE_BITS = 63  # bit 63 is the BIGINT sign bit: DuckDB rejects 1<<63
+
+
+def bloom_filter_build(
+    df: DataFrame, group: str, value: str, k_hashes: int = 3
+) -> DataFrame:
+    """Portable Bloom filter per group: a 1008-bit array as 16 BIGINT
+    lanes, each value setting ``k_hashes`` md5-derived bits, lanes
+    combined with bit_or (associative — map-side combinable, mergeable
+    across partitions/days like the other sketches).
+
+    This is the join-pruning sketch: ship a group's filter to the probe
+    side and drop non-members before the shuffle. Unlike Spark's own
+    runtime bloom filters (engine-private layout), these lanes are plain
+    integers any engine reproduces bit-for-bit. Built entirely in SQL
+    expression form because shiftleft's shift must be computed per row
+    (F.shiftleft takes only literals)."""
+    m = BLOOM_LANES * BLOOM_LANE_BITS
+    pos_exprs = [
+        f"pmod(CAST(conv(substring(md5(concat('b{i}:', CAST({value} AS STRING))),"
+        f" 1, 15), 16, 10) AS BIGINT), {m})"
+        for i in range(k_hashes)
+    ]
+    lane_cols = []
+    for lane in range(BLOOM_LANES):
+        contribs = [
+            f"IF({p} DIV {BLOOM_LANE_BITS} = {lane},"
+            f" shiftleft(1L, CAST(pmod({p}, {BLOOM_LANE_BITS}) AS INT)), 0L)"
+            for p in pos_exprs
+        ]
+        lane_cols.append(F.expr(" | ".join(contribs)).alias(f"_l{lane}"))
+    per_row = df.select(F.col(group), *lane_cols)
+    return per_row.groupBy(group).agg(
+        *[
+            F.expr(f"bit_or(_l{lane})").alias(f"lane_{lane}")
+            for lane in range(BLOOM_LANES)
+        ]
+    )
+
+
+def bloom_might_contain(
+    filters: DataFrame, probes: DataFrame, group: str, value: str, k_hashes: int = 3
+) -> DataFrame:
+    """Probe a built filter table: (group, value, might_contain). False
+    means DEFINITELY absent (the pruning guarantee); true may be a
+    false positive at the documented ~(1-e^(-kn/m))^k rate."""
+    m = BLOOM_LANES * BLOOM_LANE_BITS
+    pos_exprs = [
+        f"pmod(CAST(conv(substring(md5(concat('b{i}:', CAST({value} AS STRING))),"
+        f" 1, 15), 16, 10) AS BIGINT), {m})"
+        for i in range(k_hashes)
+    ]
+    checks = []
+    for p in pos_exprs:
+        lane_val = " ".join(
+            f"WHEN {p} DIV {BLOOM_LANE_BITS} = {lane} THEN lane_{lane}"
+            for lane in range(BLOOM_LANES)
+        )
+        checks.append(
+            f"((CASE {lane_val} END) & shiftleft(1L,"
+            f" CAST(pmod({p}, {BLOOM_LANE_BITS}) AS INT))) != 0L"
+        )
+    return probes.join(F.broadcast(filters), group).select(
+        group, value, F.expr(" AND ".join(checks)).alias("might_contain")
+    )

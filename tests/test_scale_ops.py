@@ -257,3 +257,23 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         for r in salted_join(ev, dim, "user_id", "event_id", buckets=8).collect()
     }
     assert salted == plain
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    from flink_helloworld_spark.operators.rollups import (
+        bloom_filter_build,
+        bloom_might_contain,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(100)], "g string, v long"
+    )
+    filters = bloom_filter_build(df, "g", "v")
+    present = spark.createDataFrame([("g", i) for i in range(100)], "g string, v long")
+    out = bloom_might_contain(filters, present, "g", "v").collect()
+    assert all(r.might_contain for r in out)  # NEVER a false negative
+    absent = spark.createDataFrame(
+        [("g", i) for i in range(10_000, 10_200)], "g string, v long"
+    )
+    fp = sum(r.might_contain for r in bloom_might_contain(filters, absent, "g", "v").collect())
+    assert fp / 200 < 0.15  # 1008 bits, n=100, k=3 -> ~2% expected
