@@ -338,6 +338,42 @@ def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_tokens", capacity=2048, shards=8)
 
 
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANALYZE-style data profile of lineitem in ONE scan: per column,
+    # null count, exact min/max, and the portable-HLL distinct estimate
+    # (so profiles of shards merge like any other sketch)
+    from flink_helloworld_spark.operators.rollups import hll_distinct
+
+    li = load_tables(spark, sf_dir).lineitem
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_discount"]
+    # sv = the ORIGINAL type's string form for hashing (integer columns
+    # must hash as "123", not "123.0"); v = double for min/max/null
+    long = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("sv"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.sv", "s.v")
+    basic = long.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    distinct_est = hll_distinct(long, "col_name", "sv").select(
+        "col_name", "distinct_estimate"
+    )
+    return basic.join(distinct_est, "col_name")
+
+
 def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join-pruning sketch: per-event-type 256-bit bloom over user_id;
     # probe 5 known-ish ids + 3 absent ids per type. false = definitely
@@ -1414,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "vocab_coverage": _q_vocab_coverage,
         "bloom_membership": _q_bloom_membership,
+        "table_profile": _q_table_profile,
         "chunk_documents": _q_chunk_documents,
         "retention_cohorts": _q_retention_cohorts,
         "pack_sequences": _q_pack_sequences,
@@ -2185,6 +2222,41 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'holdout' ELSE 'train' END AS split,
                    count(*) AS cnt
             FROM documents GROUP BY 1
+        """,
+        "table_profile": """
+            WITH long AS (
+              SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS sv, l_orderkey::DOUBLE AS v FROM lineitem
+              UNION ALL SELECT 'l_partkey' AS col_name, CAST(l_partkey AS VARCHAR) AS sv, l_partkey::DOUBLE AS v FROM lineitem
+              UNION ALL SELECT 'l_suppkey' AS col_name, CAST(l_suppkey AS VARCHAR) AS sv, l_suppkey::DOUBLE AS v FROM lineitem
+              UNION ALL SELECT 'l_quantity' AS col_name, CAST(l_quantity AS VARCHAR) AS sv, l_quantity::DOUBLE AS v FROM lineitem
+              UNION ALL SELECT 'l_discount' AS col_name, CAST(l_discount AS VARCHAR) AS sv, l_discount::DOUBLE AS v FROM lineitem),
+            basic AS (
+              SELECT col_name, count(*) AS n_rows,
+                     CAST(coalesce(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END),
+                          0) AS BIGINT) AS n_null,
+                     min(v) AS min_v, max(v) AS max_v
+              FROM long GROUP BY col_name),
+            h AS (
+              SELECT col_name,
+                ('0x' || substr(md5(sv), 1, 2))::BIGINT % 64 AS bucket,
+                ('0x' || substr(md5(sv), 3, 12))::BIGINT AS w
+              FROM long),
+            regs AS (
+              SELECT col_name, bucket,
+                max(CASE WHEN w > 0 THEN 49 - length(bin(w)) ELSE 49 END) AS m_j
+              FROM h GROUP BY 1, 2),
+            g AS (
+              SELECT col_name,
+                SUM(1::BIGINT << (49 - m_j)) AS s,
+                CAST(64 - count(*) AS INT) AS n_zero
+              FROM regs GROUP BY 1),
+            est AS (
+              SELECT col_name,
+                round(CASE WHEN 1.634842693532509e+18 / (s + n_zero::BIGINT * 562949953421312::BIGINT)::DOUBLE <= 160.0 AND n_zero > 0
+                           THEN 64.0 * ln(64.0 / n_zero::DOUBLE) ELSE 1.634842693532509e+18 / (s + n_zero::BIGINT * 562949953421312::BIGINT)::DOUBLE END, 6) AS distinct_estimate
+              FROM g)
+            SELECT b.col_name, n_rows, n_null, min_v, max_v, distinct_estimate
+            FROM basic b JOIN est USING (col_name)
         """,
         "bloom_membership": """
             WITH filters AS (
