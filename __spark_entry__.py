@@ -338,6 +338,39 @@ def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_tokens", capacity=2048, shards=8)
 
 
+def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the when-to-salt diagnostic: per candidate key column, the hottest
+    # key's share of rows and the hot/median frequency ratio — the two
+    # numbers that predict reducer overload before a shuffle is planned
+    ev = load_tables(spark, sf_dir).events
+    parts = []
+    for c in ("user_id", "event_type"):
+        freq = ev.groupBy(F.col(c).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        parts.append(
+            freq.agg(
+                F.lit(c).alias("key_column"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("cnt").alias("hot_cnt"),
+                F.sum("cnt").alias("n_rows"),
+                F.percentile("cnt", F.lit(0.5)).alias("median_cnt"),
+            ).select(
+                "key_column",
+                "n_keys",
+                "hot_cnt",
+                (F.col("hot_cnt").cast("double") / F.col("n_rows").cast("double"))
+                .alias("hot_share"),
+                (F.col("hot_cnt").cast("double") / F.col("median_cnt"))
+                .alias("hot_over_median"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANALYZE-style data profile of lineitem in ONE scan: per column,
     # null count, exact min/max, and the portable-HLL distinct estimate
@@ -1451,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "bloom_membership": _q_bloom_membership,
         "table_profile": _q_table_profile,
+        "skew_report": _q_skew_report,
         "chunk_documents": _q_chunk_documents,
         "retention_cohorts": _q_retention_cohorts,
         "pack_sequences": _q_pack_sequences,
@@ -2222,6 +2256,28 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'holdout' ELSE 'train' END AS split,
                    count(*) AS cnt
             FROM documents GROUP BY 1
+        """,
+        "skew_report": """
+            WITH f1 AS (
+              SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt
+              FROM events GROUP BY 1),
+            f2 AS (
+              SELECT event_type AS k, count(*) AS cnt
+              FROM events GROUP BY 1),
+            s1 AS (
+              SELECT 'user_id' AS key_column, count(*) AS n_keys,
+                     max(cnt) AS hot_cnt,
+                     CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                     quantile_cont(cnt, 0.5) AS median_cnt
+              FROM f1),
+            s2 AS (
+              SELECT 'event_type', count(*), max(cnt),
+                     CAST(SUM(cnt) AS BIGINT), quantile_cont(cnt, 0.5)
+              FROM f2)
+            SELECT key_column, n_keys, hot_cnt,
+                   hot_cnt::DOUBLE / n_rows::DOUBLE AS hot_share,
+                   hot_cnt::DOUBLE / median_cnt AS hot_over_median
+            FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
         """,
         "table_profile": """
             WITH long AS (
