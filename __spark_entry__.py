@@ -338,6 +338,12 @@ def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_tokens", capacity=2048, shards=8)
 
 
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # asymmetric containment over LSH candidates: catches boilerplate-
+    # wrapped near-supersets that symmetric Jaccard misses
+    return D.containment_pairs(load_tables(spark, sf_dir).documents)
+
+
 def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the when-to-salt diagnostic: per candidate key column, the hottest
     # key's share of rows and the hot/median frequency ratio — the two
@@ -1485,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _q_bloom_membership,
         "table_profile": _q_table_profile,
         "skew_report": _q_skew_report,
+        "dedup_containment": _q_dedup_containment,
         "chunk_documents": _q_chunk_documents,
         "retention_cohorts": _q_retention_cohorts,
         "pack_sequences": _q_pack_sequences,
@@ -2256,6 +2263,24 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'holdout' ELSE 'train' END AS split,
                    count(*) AS cnt
             FROM documents GROUP BY 1
+        """,
+        "dedup_containment": f"""
+            WITH {_shingle_ctes()}, {_sig_cte()},
+            buckets AS (SELECT doc_id, 0 AS band_id, md5(sig0::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 1 AS band_id, md5(sig1::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 2 AS band_id, md5(sig2::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 3 AS band_id, md5(sig3::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 4 AS band_id, md5(sig4::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 5 AS band_id, md5(sig5::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 6 AS band_id, md5(sig6::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 7 AS band_id, md5(sig7::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 8 AS band_id, md5(sig8::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 9 AS band_id, md5(sig9::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 10 AS band_id, md5(sig10::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 11 AS band_id, md5(sig11::VARCHAR) AS band_key FROM sig),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM buckets x JOIN buckets y
+                ON x.band_id = y.band_id AND x.band_key = y.band_key
+               AND x.doc_id < y.doc_id)
+            SELECT doc_a, doc_b,
+              len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / nullif(len(sa.sh)::DOUBLE, 0.0) AS containment_a_in_b,
+              len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / nullif(len(sb.sh)::DOUBLE, 0.0) AS containment_b_in_a
+            FROM cand
+            JOIN sh sa ON doc_a = sa.doc_id
+            JOIN sh sb ON doc_b = sb.doc_id
+            WHERE containment_a_in_b >= 0.8 OR containment_b_in_a >= 0.8
         """,
         "skew_report": """
             WITH f1 AS (

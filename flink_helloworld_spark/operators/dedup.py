@@ -470,3 +470,59 @@ def incremental_dedup(
             .alias("status"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 12,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric containment dedup: |A∩B| / |A| per candidate pair in
+    BOTH directions. High containment with low Jaccard is the signature
+    of a document wrapped in boilerplate (nav chrome, license headers) —
+    the case symmetric Jaccard dedup systematically misses.
+
+    Candidates come from the same LSH machinery as minhash_dedup_pairs
+    but banded 12x1 (any matching minhash ⇒ candidate): a contained doc
+    shares only a fraction of the superset's shingles, so the symmetric
+    4x3 banding would miss it — rows=1 trades candidate volume for the
+    recall containment needs (still a bucket self-join, never N²). The
+    shingle table is computed once and persisted across branches.
+    """
+    sh = share(shingle_table(docs, text_col, shingle_n))
+    buckets = _buckets_from_shingles(sh, num_hashes, bands)
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    return (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double")
+             / F.nullif(F.size("sa.sh").cast("double"), F.lit(0.0))
+             ).alias("containment_a_in_b"),
+            (inter.cast("double")
+             / F.nullif(F.size("sb.sh").cast("double"), F.lit(0.0))
+             ).alias("containment_b_in_a"),
+        )
+        .where(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+    )

@@ -370,3 +370,25 @@ def test_pq_assign_nearest_codebook_entry(spark):
             ]
             expect = min(dists)[1]
             assert out[vid][j] == expect, (vid, j)
+
+
+def test_containment_catches_boilerplate_wrap(spark):
+    """A doc wrapped in heavy boilerplate has low Jaccard but high
+    containment (core ⊂ wrapped) — containment_pairs must flag it."""
+    core = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    wrapped = (
+        "nav home about products contact login register search menu footer "
+        + core
+        + " copyright terms privacy cookies sitemap newsletter subscribe social"
+    )
+    docs = spark.createDataFrame(
+        [(1, core), (2, wrapped)], "doc_id long, text string"
+    )
+    out = D.containment_pairs(docs, threshold=0.8).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert r.containment_a_in_b >= 0.99      # core fully inside wrapped
+    assert r.containment_b_in_a < 0.5        # far from symmetric-dup
+    # symmetric Jaccard would NOT have called this a dup at 0.5
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    assert all(not p.is_dup for p in pairs)
