@@ -1283,6 +1283,28 @@ _Q18_SQL = """
 """
 
 
+_Q19_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+def _q_sql_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape: OR-of-ANDs across both join sides — the
+    # disjunctive-predicate stress case for join planning
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q19_SQL)
+
+
 def _q_sql_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q22 adaptation (slim schema has no phone country codes):
     # above-average-balance customers with NO orders since 2000-01-01 —
@@ -1546,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_q10_returns": _q_sql_q10_returns,
         "sql_q14_promo": _q_sql_q14_promo,
         "sql_q18_large_orders": _q_sql_q18_large_orders,
+        "sql_q19_disjunct": _q_sql_q19_disjunct,
         "sql_q22_idle_customers": _q_sql_q22_idle_customers,
         "sql_q8_market_share": _q_sql_q8_market_share,
         "sql_q13_order_dist": _q_sql_q13_order_dist,
@@ -2976,6 +2999,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "sql_q18_large_orders": _Q18_SQL,
+        "sql_q19_disjunct": _Q19_SQL,
         "sql_q22_idle_customers": f"""
             SELECT c_mktsegment, count(*) AS n_cust,
                    {_sum_d('c_acctbal', 'total_bal')}
