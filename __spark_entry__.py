@@ -377,6 +377,13 @@ def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # audio modality plumbing: Arrow decode stage (stubbed codec) +
+    # window framing counts — completes the image/video/audio trio
+    docs = load_tables(spark, sf_dir).documents
+    return MM.decode_audio_features(MM.attach_binary(docs))
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANALYZE-style data profile of lineitem in ONE scan: per column,
     # null count, exact min/max, and the portable-HLL distinct estimate
@@ -1512,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "bloom_membership": _q_bloom_membership,
         "table_profile": _q_table_profile,
+        "multimodal_audio": _q_multimodal_audio,
         "skew_report": _q_skew_report,
         "dedup_containment": _q_dedup_containment,
         "chunk_documents": _q_chunk_documents,
@@ -2326,6 +2334,19 @@ def oracle_sql() -> dict[str, str]:
                    hot_cnt::DOUBLE / n_rows::DOUBLE AS hot_share,
                    hot_cnt::DOUBLE / median_cnt AS hot_over_median
             FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        """,
+        "multimodal_audio": """
+            SELECT doc_id,
+              CAST((octet_length(encode(text)) * 10 + 249) // 250 AS INT)
+                AS n_windows,
+              CAST(CASE ('0x' || substr(md5(text), 7, 1))::INT % 4
+                   WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                   WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+              CAST(octet_length(encode(text)) * 10 AS INT) AS duration_ms,
+              CAST(('0x' || substr(md5(text), 8, 4))::BIGINT % 1000 AS INT)
+                AS rms_q,
+              TRUE AS decode_ok
+            FROM documents
         """,
         "table_profile": """
             WITH long AS (

@@ -129,3 +129,60 @@ def frame_sample(media: DataFrame, every_n: int = 10, n_frames_col: str = "size_
             F.sequence(F.lit(0), F.col(n_frames_col).cast("int") - 1, F.lit(every_n))
         ).alias("frame_index"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_windows", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("rms_q", IntegerType()),
+        StructField("decode_ok", BooleanType()),
+    ]
+)
+
+
+def _fake_audio_decode(payload: bytes) -> tuple[int, int, int]:
+    """DETERMINISTIC FAKE audio decoder (no audio libs in container):
+    sample rate and quantized RMS derived from the payload md5; duration
+    proportional to byte length. Replace with soundfile/librosa when a
+    real codec exists."""
+    h = hashlib.md5(payload).hexdigest()
+    sample_rate = (8000, 16000, 22050, 44100)[int(h[6], 16) % 4]
+    duration_ms = len(payload) * 10
+    rms_q = int(h[7:11], 16) % 1000
+    return sample_rate, duration_ms, rms_q
+
+
+def decode_audio_features(media: DataFrame, window_ms: int = 250) -> DataFrame:
+    """Audio twin of ``decode_image_features``: Arrow-batched
+    ``mapInPandas``, partition-preserving, no shuffle. Emits per-clip
+    stats plus the window count a framing stage would explode to
+    (``ceil(duration / window)`` — the audio analog of frame_sample)."""
+    use_real = _real_decoder_available()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real:  # pragma: no cover
+                raise NotImplementedError(
+                    "real codec path: wire soundfile.read(io.BytesIO(payload)) here"
+                )
+            feats = [_fake_audio_decode(bytes(p)) for p in pdf["payload"]]
+            durations = [f[1] for f in feats]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_windows": [
+                        (d + window_ms - 1) // window_ms for d in durations
+                    ],
+                    "sample_rate": [f[0] for f in feats],
+                    "duration_ms": durations,
+                    "rms_q": [f[2] for f in feats],
+                    "decode_ok": True,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, AUDIO_FEATURES_SCHEMA
+    )

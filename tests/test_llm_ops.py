@@ -392,3 +392,16 @@ def test_containment_catches_boilerplate_wrap(spark):
     # symmetric Jaccard would NOT have called this a dup at 0.5
     pairs = D.minhash_dedup_pairs(docs, threshold=0.5).collect()
     assert all(not p.is_dup for p in pairs)
+
+
+def test_audio_decode_deterministic_windows(spark):
+    docs = _docs(spark, ["short clip", "a somewhat longer audio document body"])
+    media = MM.attach_binary(docs)
+    out = {r.doc_id: r for r in MM.decode_audio_features(media).collect()}
+    for r in out.values():
+        assert r.sample_rate in (8000, 16000, 22050, 44100)
+        assert r.duration_ms == r.duration_ms  # present
+        assert r.n_windows == (r.duration_ms + 249) // 250
+        assert 0 <= r.rms_q < 1000 and r.decode_ok
+    again = {r.doc_id: r.rms_q for r in MM.decode_audio_features(media).collect()}
+    assert again == {k: v.rms_q for k, v in out.items()}
