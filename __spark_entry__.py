@@ -377,6 +377,12 @@ def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Simpson diversity (1 - sum p^2) per doc at char + word level: the
+    # repetitiveness signal without entropy's engine-variant ln()
+    return T.char_diversity(load_tables(spark, sf_dir).documents)
+
+
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audio modality plumbing: Arrow decode stage (stubbed codec) +
     # window framing counts — completes the image/video/audio trio
@@ -1520,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _q_bloom_membership,
         "table_profile": _q_table_profile,
         "multimodal_audio": _q_multimodal_audio,
+        "text_diversity": _q_text_diversity,
         "skew_report": _q_skew_report,
         "dedup_containment": _q_dedup_containment,
         "chunk_documents": _q_chunk_documents,
@@ -2334,6 +2341,39 @@ def oracle_sql() -> dict[str, str]:
                    hot_cnt::DOUBLE / n_rows::DOUBLE AS hot_share,
                    hot_cnt::DOUBLE / median_cnt AS hot_over_median
             FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        """,
+        "text_diversity": """
+            WITH t AS (
+              SELECT doc_id,
+                regexp_extract_all(text, '.', 0) AS chars,
+                list_filter(string_split(text, ' '), w -> w <> '') AS words
+              FROM documents),
+            c AS (
+              SELECT doc_id, chars, words,
+                list_transform(list_distinct(chars),
+                  v -> CAST(len(list_filter(chars, x -> x = v)) AS BIGINT))
+                  AS ccounts,
+                list_transform(list_distinct(words),
+                  v -> CAST(len(list_filter(words, x -> x = v)) AS BIGINT))
+                  AS wcounts
+              FROM t)
+            SELECT doc_id,
+              CAST(len(list_distinct(chars)) AS INT) AS n_distinct_chars,
+              CAST(len(chars) AS INT) AS n_chars,
+              CASE WHEN len(chars) > 0 THEN
+                1.0 - CAST(list_sum(list_transform(ccounts, x -> x * x))
+                           AS BIGINT)::DOUBLE
+                    / (CAST(len(chars) AS BIGINT)
+                       * CAST(len(chars) AS BIGINT))::DOUBLE
+              END AS char_diversity,
+              CAST(len(list_distinct(words)) AS INT) AS n_distinct_words,
+              CASE WHEN len(words) > 0 THEN
+                1.0 - CAST(list_sum(list_transform(wcounts, x -> x * x))
+                           AS BIGINT)::DOUBLE
+                    / (CAST(len(words) AS BIGINT)
+                       * CAST(len(words) AS BIGINT))::DOUBLE
+              END AS word_diversity
+            FROM c
         """,
         "multimodal_audio": """
             SELECT doc_id,

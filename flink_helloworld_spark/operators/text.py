@@ -203,3 +203,42 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("content_fp"),
         piece_min.alias("piece_fp"),
     )
+
+
+def char_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Simpson diversity (1 - Σp²) at character and word
+    level — the low-diversity signal (keyboard mashing, repeated tokens)
+    without entropy's ln(): Σcnt² is exact integer arithmetic, so the
+    index is bit-deterministic in any engine and any partitioning,
+    where a float Σ p·ln p would be neither (summation order + last-ulp
+    libm differences).
+    """
+    chars = F.expr(f"regexp_extract_all({text_col}, '.', 0)")
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+
+    def simpson(arr: Column) -> Column:
+        # Σ over distinct values of count² via a sorted-run trick would
+        # need a shuffle; aggregate over the distinct set stays per-row
+        counts = F.transform(
+            F.array_distinct(arr),
+            lambda v: F.size(F.filter(arr, lambda x: x == v)).cast("long"),
+        )
+        sum_sq = F.aggregate(
+            F.transform(counts, lambda c: c * c),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        n = F.size(arr).cast("long")
+        return F.when(
+            n > 0,
+            1.0 - sum_sq.cast("double") / (n * n).cast("double"),
+        ).otherwise(F.lit(None).cast("double"))
+
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(chars)).alias("n_distinct_chars"),
+        F.size(chars).alias("n_chars"),
+        simpson(chars).alias("char_diversity"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        simpson(words).alias("word_diversity"),
+    )
