@@ -81,6 +81,12 @@ HEADLINE = [
     "sql_q13_order_dist",
     "sql_q17_small_qty",
     "pretrain_prep",
+    "dedup_containment",
+    "table_profile",
+    "bloom_membership",
+    "vocab_coverage",
+    "retention_cohorts",
+    "sql_q19_disjunct",
 ]
 
 

@@ -507,19 +507,32 @@ def containment_pairs(
         )
         .distinct()
     )
-    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-    return (
+    # materialize the intersection size as its own projection: it feeds
+    # both containment ratios, and CollapseProject would otherwise inline
+    # the O(|A|+|B|) array_intersect into each use (computed twice)
+    sized = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            (inter.cast("double")
-             / F.nullif(F.size("sa.sh").cast("double"), F.lit(0.0))
-             ).alias("containment_a_in_b"),
-            (inter.cast("double")
-             / F.nullif(F.size("sb.sh").cast("double"), F.lit(0.0))
-             ).alias("containment_b_in_a"),
+            F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+            .cast("double")
+            .alias("_inter"),
+            F.size("sa.sh").cast("double").alias("_na"),
+            F.size("sb.sh").cast("double").alias("_nb"),
+        )
+    )
+    return (
+        sized.select(
+            "doc_a",
+            "doc_b",
+            (F.col("_inter") / F.nullif(F.col("_na"), F.lit(0.0))).alias(
+                "containment_a_in_b"
+            ),
+            (F.col("_inter") / F.nullif(F.col("_nb"), F.lit(0.0))).alias(
+                "containment_b_in_a"
+            ),
         )
         .where(
             (F.col("containment_a_in_b") >= threshold)
