@@ -414,6 +414,9 @@ def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.col_name", "s.sv", "s.v")
+    # NOTE: the melt feeds two aggregation branches but is a cheap
+    # projection — recomputing it beats caching it (measured 6.1s vs
+    # 9.1s warm at sf0.1), unlike the LSH subtree in pretrain_prep
     basic = long.groupBy("col_name").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
