@@ -430,7 +430,7 @@ def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # join-pruning sketch: per-event-type 256-bit bloom over user_id;
+    # join-pruning sketch: per-event-type 1008-bit bloom over user_id;
     # probe 5 known-ish ids + 3 absent ids per type. false = definitely
     # absent (the pruning guarantee both engines replay bit-for-bit)
     from flink_helloworld_spark.operators.rollups import (
@@ -472,11 +472,13 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    # distributed TakeOrdered picks the 50, THEN the tiny result is
+    # ranked — a bare row_number window would global-sort every distinct
+    # word in one task (same pattern as bm25_search's top-n)
+    top = counts.orderBy(F.col("cnt").desc(), "w").limit(50)
     w_rank = Window.orderBy(F.col("cnt").desc(), "w")
-    ranked = (
-        counts.withColumn("rank", F.row_number().over(w_rank))
-        .where(F.col("rank") <= 50)
-        .join(F.broadcast(total))
+    ranked = top.withColumn("rank", F.row_number().over(w_rank)).join(
+        F.broadcast(total)
     )
     w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
     return ranked.select(

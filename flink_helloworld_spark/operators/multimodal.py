@@ -155,12 +155,21 @@ def _fake_audio_decode(payload: bytes) -> tuple[int, int, int]:
     return sample_rate, duration_ms, rms_q
 
 
+def _real_audio_decoder_available() -> bool:
+    try:  # pragma: no cover - container has no audio libs
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_audio_features(media: DataFrame, window_ms: int = 250) -> DataFrame:
     """Audio twin of ``decode_image_features``: Arrow-batched
     ``mapInPandas``, partition-preserving, no shuffle. Emits per-clip
     stats plus the window count a framing stage would explode to
     (``ceil(duration / window)`` — the audio analog of frame_sample)."""
-    use_real = _real_decoder_available()
+    use_real = _real_audio_decoder_available()  # NOT the image (PIL) probe
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -373,7 +373,9 @@ def bloom_might_contain(
 ) -> DataFrame:
     """Probe a built filter table: (group, value, might_contain). False
     means DEFINITELY absent (the pruning guarantee); true may be a
-    false positive at the documented ~(1-e^(-kn/m))^k rate."""
+    false positive at the documented ~(1-e^(-kn/m))^k rate. A probe
+    whose group has no built filter is definitely absent → false (left
+    join, not inner — an inner join would silently drop the row)."""
     m = BLOOM_LANES * BLOOM_LANE_BITS
     pos_exprs = [
         f"pmod(CAST(conv(substring(md5(concat('b{i}:', CAST({value} AS STRING))),"
@@ -390,6 +392,10 @@ def bloom_might_contain(
             f"((CASE {lane_val} END) & shiftleft(1L,"
             f" CAST(pmod({p}, {BLOOM_LANE_BITS}) AS INT))) != 0L"
         )
-    return probes.join(F.broadcast(filters), group).select(
-        group, value, F.expr(" AND ".join(checks)).alias("might_contain")
+    return probes.join(F.broadcast(filters), group, "left").select(
+        group,
+        value,
+        F.coalesce(F.expr(" AND ".join(checks)), F.lit(False)).alias(
+            "might_contain"
+        ),
     )

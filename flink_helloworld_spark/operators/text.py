@@ -214,7 +214,7 @@ def char_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     libm differences).
     """
     chars = F.expr(f"regexp_extract_all({text_col}, '.', 0)")
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    words = _words(F.col(text_col))
 
     def simpson(arr: Column) -> Column:
         # Σ over distinct values of count² via a sorted-run trick would

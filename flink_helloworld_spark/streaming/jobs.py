@@ -245,10 +245,9 @@ def streaming_ingest_job(
     """
     from flink_helloworld_spark.operators.dedup import _words
 
-    filtered = stream.where(
-        (F.size(_words(F.col(text_col))) >= min_words)
-        & (F.trim(F.col(text_col)) != "")
-    )
+    # min_words >= 1 already implies non-blank (the word split drops
+    # empty tokens), so the single predicate is the whole quality gate
+    filtered = stream.where(F.size(_words(F.col(text_col))) >= min_words)
     deduped = (
         filtered.withWatermark(time_col, delay)
         .withColumn("content_hash", F.md5(F.col(text_col)))

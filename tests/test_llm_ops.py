@@ -397,10 +397,13 @@ def test_containment_catches_boilerplate_wrap(spark):
 def test_audio_decode_deterministic_windows(spark):
     docs = _docs(spark, ["short clip", "a somewhat longer audio document body"])
     media = MM.attach_binary(docs)
+    texts = {r.doc_id: r.text for r in media.join(
+        _docs(spark, ["short clip", "a somewhat longer audio document body"])
+        .select("doc_id", "text"), "doc_id").collect()}
     out = {r.doc_id: r for r in MM.decode_audio_features(media).collect()}
-    for r in out.values():
+    for doc_id, r in out.items():
         assert r.sample_rate in (8000, 16000, 22050, 44100)
-        assert r.duration_ms == r.duration_ms  # present
+        assert r.duration_ms == len(texts[doc_id].encode()) * 10
         assert r.n_windows == (r.duration_ms + 249) // 250
         assert 0 <= r.rms_q < 1000 and r.decode_ok
     again = {r.doc_id: r.rms_q for r in MM.decode_audio_features(media).collect()}
