@@ -1445,6 +1445,286 @@ _Q17_SQL = """
 """
 
 
+# --- TPC-H remaining shapes, slim-schema adaptations -----------------------
+# The driver schema has no partsupp/shipmode/commitdate/receiptdate, so
+# Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 below keep each query's CANONICAL SHAPE
+# (correlated scalar min, EXISTS semi-join, profit rollup, HAVING vs a
+# global scalar, conditional class counts, distinct-count + anti-join,
+# nested semi-join chain, double-correlated EXISTS) on the columns that
+# exist: lineitem is its own part-supplier bridge, "late" means shipped
+# >N days after the order date, and p_retailprice stands in for supply
+# cost. Each runs the SAME SQL text on Spark and DuckDB.
+
+
+def _q_sql_q2_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 shape: each qualifying part's cheapest EUROPE supplier.
+    # The oracle keeps the canonical correlated-scalar-subquery SQL; the
+    # Spark plan decorrelates it the way you'd want at 100 TB: both
+    # broadcast dimension filters push BELOW the offers aggregation (the
+    # agg input shrinks ~1000x before the only big shuffle), then one
+    # window-min per part replaces the second full aggregation the
+    # correlated form would recompute.
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    parts_f = t.part.where(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_name")
+    eu_supp = (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(t.region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        t.lineitem.join(
+            F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            ).alias("uc")
+        )
+    )
+    w_min = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_uc", F.min("uc").over(w_min))
+        .where(F.col("uc") == F.col("min_uc"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("uc", 6).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# unit_cost: exact decimal sums cast to double, then ONE IEEE division —
+# bit-identical in both engines, so the correlated MIN equality is safe
+_Q2_SQL = """
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           round(o.unit_cost, 6) AS unit_cost
+    FROM part
+    JOIN offers o  ON p_partkey = o.l_partkey
+    JOIN supplier  ON s_suppkey = o.l_suppkey
+    JOIN nation    ON s_nationkey = n_nationkey
+    JOIN region    ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_type = 'LARGE'
+      AND p_size BETWEEN 10 AND 20
+      AND o.unit_cost = (
+          SELECT MIN(o2.unit_cost)
+          FROM offers o2
+          JOIN supplier s2 ON s2.s_suppkey = o2.l_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+          WHERE o2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+def _q_sql_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape: order-priority checking via EXISTS semi-join
+    # ("late" = any line shipped >30 days after the order date)
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q4_SQL)
+
+
+_Q4_SQL = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+def _q_sql_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q9 shape: product-type profit by (supplier nation, year);
+    # p_retailprice * quantity stands in for ps_supplycost
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q9_SQL)
+
+
+_Q9_SQL = """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+"""
+
+
+def _q_sql_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape: per-part value with HAVING against a global
+    # scalar subquery (decimal-exact on both sides of the comparison)
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q11_SQL)
+
+
+_Q11_SQL = """
+    SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                           AS DOUBLE) AS part_value
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))) > (
+        SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 0.002
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1')
+    ORDER BY part_value DESC, l_partkey
+"""
+
+
+def _q_sql_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape: conditional priority-class counts over late
+    # lines, grouped by l_returnflag (stand-in for l_shipmode)
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q12_SQL)
+
+
+_Q12_SQL = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+def _q_sql_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape: distinct-supplier counts per part attribute with
+    # a NOT IN anti-join (negative-balance suppliers as the
+    # "complaints" stand-in); lineitem is the part-supplier bridge
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q16_SQL)
+
+
+_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def _q_sql_q20_dominant_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q20 shape: nested semi-join chain — suppliers in one nation
+    # who shipped >20% of any small-part's 1997 volume (the "excess
+    # availability" predicate recast over observed shipments)
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q20_SQL)
+
+
+_Q20_SQL = """
+    WITH small_1997 AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    part_total AS (
+        SELECT l_partkey AS pk, SUM(qty) AS total_qty
+        FROM small_1997 GROUP BY l_partkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM small_1997
+          JOIN part_total ON l_partkey = pk
+          WHERE qty > 0.2 * total_qty)
+    ORDER BY s_name
+"""
+
+
+def _q_sql_q21_waiting_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape: double-correlated EXISTS / NOT EXISTS — the sole
+    # supplier who shipped late on a multi-supplier failed order
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(_Q21_SQL)
+
+
+_Q21_SQL = """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
 # --- capstone waybill pipeline (reference StateTest.java:639-872) ----------
 
 _WAYBILL_N = 500
@@ -1594,6 +1874,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_q13_order_dist": _q_sql_q13_order_dist,
         "sql_q15_top_supplier": _q_sql_q15_top_supplier,
         "sql_q17_small_qty": _q_sql_q17_small_qty,
+        "sql_q2_min_cost_supp": _q_sql_q2_min_cost_supp,
+        "sql_q4_priority": _q_sql_q4_priority,
+        "sql_q9_profit": _q_sql_q9_profit,
+        "sql_q11_important_parts": _q_sql_q11_important_parts,
+        "sql_q12_late_lines": _q_sql_q12_late_lines,
+        "sql_q16_supplier_cnt": _q_sql_q16_supplier_cnt,
+        "sql_q20_dominant_supp": _q_sql_q20_dominant_supp,
+        "sql_q21_waiting_supp": _q_sql_q21_waiting_supp,
     }
 
 
@@ -3086,6 +3374,14 @@ def oracle_sql() -> dict[str, str]:
         "sql_q13_order_dist": _Q13_SQL,
         "sql_q15_top_supplier": _Q15_SQL,
         "sql_q17_small_qty": _Q17_SQL,
+        "sql_q2_min_cost_supp": _Q2_SQL,
+        "sql_q4_priority": _Q4_SQL,
+        "sql_q9_profit": _Q9_SQL,
+        "sql_q11_important_parts": _Q11_SQL,
+        "sql_q12_late_lines": _Q12_SQL,
+        "sql_q16_supplier_cnt": _Q16_SQL,
+        "sql_q20_dominant_supp": _Q20_SQL,
+        "sql_q21_waiting_supp": _Q21_SQL,
         "dedup_clusters": f"""
             WITH RECURSIVE {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()},
             cand AS (
