@@ -87,6 +87,8 @@ HEADLINE = [
     "vocab_coverage",
     "retention_cohorts",
     "sql_q19_disjunct",
+    "sql_q9_profit",
+    "sql_q21_waiting_supp",
 ]
 
 

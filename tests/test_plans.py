@@ -214,3 +214,25 @@ def test_pretrain_prep_stays_jvm_side_with_broadcast_probe(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q2_filters_push_below_offers_aggregation(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = explain_str(
+        entry.queries()["sql_q2_min_cost_supp"](spark, sf_dir), "simple"
+    )
+    # the decorrelated Q2: part + EU-supplier dims broadcast BELOW the
+    # unit-cost aggregation (agg input pre-shrunk), lineitem scanned
+    # exactly once — the correlated form would aggregate it twice
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("Relation [l_orderkey") <= 1 or plan.count("lineitem") <= 1
+    assert "partial" in plan  # map-side combine on the offers agg
+
+
+def test_q4_exists_becomes_semi_join_not_cartesian(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = explain_str(entry.queries()["sql_q4_priority"](spark, sf_dir), "simple")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
