@@ -391,42 +391,16 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ANALYZE-style data profile of lineitem in ONE scan: per column,
-    # null count, exact min/max, and the portable-HLL distinct estimate
-    # (so profiles of shards merge like any other sketch)
-    from flink_helloworld_spark.operators.rollups import hll_distinct
+    # ANALYZE-style data profile of lineitem: per column, null count,
+    # exact min/max, and the portable-HLL distinct estimate (profiles of
+    # shards merge like any other sketch). profile_table fuses the
+    # basic-stats and HLL branches into ONE melt pass — basic stats
+    # ride the HLL's per-bucket level-1 aggregate (6.2s → one scan).
+    from flink_helloworld_spark.operators.rollups import profile_table
 
     li = load_tables(spark, sf_dir).lineitem
     cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_discount"]
-    # sv = the ORIGINAL type's string form for hashing (integer columns
-    # must hash as "123", not "123.0"); v = double for min/max/null
-    long = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("col_name"),
-                        F.col(c).cast("string").alias("sv"),
-                        F.col(c).cast("double").alias("v"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("s")
-    ).select("s.col_name", "s.sv", "s.v")
-    # NOTE: the melt feeds two aggregation branches but is a cheap
-    # projection — recomputing it beats caching it (measured 6.1s vs
-    # 9.1s warm at sf0.1), unlike the LSH subtree in pretrain_prep
-    basic = long.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
-        F.min("v").alias("min_v"),
-        F.max("v").alias("max_v"),
-    )
-    distinct_est = hll_distinct(long, "col_name", "sv").select(
-        "col_name", "distinct_estimate"
-    )
-    return basic.join(distinct_est, "col_name")
+    return profile_table(li, cols)
 
 
 def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:

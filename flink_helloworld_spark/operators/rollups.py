@@ -151,6 +151,103 @@ def hll_distinct(df: DataFrame, group: str, value: str) -> DataFrame:
     )
 
 
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style profile — per column: row/null counts, exact
+    min/max (as double), and the portable-HLL distinct estimate — in
+    ONE scan of the melted table.
+
+    The fusion trick: HLL is already a two-level aggregation (per-bucket
+    register max, then per-group register sum), and the first level's
+    ``(col_name, bucket)`` grain is strictly finer than the basic stats'
+    ``col_name`` grain — so count/null/min/max ride along in level 1 and
+    re-combine in level 2 (sum/sum/min/max are all re-aggregable).
+    Versus running the two branches separately this halves the melt
+    passes and md5 work; numerically it is IDENTICAL to
+    ``hll_distinct`` + a basic-stats aggregate (same expressions, same
+    integer register sum, same estimator literals).
+
+    Level-1 output is ``len(cols) * (HLL_M + 1)`` rows, so level 2 is
+    free at any scale; the only real shuffle is level 1's, keyed finer
+    than the group key (skew-resistant for wildly non-uniform columns).
+    """
+    long = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("sv"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.sv", "s.v")
+    # staged projections so every expensive expression is computed ONCE
+    # per row: inline, CollapseProject would re-inline md5 into both the
+    # bucket and w branches and conv into both rho references (measured
+    # 5.5s -> 3.7s warm at sf0.1). One 14-hex conv carries bucket AND w:
+    # top 8 bits (first 2 hex digits) = bucket source, low 48 = w —
+    # bit-identical to the two-substring form hll_distinct documents.
+    staged = (
+        long.select("col_name", F.md5(F.col("sv")).alias("h"), "v")
+        .select(
+            "col_name",
+            F.conv(F.substring(F.col("h"), 1, 14), 16, 10)
+            .cast("long")
+            .alias("x"),
+            "v",
+        )
+        .select(
+            "col_name",
+            (F.shiftright(F.col("x"), 48) % HLL_M).alias("bucket"),
+            F.col("x").bitwiseAND(F.lit((1 << 48) - 1)).alias("w"),
+            "v",
+        )
+    )
+    rho = F.when(
+        F.col("w") > 0, F.lit(49) - F.length(F.bin(F.col("w")))
+    ).otherwise(F.lit(49))
+    lvl1 = (
+        staged.select(
+            "col_name", "bucket", rho.cast("int").alias("rho"), F.col("v")
+        )
+        .groupBy("col_name", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("nn"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.max("rho").alias("m_j"),
+        )
+    )
+    lvl2 = lvl1.groupBy("col_name").agg(
+        F.sum("n").alias("n_rows"),
+        F.sum("nn").alias("n_null"),
+        F.min("mn").alias("min_v"),
+        F.max("mx").alias("max_v"),
+        F.sum(F.expr("shiftleft(1L, 49 - m_j)")).alias("s"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("int").alias("n_zero"),
+    )
+    s_total = F.col("s") + F.col("n_zero").cast("long") * F.lit(1 << 49).cast("long")
+    e_raw = F.lit(HLL_NUMER) / s_total.cast("double")
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / F.col("n_zero").cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero") > 0), lc
+    ).otherwise(e_raw)
+    return lvl2.select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "min_v",
+        "max_v",
+        F.round(est, 6).alias("distinct_estimate"),
+    )
+
+
 # --- Count-Min sketch ---------------------------------------------------
 
 CMS_D = 4  # hash rows
