@@ -443,20 +443,28 @@ def bloom_filter_build(
     expression form because shiftleft's shift must be computed per row
     (F.shiftleft takes only literals)."""
     m = BLOOM_LANES * BLOOM_LANE_BITS
-    pos_exprs = [
-        f"pmod(CAST(conv(substring(md5(concat('b{i}:', CAST({value} AS STRING))),"
-        f" 1, 15), 16, 10) AS BIGINT), {m})"
-        for i in range(k_hashes)
-    ]
+    # stage the k bit positions as real columns FIRST: inlined, each
+    # md5+conv position expression would be duplicated into every lane's
+    # DIV test and shift (16 lanes x 2 refs x k hashes md5 calls per row)
+    pos_staged = df.select(
+        F.col(group),
+        *[
+            F.expr(
+                f"pmod(CAST(conv(substring(md5(concat('b{i}:',"
+                f" CAST({value} AS STRING))), 1, 15), 16, 10) AS BIGINT), {m})"
+            ).alias(f"_p{i}")
+            for i in range(k_hashes)
+        ],
+    )
     lane_cols = []
     for lane in range(BLOOM_LANES):
         contribs = [
-            f"IF({p} DIV {BLOOM_LANE_BITS} = {lane},"
-            f" shiftleft(1L, CAST(pmod({p}, {BLOOM_LANE_BITS}) AS INT)), 0L)"
-            for p in pos_exprs
+            f"IF(_p{i} DIV {BLOOM_LANE_BITS} = {lane},"
+            f" shiftleft(1L, CAST(pmod(_p{i}, {BLOOM_LANE_BITS}) AS INT)), 0L)"
+            for i in range(k_hashes)
         ]
         lane_cols.append(F.expr(" | ".join(contribs)).alias(f"_l{lane}"))
-    per_row = df.select(F.col(group), *lane_cols)
+    per_row = pos_staged.select(F.col(group), *lane_cols)
     return per_row.groupBy(group).agg(
         *[
             F.expr(f"bit_or(_l{lane})").alias(f"lane_{lane}")
