@@ -714,6 +714,16 @@ def _q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF+PQ ADC search: probe coarse cells, scan 4-byte PQ codes
+    # (asymmetric distance), exact-re-rank the 16 survivors per query —
+    # the FAISS IVFPQ+refine topology, cell side shuffles codes not vectors
+    return S.ivfpq_topk(
+        load_tables(spark, sf_dir).embeddings,
+        k=5, n_centroids=16, n_probe=2, m=4, ksub=16, rerank=16,
+    )
+
+
 def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup: bucketed candidates, exact cosine ≥ τ
     # (τ=0.3 sized to the synthetic random embeddings; production would
@@ -1796,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": _q_similarity_lsh_topk,
         "similarity_topk_vectorized": _q_similarity_topk_vectorized,
         "similarity_ivf_topk": _q_similarity_ivf_topk,
+        "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "corpus_clean": _q_corpus_clean,
         "multimodal_decode": _q_multimodal_decode,
@@ -2274,6 +2285,96 @@ def _pq_sql(m: int = 4, ksub: int = 16, dims: int = 64) -> str:
                  FROM h QUALIFY row_number() OVER (ORDER BY _h, id) <= {ksub}),
         p AS (SELECT v.id, {', '.join(packs)} FROM v CROSS JOIN cent c)
         SELECT id AS vec_id, {codes} FROM p GROUP BY id
+    """
+
+
+def _ivfpq_sql(
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    dims: int = 64,
+    rerank: int = 16,
+) -> str:
+    """Replicates similarity.ivfpq_topk: md5-rank coarse centroids
+    (seed id) + PQ codebook (seed 'pq:id'), integer-packed code argmin,
+    fixed-order ADC sum rounded to micro-units, exact re-rank on
+    6-dp-rounded cosine."""
+    sub = dims // m
+
+    def sq_l2(j: int, a: str, b: str) -> str:
+        base = j * sub
+        d = f"({a}[{base} + i]::DOUBLE - {b}[{base} + i]::DOUBLE)"
+        return f"list_sum(list_transform(range(1, {sub + 1}), i -> {d} * {d}))"
+
+    packs = ", ".join(
+        f"round({sq_l2(j, 'v.vec', 'c.cbvec')} * 1000000.0)::BIGINT * {ksub}"
+        f" + c.cid AS _p{j}"
+        for j in range(m)
+    )
+    code_cols = ", ".join(
+        f"CAST(min(_p{j}) % {ksub} AS INT) AS code_{j}" for j in range(m)
+    )
+    adc_joins = "\n              ".join(
+        f"JOIN cbook b{j} ON cc.code_{j} = b{j}.cid" for j in range(m)
+    )
+    adc_sum = " + ".join(sq_l2(j, "p.qvec", f"b{j}.cbvec") for j in range(m))
+    return f"""
+        WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        h AS (SELECT id, vec,
+                ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS _h
+              FROM v),
+        cent AS (
+          SELECT id AS centroid_id, vec AS cvec FROM (
+            SELECT *, row_number() OVER (ORDER BY _h, id) AS _rn FROM h)
+          WHERE _rn <= {n_centroids}),
+        scored AS (
+          SELECT v.id, v.vec, c.centroid_id,
+                 {_dot_sql("v.vec", "c.cvec")}
+                   / nullif(sqrt({_dot_sql("v.vec", "v.vec")})
+                            * sqrt({_dot_sql("c.cvec", "c.cvec")}), 0.0) AS csim
+          FROM v CROSS JOIN cent c),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY id ORDER BY csim DESC, centroid_id) AS _crn
+          FROM scored),
+        cells AS (SELECT id, centroid_id FROM ranked WHERE _crn = 1),
+        probes AS (SELECT id AS query_id, vec AS qvec, centroid_id
+                   FROM ranked WHERE _crn <= {n_probe}),
+        hq AS (SELECT id, vec,
+                 ('0x' || substr(md5('pq:' || id::VARCHAR), 1, 15))::BIGINT AS _h
+               FROM v),
+        cbook AS (
+          SELECT row_number() OVER (ORDER BY _h, id) - 1 AS cid, vec AS cbvec
+          FROM hq QUALIFY row_number() OVER (ORDER BY _h, id) <= {ksub}),
+        packs AS (SELECT v.id, {packs} FROM v CROSS JOIN cbook c),
+        codes AS (SELECT id, {code_cols} FROM packs GROUP BY id),
+        cc AS (SELECT c.id AS neighbor_id, c.centroid_id,
+                      {", ".join(f"k.code_{j}" for j in range(m))}
+               FROM cells c JOIN codes k ON c.id = k.id),
+        cand AS (
+          SELECT p.query_id, p.qvec, cc.neighbor_id,
+                 round(({adc_sum}) * 1000000.0)::BIGINT AS adist_micro
+          FROM probes p
+              JOIN cc ON p.centroid_id = cc.centroid_id
+                     AND p.query_id <> cc.neighbor_id
+              {adc_joins}),
+        surv AS (
+          SELECT query_id, qvec, neighbor_id FROM cand
+          QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY adist_micro, neighbor_id) <= {rerank}),
+        rr AS (
+          SELECT s.query_id, s.neighbor_id,
+                 round({_dot_sql("s.qvec", "n.vec")}
+                   / nullif(sqrt({_dot_sql("s.qvec", "s.qvec")})
+                            * sqrt({_dot_sql("n.vec", "n.vec")}), 0.0), 6) AS cosine
+          FROM surv s JOIN v n ON s.neighbor_id = n.id)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM rr)
+        WHERE rank <= {k}
     """
 
 
@@ -3040,6 +3141,7 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             WHERE rank <= 5
         """,
+        "similarity_ivfpq_topk": _ivfpq_sql(),
         "similarity_topk_vectorized": _cosine_pairs_sql(
             "b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id",
             extra_cte=f"WITH b AS (SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings)",

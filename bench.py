@@ -48,6 +48,7 @@ HEADLINE = [
     "similarity_lsh_topk",
     "similarity_topk_vectorized",
     "similarity_ivf_topk",
+    "similarity_ivfpq_topk",
     "corpus_clean",
     "multimodal_decode",
     "tfidf_top_terms",

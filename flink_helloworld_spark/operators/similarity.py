@@ -387,6 +387,202 @@ def ivf_cosine_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    dims: int = 64,
+    rerank: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF+PQ approximate search — the full two-level ANN pipeline that
+    pairs ``ivf_cosine_topk`` (coarse cells) with ``pq_assign`` (code
+    compression): probe cells, scan COMPRESSED codes via asymmetric
+    distance computation (ADC), then exact-re-rank only the survivors.
+
+    Why this is the 100 TB shape: after the cell join, the scanned side
+    carries ``m`` small int codes (here 4 × 4 bits of information)
+    instead of ``dims`` doubles — the shuffle and the distance scan touch
+    ~64× less data than raw-vector IVF. Full vectors are re-fetched for
+    the final exact cosine only for the ≤``rerank`` ADC survivors per
+    query (a semi-join back to the vector table), which is the standard
+    FAISS IVFPQ + refine topology.
+
+    Determinism contract (oracle-exact): codebooks/centroids are md5-rank
+    samples (seeds ``id`` and ``pq:id``); ADC distances are fixed-order
+    sums of sequential per-subspace folds rounded to integer micro-units
+    before ranking; the final cosine is rounded to ``round_dp`` and
+    ranked on the rounded value with a neighbor-id tiebreak. Codes
+    quantize RAW vectors (not residuals) so the oracle can replay the
+    codebook without fitted state.
+    """
+    from pyspark.sql import Window
+
+    from flink_helloworld_spark.functions import md5_prefix_long
+
+    from ._cache import share
+
+    sub = dims // m
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("vnorm"),
+    )
+
+    # --- coarse quantizer: same md5-rank centroids as ivf_cosine_topk ---
+    cent = (
+        v.withColumn("_h", md5_prefix_long(F.col("id").cast("string")))
+        .withColumn("_rn", F.row_number().over(Window.orderBy(F.col("_h"), F.col("id"))))
+        .where(F.col("_rn") <= n_centroids)
+        .select(
+            F.col("id").alias("centroid_id"),
+            F.col("vec").alias("cvec"),
+            F.col("vnorm").alias("cnorm"),
+        )
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "id",
+        "vec",
+        "vnorm",
+        "centroid_id",
+        (
+            _dot(F.col("vec"), F.col("cvec"))
+            / F.nullif(F.col("vnorm") * F.col("cnorm"), F.lit(0.0))
+        ).alias("csim"),
+    )
+    w_assign = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
+    # assignment feeds cells AND probes — persist the N×C rank once
+    ranked = share(
+        scored.withColumn("_crn", F.row_number().over(w_assign)).where(
+            F.col("_crn") <= n_probe
+        )
+    )
+    cells = ranked.where(F.col("_crn") == 1).select("id", "centroid_id")
+    probes = ranked.select(F.col("id").alias("query_id"), "centroid_id")
+
+    # --- PQ codebook (seed 'pq:') + per-vector codes, as in pq_assign ---
+    cbook = (
+        v.withColumn("_h", md5_prefix_long(F.concat(F.lit("pq:"), F.col("id").cast("string"))))
+        .withColumn("_rn", F.row_number().over(Window.orderBy(F.col("_h"), F.col("id"))))
+        .where(F.col("_rn") <= ksub)
+        .select((F.col("_rn") - 1).alias("cid"), F.col("vec").alias("cbvec"))
+    )
+
+    def sq_l2(j: int, a: Column, b: Column) -> Column:
+        da = F.slice(a, j * sub + 1, sub)
+        db = F.slice(b, j * sub + 1, sub)
+        diff_sq = F.zip_with(
+            da, db,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        return F.aggregate(diff_sq, F.lit(0.0), lambda acc, d: acc + d)
+
+    packed = v.crossJoin(F.broadcast(cbook)).select(
+        "id",
+        *[
+            (
+                F.round(sq_l2(j, F.col("vec"), F.col("cbvec")) * 1_000_000.0).cast("long")
+                * ksub
+                + F.col("cid")
+            ).alias(f"_p{j}")
+            for j in range(m)
+        ],
+    )
+    codes = packed.groupBy("id").agg(
+        *[(F.min(f"_p{j}") % ksub).cast("int").alias(f"code_{j}") for j in range(m)]
+    )
+
+    # --- per-query ADC distance table: the classic PQ trick. One
+    # N×ksub broadcast pass computes every (subspace, code) distance,
+    # min-pivoted into an m·ksub array per vector, so the candidate scan
+    # below does m array lookups per pair instead of m folds over dims ---
+    dtab = (
+        v.crossJoin(F.broadcast(cbook))
+        .select(
+            "id",
+            "cid",
+            *[sq_l2(j, F.col("vec"), F.col("cbvec")).alias(f"_d{j}") for j in range(m)],
+        )
+        .groupBy("id")
+        .agg(
+            *[
+                F.min(F.when(F.col("cid") == c, F.col(f"_d{j}"))).alias(f"_t{j * ksub + c}")
+                for j in range(m)
+                for c in range(ksub)
+            ]
+        )
+        .select("id", F.array(*[f"_t{i}" for i in range(m * ksub)]).alias("dtab"))
+    )
+
+    # --- ADC scan: probes × coded cells; neighbor side is codes only ---
+    coded_cells = cells.join(codes, on="id").select(
+        F.col("id").alias("neighbor_id"), "centroid_id", *[f"code_{j}" for j in range(m)]
+    )
+    cand = (
+        probes.join(dtab, probes.query_id == dtab.id)
+        .drop("id")
+        .join(coded_cells, on="centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    adist = F.element_at(F.col("dtab"), F.col("code_0") + 1)
+    for j in range(1, m):
+        adist = adist + F.element_at(
+            F.col("dtab"), F.col(f"code_{j}") + F.lit(j * ksub) + 1
+        )
+    cand = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(adist * 1_000_000.0).cast("long").alias("adist_micro"),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adist_micro").asc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        cand.withColumn("_arn", F.row_number().over(w_adc))
+        .where(F.col("_arn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+
+    # --- exact re-rank: fetch full vectors for survivors only ---
+    qry = v.select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    nbr = v.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        F.col("vnorm").alias("nnorm"),
+    )
+    rr = (
+        survivors.join(nbr, on="neighbor_id")
+        .join(qry, on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("nvec"))
+                / F.nullif(F.col("qnorm") * F.col("nnorm"), F.lit(0.0)),
+                round_dp,
+            ).alias("cosine"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(w_final))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     k: int = 5,

@@ -408,3 +408,60 @@ def test_audio_decode_deterministic_windows(spark):
         assert 0 <= r.rms_q < 1000 and r.decode_ok
     again = {r.doc_id: r.rms_q for r in MM.decode_audio_features(media).collect()}
     assert again == {k: v.rms_q for k, v in out.items()}
+
+
+def test_ivfpq_topk_recall_and_determinism(spark, sf_dir):
+    """IVF+PQ ADC search: structural invariants (contiguous ranks,
+    distinct neighbors, bounded cosines), determinism across runs
+    (md5-rank centroids + codebooks — no fitted state), and meaningful
+    recall@1 against the raw-vector IVF path over the SAME probed cells
+    (PQ quantizes distances, so top-1 should usually survive the
+    compress-then-rerank funnel). Value semantics are pinned by the
+    DuckDB oracle (similarity_ivfpq_topk)."""
+    from flink_helloworld_spark.operators._cache import release_shared_caches
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir).embeddings
+    rows = S.ivfpq_topk(emb, k=5, n_centroids=16, n_probe=2, rerank=16).collect()
+    release_shared_caches()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert -1.000001 <= r.cosine <= 1.000001
+    for q, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), q
+        assert len({r.neighbor_id for r in rs}) == len(rs), q
+    again = S.ivfpq_topk(emb, k=5, n_centroids=16, n_probe=2, rerank=16).collect()
+    release_shared_caches()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # funnel equivalence: with rerank >= any cell's candidate count the
+    # ADC prune is a no-op, so IVF+PQ must reproduce raw-vector IVF
+    # exactly (same probed cells, same exact re-rank; cosine rounded 6dp)
+    ivf = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in S.ivf_cosine_topk(emb, k=5, n_centroids=16, n_probe=2).collect()
+    }
+    release_shared_caches()
+    full = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in S.ivfpq_topk(
+            emb, k=5, n_centroids=16, n_probe=2, rerank=1_000_000
+        ).collect()
+    }
+    release_shared_caches()
+    assert set(ivf) == set(full)
+    for key in ivf:
+        assert abs(ivf[key][1] - full[key][1]) < 1e-6
+    agree = sum(1 for key in ivf if ivf[key][0] == full[key][0])
+    assert agree / len(ivf) > 0.99
+    # compressed-prune recall@1 vs the no-prune funnel: ADC on 4×4-bit
+    # codes over UNIFORM random vectors is a worst case (cosine spread
+    # ~quantization error), so this is a breakage tripwire, not a
+    # quality bar — real clustered embeddings do far better
+    full_top1 = {q: n for (q, r), (n, _) in full.items() if r == 1}
+    pq_top1 = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    common = set(full_top1) & set(pq_top1)
+    assert common
+    recall1 = sum(1 for q in common if full_top1[q] == pq_top1[q]) / len(common)
+    assert recall1 > 0.4, recall1
