@@ -724,6 +724,23 @@ def _q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lloyd k-means, 2 fixed iterations: md5-rank seeds, integer-packed
+    # argmin assignment, id-sorted sequential-fold means (order-exact
+    # without decimal casts) — the clustering half of SemDeDup
+    from flink_helloworld_spark.operators import clustering as C
+
+    return C.kmeans_assign(load_tables(spark, sf_dir).embeddings, k=8, n_iter=2)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup: cluster then drop lower-cosine-neighbor duplicates
+    # within each cluster — quadratic work bounded by cluster size
+    from flink_helloworld_spark.operators import clustering as C
+
+    return C.semantic_dedup(load_tables(spark, sf_dir).embeddings, threshold=0.35)
+
+
 def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup: bucketed candidates, exact cosine ≥ τ
     # (τ=0.3 sized to the synthetic random embeddings; production would
@@ -1807,6 +1824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_vectorized": _q_similarity_topk_vectorized,
         "similarity_ivf_topk": _q_similarity_ivf_topk,
         "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
+        "embedding_kmeans": _q_embedding_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "corpus_clean": _q_corpus_clean,
         "multimodal_decode": _q_multimodal_decode,
@@ -2375,6 +2394,105 @@ def _ivfpq_sql(
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
           FROM rr)
         WHERE rank <= {k}
+    """
+
+
+def _kmeans_ctes(k: int = 8, n_iter: int = 2, dims: int = 64) -> str:
+    """CTE chain replicating clustering.kmeans_assign: md5-rank seeds
+    (seed 'km:'), integer-packed argmin, id-sorted sequential-fold
+    means. Ends with cent{n_iter} holding the final centroids."""
+
+    def sqd(vec: str, cvec: str) -> str:
+        d = f"({vec}[i]::DOUBLE - {cvec}[i]::DOUBLE)"
+        return f"list_sum(list_transform(range(1, {dims + 1}), i -> {d} * {d}))"
+
+    parts = [
+        "v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings)",
+        """hk AS (SELECT id, vec,
+             ('0x' || substr(md5('km:' || id::VARCHAR), 1, 15))::BIGINT AS _h
+           FROM v)""",
+        f"""cent0 AS (
+           SELECT row_number() OVER (ORDER BY _h, id) - 1 AS cid, vec AS cvec
+           FROM hk QUALIFY row_number() OVER (ORDER BY _h, id) <= {k})""",
+    ]
+    for it in range(n_iter):
+        parts.append(
+            f"""assign{it} AS (
+              SELECT id, CAST(_p % {k} AS INT) AS cid FROM (
+                SELECT v.id,
+                       min(round({sqd('v.vec', 'c.cvec')} * 1000000.0)::BIGINT
+                           * {k} + c.cid) AS _p
+                FROM v CROSS JOIN cent{it} c GROUP BY v.id))"""
+        )
+        parts.append(
+            f"""comp{it} AS (
+              SELECT a.cid, v.id, t.pos, v.vec[t.pos + 1]::DOUBLE AS val
+              FROM assign{it} a JOIN v ON a.id = v.id
+              CROSS JOIN generate_series(0, {dims - 1}) t(pos))"""
+        )
+        parts.append(
+            f"""means{it} AS (
+              SELECT cid, pos,
+                     list_sum(list_transform(
+                       list_sort(list(struct_pack(id := id, val := val))),
+                       s -> s.val)) / CAST(count(*) AS DOUBLE) AS m
+              FROM comp{it} GROUP BY cid, pos)"""
+        )
+        parts.append(
+            f"""cent{it + 1} AS (
+              SELECT cid, list_transform(
+                       list_sort(list(struct_pack(pos := pos, m := m))),
+                       s -> s.m) AS cvec
+              FROM means{it} GROUP BY cid)"""
+        )
+    return ",\n        ".join(parts)
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 2, dims: int = 64) -> str:
+    d = "(v.vec[i]::DOUBLE - c.cvec[i]::DOUBLE)"
+    sqd = f"list_sum(list_transform(range(1, {dims + 1}), i -> {d} * {d}))"
+    return f"""
+        WITH {_kmeans_ctes(k, n_iter, dims)},
+        fin AS (
+          SELECT v.id, c.cid, round({sqd}, 6) AS sq_dist,
+                 round({sqd} * 1000000.0)::BIGINT * {k} + c.cid AS _p
+          FROM v CROSS JOIN cent{n_iter} c)
+        SELECT id AS vec_id, CAST(cid AS INT) AS cluster_id, sq_dist FROM fin
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY _p) = 1
+    """
+
+
+def _semantic_dedup_sql(
+    threshold: float = 0.2, k: int = 8, n_iter: int = 2, dims: int = 64
+) -> str:
+    d = "(v.vec[i]::DOUBLE - c.cvec[i]::DOUBLE)"
+    sqd = f"list_sum(list_transform(range(1, {dims + 1}), i -> {d} * {d}))"
+    cos = (
+        f"{_dot_sql('a.vec', 'b.vec')}"
+        f" / nullif(sqrt({_dot_sql('a.vec', 'a.vec')})"
+        f" * sqrt({_dot_sql('b.vec', 'b.vec')}), 0.0)"
+    )
+    return f"""
+        WITH {_kmeans_ctes(k, n_iter, dims)},
+        fin AS (
+          SELECT v.id, c.cid,
+                 round({sqd} * 1000000.0)::BIGINT * {k} + c.cid AS _p
+          FROM v CROSS JOIN cent{n_iter} c),
+        sd AS (
+          SELECT id, CAST(cid AS INT) AS cluster_id FROM fin
+          QUALIFY row_number() OVER (PARTITION BY id ORDER BY _p) = 1),
+        vv AS (SELECT v.id, v.vec, sd.cluster_id
+               FROM v JOIN sd ON v.id = sd.id),
+        dropped AS (
+          SELECT DISTINCT b.id
+          FROM vv a JOIN vv b
+            ON a.cluster_id = b.cluster_id AND a.id < b.id
+          WHERE {cos} >= {threshold!r}),
+        out AS (
+          SELECT vv.id AS vec_id, vv.cluster_id,
+                 (d.id IS NULL) AS is_kept
+          FROM vv LEFT JOIN dropped d ON vv.id = d.id)
+        SELECT vec_id, cluster_id, is_kept FROM out
     """
 
 
@@ -3142,6 +3260,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "similarity_ivfpq_topk": _ivfpq_sql(),
+        "embedding_kmeans": _kmeans_sql(),
+        "semantic_dedup": _semantic_dedup_sql(threshold=0.35),
         "similarity_topk_vectorized": _cosine_pairs_sql(
             "b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id",
             extra_cte=f"WITH b AS (SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings)",

@@ -49,6 +49,8 @@ HEADLINE = [
     "similarity_topk_vectorized",
     "similarity_ivf_topk",
     "similarity_ivfpq_topk",
+    "embedding_kmeans",
+    "semantic_dedup",
     "corpus_clean",
     "multimodal_decode",
     "tfidf_top_terms",

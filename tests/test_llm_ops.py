@@ -465,3 +465,50 @@ def test_ivfpq_topk_recall_and_determinism(spark, sf_dir):
     assert common
     recall1 = sum(1 for q in common if full_top1[q] == pq_top1[q]) / len(common)
     assert recall1 > 0.4, recall1
+
+
+def test_kmeans_planted_blobs_separate(spark):
+    """Two well-separated blobs must end up in different clusters after
+    the Lloyd iterations, whatever the md5 seeding picked."""
+    from flink_helloworld_spark.operators import clustering as C
+
+    dim = 8
+    rows = []
+    for i in range(10):  # blob A: around +1 in dims 0-3
+        rows.append((i, [1.0 + 0.01 * i] * 4 + [0.0] * 4))
+    for i in range(10, 20):  # blob B: around +1 in dims 4-7
+        rows.append((i, [0.0] * 4 + [1.0 + 0.01 * i] * 4))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.cluster_id for r in C.kmeans_assign(emb, k=2, n_iter=2).collect()}
+    a_clusters = {out[i] for i in range(10)}
+    b_clusters = {out[i] for i in range(10, 20)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+
+
+def test_kmeans_assignment_deterministic(spark, sf_dir):
+    from flink_helloworld_spark.operators import clustering as C
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir).embeddings
+    one = sorted(map(tuple, C.kmeans_assign(emb, k=8, n_iter=2).collect()))
+    two = sorted(map(tuple, C.kmeans_assign(emb, k=8, n_iter=2).collect()))
+    assert one == two
+    assert all(0 <= cid < 8 and d >= 0 for (_, cid, d) in one)
+
+
+def test_semantic_dedup_drops_duplicate_keeps_unique(spark):
+    """An exact duplicate pair (cosine 1) must lose its higher id;
+    an orthogonal singleton must survive."""
+    from flink_helloworld_spark.operators import clustering as C
+
+    base = [0.5, 0.1, -0.3, 0.2]
+    ortho = [-0.1, 0.5, 0.2, 0.3]
+    emb = spark.createDataFrame(
+        [(1, base), (2, base), (3, ortho)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.is_kept for r in C.semantic_dedup(emb, threshold=0.9, k=2, n_iter=1).collect()}
+    assert out[1] is True
+    assert out[2] is False  # duplicate of 1, same cluster, cosine 1
+    assert out[3] is True

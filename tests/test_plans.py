@@ -236,3 +236,18 @@ def test_q4_exists_becomes_semi_join_not_cartesian(spark, sf_dir):
     plan = explain_str(entry.queries()["sql_q4_priority"](spark, sf_dir), "simple")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_plan_broadcasts_codebook_no_collect(spark, sf_dir):
+    """IVF+PQ contract: centroid/codebook sides are broadcast (never a
+    hash exchange of the full corpus against 16 rows), the ADC scan has
+    no Python eval node, and nothing materializes on the driver."""
+    from flink_helloworld_spark.operators import similarity as S
+    from flink_helloworld_spark.operators._cache import release_shared_caches
+
+    df = S.ivfpq_topk(load_tables(spark, sf_dir).embeddings, k=5)
+    plan = explain_str(df, "simple")
+    release_shared_caches()
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "BatchEvalPython" not in plan  # ADC is pure column exprs
+    assert "CollectLimit" not in plan
