@@ -502,6 +502,10 @@ def ivfpq_topk(
     # N×ksub broadcast pass computes every (subspace, code) distance,
     # min-pivoted into an m·ksub array per vector, so the candidate scan
     # below does m array lookups per pair instead of m folds over dims ---
+    def field(j: int):
+        # closure factory: a bare lambda in the loop would capture j late
+        return lambda s: s[f"_d{j}"]
+
     dtab = (
         v.crossJoin(F.broadcast(cbook))
         .select(
@@ -511,13 +515,14 @@ def ivfpq_topk(
         )
         .groupBy("id")
         .agg(
-            *[
-                F.min(F.when(F.col("cid") == c, F.col(f"_d{j}"))).alias(f"_t{j * ksub + c}")
-                for j in range(m)
-                for c in range(ksub)
-            ]
+            F.array_sort(
+                F.collect_list(F.struct("cid", *[f"_d{j}" for j in range(m)]))
+            ).alias("_ds")
         )
-        .select("id", F.array(*[f"_t{i}" for i in range(m * ksub)]).alias("dtab"))
+        .select(
+            "id",
+            F.concat(*[F.transform("_ds", field(j)) for j in range(m)]).alias("dtab"),
+        )
     )
 
     # --- ADC scan: probes × coded cells; neighbor side is codes only ---
