@@ -724,6 +724,13 @@ def _q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hashed exact-substring dedup: every 10-token sliding window (stride
+    # 1 — within-doc repeats count), one uniform-key hash agg; text never
+    # shuffles. The detection half of suffix-array span dedup.
+    return D.repeated_spans(load_tables(spark, sf_dir).documents, w=10)
+
+
 def _q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lloyd k-means, 2 fixed iterations: md5-rank seeds, integer-packed
     # argmin assignment, id-sorted sequential-fold means (order-exact
@@ -1825,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": _q_similarity_ivf_topk,
         "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
         "embedding_kmeans": _q_embedding_kmeans,
+        "repeated_spans": _q_repeated_spans,
         "semantic_dedup": _q_semantic_dedup,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "corpus_clean": _q_corpus_clean,
@@ -3261,6 +3269,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_ivfpq_topk": _ivfpq_sql(),
         "embedding_kmeans": _kmeans_sql(),
+        "repeated_spans": """
+            WITH t AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            s AS (SELECT doc_id, md5(array_to_string(ws[i:i+9], ' ')) AS span_hash
+                  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 10 + 2)) AS i
+                        FROM t WHERE len(ws) >= 10))
+            SELECT span_hash, count(*) AS n_occ,
+                   count(DISTINCT doc_id) AS n_docs,
+                   min(doc_id) AS exemplar_doc
+            FROM s GROUP BY span_hash HAVING count(*) >= 2
+        """,
         "semantic_dedup": _semantic_dedup_sql(threshold=0.35),
         "similarity_topk_vectorized": _cosine_pairs_sql(
             "b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id",

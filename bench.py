@@ -42,6 +42,7 @@ HEADLINE = [
     "json_extract",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "repeated_spans",
     "dedup_simhash",
     "text_quality",
     "text_lang_id",

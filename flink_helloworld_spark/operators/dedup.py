@@ -539,3 +539,46 @@ def containment_pairs(
             | (F.col("containment_b_in_a") >= threshold)
         )
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    w: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide repeated-span detection — the hashed form of
+    exact-substring dedup (the suffix-array approach of "Deduplicating
+    Training Data Makes Language Models Better", re-expressed as a
+    group-by): every w-token sliding window (stride 1, so within-doc
+    repeats count too, unlike the distinct-set ``shingles``) is hashed,
+    and spans occurring ``min_count``+ times across the corpus come back
+    as ``(span_hash, n_occ, n_docs, exemplar_doc)``.
+
+    Scale shape: window fan-out is linear in token count; the ONE
+    shuffle groups md5 span hashes (uniform keys, no skew) with map-side
+    partial counts — document text never shuffles. Production removal =
+    semi-join docs against flagged (doc, pos) windows and cut those byte
+    ranges; the detection pass here is the expensive, distributed half.
+    """
+    base = docs.select("doc_id", _words(F.col(text_col)).alias("_ws")).where(
+        F.size("_ws") >= w
+    )
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - w),
+                lambda i: F.md5(F.array_join(F.slice(F.col("_ws"), i + 1, w), " ")),
+            )
+        ).alias("span_hash"),
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("exemplar_doc"),
+        )
+        .where(F.col("n_occ") >= min_count)
+    )

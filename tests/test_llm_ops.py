@@ -512,3 +512,23 @@ def test_semantic_dedup_drops_duplicate_keeps_unique(spark):
     assert out[1] is True
     assert out[2] is False  # duplicate of 1, same cluster, cosine 1
     assert out[3] is True
+
+
+def test_repeated_spans_multiplicity_and_cross_doc(spark):
+    """A span shared by two docs AND repeated within one doc must count
+    every occurrence; unique spans never appear."""
+    shared = "a b c d e"
+    docs = _docs(
+        spark,
+        [
+            f"{shared} x y z {shared}",  # doc 0: span twice internally
+            f"p q {shared} r s",         # doc 1: once
+            "entirely unrelated words only once here",
+        ],
+    )
+    rows = D.repeated_spans(docs, w=5, min_count=2).collect()
+    by_occ = {(r.n_occ, r.n_docs) for r in rows}
+    # the 'a b c d e' window occurs 3 times across 2 docs
+    assert (3, 2) in by_occ
+    assert all(r.n_occ >= 2 for r in rows)
+    assert all(r.exemplar_doc in (0, 1, 2) for r in rows)
