@@ -731,6 +731,13 @@ def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.repeated_spans(load_tables(spark, sf_dir).documents, w=10)
 
 
+def _q_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc duplicated-span coverage: gaps-and-islands union of flagged
+    # 10-token windows, integer-exact; the drop-policy signal on top of
+    # repeated_spans
+    return D.repeated_span_coverage(load_tables(spark, sf_dir).documents, w=10)
+
+
 def _q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lloyd k-means, 2 fixed iterations: md5-rank seeds, integer-packed
     # argmin assignment, id-sorted sequential-fold means (order-exact
@@ -1833,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
         "embedding_kmeans": _q_embedding_kmeans,
         "repeated_spans": _q_repeated_spans,
+        "span_coverage": _q_span_coverage,
         "semantic_dedup": _q_semantic_dedup,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "corpus_clean": _q_corpus_clean,
@@ -3269,6 +3277,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_ivfpq_topk": _ivfpq_sql(),
         "embedding_kmeans": _kmeans_sql(),
+        "span_coverage": """
+            WITH t AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            sp AS (SELECT doc_id, i - 1 AS pos,
+                          md5(array_to_string(ws[i:i+9], ' ')) AS span_hash
+                   FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 10 + 2)) AS i
+                         FROM t WHERE len(ws) >= 10)),
+            flagged AS (SELECT span_hash FROM sp
+                        GROUP BY span_hash HAVING count(*) >= 2),
+            hits AS (SELECT doc_id, pos FROM sp JOIN flagged USING (span_hash)),
+            isl AS (SELECT doc_id, pos,
+                      CASE WHEN pos > coalesce(max(pos + 10) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             -1) THEN 1 ELSE 0 END AS brk
+                    FROM hits),
+            isl2 AS (SELECT doc_id, pos,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                     FROM isl),
+            cov AS (SELECT doc_id, CAST(SUM(len) AS BIGINT) AS covered FROM (
+                      SELECT doc_id, island, max(pos) + 10 - min(pos) AS len
+                      FROM isl2 GROUP BY doc_id, island)
+                    GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+                   coalesce(c.covered, 0) AS covered_tokens,
+                   coalesce(c.covered, 0)::DOUBLE
+                     / nullif(CAST(len(t.ws) AS DOUBLE), 0.0) AS dup_frac
+            FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
+        """,
         "repeated_spans": """
             WITH t AS (SELECT doc_id,
                          list_filter(string_split(text, ' '), x -> x <> '') AS ws

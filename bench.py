@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "repeated_spans",
+    "span_coverage",
     "dedup_simhash",
     "text_quality",
     "text_lang_id",

@@ -582,3 +582,71 @@ def repeated_spans(
         )
         .where(F.col("n_occ") >= min_count)
     )
+
+
+def repeated_span_coverage(
+    docs: DataFrame,
+    w: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span coverage: what fraction of each
+    doc's tokens sits inside a window that repeats (``min_count``+
+    occurrences corpus-wide)? The removal-policy half of
+    ``repeated_spans`` — pipelines drop or trim docs above a coverage
+    threshold instead of performing byte surgery.
+
+    Overlapping flagged windows are merged with a gaps-and-islands pass
+    (running max of interval ends, pure integer arithmetic — no float
+    crosses the engine boundary except the final ratio): covered tokens
+    = Σ island lengths. Scale shape: the span hash agg is the one wide
+    shuffle; the island pass partitions by doc_id, so state is bounded
+    by a single document's flagged windows.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select("doc_id", _words(F.col(text_col)).alias("_ws"))
+    base = words.where(F.size("_ws") >= w)
+    spans = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - w),
+                lambda i: F.md5(F.array_join(F.slice(F.col("_ws"), i + 1, w), " ")),
+            )
+        ).alias("pos", "span_hash"),
+    )
+    flagged = (
+        spans.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("span_hash")
+    )
+    hits = spans.join(flagged, on="span_hash").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + w).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hits.withColumn(
+        "_brk",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn("_island", F.sum("_brk").over(w_doc))
+    cov = (
+        isl.groupBy("doc_id", "_island")
+        .agg((F.max("pos") + w - F.min("pos")).alias("_len"))
+        .groupBy("doc_id")
+        .agg(F.sum("_len").alias("covered_tokens"))
+    )
+    return (
+        words.select("doc_id", F.size("_ws").cast("bigint").alias("n_tokens"))
+        .join(cov, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).alias("covered_tokens"),
+            (
+                F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+                / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0))
+            ).alias("dup_frac"),
+        )
+    )

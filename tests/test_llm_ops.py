@@ -532,3 +532,22 @@ def test_repeated_spans_multiplicity_and_cross_doc(spark):
     assert (3, 2) in by_occ
     assert all(r.n_occ >= 2 for r in rows)
     assert all(r.exemplar_doc in (0, 1, 2) for r in rows)
+
+
+def test_span_coverage_interval_union_math(spark):
+    """Overlapping flagged windows merge (no double count); disjoint
+    islands sum; clean docs report zero coverage."""
+    docs = _docs(
+        spark,
+        [
+            "x x x x",                    # two overlapping [0,3) [1,4) -> 4/4
+            "p q r s t u p q r",          # [0,3) and [6,9) -> 6/9
+            "k l m n",                    # unique -> 0/4
+        ],
+    )
+    got = {r.doc_id: r for r in D.repeated_span_coverage(docs, w=3).collect()}
+    assert (got[0].covered_tokens, got[0].n_tokens) == (4, 4)
+    assert got[0].dup_frac == 1.0
+    assert (got[1].covered_tokens, got[1].n_tokens) == (6, 9)
+    assert abs(got[1].dup_frac - 6 / 9) < 1e-12
+    assert (got[2].covered_tokens, got[2].dup_frac) == (0, 0.0)
