@@ -50,6 +50,17 @@ def md5_prefix_long(col: Column, seed: str = "") -> Column:
     return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
 
 
+def epoch_millis(col: Column | str) -> Column:
+    """Epoch milliseconds of a timestamp column, tolerant of both
+    TIMESTAMP and TIMESTAMP_NTZ inputs: the cast is a no-op on LTZ and
+    reinterprets NTZ under the engine's pinned UTC session zone (the
+    same reading DuckDB's naive timestamps get), so the value is
+    identical either way. Use this instead of bare ``unix_millis`` at
+    any site that touches externally-sourced timestamps."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp"))
+
+
 def words_of(text: Column) -> Column:
     """Whitespace tokenization shared by wordcount / text analysis /
     shingling (reference splits on a single space,

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_helloworld_spark.functions import epoch_millis
+
 
 def followed_by_within(
     events: DataFrame,
@@ -47,7 +49,7 @@ def followed_by_within(
         F.col(key),
         F.col(id_col),
         F.col(type_col),
-        F.unix_millis(F.col(ts_col)).alias("_tsm"),
+        epoch_millis(ts_col).alias("_tsm"),
     )
     frame = (
         Window.partitionBy(key)

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_helloworld_spark.functions import dsum
+from flink_helloworld_spark.functions import dsum, epoch_millis
 
 HASH_SPACE = float(1 << 60)  # 15 hex chars of md5
 
@@ -330,7 +330,7 @@ def time_bucket_gapfill(
     post-reduction, never against raw events. Row count is bounded by
     key_count × (time_span / bucket), independent of input size.
     """
-    tsm = F.unix_millis(F.col(time_col))
+    tsm = epoch_millis(time_col)
     bucket = (tsm - F.pmod(tsm, F.lit(bucket_ms))).alias("bucket")
     agg = df.groupBy(F.col(key), bucket).agg(
         F.count(F.lit(1)).alias("cnt"), dsum(value, "sum_value")

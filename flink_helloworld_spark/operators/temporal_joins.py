@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_helloworld_spark.functions import epoch_millis
+
 
 def as_of_join(
     left: DataFrame,
@@ -141,7 +143,7 @@ def range_join(
     lt = left.alias("l")
     rt = right.alias("r")
     diff_ms = F.abs(
-        F.unix_millis(F.col(f"l.{left_time}")) - F.unix_millis(F.col(f"r.{right_time}"))
+        epoch_millis(f"l.{left_time}") - epoch_millis(f"r.{right_time}")
     )
     return lt.join(
         rt, (F.col(f"l.{key}") == F.col(f"r.{key}")) & (diff_ms <= range_ms)

@@ -151,17 +151,87 @@ SCRIPTED_EVENT = StructType(
     ]
 )
 
-# --- driver test tables (TESTDATA.md) — names only; parquet carries types --
+# --- driver test tables (TESTDATA.md) -------------------------------------
+#
+# The engine's normalized column-type contract per table, as Catalyst
+# simpleString()s. The driver regenerates the parquet between rounds and
+# has already silently drifted physical types once (TIMESTAMP(NANOS) →
+# timestamp[us]-no-tz, which PySpark 4 infers as TIMESTAMP_NTZ and which
+# broke every unix_millis call site downstream). ``load_tables`` casts any
+# drifted column back to this contract at the scan, so drift surfaces as
+# (at worst) one extra Project — never as NTZ/INT96/etc. leaking into
+# operators. Timestamps are TIMESTAMP (session-UTC, required by
+# withWatermark and matching DuckDB's naive-UTC oracle semantics).
 
-TESTDATA_TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
+TESTDATA_CONTRACT: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {
+        "n_nationkey": "int",
+        "n_name": "string",
+        "n_regionkey": "int",
+    },
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": "array<float>",
+        "label": "int",
+    },
+}
+
+TESTDATA_TABLES = tuple(TESTDATA_CONTRACT)

@@ -14,7 +14,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_helloworld_spark.schemas import TESTDATA_TABLES
+from flink_helloworld_spark.schemas import TESTDATA_CONTRACT, TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -31,8 +31,10 @@ class Tables:
             raise KeyError(f"unknown table {name!r}; known: {TESTDATA_TABLES}")
         path = f"{self.sf_dir}/{name}.parquet"
         if name == "events":
-            return _read_events(self.spark, path)
-        return self.spark.read.parquet(path)
+            df = _read_events(self.spark, path)
+        else:
+            df = self.spark.read.parquet(path)
+        return _enforce_contract(name, df)
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TESTDATA_TABLES:
@@ -49,7 +51,41 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> Tables:
     # engine timestamp contract: UTC session semantics (oracle parity —
     # DuckDB timestamps are UTC-naive); safe to set at runtime
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # parquet timestamps without isAdjustedToUTC must still read as
+    # TIMESTAMP, not TIMESTAMP_NTZ — the driver's generator writes naive
+    # micros and every downstream unix_millis/withWatermark call site
+    # requires the LTZ type (values are identical under the pinned UTC
+    # session zone, so oracle parity is unaffected)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return Tables(spark=spark, sf_dir=sf_dir or DEFAULT_SF_DIR)
+
+
+def _enforce_contract(name: str, df: DataFrame) -> DataFrame:
+    """Schema-drift guard: cast any column whose physical type drifted
+    from the engine contract (TESTDATA_CONTRACT) back to it; fail loudly
+    if a contract column disappeared. When nothing drifted — the normal
+    case — the DataFrame is returned untouched, so there is no extra
+    Project over the scan and filter pushdown is unaffected.
+    """
+    contract = TESTDATA_CONTRACT[name]
+    have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = [c for c in contract if c not in have]
+    if missing:
+        raise ValueError(
+            f"testdata drift: table {name!r} lost contract columns "
+            f"{missing}; found {sorted(have)}"
+        )
+    drifted = {c: t for c, t in contract.items() if have[c] != t}
+    if not drifted:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(c).cast(drifted[c]).alias(c) if c in drifted else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:
@@ -58,11 +94,14 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which the vectorized
-    parquet reader rejects (Spark timestamps are microsecond). Read the
-    raw int64 nanos via the legacy conf and truncate to micros with exact
-    integer division (matching DuckDB's ns→µs truncation, so oracle
-    comparisons agree); double division would lose precision at 1e18 ns.
+    """The driver has generated events.ts as TIMESTAMP(NANOS) in some
+    rounds and timestamp[us]-no-tz in others. Handle both: NANOS is
+    rejected by the vectorized reader, so read the raw int64 nanos via
+    the legacy conf and truncate to micros with exact integer division
+    (matching DuckDB's ns→µs truncation, so oracle comparisons agree);
+    the no-tz micros case reads directly as TIMESTAMP because
+    inferTimestampNTZ is pinned off in load_tables (and _enforce_contract
+    backstops any remaining drift).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
