@@ -109,19 +109,40 @@ def main() -> None:
     warm = load_tables(spark, SF_DIR)
     for t in ("region", "lineitem", "orders", "customer", "events",
               "documents", "embeddings"):
-        # engine loader, not a plain read: events.parquet is
-        # TIMESTAMP(NANOS) and needs the legacy-conf + truncation path
-        getattr(warm, t).count()
+        # engine loader, not a plain read: it normalizes drifted
+        # timestamp types (nanos / NTZ) that a bare scan would leak
+        try:
+            getattr(warm, t).count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] warmup {t} failed: {exc}", file=sys.stderr)
     from flink_helloworld_spark.operators.dedup import release_shared_caches
 
-    timings: dict[str, float] = {}
+    # per-query error isolation: one broken query must never cost the
+    # round its entire bench record — log the error, keep timing the
+    # rest, and exit non-zero at the end if anything failed
+    timings: dict[str, object] = {}
+    failed: list[str] = []
     for name in HEADLINE:
-        fn = qs[name]
         t0 = time.time()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-        release_shared_caches()  # shingle cache must not leak across queries
-    total = round(sum(timings.values()), 3)
+        try:
+            qs[name](spark, SF_DIR).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            timings[name] = {
+                "err": f"{type(exc).__name__}: {exc}"[:300],
+                "sec": round(time.time() - t0, 3),
+            }
+            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+        finally:
+            # shingle cache must not leak across queries
+            release_shared_caches()
+    total = round(
+        sum(t if isinstance(t, float) else t["sec"] for t in timings.values()),
+        3,
+    )
     print(
         json.dumps(
             {
@@ -130,9 +151,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "failed": failed,
             }
         )
     )
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
