@@ -50,6 +50,26 @@ def md5_prefix_long(col: Column, seed: str = "") -> Column:
     return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
 
 
+def seed_topk(df, k: int, h_col: str = "_h", id_col: str = "id"):
+    """Distributed deterministic sample: the ``k`` rows with the lowest
+    ``(h_col, id_col)`` — md5-rank seed selection for k-means/IVF/PQ —
+    ranked 1..k in ``_rn``.
+
+    ``orderBy(...).limit(k)`` executes as TakeOrderedAndProject (a
+    per-partition k-row heap merged on one task's k·P rows), so every
+    executor only ships k candidates; the ranking window then runs over
+    at most k rows. This replaces the scale-killer alternative —
+    ``row_number().over(Window.orderBy(...))`` on the FULL table — which
+    funnels every row of a 100 TB scan through a single task before the
+    filter drops all but k of them. Output rows/order are identical.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(h_col).asc(), F.col(id_col).asc()]
+    top = df.orderBy(*order).limit(k)
+    return top.withColumn("_rn", F.row_number().over(Window.orderBy(*order)))
+
+
 def epoch_millis(col: Column | str) -> Column:
     """Epoch milliseconds of a timestamp column, tolerant of both
     TIMESTAMP and TIMESTAMP_NTZ inputs: the cast is a no-op on LTZ and

@@ -56,17 +56,15 @@ def kmeans_assign(
     """
     from pyspark.sql import Window
 
-    from flink_helloworld_spark.functions import md5_prefix_long
+    from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
 
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cent = (
+    cent = seed_topk(
         v.withColumn(
             "_h", md5_prefix_long(F.concat(F.lit("km:"), F.col("id").cast("string")))
-        )
-        .withColumn("_rn", F.row_number().over(Window.orderBy(F.col("_h"), F.col("id"))))
-        .where(F.col("_rn") <= k)
-        .select((F.col("_rn") - 1).alias("cid"), F.col("vec").alias("cvec"))
-    )
+        ),
+        k,
+    ).select((F.col("_rn") - 1).alias("cid"), F.col("vec").alias("cvec"))
 
     def assign(cent_df: DataFrame) -> DataFrame:
         packed = v.crossJoin(F.broadcast(cent_df)).select(

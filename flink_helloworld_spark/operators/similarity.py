@@ -321,18 +321,15 @@ def ivf_cosine_topk(
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("vnorm"),  # one norm per vector, reused below
     )
+    from flink_helloworld_spark.functions import seed_topk
+
     md5_rank = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
-    cent = (
-        v.withColumn("_h", md5_rank)
-        .withColumn("_rn", F.row_number().over(Window.orderBy(F.col("_h"), F.col("id"))))
-        .where(F.col("_rn") <= n_centroids)
-        .select(
-            F.col("id").alias("centroid_id"),
-            F.col("vec").alias("cvec"),
-            F.col("vnorm").alias("cnorm"),
-        )
+    cent = seed_topk(v.withColumn("_h", md5_rank), n_centroids).select(
+        F.col("id").alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
     )
     scored = v.crossJoin(F.broadcast(cent)).select(
         "id",
@@ -423,7 +420,7 @@ def ivfpq_topk(
     """
     from pyspark.sql import Window
 
-    from flink_helloworld_spark.functions import md5_prefix_long
+    from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
 
     from ._cache import share
 
@@ -435,15 +432,12 @@ def ivfpq_topk(
     )
 
     # --- coarse quantizer: same md5-rank centroids as ivf_cosine_topk ---
-    cent = (
-        v.withColumn("_h", md5_prefix_long(F.col("id").cast("string")))
-        .withColumn("_rn", F.row_number().over(Window.orderBy(F.col("_h"), F.col("id"))))
-        .where(F.col("_rn") <= n_centroids)
-        .select(
-            F.col("id").alias("centroid_id"),
-            F.col("vec").alias("cvec"),
-            F.col("vnorm").alias("cnorm"),
-        )
+    cent = seed_topk(
+        v.withColumn("_h", md5_prefix_long(F.col("id").cast("string"))), n_centroids
+    ).select(
+        F.col("id").alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
     )
     scored = v.crossJoin(F.broadcast(cent)).select(
         "id",
@@ -466,12 +460,12 @@ def ivfpq_topk(
     probes = ranked.select(F.col("id").alias("query_id"), "centroid_id")
 
     # --- PQ codebook (seed 'pq:') + per-vector codes, as in pq_assign ---
-    cbook = (
-        v.withColumn("_h", md5_prefix_long(F.concat(F.lit("pq:"), F.col("id").cast("string"))))
-        .withColumn("_rn", F.row_number().over(Window.orderBy(F.col("_h"), F.col("id"))))
-        .where(F.col("_rn") <= ksub)
-        .select((F.col("_rn") - 1).alias("cid"), F.col("vec").alias("cbvec"))
-    )
+    cbook = seed_topk(
+        v.withColumn(
+            "_h", md5_prefix_long(F.concat(F.lit("pq:"), F.col("id").cast("string")))
+        ),
+        ksub,
+    ).select((F.col("_rn") - 1).alias("cid"), F.col("vec").alias("cbvec"))
 
     def sq_l2(j: int, a: Column, b: Column) -> Column:
         da = F.slice(a, j * sub + 1, sub)
@@ -659,17 +653,12 @@ def pq_assign(
     from pyspark.sql import Window
 
     sub = dims // m
-    from flink_helloworld_spark.functions import md5_prefix_long
+    from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
 
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     md5_rank = md5_prefix_long(F.col("id").cast("string"))
-    cent = (
-        v.withColumn("_h", md5_rank)
-        .withColumn(
-            "_rn", F.row_number().over(Window.orderBy(F.col("_h"), F.col("id")))
-        )
-        .where(F.col("_rn") <= ksub)
-        .select((F.col("_rn") - 1).alias("cid"), F.col("vec").alias("cvec"))
+    cent = seed_topk(v.withColumn("_h", md5_rank), ksub).select(
+        (F.col("_rn") - 1).alias("cid"), F.col("vec").alias("cvec")
     )
 
     def sq_l2(j: int) -> Column:

@@ -251,3 +251,44 @@ def test_ivfpq_plan_broadcasts_codebook_no_collect(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
     assert "BatchEvalPython" not in plan  # ADC is pure column exprs
     assert "CollectLimit" not in plan
+
+
+def test_seed_sampling_is_distributed_takeordered(spark, sf_dir):
+    """Centroid/codebook seed selection must never funnel the full
+    embedding table through one task. seed_topk's contract: the k-row
+    cut executes as TakeOrderedAndProject (per-partition heaps), and the
+    only unpartitioned row_number window runs AFTER that limit — so the
+    WindowExec child is bounded by k rows, never the full scan."""
+    from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
+
+    emb = load_tables(spark, sf_dir).embeddings
+    v = emb.selectExpr("vec_id as id", "embedding as vec").withColumn(
+        "_h", md5_prefix_long(F.col("id").cast("string"))
+    )
+    plan = explain_str(seed_topk(v, 16), "simple")
+    assert "TakeOrderedAndProject" in plan
+    # the window sits above the limit, not above the scan: walking the
+    # plan text, TakeOrdered must appear BELOW (after) the Window node
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_kmeans_and_ivf_plans_have_no_full_table_sort(spark, sf_dir):
+    from flink_helloworld_spark.operators import similarity as S
+    from flink_helloworld_spark.operators._cache import release_shared_caches
+    from flink_helloworld_spark.operators.clustering import kmeans_assign
+
+    emb = load_tables(spark, sf_dir).embeddings
+    for df in (
+        kmeans_assign(emb, k=4, n_iter=1),
+        S.ivf_cosine_topk(emb, k=5, n_centroids=8),
+    ):
+        plan = explain_str(df, "simple")
+        release_shared_caches()
+        # every global Sort in the plan must be the TakeOrdered form;
+        # a bare global "Sort [...], true" over the scan would be the
+        # single-task pattern this test guards against (local
+        # per-partition sorts — "], false" — are fine)
+        assert "TakeOrderedAndProject" in plan
+        for line in plan.splitlines():
+            if "Sort [" in line and "], true" in line:
+                raise AssertionError(f"unexpected global sort node: {line}")
