@@ -28,6 +28,11 @@ def build_session(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Create (or reuse) a SparkSession with the engine's scale defaults."""
+    # must run pre-JVM so $PYTHONPATH reaches the Python workers:
+    # transformWithStateInPandas needs google.protobuf inside the worker
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)

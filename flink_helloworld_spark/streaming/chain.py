@@ -15,11 +15,14 @@ Flink performs for same-key pipelines, and it removes the parquet hop
 the two-stage capstone previously staged through.
 
 A re-key between stateful stages (the reference's order-id keyed stage
-feeding the waybill-keyed stage) still requires a second stateful
-operator; until ``transformWithStateInPandas`` is usable
-(streaming/tws.py, needs protobuf), that seam stages through a durable
-hop (streaming/coflatmap.py docstring). Everything on one side of the
-seam fuses into a single operator here.
+feeding the waybill-keyed stage) requires a second stateful operator;
+``streaming/tws.py``'s ``chain_stateful_join_tws`` /
+``capstone_single_query`` run that topology as ONE query on
+``transformWithStateInPandas`` (two different-key stateful operators
+chain; protobuf is vendored). This module remains the
+applyInPandasWithState form for same-key fusion — maximally portable,
+no protobuf needed — and the durable-hop pattern stays tested as the
+fallback for environments without stateful-v2.
 
 State is one JSON string per key: ``[{dim, buf}, ...]`` per stage,
 encoded with the typed codec from coflatmap (timestamps/decimals

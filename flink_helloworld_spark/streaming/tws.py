@@ -9,9 +9,11 @@ this module carries the forward port of the core pattern so migration
 is a swap, not a rewrite.
 
 Runtime requirement: the transformWithState Python worker speaks
-protobuf to the JVM (``google.protobuf`` import at query start) — absent
-in minimal installs; ``pip install protobuf`` (or pyspark[connect])
-enables it. tests/test_scale_ops.py skips gracefully where missing.
+protobuf to the JVM (``google.protobuf`` import at query start).
+``session.build_session`` calls ``_vendor.ensure_protobuf()`` pre-JVM,
+which prefers an installed protobuf and falls back to the vendored
+pure-Python runtime — so this module works out of the box here; tests
+still skip gracefully if neither copy imports.
 """
 
 from __future__ import annotations
@@ -77,4 +79,239 @@ def rolling_sum_tws(stream: DataFrame, key: str = "k") -> DataFrame:
             outputMode="append",
             timeMode="none",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-key stateful chaining: the reference's 4-stage capstone in ONE query
+# --------------------------------------------------------------------------
+
+
+class ChainJoinProcessor(StatefulProcessor):
+    """The fused buffer-until-dim chain of ``chain.chain_stateful_join``
+    (reference StateTest.java:639-872 semantics) on typed
+    transformWithState state. Unlike ``applyInPandasWithState`` — which
+    Spark caps at one per query — transformWithState operators CHAIN:
+    two of these with DIFFERENT grouping keys run in a single streaming
+    query, which is exactly the re-key seam Flink's capstone topology has
+    (order-id keyed join feeding the waybill-keyed join) and that the
+    durable-hop workaround previously staged through.
+
+    State: one JSON blob per key — ``[{dim, buf}, ...]`` per stage, the
+    same typed codec as coflatmap (timestamps/decimals round-trip).
+    """
+
+    def __init__(
+        self,
+        key: str,
+        fact_cols: list[str],
+        dim_cols: list[list[str]],
+        out_names: list[str],
+        seq_col: str,
+        max_buffer: int,
+        ttl_ms: int | None,
+    ) -> None:
+        self._key = key
+        self._fact_cols = fact_cols
+        self._dim_cols = dim_cols
+        self._out_names = out_names
+        self._seq_col = seq_col
+        self._max_buffer = max_buffer
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        schema = StructType([StructField("stages_json", StringType())])
+        if self._ttl_ms is not None:
+            self._state = handle.getValueState("chain", schema, self._ttl_ms)
+        else:
+            self._state = handle.getValueState("chain", schema)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        import json
+
+        from flink_helloworld_spark.streaming.coflatmap import _dec, _enc
+
+        n = len(self._dim_cols)
+        if self._state.exists():
+            raw = json.loads(self._state.get()[0])
+            stages = [
+                {
+                    "dim": None
+                    if s["dim"] is None
+                    else {k: _dec(v) for k, v in s["dim"].items()},
+                    "buf": [{k: _dec(v) for k, v in r.items()} for r in s["buf"]],
+                }
+                for s in raw
+            ]
+        else:
+            stages = [{"dim": None, "buf": []} for _ in range(n)]
+        out_rows: list[dict] = []
+
+        def cascade(rec: dict, i: int) -> None:
+            while i < n:
+                dim = stages[i]["dim"]
+                if dim is None:
+                    buf = stages[i]["buf"]
+                    stages[i]["buf"] = buf[-(self._max_buffer - 1):] + [rec]
+                    return
+                rec = {**rec, **dim}
+                i += 1
+            out_rows.append(rec)
+
+        # NB: the TWS serializer materializes rows via itertuples, which
+        # renames columns that start with "_" to positional names — so the
+        # plumbing columns travel as chain_seq/chain_side, and a seq_col
+        # carried through as a fact column is read back from chain_seq
+        for pdf in rows:
+            for rec in pdf.sort_values("chain_seq").to_dict("records"):
+                side = rec["chain_side"]
+                if side == "F":
+                    cascade(
+                        {
+                            self._key: rec[self._key],
+                            **{
+                                c: (rec["chain_seq"] if c == self._seq_col else rec[c])
+                                for c in self._fact_cols
+                            },
+                        },
+                        0,
+                    )
+                else:
+                    i = int(side[1:])
+                    stages[i]["dim"] = {c: rec[c] for c in self._dim_cols[i]}
+                    flushed, stages[i]["buf"] = stages[i]["buf"], []
+                    for r in flushed:
+                        cascade(r, i)
+        self._state.update(
+            (
+                json.dumps(
+                    [
+                        {
+                            "dim": None
+                            if s["dim"] is None
+                            else {k: _enc(v) for k, v in s["dim"].items()},
+                            "buf": [
+                                {k: _enc(v) for k, v in r.items()} for r in s["buf"]
+                            ],
+                        }
+                        for s in stages
+                    ]
+                ),
+            )
+        )
+        yield pd.DataFrame(out_rows, columns=self._out_names)
+
+    def close(self) -> None:
+        pass
+
+
+def chain_stateful_join_tws(
+    facts: DataFrame,
+    dims: list[tuple[DataFrame, list[str]]],
+    key: str,
+    fact_cols: list[str],
+    seq_col: str = "_seq",
+    max_buffer: int = 10_000,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """``chain.chain_stateful_join`` on transformWithStateInPandas —
+    same semantics, but composable across re-keys in one query."""
+    from pyspark.sql import functions as F
+
+    n = len(dims)
+    dim_cols = [cols for _, cols in dims]
+    out_fields = (
+        [StructField(key, facts.schema[key].dataType)]
+        + [StructField(c, facts.schema[c].dataType) for c in fact_cols]
+        + [
+            StructField(c, dims[i][0].schema[c].dataType)
+            for i in range(n)
+            for c in dim_cols[i]
+        ]
+    )
+    out_schema = StructType(out_fields)
+    # seq_col may double as a carried fact column (stage outputs feeding a
+    # later re-keyed stage keep their seq) — don't select it twice. The
+    # plumbing columns avoid leading underscores: the worker-side
+    # serializer (itertuples) renames such columns positionally.
+    fact_sel = [c for c in fact_cols if c != seq_col]
+    tagged = facts.select(
+        key,
+        F.col(seq_col).alias("chain_seq"),
+        *fact_sel,
+        F.lit("F").alias("chain_side"),
+    )
+    for i, (dim_df, cols) in enumerate(dims):
+        tagged = tagged.unionByName(
+            dim_df.select(
+                key,
+                F.col(seq_col).alias("chain_seq"),
+                *cols,
+                F.lit(f"D{i}").alias("chain_side"),
+            ),
+            allowMissingColumns=True,
+        )
+    proc = ChainJoinProcessor(
+        key=key,
+        fact_cols=fact_cols,
+        dim_cols=dim_cols,
+        out_names=[f.name for f in out_fields],
+        seq_col=seq_col,
+        max_buffer=max_buffer,
+        ttl_ms=state_ttl_ms,
+    )
+    return tagged.groupBy(key).transformWithStateInPandas(
+        proc,
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def capstone_single_query(
+    route: DataFrame,
+    cem: DataFrame,
+    links: DataFrame,
+    orders: DataFrame,
+    seq_col: str = "_seq",
+) -> DataFrame:
+    """The COMPLETE 4-stream reference capstone (StateTest.java:639-872)
+    as ONE streaming query — no durable hop at the re-key seam.
+
+    Stage A (keyed by order_id): WaybillOrder links buffer until their
+    Order header arrives — the one place the reference topology re-keys.
+    Stage B (keyed by waybill_code): route facts chain through the CEM
+    dimension and the stage-A output. Spark runs both stateful operators
+    in the same query because transformWithState chains; the seam is a
+    plain shuffle, exactly like Flink's keyBy between operators.
+    """
+    from pyspark.sql import functions as F
+
+    stage_a = chain_stateful_join_tws(
+        facts=links.select("order_id", seq_col, "waybill_code"),
+        dims=[(orders.select("order_id", seq_col, "create_time"), ["create_time"])],
+        key="order_id",
+        fact_cols=["waybill_code", seq_col],
+    )
+    order_result = stage_a.select(
+        "waybill_code",
+        seq_col,
+        F.col("order_id").alias("order_code"),
+        F.col("create_time").alias("order_create_date"),
+    )
+    return chain_stateful_join_tws(
+        facts=route.select("waybill_code", seq_col, "package_code"),
+        dims=[
+            (
+                cem.select(
+                    "waybill_code", seq_col, "site_name", "busi_name", "pickup_date"
+                ),
+                ["site_name", "busi_name", "pickup_date"],
+            ),
+            (order_result, ["order_code", "order_create_date"]),
+        ],
+        key="waybill_code",
+        fact_cols=["package_code"],
     )

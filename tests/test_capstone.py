@@ -469,3 +469,92 @@ def test_streaming_capstone_two_stages_via_parquet_hop(spark):
     rows = run_available_now(s2, "cap2_final")
     assert len(rows) == n * 5
     assert all(r.order_code and r.site_name and r.package_code for r in rows)
+
+
+def test_streaming_capstone_single_query_across_rekey(spark):
+    """The COMPLETE 4-stage reference capstone (StateTest.java:639-872)
+    as literally ONE streaming query: the order-id keyed stateful join
+    chains into the waybill-code keyed stateful chain via
+    transformWithStateInPandas (streaming/tws.py) — two different-key
+    stateful operators, one query, no durable hop at the re-key seam."""
+    import shutil
+
+    import pandas as pd
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        import pytest
+
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.tws import capstone_single_query
+
+    n = 10
+    wo = G.waybill_order(spark, n).toPandas()  # order_id, waybill_code
+    oh = G.orders_stream(spark, n).toPandas().rename(columns={"order_code": "order_id"})
+    cem = C.cem_merge(
+        G.waybill_c(spark, n), G.waybill_e(spark, n), G.waybill_m(spark, n)
+    ).toPandas()
+    route = G.waybill_route_link(spark, n).toPandas()
+
+    frames = [  # arrival order exercises buffering at every stage
+        route.assign(side="R"),      # stage-B facts buffer (no CEM yet)
+        cem.assign(side="C"),        # CEM dim arrives → facts park at D1
+        wo.assign(side="L"),         # stage-A facts buffer (no order yet)
+        oh.assign(side="O"),         # orders arrive → cascade to the end
+    ]
+    cols = [
+        "side", "_seq", "order_id", "waybill_code", "create_time",
+        "package_code", "site_name", "busi_name", "pickup_date",
+    ]
+    seq = 0
+    workdir = tempfile.mkdtemp(prefix="cap1q-in-")
+    t0 = time.time() - 120
+    for i, pdf in enumerate(frames):
+        pdf = pdf.copy()
+        pdf["_seq"] = range(seq, seq + len(pdf))
+        seq += len(pdf)
+        for c in cols:
+            if c not in pdf.columns:
+                pdf[c] = None
+        for c in ("create_time", "pickup_date"):
+            pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pdf[cols].to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+
+    raw = (
+        spark.readStream.schema(
+            "side string, _seq long, order_id string, waybill_code string,"
+            " create_time timestamp, package_code string, site_name string,"
+            " busi_name string, pickup_date timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    final = capstone_single_query(
+        route=raw.where(F.col("side") == "R"),
+        cem=raw.where(F.col("side") == "C"),
+        links=raw.where(F.col("side") == "L"),
+        orders=raw.where(F.col("side") == "O"),
+    )
+    # ONE query, TWO different-key stateful operators in its plan
+    plan = final._jdf.queryExecution().analyzed().toString()
+    assert plan.count("TransformWithStateIn") == 2, plan
+    rows = run_available_now(final, "cap1q_final")
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    assert len(rows) == n * 5  # every package assembled exactly once
+    for r in rows:
+        assert r.site_name and r.busi_name and r.order_code
+        assert r.pickup_date is not None and r.order_create_date is not None
+    # parity with the BATCH capstone assembly on the same generators
+    batch = {
+        (r.waybill_code, r.package_code): (r.site_name, r.busi_name, r.order_code)
+        for r in C.bd_waybill_order(spark, n).collect()
+    }
+    stream = {
+        (r.waybill_code, r.package_code): (r.site_name, r.busi_name, r.order_code)
+        for r in rows
+    }
+    assert stream == batch
