@@ -710,7 +710,7 @@ def _q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF ANN: deterministic md5-sampled centroids, nearest-cell
     # assignment, multi-probe candidate join — the second scale path
     return S.ivf_cosine_topk(
-        load_tables(spark, sf_dir).embeddings, k=5, n_centroids=16, n_probe=2
+        load_tables(spark, sf_dir).embeddings, k=5, n_probe=2
     )
 
 
@@ -720,7 +720,7 @@ def _q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the FAISS IVFPQ+refine topology, cell side shuffles codes not vectors
     return S.ivfpq_topk(
         load_tables(spark, sf_dir).embeddings,
-        k=5, n_centroids=16, n_probe=2, m=4, ksub=16, rerank=16,
+        k=5, n_probe=2, m=4, ksub=16, rerank=16,
     )
 
 
@@ -2330,7 +2330,7 @@ def _pq_sql(m: int = 4, ksub: int = 16, dims: int = 64) -> str:
 
 def _ivfpq_sql(
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | str = "(SELECT GREATEST(16, CEIL(COUNT(*) / 64.0)::BIGINT) FROM v)",
     n_probe: int = 2,
     m: int = 4,
     ksub: int = 16,
@@ -2371,9 +2371,9 @@ def _ivfpq_sql(
           WHERE _rn <= {n_centroids}),
         scored AS (
           SELECT v.id, v.vec, c.centroid_id,
-                 {_dot_sql("v.vec", "c.cvec")}
+                 round({_dot_sql("v.vec", "c.cvec")}
                    / nullif(sqrt({_dot_sql("v.vec", "v.vec")})
-                            * sqrt({_dot_sql("c.cvec", "c.cvec")}), 0.0) AS csim
+                            * sqrt({_dot_sql("c.cvec", "c.cvec")}), 0.0), 6) AS csim
           FROM v CROSS JOIN cent c),
         ranked AS (
           SELECT *, row_number() OVER (
@@ -2508,7 +2508,7 @@ def _semantic_dedup_sql(
           SELECT DISTINCT b.id
           FROM vv a JOIN vv b
             ON a.cluster_id = b.cluster_id AND a.id < b.id
-          WHERE {cos} >= {threshold!r}),
+          WHERE round({cos}, 6) >= {threshold!r}),
         out AS (
           SELECT vv.id AS vec_id, vv.cluster_id,
                  (d.id IS NULL) AS is_kept
@@ -3253,12 +3253,12 @@ def oracle_sql() -> dict[str, str]:
             cent AS (
               SELECT id AS centroid_id, vec AS cvec FROM (
                 SELECT *, row_number() OVER (ORDER BY _h, id) AS _rn FROM h)
-              WHERE _rn <= 16),
+              WHERE _rn <= (SELECT GREATEST(16, CEIL(COUNT(*) / 64.0)::BIGINT) FROM v)),
             scored AS (
               SELECT v.id, v.vec, c.centroid_id,
-                     {_dot_sql("v.vec", "c.cvec")}
+                     round({_dot_sql("v.vec", "c.cvec")}
                        / nullif(sqrt({_dot_sql("v.vec", "v.vec")})
-                                * sqrt({_dot_sql("c.cvec", "c.cvec")}), 0.0) AS csim
+                                * sqrt({_dot_sql("c.cvec", "c.cvec")}), 0.0), 6) AS csim
               FROM v CROSS JOIN cent c),
             ranked AS (
               SELECT *, row_number() OVER (
@@ -3269,9 +3269,9 @@ def oracle_sql() -> dict[str, str]:
                        FROM ranked WHERE _crn <= 2),
             pairs AS (
               SELECT p.query_id, c.id AS neighbor_id,
-                     {_dot_sql("p.qvec", "c.vec")}
+                     round({_dot_sql("p.qvec", "c.vec")}
                        / nullif(sqrt({_dot_sql("p.qvec", "p.qvec")})
-                                * sqrt({_dot_sql("c.vec", "c.vec")}), 0.0) AS cosine
+                                * sqrt({_dot_sql("c.vec", "c.vec")}), 0.0), 6) AS cosine
               FROM probes p JOIN cells c USING (centroid_id)
               WHERE p.query_id <> c.id)
             SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
@@ -3334,9 +3334,9 @@ def oracle_sql() -> dict[str, str]:
             WITH b AS (SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings)
             SELECT * FROM (
               SELECT q.vec_id AS id_a, c.vec_id AS id_b,
-                     {_dot_sql("q.embedding", "c.embedding")}
+                     round({_dot_sql("q.embedding", "c.embedding")}
                        / nullif(sqrt({_dot_sql("q.embedding", "q.embedding")})
-                                * sqrt({_dot_sql("c.embedding", "c.embedding")}), 0.0)
+                                * sqrt({_dot_sql("c.embedding", "c.embedding")}), 0.0), 6)
                        AS cosine
               FROM b q JOIN b c
                 ON q.bucket = c.bucket AND q.vec_id < c.vec_id)

