@@ -777,6 +777,15 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL image decode end-to-end: genuine P6 PPM payloads built
+    # JVM-side (operators/multimodal.py attach_ppm_binary), parsed by
+    # the pure-Python netpbm decoder — no codec library, no stub. The
+    # oracle replays the deterministic construction's dimensions.
+    media = MM.attach_ppm_binary(load_tables(spark, sf_dir).documents)
+    return MM.decode_image_features(media)
+
+
 def _q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_binary(load_tables(spark, sf_dir).documents)
     return (
@@ -1832,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_q16_supplier_cnt": _q_sql_q16_supplier_cnt,
         "sql_q20_dominant_supp": _q_sql_q20_dominant_supp,
         "sql_q21_waiting_supp": _q_sql_q21_waiting_supp,
+        "multimodal_ppm_decode": _q_multimodal_ppm_decode,
         "cep_pattern": _q_cep_pattern,
         "gapfill_locf": _q_gapfill_locf,
         "funnel_conversion": _q_funnel_conversion,
@@ -3343,6 +3353,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE cosine >= 0.3
         """,
         "corpus_clean": _CORPUS_CLEAN_SQL,
+        "multimodal_ppm_decode": """
+            SELECT doc_id,
+                   CAST(length(text) % 8 + 1 AS INT) AS width,
+                   CAST((length(text) // 8) % 8 + 1 AS INT) AS height,
+                   3 AS n_channels,
+                   TRUE AS decode_ok
+            FROM documents
+        """,
         "multimodal_decode": """
             SELECT doc_id,
               CAST(1 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS INT) AS width,

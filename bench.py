@@ -55,6 +55,7 @@ HEADLINE = [
     "semantic_dedup",
     "corpus_clean",
     "multimodal_decode",
+    "multimodal_ppm_decode",
     "tfidf_top_terms",
     "bm25_search",
     "dedup_clusters",

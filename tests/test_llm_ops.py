@@ -551,3 +551,73 @@ def test_span_coverage_interval_union_math(spark):
     assert (got[1].covered_tokens, got[1].n_tokens) == (6, 9)
     assert abs(got[1].dup_frac - 6 / 9) < 1e-12
     assert (got[2].covered_tokens, got[2].dup_frac) == (0, 0.0)
+
+
+def test_ppm_bmp_parsers_real_decode():
+    """The netpbm/BMP decoders are REAL parsers, not stubs: exact dims
+    from hand-built payloads, comment handling, truncation rejection."""
+    import struct
+
+    from flink_helloworld_spark.operators.multimodal import _parse_bmp, _parse_ppm
+
+    assert _parse_ppm(b"P6\n# comment\n4 3\n255\n" + b"x" * 36) == (4, 3, 3)
+    assert _parse_ppm(b"P6\n4 3\n255\n" + b"x" * 35) is None  # raster short
+    assert _parse_ppm(b"P5 2 2 255 " + b"x" * 4) == (2, 2, 1)  # graymap
+    assert _parse_ppm(b"P1\n3 2\n010101") == (3, 2, 1)  # ascii bitmap
+    assert _parse_ppm(b"P4\n9 2\n" + b"x" * 4) == (9, 2, 1)  # padded rows
+    assert _parse_ppm(b"P4\n9 2\n" + b"x" * 3) is None
+    assert _parse_ppm(b"not an image") is None
+    bmp_hdr = b"BM" + struct.pack("<IHHI", 54 + 12, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 12, 0, 0, 0, 0)
+    assert _parse_bmp(bmp_hdr + dib + b"\x00" * 12) == (2, 2, 3)
+    assert _parse_bmp(b"BM too short") is None
+
+
+def test_ppm_decode_end_to_end(spark, sf_dir):
+    """attach_ppm_binary builds genuine P6 bytes JVM-side; the decode
+    stage parses them for real and recovers the constructed dims."""
+    from flink_helloworld_spark.operators.multimodal import (
+        attach_ppm_binary,
+        decode_image_features,
+    )
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir).documents
+    media = attach_ppm_binary(docs)
+    one = media.limit(1).collect()[0]
+    assert bytes(one.payload)[:3] == b"P6\n"  # real image bytes on the wire
+    out = {r.doc_id: r for r in decode_image_features(media).collect()}
+    for d in docs.select("doc_id", "text").collect():
+        n = len(d.text)
+        r = out[d.doc_id]
+        assert (r.width, r.height, r.n_channels, r.decode_ok) == (
+            n % 8 + 1,
+            (n // 8) % 8 + 1,
+            3,
+            True,
+        )
+
+
+def test_decode_routes_by_media_type_and_flags_corrupt(spark):
+    """A fake-typed payload that LOOKS like netpbm still takes the fake
+    path (media_type routes), and a corrupt real-typed payload reports
+    decode_ok=False instead of poisoning the batch."""
+    from flink_helloworld_spark.operators.multimodal import (
+        _fake_decode,
+        decode_image_features,
+    )
+
+    rows = [
+        (1, "image/fake", bytearray(b"P3 looks like ppm but is text")),
+        (2, "image/x-portable-pixmap", bytearray(b"P6\n4 3\n255\n" + b"x" * 36)),
+        (3, "image/x-portable-pixmap", bytearray(b"P6\n4 3\n255\nshort")),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    out = {r.doc_id: r for r in decode_image_features(media).collect()}
+    fake = _fake_decode(b"P3 looks like ppm but is text")
+    assert (out[1].width, out[1].height, out[1].n_channels) == fake
+    assert out[1].decode_ok
+    assert (out[2].width, out[2].height, out[2].decode_ok) == (4, 3, True)
+    assert (out[3].width, out[3].height, out[3].decode_ok) == (0, 0, False)
