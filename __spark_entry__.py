@@ -786,6 +786,29 @@ def _q_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_image_features(media)
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the published Gopher filter set as named per-doc boolean flags
+    from flink_helloworld_spark.operators.text import gopher_rules
+
+    return gopher_rules(load_tables(spark, sf_dir).documents)
+
+
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source document cap by deterministic md5 order — the mixture
+    # guard against one crawl source flooding the corpus
+    from flink_helloworld_spark.operators.sampling import domain_cap
+
+    return domain_cap(load_tables(spark, sf_dir).documents, cap=20)
+
+
+def _q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-space decontamination vs a broadcast benchmark sample —
+    # catches paraphrased eval rows that n-gram decontamination misses
+    return S.semantic_decontaminate(
+        load_tables(spark, sf_dir).embeddings, threshold=0.5
+    )
+
+
 def _q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_binary(load_tables(spark, sf_dir).documents)
     return (
@@ -1842,6 +1865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_q20_dominant_supp": _q_sql_q20_dominant_supp,
         "sql_q21_waiting_supp": _q_sql_q21_waiting_supp,
         "multimodal_ppm_decode": _q_multimodal_ppm_decode,
+        "gopher_rules": _q_gopher_rules,
+        "domain_cap": _q_domain_cap,
+        "decontaminate_semantic": _q_decontaminate_semantic,
         "cep_pattern": _q_cep_pattern,
         "gapfill_locf": _q_gapfill_locf,
         "funnel_conversion": _q_funnel_conversion,
@@ -3353,6 +3379,75 @@ def oracle_sql() -> dict[str, str]:
             WHERE cosine >= 0.3
         """,
         "corpus_clean": _CORPUS_CLEAN_SQL,
+        "gopher_rules": f"""
+            WITH base AS (SELECT doc_id, text, {_WS} AS ws FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '(#|\.\.\.)')) AS n_symbols,
+                     string_split(text, chr(10)) AS lines,
+                     len(list_filter(string_split(text, chr(10)),
+                                     ln -> ln LIKE '%...')) AS ell_lines,
+                     len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                       AS alpha_words,
+                     {" + ".join(
+                        f"CASE WHEN list_contains(list_transform(ws, w -> lower(w)), '{s}') THEN 1 ELSE 0 END"
+                        for s in ["the", "be", "to", "of", "and", "that", "have", "with"])}
+                       AS stop_hits
+              FROM base),
+            r AS (
+              SELECT doc_id,
+                coalesce(n_words >= 5 AND n_words <= 100000, FALSE) AS rule_word_count,
+                coalesce((n_chars - (n_words - 1))::DOUBLE / nullif(n_words, 0)::DOUBLE >= 3.0
+                  AND (n_chars - (n_words - 1))::DOUBLE / nullif(n_words, 0)::DOUBLE <= 10.0, FALSE)
+                  AS rule_mean_word_len,
+                coalesce(n_symbols::DOUBLE / nullif(n_words, 0)::DOUBLE <= 0.1, FALSE)
+                  AS rule_symbol_ratio,
+                coalesce(ell_lines::DOUBLE / len(lines)::DOUBLE <= 0.3, FALSE)
+                  AS rule_ellipsis_lines,
+                coalesce(alpha_words::DOUBLE / nullif(n_words, 0)::DOUBLE >= 0.8, FALSE)
+                  AS rule_alpha_words,
+                coalesce(stop_hits >= 2, FALSE) AS rule_stopwords
+              FROM m)
+            SELECT *,
+              (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+               AND rule_ellipsis_lines AND rule_alpha_words AND rule_stopwords)
+              AS passes_gopher
+            FROM r
+        """,
+        "domain_cap": """
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY (('0x' || substr(md5('domcap' || doc_id::VARCHAR), 1, 15))::BIGINT
+                                   % 10000), doc_id) AS INT) AS domain_rank,
+                   (row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY (('0x' || substr(md5('domcap' || doc_id::VARCHAR), 1, 15))::BIGINT
+                                   % 10000), doc_id)) <= 20 AS kept
+            FROM documents
+        """,
+        "decontaminate_semantic": f"""
+            WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+            h AS (SELECT id, vec,
+                    ('0x' || substr(md5('bench:' || id::VARCHAR), 1, 15))::BIGINT AS _h
+                  FROM v),
+            bench AS (
+              SELECT id, vec FROM (
+                SELECT *, row_number() OVER (ORDER BY _h, id) AS _rn FROM h)
+              WHERE _rn <= 32),
+            cand AS (SELECT * FROM v WHERE id NOT IN (SELECT id FROM bench)),
+            scored AS (
+              SELECT c.id,
+                     max(round({_dot_sql("c.vec", "b.vec")}
+                       / nullif(sqrt({_dot_sql("c.vec", "c.vec")})
+                                * sqrt({_dot_sql("b.vec", "b.vec")}), 0.0), 6)) AS mx
+              FROM cand c CROSS JOIN bench b GROUP BY c.id)
+            SELECT id AS vec_id, mx AS max_bench_cosine,
+                   mx >= 0.5 AS is_contaminated
+            FROM scored
+        """,
         "multimodal_ppm_decode": """
             SELECT doc_id,
                    CAST(length(text) % 8 + 1 AS INT) AS width,

@@ -56,6 +56,9 @@ HEADLINE = [
     "corpus_clean",
     "multimodal_decode",
     "multimodal_ppm_decode",
+    "gopher_rules",
+    "domain_cap",
+    "decontaminate_semantic",
     "tfidf_top_terms",
     "bm25_search",
     "dedup_clusters",

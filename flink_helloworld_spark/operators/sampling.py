@@ -147,3 +147,36 @@ def pack_sequences(
         .drop("h")
     )
     return out
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "domcap",
+) -> DataFrame:
+    """Per-domain document cap — the standard pretraining-mixture guard
+    against one crawl source flooding the corpus: keep at most ``cap``
+    docs per domain, chosen by deterministic md5 order (portable, no
+    RNG state), never by arrival order (which is partitioning-dependent).
+
+    Returns every row with its in-domain md5 rank and a ``kept`` flag —
+    callers filter ``kept`` (returning flags keeps the op auditable: the
+    drop RATE per domain is the useful signal upstream).
+
+    Scale shape: one hash shuffle on the domain + a per-domain window
+    sort. Domains are naturally many and md5 ranks uniform; a single
+    mega-domain degrades to that domain's sort, which AQE skew handling
+    splits — and the cap itself is what removes the skew downstream.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        _hash_bucket(F.col(id_col).cast("string"), salt), F.col(id_col)
+    )
+    return docs.select(
+        id_col,
+        domain_col,
+        F.row_number().over(w).alias("domain_rank"),
+    ).withColumn("kept", F.col("domain_rank") <= cap)

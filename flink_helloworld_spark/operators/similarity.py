@@ -773,3 +773,87 @@ def pq_assign(
             for j in range(m)
         ]
     ).select(F.col("id").alias(id_col), *[f"code_{j}" for j in range(m)])
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_benchmark: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic complement of the
+    n-gram ``ngram_decontaminate``: flag every corpus vector whose
+    cosine against ANY held-out benchmark vector reaches ``threshold``
+    (an exact-duplicate eval row embeds at cosine ≈ 1 even after token
+    edits that defeat n-gram matching).
+
+    The benchmark stands in as a deterministic md5-rank sample (seed
+    ``bench:``) so the oracle can replay it; in production it would be
+    the real eval-set embedding table — same shape: SMALL (thousands),
+    broadcast whole. One Arrow/BLAS pass scores each corpus batch
+    against the full benchmark matrix; cosines are rounded to
+    ``round_dp`` before the threshold test (BLAS-vs-sequential parity).
+
+    Returns ``(vec_id, max_bench_cosine, is_contaminated)`` for every
+    corpus vector NOT itself in the benchmark sample.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
+
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    bench = seed_topk(
+        v.withColumn(
+            "_h", md5_prefix_long(F.concat(F.lit("bench:"), F.col("id").cast("string")))
+        ),
+        n_benchmark,
+    ).select("id", "vec")
+    bench_rows = bench.collect()  # benchmark = small broadcast metadata
+    b_ids = {r["id"] for r in bench_rows}
+    bmat = np.array([r["vec"] for r in bench_rows], dtype=np.float64)
+    norms = np.linalg.norm(bmat, axis=1)
+    norms[norms == 0.0] = np.inf
+    bmat_n = bmat / norms[:, None]
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((b_ids, bmat_n))
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("max_bench_cosine", DoubleType()),
+            StructField("is_contaminated", BooleanType()),
+        ]
+    )
+
+    def score(batches):
+        bench_ids, bench_mat = bc.value
+        for pdf in batches:
+            mask = [i not in bench_ids for i in pdf["id"]]
+            pdf = pdf[mask]
+            if len(pdf) == 0:
+                continue
+            q = np.array(list(pdf["vec"]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0.0] = np.inf
+            sims = np.round((q / qn[:, None]) @ bench_mat.T, round_dp)
+            mx = sims.max(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["id"].to_numpy(dtype=np.int64),
+                    "max_bench_cosine": mx,
+                    "is_contaminated": mx >= threshold,
+                }
+            )
+
+    return v.mapInPandas(score, schema)

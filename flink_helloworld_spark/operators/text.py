@@ -242,3 +242,77 @@ def char_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.array_distinct(words)).alias("n_distinct_words"),
         simpson(words).alias("word_diversity"),
     )
+
+
+# Gopher-rule stopword set (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 — public).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    max_symbol_ratio: float = 0.1,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher quality-filter rule set as per-document
+    boolean flags + an overall verdict — the named-rules complement to
+    ``quality_score``'s single scalar. One projection of column
+    arithmetic, codegen end-to-end.
+
+    Rules (Rae et al. 2021 §A1.1, thresholds parameterized; word-count
+    bounds default far below the paper's 50 because the synthetic docs
+    are short): word count in [min,max]; mean word length in [3,10];
+    symbol-to-word ratio (# and ...) ≤ cap; ≤30% of lines end in an
+    ellipsis; ≥80% of words contain an alphabetic char; ≥2 distinct
+    Gopher stopwords present."""
+    base = docs.select(
+        "doc_id", F.col(text_col).alias("_t"), _words(F.col(text_col)).alias("ws")
+    )
+    ws = F.col("ws")
+    n_words = F.size(ws)
+    n_chars = F.length("_t")
+    words_d = F.nullif(n_words.cast("double"), F.lit(0.0))
+    mean_wlen = (n_chars - (n_words - 1)).cast("double") / words_d
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col("_t"), F.lit(r"(#|\.\.\.)"), 0)
+    )
+    lines = F.split(F.col("_t"), "\n")
+    n_lines = F.size(lines)
+    ellipsis_lines = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    # count DISTINCT stopwords present as an explicit sum of
+    # array_contains terms — portable: engines disagree on whether a
+    # set-intersection dedups, a membership test cannot
+    lower_ws = F.transform(ws, lambda w: F.lower(w))
+    stop_hits = sum(
+        F.when(F.array_contains(lower_ws, s), 1).otherwise(0)
+        for s in GOPHER_STOPWORDS
+    )
+    r_word_count = (n_words >= min_words) & (n_words <= max_words)
+    r_mean_wlen = (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+    r_symbol = n_symbols.cast("double") / words_d <= max_symbol_ratio
+    r_ellipsis = (
+        ellipsis_lines.cast("double") / n_lines.cast("double")
+        <= max_ellipsis_line_ratio
+    )
+    r_alpha = alpha_words.cast("double") / words_d >= min_alpha_word_ratio
+    r_stopwords = stop_hits >= min_stopword_hits
+    flags = {
+        "rule_word_count": r_word_count,
+        "rule_mean_word_len": r_mean_wlen,
+        "rule_symbol_ratio": r_symbol,
+        "rule_ellipsis_lines": r_ellipsis,
+        "rule_alpha_words": r_alpha,
+        "rule_stopwords": r_stopwords,
+    }
+    named = [F.coalesce(c, F.lit(False)).alias(n) for n, c in flags.items()]
+    out = base.select("doc_id", *named)
+    passed = F.lit(True)
+    for n in flags:
+        passed = passed & F.col(n)
+    return out.select("doc_id", *flags.keys(), passed.alias("passes_gopher"))

@@ -315,3 +315,135 @@ def capstone_single_query(
         key="waybill_code",
         fact_cols=["package_code"],
     )
+
+
+# --------------------------------------------------------------------------
+# Event-time TIMERS: session flush built from raw timer primitives
+# --------------------------------------------------------------------------
+
+SESSION_FLUSH_OUTPUT = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("total", DoubleType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("total", DoubleType()),
+        StructField("cnt", LongType()),
+        StructField("timer_ms", LongType()),
+    ]
+)
+
+
+class SessionFlushProcessor(StatefulProcessor):
+    """Session windows rebuilt from the raw stateful-v2 primitives the
+    engine's declarative session windows (W5, operators/windows.py /
+    session_window) compile away: per-key ValueState + an EVENT-TIME
+    TIMER registered at last_event + gap, re-armed on every new event,
+    firing when the watermark passes. Flink expresses this as
+    KeyedProcessFunction.onTimer; the reference never uses raw timers,
+    so this is beyond-reference vocabulary — it exists to prove the
+    engine's timer surface end-to-end (register, re-arm via delete,
+    expiry callback, emission from the timer path)."""
+
+    def __init__(self, gap_ms: int) -> None:
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("sess", _SESSION_STATE)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        if self._sess.exists():
+            start, end, total, cnt, timer_ms = self._sess.get()
+        else:
+            start, end, total, cnt, timer_ms = None, None, 0.0, 0, None
+        out: list[dict] = []
+        for pdf in rows:
+            for rec in pdf.sort_values("ts_ms").to_dict("records"):
+                t = int(rec["ts_ms"])
+                if end is not None and t - end > self._gap_ms:
+                    # gap exceeded by a LATER event arriving before the
+                    # watermark reached old_end+gap: close the old
+                    # session inline — the timer path only covers keys
+                    # that go silent
+                    out.append(
+                        {
+                            "k": key[0],
+                            "session_start_ms": start,
+                            "session_end_ms": end,
+                            "total": total,
+                            "cnt": cnt,
+                        }
+                    )
+                    start, end, total, cnt = None, None, 0.0, 0
+                start = t if start is None else min(start, t)
+                end = t if end is None else max(end, t)
+                total = round(total + float(rec["v"]), 9)
+                cnt += 1
+        if timer_ms is not None:
+            self._handle.deleteTimer(timer_ms)  # re-arm: one timer per key
+        timer_ms = end + self._gap_ms
+        self._handle.registerTimer(timer_ms)
+        self._sess.update((start, end, total, cnt, timer_ms))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SESSION_FLUSH_OUTPUT.fields]
+            )
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        if not self._sess.exists():
+            return
+        start, end, total, cnt, _timer = self._sess.get()
+        self._sess.clear()
+        yield pd.DataFrame(
+            {
+                "k": [key[0]],
+                "session_start_ms": [start],
+                "session_end_ms": [end],
+                "total": [total],
+                "cnt": [cnt],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def session_flush_tws(
+    stream: DataFrame,
+    gap_ms: int,
+    key: str = "k",
+    ts_col: str = "ts",
+    val_col: str = "v",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Timer-based session aggregation: per key, (start, end, sum, count)
+    of each burst of events separated by ≥ ``gap_ms``, emitted when the
+    event-time watermark passes last_event + gap. ``ts_col`` must be a
+    TIMESTAMP column; the watermark is applied here."""
+    from pyspark.sql import functions as F
+
+    src = stream.withWatermark(ts_col, watermark_delay).select(
+        F.col(key).alias("k"),
+        F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+        F.col(val_col).cast("double").alias("v"),
+        F.col(ts_col).alias("ts"),
+    )
+    return src.groupBy("k").transformWithStateInPandas(
+        SessionFlushProcessor(gap_ms),
+        outputStructType=SESSION_FLUSH_OUTPUT,
+        outputMode="append",
+        timeMode="eventTime",
+    )

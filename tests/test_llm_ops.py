@@ -621,3 +621,62 @@ def test_decode_routes_by_media_type_and_flags_corrupt(spark):
     assert out[1].decode_ok
     assert (out[2].width, out[2].height, out[2].decode_ok) == (4, 3, True)
     assert (out[3].width, out[3].height, out[3].decode_ok) == (0, 0, False)
+
+
+def test_gopher_rules_flags(spark):
+    from flink_helloworld_spark.operators.text import gopher_rules
+
+    rows = [
+        # healthy: enough words, stopwords, alpha words
+        (1, "the cat and the dog have been to the house of cards with joy"),
+        (2, "a b"),  # too few words
+        (3, "#### #### #### the be of to and that"),  # symbol-heavy
+        (4, "..." + "\n..." * 9),  # every line ends in ellipsis
+        (5, ""),  # empty doc fails everything, no divide-by-zero
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(docs, min_words=5).collect()}
+    assert out[1].passes_gopher
+    assert not out[2].rule_word_count and not out[2].passes_gopher
+    assert not out[3].rule_symbol_ratio and not out[3].rule_alpha_words
+    assert not out[4].rule_ellipsis_lines
+    assert not out[5].passes_gopher  # all-false, not an error
+
+
+def test_domain_cap_deterministic(spark):
+    from flink_helloworld_spark.operators.sampling import domain_cap
+
+    rows = [(i, f"d{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_cap(docs, cap=4).collect()
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r.source, []).append(r)
+    for dom, rs in by_dom.items():
+        assert len(rs) == 10  # every row returned, flagged not filtered
+        assert sum(r.kept for r in rs) == 4
+        assert sorted(r.domain_rank for r in rs) == list(range(1, 11))
+    # md5 order, not arrival order: repartition must not change the keep set
+    kept1 = {r.doc_id for r in out if r.kept}
+    kept2 = {
+        r.doc_id for r in domain_cap(docs.repartition(7), cap=4).collect() if r.kept
+    }
+    assert kept1 == kept2
+
+
+def test_semantic_decontaminate_flags_near_benchmark(spark):
+    import numpy as np
+
+    from flink_helloworld_spark.operators.similarity import semantic_decontaminate
+
+    rng = [(i, [float((i * 31 + j * 7) % 13) - 6.0 for j in range(64)]) for i in range(40)]
+    docs = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    out = semantic_decontaminate(docs, threshold=0.999, n_benchmark=4)
+    rows = out.collect()
+    assert len(rows) == 36  # benchmark rows excluded from the output
+    # every corpus vector scored; self-similar duplicates of benchmark
+    # vectors (same generator modulo pattern repeats every 13) flag true
+    flagged = [r.vec_id for r in rows if r.is_contaminated]
+    top = {r.vec_id: r.max_bench_cosine for r in rows}
+    assert all(0.999 <= top[i] for i in flagged)
+    assert any(not r.is_contaminated for r in rows)

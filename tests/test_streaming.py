@@ -533,3 +533,60 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark):
     assert ("u1", 100, 200) in rows            # matched pair intact
     assert ("u2", 300, None) in rows           # unmatched left emitted
     assert ("u1", 100, None) not in rows       # matched row not duplicated
+
+
+def test_session_flush_via_event_time_timers(spark):
+    """Session windows rebuilt from RAW stateful-v2 timer primitives
+    (streaming/tws.py SessionFlushProcessor): per-key event-time timer
+    at last_event+gap, re-armed per event, emitting from the expiry
+    callback when the watermark passes — beyond-reference vocabulary
+    (Flink's KeyedProcessFunction.onTimer; the reference never uses raw
+    timers)."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import session_flush_tws
+
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    s = pd.Timedelta(seconds=1)
+    frames = [
+        # session 1 of key a: two events 10s apart (gap 30s keeps them)
+        pd.DataFrame({"k": ["a", "a"], "ts": [base, base + 10 * s], "v": [1.0, 2.0]}),
+        # 80s later: new session for a; watermark now passes s1's timer
+        pd.DataFrame({"k": ["a"], "ts": [base + 90 * s], "v": [5.0]}),
+        # spacer keys push the watermark far past every timer of a
+        pd.DataFrame({"k": ["z"], "ts": [base + 600 * s], "v": [0.0]}),
+        pd.DataFrame({"k": ["z2"], "ts": [base + 1200 * s], "v": [0.0]}),
+    ]
+    workdir = tempfile.mkdtemp(prefix="tws-timer-")
+    t0 = _time.time() - 60
+    for i, pdf in enumerate(frames):
+        pdf = pdf.copy()
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    out = session_flush_tws(stream, gap_ms=30_000)
+    rows = [r for r in run_available_now(out, "tws_sessions") if r.k == "a"]
+    got = sorted(
+        (r.session_start_ms, r.session_end_ms, r.total, r.cnt) for r in rows
+    )
+    b = int(base.timestamp() * 1000)
+    assert got == [
+        (b, b + 10_000, 3.0, 2),
+        (b + 90_000, b + 90_000, 5.0, 1),
+    ]
