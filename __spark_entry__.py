@@ -786,6 +786,15 @@ def _q_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_image_features(media)
 
 
+def _q_similarity_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hierarchical (two-level) IVF: only the ~sqrt(C)-row super table is
+    # driver metadata; the C-row centroid table stays distributed — the
+    # extreme-scale ANN shape, deterministic and oracle-replayed
+    return S.ivf2_cosine_topk(
+        load_tables(spark, sf_dir).embeddings, k=5, n_probe=2, n_super_probe=2
+    )
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the published Gopher filter set as named per-doc boolean flags
     from flink_helloworld_spark.operators.text import gopher_rules
@@ -1865,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_q20_dominant_supp": _q_sql_q20_dominant_supp,
         "sql_q21_waiting_supp": _q_sql_q21_waiting_supp,
         "multimodal_ppm_decode": _q_multimodal_ppm_decode,
+        "similarity_ivf2_topk": _q_similarity_ivf2_topk,
         "gopher_rules": _q_gopher_rules,
         "domain_cap": _q_domain_cap,
         "decontaminate_semantic": _q_decontaminate_semantic,
@@ -3379,6 +3389,62 @@ def oracle_sql() -> dict[str, str]:
             WHERE cosine >= 0.3
         """,
         "corpus_clean": _CORPUS_CLEAN_SQL,
+        "similarity_ivf2_topk": f"""
+            WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+            params AS (
+              SELECT GREATEST(16, CEIL(COUNT(*) / 64.0)::BIGINT) AS c,
+                     GREATEST(4, CEIL(SQRT(GREATEST(16, CEIL(COUNT(*) / 64.0))))::BIGINT) AS s
+              FROM v),
+            h AS (SELECT id, vec,
+                    ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS _h
+                  FROM v),
+            cent AS (
+              SELECT id AS centroid_id, vec AS cvec FROM (
+                SELECT *, row_number() OVER (ORDER BY _h, id) AS _rn FROM h)
+              WHERE _rn <= (SELECT c FROM params)),
+            hs AS (SELECT centroid_id, cvec,
+                     ('0x' || substr(md5('super:' || centroid_id::VARCHAR), 1, 15))::BIGINT AS _h
+                   FROM cent),
+            sup AS (
+              SELECT centroid_id AS super_id, cvec AS svec FROM (
+                SELECT *, row_number() OVER (ORDER BY _h, centroid_id) AS _rn FROM hs)
+              WHERE _rn <= (SELECT s FROM params)),
+            cent_home AS (
+              SELECT centroid_id, cvec, super_id FROM (
+                SELECT c.centroid_id, c.cvec, s.super_id,
+                       row_number() OVER (
+                         PARTITION BY c.centroid_id
+                         ORDER BY round({_dot_sql("c.cvec", "s.svec")} / nullif(sqrt({_dot_sql("c.cvec", "c.cvec")}) * sqrt({_dot_sql("s.svec", "s.svec")}), 0.0), 6) DESC, s.super_id) AS _srn
+                FROM cent c CROSS JOIN sup s)
+              WHERE _srn = 1),
+            v_super AS (
+              SELECT id, vec, super_id FROM (
+                SELECT v.id, v.vec, s.super_id,
+                       row_number() OVER (
+                         PARTITION BY v.id
+                         ORDER BY round({_dot_sql("v.vec", "s.svec")} / nullif(sqrt({_dot_sql("v.vec", "v.vec")}) * sqrt({_dot_sql("s.svec", "s.svec")}), 0.0), 6) DESC, s.super_id) AS _srn
+                FROM v CROSS JOIN sup s)
+              WHERE _srn <= 2),
+            ranked AS (
+              SELECT id, vec, centroid_id, _crn FROM (
+                SELECT p.id, p.vec, c.centroid_id,
+                       row_number() OVER (
+                         PARTITION BY p.id
+                         ORDER BY round({_dot_sql("p.vec", "c.cvec")} / nullif(sqrt({_dot_sql("p.vec", "p.vec")}) * sqrt({_dot_sql("c.cvec", "c.cvec")}), 0.0), 6) DESC, c.centroid_id) AS _crn
+                FROM v_super p JOIN cent_home c USING (super_id))
+              WHERE _crn <= 2),
+            cells AS (SELECT id, vec, centroid_id FROM ranked WHERE _crn = 1),
+            pairs AS (
+              SELECT p.id AS query_id, c.id AS neighbor_id,
+                     round({_dot_sql("p.vec", "c.vec")} / nullif(sqrt({_dot_sql("p.vec", "p.vec")}) * sqrt({_dot_sql("c.vec", "c.vec")}), 0.0), 6) AS cosine
+              FROM ranked p JOIN cells c USING (centroid_id)
+              WHERE p.id <> c.id)
+            SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM pairs)
+            WHERE rank <= 5
+        """,
         "gopher_rules": f"""
             WITH base AS (SELECT doc_id, text, {_WS} AS ws FROM documents),
             m AS (

@@ -51,6 +51,7 @@ HEADLINE = [
     "similarity_topk_vectorized",
     "similarity_ivf_topk",
     "similarity_ivfpq_topk",
+    "similarity_ivf2_topk",
     "embedding_kmeans",
     "semantic_dedup",
     "corpus_clean",

@@ -857,3 +857,177 @@ def semantic_decontaminate(
             )
 
     return v.mapInPandas(score, schema)
+
+
+def ivf2_cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int | None = None,
+    n_probe: int = 2,
+    n_super_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """TWO-LEVEL (hierarchical) IVF top-k — the shape ``ivf_cosine_topk``'s
+    docstring promises for extreme scale, implemented: when the cell-cap
+    rule makes C = N/64 too large to collect/broadcast as flat centroid
+    metadata, interpose S = ⌈√C⌉ super-centroids. Only the S-row
+    super table is ever collected (S ~ √(N/64): ~4e4 at 1e11 vectors —
+    always driver-safe); the C-row centroid table stays DISTRIBUTED and
+    reaches vectors through a super-cell-keyed grouped BLAS stage:
+
+      1. super-centroids = md5-rank sample of the centroids (seed
+         ``super:``), broadcast;
+      2. centroids assign to their nearest super-cell (BLAS vs the
+         broadcast supers) — a DataFrame, never collected;
+      3. vectors probe their ``n_super_probe`` nearest super-cells
+         (BLAS vs the same broadcast supers);
+      4. per super-cell, one grouped-BLAS stage scores the vectors
+         probing it against the centroids inside it → each vector's
+         ``n_probe`` nearest reachable cells;
+      5. per cell, the same grouped-BLAS scan as flat IVF scores
+         members against probing queries → global top-k.
+
+    Every ranking orders by cosine ROUNDED to ``round_dp`` with id
+    tiebreaks — the engine's BLAS/oracle parity contract — and the whole
+    two-level construction is deterministic, so the DuckDB oracle
+    replays it exactly. Recall is the standard hierarchical trade: a
+    vector only reaches cells inside its probed super-cells.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
+
+    from ._cache import share
+
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if n_centroids is None:
+        n_centroids = _auto_centroids(emb)
+    import math
+
+    n_super = max(4, math.ceil(math.sqrt(n_centroids)))
+    cent = seed_topk(
+        v.withColumn("_h", md5_prefix_long(F.col("id").cast("string"))), n_centroids
+    ).select(F.col("id").alias("centroid_id"), F.col("vec").alias("cvec"))
+    sup = seed_topk(
+        cent.select(
+            F.col("centroid_id").alias("id"), F.col("cvec").alias("vec")
+        ).withColumn(
+            "_h", md5_prefix_long(F.concat(F.lit("super:"), F.col("id").cast("string")))
+        ),
+        n_super,
+    ).select(F.col("id").alias("centroid_id"), F.col("vec").alias("cvec"))
+
+    # (2) centroid → its one super-cell; (3) vector → n_super_probe cells.
+    # Both score against the SAME broadcast super matrix.
+    c_as_v = cent.select(F.col("centroid_id").alias("id"), F.col("cvec").alias("vec"))
+    cent_home = (
+        _assign_cells_blas(c_as_v, sup, n_probe=1, round_dp=round_dp)
+        .select(
+            F.col("id").alias("cent_id"), F.col("centroid_id").alias("super_id")
+        )
+        .join(cent.select(F.col("centroid_id").alias("cent_id"), "cvec"), "cent_id")
+    )
+    v_super = _assign_cells_blas(v, sup, n_probe=n_super_probe, round_dp=round_dp).select(
+        "id", F.col("centroid_id").alias("super_id")
+    )
+
+    # (4) grouped-BLAS per super-cell: probing vectors × member centroids
+    q_side = v_super.join(v, "id").select(
+        "super_id", F.lit("Q").alias("role"), "id", "vec"
+    )
+    i_side = cent_home.select(
+        "super_id",
+        F.lit("I").alias("role"),
+        F.col("cent_id").alias("id"),
+        F.col("cvec").alias("vec"),
+    )
+    mixed = q_side.unionByName(i_side)
+
+    pair_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("centroid_id", LongType()),
+            StructField("csim", DoubleType()),
+        ]
+    )
+
+    def per_super(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_i = (pdf["role"] == "I").to_numpy()
+        if not is_i.any() or is_i.all():
+            return pd.DataFrame({f.name: [] for f in pair_schema.fields})
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = np.inf
+        mat_n = mat / norms[:, None]
+        q_ids, q_mat = ids[~is_i], mat_n[~is_i]
+        c_ids, c_mat = ids[is_i], mat_n[is_i]
+        sims = np.round(q_mat @ c_mat.T, round_dp)
+        qi, ci = np.indices(sims.shape)
+        return pd.DataFrame(
+            {
+                "id": q_ids[qi.ravel()],
+                "centroid_id": c_ids[ci.ravel()],
+                "csim": sims.ravel(),
+            }
+        )
+
+    cand_cells = mixed.groupBy("super_id").applyInPandas(per_super, pair_schema)
+    w_cell = Window.partitionBy("id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    ranked = share(
+        cand_cells.withColumn("_crn", F.row_number().over(w_cell))
+        .where(F.col("_crn") <= n_probe)
+        .join(v, "id")
+    )
+
+    # (5) per-cell scan — identical to flat IVF's scoring stage
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = np.inf
+        mat_n = mat / norms[:, None]
+        member = (pdf["_crn"].to_numpy() == 1)
+        m_ids, m_mat = ids[member], mat_n[member]
+        if len(m_ids) == 0:
+            return pd.DataFrame({f.name: [] for f in out_schema.fields})
+        sims = np.round(mat_n @ m_mat.T, round_dp)
+        q_idx, n_idx = np.nonzero(ids[:, None] != m_ids[None, :])
+        return pd.DataFrame(
+            {
+                "query_id": ids[q_idx],
+                "neighbor_id": m_ids[n_idx],
+                "cosine": sims[q_idx, n_idx],
+            }
+        )
+
+    pairs = ranked.groupBy("centroid_id").applyInPandas(per_cell, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -298,3 +298,22 @@ def test_kmeans_and_ivf_plans_have_no_full_table_sort(spark, sf_dir):
                 raise AssertionError(f"unexpected global sort node: {line}")
         assert "BatchEvalPython" not in plan  # Arrow kernels only
     assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+
+
+def test_ivf2_stays_distributed_no_global_sort(spark, sf_dir):
+    """Hierarchical IVF contract: no bare global sort, no row-at-a-time
+    Python; the centroid table reaches vectors through grouped Arrow
+    stages (MapInPandas assignment + two FlatMapGroupsInPandas scans),
+    never a driver-side centroid collect of the C-row table."""
+    from flink_helloworld_spark.operators import similarity as S
+    from flink_helloworld_spark.operators._cache import release_shared_caches
+
+    emb = load_tables(spark, sf_dir).embeddings
+    plan = explain_str(S.ivf2_cosine_topk(emb, k=5), "simple")
+    release_shared_caches()
+    for line in plan.splitlines():
+        if "Sort [" in line and "], true" in line:
+            raise AssertionError(f"unexpected global sort node: {line}")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert plan.count("FlatMapGroupsInPandas") >= 2
