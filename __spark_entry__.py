@@ -795,6 +795,14 @@ def _q_similarity_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-unigram mean -log p(word) per doc — the model-free CCNet
+    # quality filter; decimal-exact mean so the oracle hash matches
+    from flink_helloworld_spark.operators.text import unigram_logppl
+
+    return unigram_logppl(load_tables(spark, sf_dir).documents)
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the published Gopher filter set as named per-doc boolean flags
     from flink_helloworld_spark.operators.text import gopher_rules
@@ -1875,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_q21_waiting_supp": _q_sql_q21_waiting_supp,
         "multimodal_ppm_decode": _q_multimodal_ppm_decode,
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
+        "unigram_logppl": _q_unigram_logppl,
         "gopher_rules": _q_gopher_rules,
         "domain_cap": _q_domain_cap,
         "decontaminate_semantic": _q_decontaminate_semantic,
@@ -3444,6 +3453,20 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
               FROM pairs)
             WHERE rank <= 5
+        """,
+        "unigram_logppl": f"""
+            WITH words AS (
+              SELECT doc_id, unnest({_WS}) AS w FROM documents),
+            total AS (SELECT count(*)::DOUBLE AS t FROM words),
+            vocab AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+            scored AS (
+              SELECT doc_id,
+                     round(-ln(cnt::DOUBLE / (SELECT t FROM total)), 9)::DECIMAL(28,9)
+                       AS nlp
+              FROM words JOIN vocab USING (w))
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6) AS mean_neg_logp
+            FROM scored GROUP BY doc_id
         """,
         "gopher_rules": f"""
             WITH base AS (SELECT doc_id, text, {_WS} AS ws FROM documents),

@@ -60,6 +60,7 @@ HEADLINE = [
     "gopher_rules",
     "domain_cap",
     "decontaminate_semantic",
+    "unigram_logppl",
     "tfidf_top_terms",
     "bm25_search",
     "dedup_clusters",

@@ -316,3 +316,46 @@ def gopher_rules(
     for n in flags:
         passed = passed & F.col(n)
     return out.select("doc_id", *flags.keys(), passed.alias("passes_gopher"))
+
+
+def unigram_logppl(
+    docs: DataFrame, text_col: str = "text", round_dp: int = 6
+) -> DataFrame:
+    """Unigram log-perplexity quality score — the model-free version of
+    the CCNet-style LM filter: build the corpus's own unigram
+    distribution (one wordcount agg), then score each document by the
+    mean negative log-probability of its words. Outlier-high scores mark
+    gibberish/rare-token docs; outlier-low mark boilerplate.
+
+    Engine-portable determinism: per-word -ln p(w) is rounded to 9 dp
+    and summed as DECIMAL(28,9) (exact, order-independent), the mean is
+    one double division rounded to ``round_dp`` — so the DuckDB oracle
+    value-hashes exactly despite float logs and arbitrary partitioning.
+
+    Scale shape: one wordcount aggregation (map-side partials), one
+    hash join of exploded words against the vocab (both shuffles keyed
+    on the word — co-partitioned), one per-doc agg. Nothing driver-side;
+    vocab size is unbounded so the join is hash, not broadcast.
+    """
+    words = docs.select(
+        "doc_id", F.explode(_words(F.col(text_col))).alias("w")
+    )
+    total = words.count()  # scalar: corpus token count
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = words.join(vocab, "w").select(
+        "doc_id",
+        F.round(-F.log(F.col("cnt").cast("double") / F.lit(float(total))), 9)
+        .cast("decimal(28,9)")
+        .alias("nlp"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                (F.sum("nlp").cast("double") / F.count(F.lit(1)).cast("double")),
+                round_dp,
+            ).alias("mean_neg_logp"),
+        )
+        .select("doc_id", "n_tokens", "mean_neg_logp")
+    )

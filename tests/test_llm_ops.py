@@ -680,3 +680,22 @@ def test_semantic_decontaminate_flags_near_benchmark(spark):
     top = {r.vec_id: r.max_bench_cosine for r in rows}
     assert all(0.999 <= top[i] for i in flagged)
     assert any(not r.is_contaminated for r in rows)
+
+
+def test_unigram_logppl_scores(spark):
+    import math
+
+    from flink_helloworld_spark.operators.text import unigram_logppl
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a a rare")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logppl(docs).collect()}
+    # corpus: a x7, rare x1, total 8 → p(a)=7/8, p(rare)=1/8
+    nl_a = round(-math.log(7 / 8), 9)
+    nl_r = round(-math.log(1 / 8), 9)
+    assert out[1].n_tokens == 4
+    assert out[1].mean_neg_logp == round(nl_a, 6)
+    assert out[2].mean_neg_logp == round((3 * nl_a + nl_r) / 4, 6)
+    assert out[2].mean_neg_logp > out[1].mean_neg_logp  # rare words score high
