@@ -1882,13 +1882,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_q20_dominant_supp": _q_sql_q20_dominant_supp,
         "sql_q21_waiting_supp": _q_sql_q21_waiting_supp,
         "multimodal_ppm_decode": _q_multimodal_ppm_decode,
+        "cep_pattern": _q_cep_pattern,
+        "gapfill_locf": _q_gapfill_locf,
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
         "unigram_logppl": _q_unigram_logppl,
         "gopher_rules": _q_gopher_rules,
         "domain_cap": _q_domain_cap,
         "decontaminate_semantic": _q_decontaminate_semantic,
-        "cep_pattern": _q_cep_pattern,
-        "gapfill_locf": _q_gapfill_locf,
         "funnel_conversion": _q_funnel_conversion,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh_topk": _q_similarity_lsh_topk,
