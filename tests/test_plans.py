@@ -317,3 +317,28 @@ def test_ivf2_stays_distributed_no_global_sort(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan
     assert plan.count("FlatMapGroupsInPandas") >= 2
+
+
+def test_round3_pipeline_ops_plan_contracts(spark, sf_dir):
+    """New pipeline ops keep the codegen/shuffle discipline:
+    gopher_rules is one scan + projection (no exchange, no Python);
+    domain_cap is exactly one hash exchange (the domain window);
+    semantic_decontaminate is scan → one Arrow stage, no shuffle."""
+    from flink_helloworld_spark.operators import similarity as S
+    from flink_helloworld_spark.operators.sampling import domain_cap
+    from flink_helloworld_spark.operators.text import gopher_rules
+
+    t = load_tables(spark, sf_dir)
+
+    plan = explain_str(gopher_rules(t.documents), "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = explain_str(domain_cap(t.documents, cap=5), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+    plan = explain_str(S.semantic_decontaminate(t.embeddings), "simple")
+    assert "Exchange" not in plan  # benchmark is broadcast, corpus streams
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
