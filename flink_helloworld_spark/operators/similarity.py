@@ -487,6 +487,61 @@ def ivf_cosine_topk(
     )
 
 
+def _pq_codes_dtab_blas(
+    v: DataFrame, cbook: DataFrame, m: int, sub: int, ksub: int
+) -> DataFrame:
+    """PQ quantization + per-vector ADC table in ONE Arrow/BLAS pass,
+    replaying the exact contracts of the column-expression form: per
+    subspace, the squared L2 to each codebook entry; codes pick the
+    packed minimum ``round(sqd·1e6)·ksub + cid`` (micro-unit ties →
+    lowest code id); the dtab is the raw distances laid out
+    ``[subspace-major, cid asc]`` — exactly what the element_at ADC scan
+    indexes. The ≤ksub-row codebook is collected and broadcast (bounded
+    metadata, like the centroid table); this removes two N×ksub cross
+    joins of interpreted zip_with folds.
+
+    Returns ``(id, code_0..code_{m-1}, dtab)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = cbook.collect()
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["cbvec"] for r in rows], dtype=np.float64)
+    order = np.argsort(cids)
+    cids, cmat = cids[order], cmat[order]
+    spark = v.sparkSession
+    bc = spark.sparkContext.broadcast((cids, cmat))
+
+    schema = ", ".join(
+        ["id long"] + [f"code_{j} int" for j in range(m)] + ["dtab array<double>"]
+    )
+
+    def fn(batches):
+        b_cids, b_cmat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf["vec"]), dtype=np.float64)
+            out = {"id": ids}
+            dtabs = []
+            for j in range(m):
+                qs = q[:, j * sub : (j + 1) * sub]
+                cs = b_cmat[:, j * sub : (j + 1) * sub]
+                diff = qs[:, None, :] - cs[None, :, :]
+                sq = np.einsum("ijk,ijk->ij", diff, diff)
+                packed = (
+                    np.round(sq * 1_000_000.0).astype(np.int64) * ksub + b_cids
+                )
+                out[f"code_{j}"] = (packed.min(axis=1) % ksub).astype(np.int32)
+                dtabs.append(sq)  # cid-ascending within each subspace
+            out["dtab"] = list(np.concatenate(dtabs, axis=1))
+            yield pd.DataFrame(out)
+
+    return v.select("id", "vec").mapInPandas(fn, schema)
+
+
 def ivfpq_topk(
     emb: DataFrame,
     k: int = 5,
@@ -554,57 +609,11 @@ def ivfpq_topk(
         ksub,
     ).select((F.col("_rn") - 1).alias("cid"), F.col("vec").alias("cbvec"))
 
-    def sq_l2(j: int, a: Column, b: Column) -> Column:
-        da = F.slice(a, j * sub + 1, sub)
-        db = F.slice(b, j * sub + 1, sub)
-        diff_sq = F.zip_with(
-            da, db,
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        )
-        return F.aggregate(diff_sq, F.lit(0.0), lambda acc, d: acc + d)
-
-    packed = v.crossJoin(F.broadcast(cbook)).select(
-        "id",
-        *[
-            (
-                F.round(sq_l2(j, F.col("vec"), F.col("cbvec")) * 1_000_000.0).cast("long")
-                * ksub
-                + F.col("cid")
-            ).alias(f"_p{j}")
-            for j in range(m)
-        ],
-    )
-    codes = packed.groupBy("id").agg(
-        *[(F.min(f"_p{j}") % ksub).cast("int").alias(f"code_{j}") for j in range(m)]
-    )
-
-    # --- per-query ADC distance table: the classic PQ trick. One
-    # N×ksub broadcast pass computes every (subspace, code) distance,
-    # min-pivoted into an m·ksub array per vector, so the candidate scan
-    # below does m array lookups per pair instead of m folds over dims ---
-    def field(j: int):
-        # closure factory: a bare lambda in the loop would capture j late
-        return lambda s: s[f"_d{j}"]
-
-    dtab = (
-        v.crossJoin(F.broadcast(cbook))
-        .select(
-            "id",
-            "cid",
-            *[sq_l2(j, F.col("vec"), F.col("cbvec")).alias(f"_d{j}") for j in range(m)],
-        )
-        .groupBy("id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("cid", *[f"_d{j}" for j in range(m)]))
-            ).alias("_ds")
-        )
-        .select(
-            "id",
-            F.concat(*[F.transform("_ds", field(j)) for j in range(m)]).alias("dtab"),
-        )
-    )
+    # codes + ADC table fused in one BLAS stage (same packed-min and
+    # layout contracts as the former pair of N×ksub zip_with cross joins)
+    codes_dtab = share(_pq_codes_dtab_blas(v, cbook, m, sub, ksub))
+    codes = codes_dtab.select("id", *[f"code_{j}" for j in range(m)])
+    dtab = codes_dtab.select("id", "dtab")
 
     # --- ADC scan: probes × coded cells; neighbor side is codes only ---
     coded_cells = cells.join(codes, on="id").select(
