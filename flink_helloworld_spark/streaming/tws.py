@@ -26,7 +26,14 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
 )
-from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 ROLLING_OUTPUT = StructType(
     [
@@ -446,4 +453,81 @@ def session_flush_tws(
         outputStructType=SESSION_FLUSH_OUTPUT,
         outputMode="append",
         timeMode="eventTime",
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming domain cap: per-key counters with typed ValueState
+# --------------------------------------------------------------------------
+
+DOMAIN_CAP_OUTPUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("domain_rank", LongType()),
+        StructField("kept", BooleanType()),
+    ]
+)
+
+_COUNT_STATE = StructType([StructField("n", LongType())])
+
+
+class DomainCapProcessor(StatefulProcessor):
+    """Streaming twin of ``sampling.domain_cap``: an unbounded ingest
+    can't rank a domain by md5 (the set is never complete), so the
+    streaming semantics are FIRST-ARRIVED-KEPT — one ValueState counter
+    per domain, every doc emitted with its arrival rank and a kept flag.
+    State is one long per domain: bounded by domain cardinality, not
+    corpus size."""
+
+    def __init__(self, cap: int) -> None:
+        self._cap = cap
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._n = handle.getValueState("n", _COUNT_STATE)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        (n,) = self._n.get() if self._n.exists() else (0,)
+        out = []
+        for pdf in rows:
+            for rec in pdf.sort_values("seq").to_dict("records"):
+                n += 1
+                out.append(
+                    {
+                        "doc_id": rec["doc_id"],
+                        "source": key[0],
+                        "domain_rank": n,
+                        "kept": n <= self._cap,
+                    }
+                )
+        self._n.update((n,))
+        yield pd.DataFrame(out, columns=[f.name for f in DOMAIN_CAP_OUTPUT.fields])
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_domain_cap(
+    stream: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Arrival-order per-domain cap over an unbounded stream; see
+    DomainCapProcessor for the batch-vs-streaming semantic difference."""
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        F.col(domain_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.col(seq_col).alias("seq"),
+    )
+    return src.groupBy("source").transformWithStateInPandas(
+        DomainCapProcessor(cap),
+        outputStructType=DOMAIN_CAP_OUTPUT,
+        outputMode="append",
+        timeMode="none",
     )

@@ -590,3 +590,52 @@ def test_session_flush_via_event_time_timers(spark):
         (b, b + 10_000, 3.0, 2),
         (b + 90_000, b + 90_000, 5.0, 1),
     ]
+
+
+def test_streaming_domain_cap_first_arrived_kept(spark):
+    """Streaming per-domain cap: typed ValueState counters, arrival-order
+    keep semantics (the batch op ranks by md5 over the complete set; an
+    unbounded stream can only rank by arrival), state persists across
+    micro-batches."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import streaming_domain_cap
+
+    frames = [
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "source": ["a", "a", "b"], "seq": [0, 1, 2]}
+        ),
+        pd.DataFrame(
+            {"doc_id": [4, 5, 6], "source": ["a", "b", "a"], "seq": [3, 4, 5]}
+        ),
+    ]
+    workdir = tempfile.mkdtemp(prefix="domcap-")
+    t0 = _time.time() - 60
+    for i, pdf in enumerate(frames):
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, seq long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    out = streaming_domain_cap(stream, cap=2)
+    rows = {r.doc_id: r for r in run_available_now(out, "domcap_out")}
+    assert len(rows) == 6  # every doc emitted with its flag
+    # domain a arrival order: 1, 2 (batch 1) then 4, 6 (batch 2) —
+    # counter state survived the batch boundary
+    assert [rows[i].domain_rank for i in (1, 2, 4, 6)] == [1, 2, 3, 4]
+    assert [rows[i].kept for i in (1, 2, 4, 6)] == [True, True, False, False]
+    assert [rows[i].domain_rank for i in (3, 5)] == [1, 2]
+    assert rows[3].kept and rows[5].kept
