@@ -742,46 +742,23 @@ def pq_assign(
     ``round(dist·1e6)·ksub + cid`` so no float ordering ever crosses an
     engine boundary.
 
-    Scale shape: one broadcast cross join (ksub rows) + one hash agg on
-    the vector id — codegen end-to-end, no Python, no shuffle of the
-    embedding column beyond its own scan.
+    Scale shape: one Arrow/BLAS pass against the broadcast ≤ksub-row
+    codebook (the shared ``_pq_codes_dtab_blas`` kernel) — no shuffle of
+    the embedding column beyond its own scan.
     """
-    from pyspark.sql import Window
-
     sub = dims // m
     from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
 
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     md5_rank = md5_prefix_long(F.col("id").cast("string"))
     cent = seed_topk(v.withColumn("_h", md5_rank), ksub).select(
-        (F.col("_rn") - 1).alias("cid"), F.col("vec").alias("cvec")
+        (F.col("_rn") - 1).alias("cid"), F.col("vec").alias("cbvec")
     )
-
-    def sq_l2(j: int) -> Column:
-        a = F.slice(F.col("vec"), j * sub + 1, sub)
-        b = F.slice(F.col("cvec"), j * sub + 1, sub)
-        diff_sq = F.zip_with(
-            a, b,
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        )
-        return F.aggregate(diff_sq, F.lit(0.0), lambda acc, d: acc + d)
-
-    packed = v.crossJoin(F.broadcast(cent)).select(
-        "id",
-        *[
-            (
-                F.round(sq_l2(j) * 1_000_000.0).cast("long") * ksub + F.col("cid")
-            ).alias(f"_p{j}")
-            for j in range(m)
-        ],
+    # same BLAS kernel as ivfpq's code stage (identical packed-min
+    # contract); the dtab column is simply dropped here
+    return _pq_codes_dtab_blas(v, cent, m, sub, ksub).select(
+        F.col("id").alias(id_col), *[f"code_{j}" for j in range(m)]
     )
-    return packed.groupBy("id").agg(
-        *[
-            (F.min(f"_p{j}") % ksub).cast("int").alias(f"code_{j}")
-            for j in range(m)
-        ]
-    ).select(F.col("id").alias(id_col), *[f"code_{j}" for j in range(m)])
 
 
 def semantic_decontaminate(
