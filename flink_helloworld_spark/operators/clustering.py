@@ -23,19 +23,8 @@ float mean and give up bit-reproducibility — documented tradeoff).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from .similarity import _dot, _norm
-
-
-def _sq_dist(a: Column, b: Column) -> Column:
-    diff_sq = F.zip_with(
-        a, b,
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    return F.aggregate(diff_sq, F.lit(0.0), lambda acc, d: acc + d)
 
 
 def _kmeans_assign_blas(
