@@ -826,6 +826,28 @@ def _q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed BPE training (Sennrich 2016): iterative — no single
+    # SQL statement expresses the merge recursion, so this entry has no
+    # oracle_sql; exactness is pinned by tests against a pure-Python
+    # reference implementation (tests/test_llm_ops.py)
+    from flink_helloworld_spark.operators.bpe import bpe_train
+
+    return bpe_train(load_tables(spark, sf_dir).documents, n_merges=8)
+
+
+def _q_bpe_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokens-per-doc under the corpus-trained BPE vocabulary (fertility)
+    from flink_helloworld_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_tables(spark, sf_dir).documents
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(docs, n_merges=8).orderBy("step").collect()
+    ]
+    return bpe_encode(docs, merges)
+
+
 def _q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_binary(load_tables(spark, sf_dir).documents)
     return (
@@ -1958,6 +1980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _q_bloom_membership,
         "table_profile": _q_table_profile,
         "multimodal_audio": _q_multimodal_audio,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "bpe_token_fertility": _q_bpe_token_fertility,
         "text_diversity": _q_text_diversity,
         "skew_report": _q_skew_report,
         "dedup_containment": _q_dedup_containment,

@@ -61,6 +61,7 @@ HEADLINE = [
     "domain_cap",
     "decontaminate_semantic",
     "unigram_logppl",
+    "bpe_train_merges",
     "tfidf_top_terms",
     "bm25_search",
     "dedup_clusters",

@@ -1,0 +1,155 @@
+"""Distributed BPE tokenizer training (north-star LLM-data surface).
+
+Byte-pair encoding (Sennrich et al. 2016, public) learned over the
+corpus with ALL heavy work distributed: word frequencies are one
+wordcount aggregate; each merge round counts adjacent symbol pairs
+weighted by word frequency (explode + hash agg, map-side partials) and
+applies the winning merge to every word with a pure column-expression
+``aggregate`` fold — left-to-right non-overlapping, exactly the
+reference BPE semantics. The only driver traffic per round is the
+1-row argmax (like Lloyd's centroid sync); vocabularies never collect.
+
+Iterative and therefore not single-statement-SQL-expressible — the
+driver's weaker rows-only check applies; exactness is pinned instead by
+tests against a pure-Python reference implementation on the same corpus
+(tests/test_llm_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _chars(word: Column) -> Column:
+    """Word → initial symbol sequence (single characters)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: F.substring(word, i, 1)
+    )
+
+
+def _merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Apply one merge (left,right)→left+right to a symbol array as a
+    left-to-right non-overlapping fold: carry the previous symbol; when
+    (carry, current) is the pair, emit the merged symbol and clear the
+    carry so the right element can't start another match."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        return (
+            F.when(
+                acc["carry"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("carry")),
+            )
+            .when(
+                (acc["carry"] == F.lit(left)) & (s == F.lit(right)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(left + right))).alias("out"),
+                    F.lit(None).cast("string").alias("carry"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
+                    s.alias("carry"),
+                )
+            )
+        )
+
+    fin = lambda acc: F.when(acc["carry"].isNull(), acc["out"]).otherwise(  # noqa: E731
+        F.concat(acc["out"], F.array(acc["carry"]))
+    )
+    return F.aggregate(syms, init, step, fin)
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the merge
+    table ``(step, left, right, merged, pair_count)`` in learned order.
+
+    Tie-break: highest weighted pair count, then lexicographically
+    smallest (left, right) — fully deterministic, partitioning-free.
+    The per-round argmax uses ``orderBy(...).limit(1)`` (distributed
+    TakeOrdered, 1-row driver sync); the vocabulary table is
+    localCheckpointed per round to truncate the growing fold lineage.
+    """
+    from flink_helloworld_spark.functions import words_of
+
+    vocab = (
+        docs.select(F.explode(words_of(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_chars(F.col("w")).alias("syms"), "cnt")
+    ).localCheckpoint()
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step_i in range(n_merges):
+        pairs = vocab.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", 1, F.size("syms") - 1).alias("l"),
+                    F.slice("syms", 2, F.size("syms") - 1).alias("r"),
+                )
+            ).alias("p"),
+            "cnt",
+        ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "cnt")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < 2:
+            break
+        left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((step_i, left, right, left + right, n))
+        vocab = vocab.select(
+            _merge_fold(F.col("syms"), left, right).alias("syms"), "cnt"
+        ).localCheckpoint()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count long"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to a corpus: per doc, the token count
+    under the trained BPE vocabulary (plus the raw char count) — the
+    fertility signal used to compare tokenizers. Pure column
+    expressions; the merge list is a plan constant."""
+    from flink_helloworld_spark.functions import words_of
+
+    def apply_merge(lft: str, rgt: str):
+        # closure factory: PySpark introspects lambda arity, so default
+        # args would read as extra higher-order-function parameters
+        return lambda s: _merge_fold(s, lft, rgt)
+
+    tokens = F.transform(words_of(F.col(text_col)), lambda w: _chars(w))
+    for left, right in merges:
+        tokens = F.transform(tokens, apply_merge(left, right))
+    return docs.select(
+        id_col,
+        F.aggregate(
+            F.transform(tokens, lambda s: F.size(s)),
+            F.lit(0),
+            lambda acc, n: acc + n,
+        ).alias("n_tokens"),
+        F.aggregate(
+            F.transform(words_of(F.col(text_col)), lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, n: acc + n,
+        ).alias("n_chars"),
+    )

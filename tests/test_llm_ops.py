@@ -699,3 +699,95 @@ def test_unigram_logppl_scores(spark):
     assert out[1].mean_neg_logp == round(nl_a, 6)
     assert out[2].mean_neg_logp == round((3 * nl_a + nl_r) / 4, 6)
     assert out[2].mean_neg_logp > out[1].mean_neg_logp  # rare words score high
+
+
+def _bpe_reference(word_counts: dict, n_merges: int):
+    """Pure-Python BPE (Sennrich et al. 2016) — the exactness oracle for
+    the distributed trainer: same weighting, same (count desc, pair asc)
+    tie-break, same left-to-right non-overlapping merge."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for step in range(n_merges):
+        pairs: dict = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[syms[i], syms[i + 1]] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n = best
+        if n < 2:
+            break
+        merges.append((step, l, r, l + r, n))
+        new_vocab: dict = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from collections import Counter
+
+    from flink_helloworld_spark.operators.bpe import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest low new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    expect = _bpe_reference(dict(wc), n_merges=6)
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(docs, n_merges=6).orderBy("step").collect()
+    ]
+    assert got == expect
+
+
+def test_bpe_train_on_testdata_prefix_matches_reference(spark, sf_dir):
+    from collections import Counter
+
+    from flink_helloworld_spark.operators.bpe import bpe_train
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir).documents
+    wc = Counter(
+        w
+        for r in docs.select("text").collect()
+        for w in r.text.split(" ")
+        if w
+    )
+    expect = _bpe_reference(dict(wc), n_merges=5)
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(docs, n_merges=5).orderBy("step").collect()
+    ]
+    assert got == expect
+
+
+def test_bpe_encode_token_counts(spark):
+    from flink_helloworld_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa"), (2, "aa")], "doc_id long, text string"
+    )
+    merges = [
+        (r.left, r.right) for r in bpe_train(docs, n_merges=2).orderBy("step").collect()
+    ]
+    # merge 1: (a,a)->aa weighted 2*2+2*2+1=...; merge 2: (aa,aa)->aaaa
+    out = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    assert out[1].n_chars == 8 and out[2].n_chars == 2
+    assert out[1].n_tokens == 2  # each 'aaaa' collapses to one token
+    assert out[2].n_tokens == 1
