@@ -259,3 +259,48 @@ def streaming_ingest_job(
     return partitioned_lake_sink(
         dated, sink_path, checkpoint_dir, ["ingest_date"]
     )
+
+
+def streaming_pretrain_front(
+    stream: DataFrame,
+    domain_cap: int,
+    time_col: str = "event_time",
+    text_col: str = "text",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """The full streaming pretrain front-end as ONE query, composing the
+    round-3 surface: Gopher rule gate (stateless codegen projection) →
+    exact content dedup within the watermark horizon (bounded state) →
+    per-domain arrival cap on typed transformWithState counters. The
+    stateless gate runs FIRST so both stateful operators hold state only
+    for documents that can survive; the TWS stage chains after
+    dropDuplicatesWithinWatermark the same way the single-query capstone
+    chains across its re-key seam.
+
+    Returns the flagged stream (doc_id, source, domain_rank, kept);
+    callers route kept=true to the lake sink and the rest to an audit
+    topic.
+    """
+    from flink_helloworld_spark.operators.dedup import _words
+    from flink_helloworld_spark.streaming.tws import streaming_domain_cap
+
+    # inline the cheap core of text.gopher_rules (word count + mean word
+    # length) — the batch op's full flag set stays a batch projection
+    ws = _words(F.col(text_col))
+    n_words = F.size(ws)
+    n_chars = F.length(text_col)
+    mean_wlen = (n_chars - (n_words - 1)).cast("double") / F.nullif(
+        n_words.cast("double"), F.lit(0.0)
+    )
+    gated = stream.where(
+        (n_words >= 5) & (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+    )
+    deduped = (
+        gated.withWatermark(time_col, delay)
+        .withColumn("content_hash", F.md5(F.col(text_col)))
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    seq = F.unix_millis(F.col(time_col))
+    return streaming_domain_cap(
+        deduped.withColumn("seq", seq), cap=domain_cap
+    )

@@ -227,3 +227,67 @@ def test_streaming_ingest_job_filters_dedups_partitions(spark):
     # hive partition dirs by ingest date
     parts = {os.path.basename(p) for p in glob.glob(os.path.join(sink, "ingest_date=*"))}
     assert parts == {"ingest_date=2024-01-01", "ingest_date=2024-01-02"}
+
+
+def test_streaming_pretrain_front_composes_gate_dedup_cap(spark):
+    """Gopher gate → watermark dedup → TWS domain cap in ONE query:
+    the gate drops junk before any state exists, the duplicate never
+    reaches the domain counter, and the cap flags by arrival."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.jobs import streaming_pretrain_front
+    from flink_helloworld_spark.streaming.replay import run_available_now
+
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    s = pd.Timedelta(seconds=1)
+    good = "the quick brown fox jumps over the lazy dog again"
+    frames = [
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "source": ["a", "a", "a"],
+                "text": [good, "x y", good + " one"],
+                "event_time": [base, base + s, base + 2 * s],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "doc_id": [4, 5],
+                "source": ["a", "b"],
+                # doc 4 duplicates doc 1's content → dedup eats it
+                "text": [good, good + " two"],
+                "event_time": [base + 3 * s, base + 4 * s],
+            }
+        ),
+    ]
+    workdir = tempfile.mkdtemp(prefix="pretrain-front-")
+    t0 = _time.time() - 60
+    for i, pdf in enumerate(frames):
+        pdf = pdf.copy()
+        pdf["event_time"] = pd.to_datetime(pdf["event_time"]).astype("datetime64[us]")
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, source string, text string, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    out = streaming_pretrain_front(stream, domain_cap=1)
+    rows = {r.doc_id: r for r in run_available_now(out, "pretrain_front")}
+    # doc 2 failed the gate, doc 4 was a duplicate: neither emitted
+    assert set(rows) == {1, 3, 5}
+    assert rows[1].kept and rows[1].domain_rank == 1
+    assert not rows[3].kept and rows[3].domain_rank == 2  # over domain-a cap
+    assert rows[5].kept  # domain b's first
