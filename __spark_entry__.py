@@ -786,6 +786,17 @@ def _q_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_image_features(media)
 
 
+def _q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL COMPRESSED-format decode end-to-end: genuine PNG payloads
+    # built JVM-side (stored-block zlib + expression-fold adler32 +
+    # built-in crc32, multimodal.attach_png_binary), decoded by the
+    # pure-stdlib PNG decoder (chunk walk, CRC verify, zlib inflate,
+    # full Paeth defilter). No codec library anywhere; the oracle
+    # replays the deterministic construction's dimensions.
+    media = MM.attach_png_binary(load_tables(spark, sf_dir).documents)
+    return MM.decode_image_features(media)
+
+
 def _q_similarity_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hierarchical (two-level) IVF: only the ~sqrt(C)-row super table is
     # driver metadata; the C-row centroid table stays distributed — the
@@ -827,10 +838,11 @@ def _q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # distributed BPE training (Sennrich 2016): iterative — no single
-    # SQL statement expresses the merge recursion, so this entry has no
-    # oracle_sql; exactness is pinned by tests against a pure-Python
-    # reference implementation (tests/test_llm_ops.py)
+    # distributed BPE training (Sennrich 2016): iterative, oracled by
+    # replaying all 8 merge rounds as chained CTEs (_bpe_train_sql —
+    # same pattern as the k-means Lloyd-iteration oracle) with the merge
+    # fold replicated exactly via list_reduce; additionally pinned
+    # against a pure-Python reference (tests/test_llm_ops.py)
     from flink_helloworld_spark.operators.bpe import bpe_train
 
     return bpe_train(load_tables(spark, sf_dir).documents, n_merges=8)
@@ -1904,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_q20_dominant_supp": _q_sql_q20_dominant_supp,
         "sql_q21_waiting_supp": _q_sql_q21_waiting_supp,
         "multimodal_ppm_decode": _q_multimodal_ppm_decode,
+        "multimodal_png_decode": _q_multimodal_png_decode,
         "cep_pattern": _q_cep_pattern,
         "gapfill_locf": _q_gapfill_locf,
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
@@ -2497,10 +2510,135 @@ def _ivfpq_sql(
     """
 
 
-def _kmeans_ctes(k: int = 8, n_iter: int = 2, dims: int = 64) -> str:
+def _bpe_merge_fold(syms: str, left: str, right: str) -> str:
+    """DuckDB replica of bpe._merge_fold: left-to-right NON-OVERLAPPING
+    application of one merge (left,right)→left+right to a symbol list.
+    A two-pass string replace is NOT equivalent (left==right chains like
+    'aaa' pair differently), so this is the exact carry fold as a
+    ``list_reduce`` over a string-encoded accumulator
+    ``out(\\x1f-joined) || \\x1e || carry`` (separators chr(30)/chr(31)
+    never occur in corpus text; carry='' encodes the cleared carry —
+    symbols themselves are never empty). Verified against the pure-Python
+    reference on 800 fuzz cases. ``left``/``right`` may be column
+    references from a cross-joined 1-row CTE."""
+    C, U = "chr(30)", "chr(31)"
+    o = f"split_part(acc, {C}, 1)"
+    c = f"split_part(acc, {C}, 2)"
+    step = f"""(acc, x) -> CASE
+        WHEN {c} = '' THEN {o} || {C} || x
+        WHEN {c} = {left} AND x = {right}
+          THEN (CASE WHEN {o} = '' THEN {left} || {right}
+                ELSE {o} || {U} || {left} || {right} END) || {C}
+        ELSE (CASE WHEN {o} = '' THEN {c} ELSE {o} || {U} || {c} END) || {C} || x
+      END"""
+    red = f"list_reduce(list_prepend({C}, {syms}), {step})"
+    fin = f"""(CASE WHEN split_part({red}, {C}, 2) = '' THEN split_part({red}, {C}, 1)
+        WHEN split_part({red}, {C}, 1) = '' THEN split_part({red}, {C}, 2)
+        ELSE split_part({red}, {C}, 1) || {U} || split_part({red}, {C}, 2) END)"""
+    return f"string_split({fin}, {U})"
+
+
+def _bpe_ctes(n_merges: int = 8) -> str:
+    """Chained-CTE replay of bpe.bpe_train's ``n_merges`` rounds — the
+    same trick as the k-means oracle's Lloyd-iteration CTEs: each round
+    is (weighted pair count → (count desc, l, r) argmax → exact merge
+    fold over the distinct vocabulary). Ends with bpe_best{r} (one row
+    per learned merge) and bpe_vocab{n_merges}."""
+    parts = [
+        "bpe_w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
+        """bpe_vocab0 AS (
+           SELECT list_transform(range(1, length(w)::INT + 1),
+                                 i -> substr(w, i::INT, 1)) AS syms,
+                  count(*)::BIGINT AS cnt
+           FROM bpe_w WHERE w <> '' GROUP BY w)""",
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""bpe_pairs{r} AS (
+            SELECT p[1] AS l, p[2] AS r, cnt
+            FROM (SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p,
+                         cnt
+                  FROM bpe_vocab{r}))"""
+        )
+        parts.append(
+            f"""bpe_best{r} AS (
+            SELECT l, r, sum(cnt)::BIGINT AS n FROM bpe_pairs{r}
+            GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1)"""
+        )
+        parts.append(
+            f"""bpe_vocab{r + 1} AS (
+            SELECT {_bpe_merge_fold('v.syms', 'b.l', 'b.r')} AS syms, v.cnt
+            FROM bpe_vocab{r} v CROSS JOIN bpe_best{r} b)"""
+        )
+    return ",\n        ".join(parts)
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    # engine stops when the best pair count drops below 2 and leaves the
+    # vocabulary untouched from that round on; the trailing WHERE mirrors
+    # the emitted-row cutoff (counts are monotone on this corpus — if a
+    # sub-2 round ever fired mid-run the chain would need a short-circuit)
+    sel = "\n            UNION ALL\n            ".join(
+        f'SELECT {r} AS step, l AS "left", r AS "right",'
+        f" l || r AS merged, n AS pair_count FROM bpe_best{r}"
+        for r in range(n_merges)
+    )
+    return f"""
+        WITH {_bpe_ctes(n_merges)}
+        SELECT * FROM (
+            {sel}
+        ) WHERE pair_count >= 2 ORDER BY step
+    """
+
+
+def _bpe_fertility_sql(n_merges: int = 8) -> str:
+    """bpe.bpe_encode oracle: apply the learned merges to every DISTINCT
+    word once (enc CTE chain), then join back to per-doc word lists.
+    Mirrors the engine's unfiltered split: an empty word (double space)
+    would contribute 2 symbols via Spark's descending sequence(1,0) —
+    absent from the corpus but kept for parity."""
+    parts = [
+        """fert_wl AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)""",
+        """fert_enc0 AS (
+            SELECT w, syms FROM bpe_vocab0_words)""",
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""fert_enc{r + 1} AS (
+            SELECT e.w, {_bpe_merge_fold('e.syms', 'b.l', 'b.r')} AS syms
+            FROM fert_enc{r} e CROSS JOIN bpe_best{r} b)"""
+        )
+    return f"""
+        WITH {_bpe_ctes(n_merges)},
+        bpe_vocab0_words AS (
+           SELECT w, list_transform(range(1, length(w)::INT + 1),
+                                    i -> substr(w, i::INT, 1)) AS syms
+           FROM (SELECT DISTINCT w FROM (
+                   SELECT unnest(string_split(text, ' ')) AS w FROM documents))
+           WHERE w <> ''),
+        {",".join(parts)}
+        SELECT wl.doc_id,
+               CAST(sum(CASE WHEN wl.w = '' THEN 2 ELSE len(e.syms) END) AS INT)
+                 AS n_tokens,
+               CAST(sum(length(wl.w)) AS INT) AS n_chars
+        FROM fert_wl wl LEFT JOIN fert_enc{n_merges} e ON wl.w = e.w
+        GROUP BY wl.doc_id
+    """
+
+
+def _kmeans_ctes(
+    k: int | str = 8, n_iter: int = 2, dims: int = 64
+) -> str:
     """CTE chain replicating clustering.kmeans_assign: md5-rank seeds
     (seed 'km:'), integer-packed argmin, id-sorted sequential-fold
-    means. Ends with cent{n_iter} holding the final centroids."""
+    means. Ends with cent{n_iter} holding the final centroids.
+
+    ``k`` may be a SQL expression string (e.g. a scalar subquery) so the
+    oracle can mirror the engine's auto-sized k = max(8, ⌈N/256⌉)
+    instead of hardcoding the literal that happens to match at current
+    testdata sizes."""
 
     def sqd(vec: str, cvec: str) -> str:
         d = f"({vec}[i]::DOUBLE - {cvec}[i]::DOUBLE)"
@@ -2563,8 +2701,13 @@ def _kmeans_sql(k: int = 8, n_iter: int = 2, dims: int = 64) -> str:
 
 
 def _semantic_dedup_sql(
-    threshold: float = 0.2, k: int = 8, n_iter: int = 2, dims: int = 64
+    threshold: float = 0.2, n_iter: int = 2, dims: int = 64
 ) -> str:
+    # k mirrors clustering._auto_clusters: max(8, ceil(N/256)) as a
+    # scalar subquery, so testdata regeneration above 2048 embeddings
+    # keeps engine and oracle in lockstep instead of silently diverging
+    # from a hardcoded literal.
+    k = "(SELECT k FROM kp)"
     d = "(v.vec[i]::DOUBLE - c.cvec[i]::DOUBLE)"
     sqd = f"list_sum(list_transform(range(1, {dims + 1}), i -> {d} * {d}))"
     cos = (
@@ -2573,7 +2716,10 @@ def _semantic_dedup_sql(
         f" * sqrt({_dot_sql('b.vec', 'b.vec')}), 0.0)"
     )
     return f"""
-        WITH {_kmeans_ctes(k, n_iter, dims)},
+        WITH kp AS (
+          SELECT GREATEST(8, CAST(ceil(count(*) / 256.0) AS BIGINT)) AS k
+          FROM embeddings),
+        {_kmeans_ctes(k, n_iter, dims)},
         fin AS (
           SELECT v.id, c.cid,
                  round({sqd} * 1000000.0)::BIGINT * {k} + c.cid AS _p
@@ -3492,7 +3638,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6) AS mean_neg_logp
             FROM scored GROUP BY doc_id
         """,
-        "gopher_rules": f"""
+        "gopher_rules": rf"""
             WITH base AS (SELECT doc_id, text, {_WS} AS ws FROM documents),
             m AS (
               SELECT doc_id,
@@ -3529,6 +3675,8 @@ def oracle_sql() -> dict[str, str]:
               AS passes_gopher
             FROM r
         """,
+        "bpe_train_merges": _bpe_train_sql(8),
+        "bpe_token_fertility": _bpe_fertility_sql(8),
         "domain_cap": """
             SELECT doc_id, source,
                    CAST(row_number() OVER (
@@ -3562,6 +3710,14 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         """,
         "multimodal_ppm_decode": """
+            SELECT doc_id,
+                   CAST(length(text) % 8 + 1 AS INT) AS width,
+                   CAST((length(text) // 8) % 8 + 1 AS INT) AS height,
+                   3 AS n_channels,
+                   TRUE AS decode_ok
+            FROM documents
+        """,
+        "multimodal_png_decode": """
             SELECT doc_id,
                    CAST(length(text) % 8 + 1 AS INT) AS width,
                    CAST((length(text) // 8) % 8 + 1 AS INT) AS height,

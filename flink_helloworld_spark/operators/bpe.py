@@ -9,10 +9,11 @@ applies the winning merge to every word with a pure column-expression
 reference BPE semantics. The only driver traffic per round is the
 1-row argmax (like Lloyd's centroid sync); vocabularies never collect.
 
-Iterative and therefore not single-statement-SQL-expressible — the
-driver's weaker rows-only check applies; exactness is pinned instead by
-tests against a pure-Python reference implementation on the same corpus
-(tests/test_llm_ops.py).
+Iterative, but still oracle-checkable: the driver oracle replays every
+merge round as chained DuckDB CTEs with the fold replicated exactly
+(``__spark_entry__._bpe_train_sql``); exactness is additionally pinned
+by tests against a pure-Python reference implementation on the same
+corpus (tests/test_llm_ops.py).
 """
 
 from __future__ import annotations

@@ -26,6 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_helloworld_spark.operators._numeric import (
+    pack_scaled_int,
+    round_half_away,
+)
+
 
 def _kmeans_assign_blas(
     v: DataFrame, cent_df: DataFrame, k: int, with_dist: bool = False
@@ -70,7 +75,7 @@ def _kmeans_assign_blas(
                 chunk = q[lo : lo + 1024]
                 diff = chunk[:, None, :] - b_cmat[None, :, :]
                 sq = np.einsum("ijk,ijk->ij", diff, diff)
-                packed = np.round(sq * 1_000_000.0).astype(np.int64) * k + b_cids
+                packed = pack_scaled_int(sq) * k + b_cids
                 pick = packed.argmin(axis=1)
                 rowix = np.arange(len(chunk))
                 part_packed = packed[rowix, pick]
@@ -86,7 +91,7 @@ def _kmeans_assign_blas(
             cid = (best_packed % k).astype(np.int32)
             if with_dist:
                 yield pd.DataFrame(
-                    {"id": ids, "cid": cid, "sq_dist": np.round(best_sq, 6)}
+                    {"id": ids, "cid": cid, "sq_dist": round_half_away(best_sq, 6)}
                 )
             else:
                 yield pd.DataFrame(
@@ -228,7 +233,7 @@ def semantic_dedup(
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0.0] = np.inf  # zero vectors never match (oracle: NULL)
         mat_n = mat / norms[:, None]
-        sims = np.round(mat_n @ mat_n.T, round_dp)
+        sims = round_half_away(mat_n @ mat_n.T, round_dp)
         # dropped[j] ⇔ some lower-id row i<j has sims[i, j] ≥ threshold
         over = np.triu(sims >= threshold, 1)
         dropped = over.any(axis=0)

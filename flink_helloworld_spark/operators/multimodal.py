@@ -5,13 +5,15 @@ structs; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages (the only place Python belongs: per
 payload CPU-bound work, vectorized per batch, partition-parallel).
 
-The container has no image/audio libs, so compressed codecs (JPEG etc.)
+The container has no image/audio libs, so lossy codecs (JPEG etc.)
 remain stubbed — but the netpbm (PPM/PGM/PBM) and BMP families need no
-library at all, and ``decode_image_features`` decodes those FOR REAL
-(header parse + raster validation, pure Python over Arrow batches).
-``attach_ppm_binary`` builds genuine P6 payloads JVM-side so one
-modality is decode-real end-to-end; other payloads fall back to the
-clearly-marked deterministic fake, keeping the pipeline total.
+library at all, and PNG needs only stdlib zlib: ``decode_image_features``
+decodes all three FOR REAL (PNG = chunk walk + CRC verify + inflate +
+full Paeth defilter — a genuinely COMPRESSED format, pure Python over
+Arrow batches). ``attach_ppm_binary`` / ``attach_png_binary`` build
+genuine payloads JVM-side so those modalities are decode-real
+end-to-end; other payloads fall back to the clearly-marked
+deterministic fake, keeping the pipeline total.
 """
 
 from __future__ import annotations
@@ -169,6 +171,208 @@ def attach_ppm_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _png_defilter(raw: bytes, width: int, height: int, bpp: int) -> bytes | None:
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth). ``raw`` is the inflated stream: per row, 1 filter byte +
+    width*bpp sample bytes. Pure stdlib; returns the defiltered raster
+    or None if a row carries an invalid filter type."""
+    stride = width * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ft = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            return None
+        out += row
+        prev = row
+    return bytes(out)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL pure-stdlib PNG decoder: signature + chunk walk (length/type
+    framing, CRC32 verified via zlib.crc32), IHDR parse, IDAT concat,
+    zlib inflate, and full scanline DEFILTER including Paeth. Supports
+    8-bit non-interlaced gray/RGB/gray-alpha/RGBA — a COMPRESSED format
+    decoded for real with no codec library (zlib is the Python stdlib).
+    Returns (width, height, channels, raster) or None if not PNG /
+    corrupt."""
+    import struct
+    import zlib
+
+    if len(payload) < 45 or payload[0:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data_start = pos + 8
+        if data_start + length + 4 > len(payload):
+            return None
+        data = payload[data_start : data_start + length]
+        (crc,) = struct.unpack_from(">I", payload, data_start + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IHDR":
+            if length != 13 or ihdr is not None:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos = data_start + length + 4
+    if ihdr is None or not idat or not seen_iend:
+        return None
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    if (
+        width <= 0
+        or height <= 0
+        or bit_depth != 8
+        or color_type not in _PNG_CHANNELS
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+    ):
+        return None
+    channels = _PNG_CHANNELS[color_type]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != height * (1 + width * channels):
+        return None
+    raster = _png_defilter(raw, width, height, channels)
+    if raster is None:
+        return None
+    return width, height, channels, raster
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, int] | None:
+    decoded = _decode_png(payload)
+    return None if decoded is None else decoded[:3]
+
+
+def attach_png_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize GENUINE PNG payloads from document text, entirely
+    JVM-side — same dimension rule as ``attach_ppm_binary`` (w = 1+n%8,
+    h = 1+(n/8)%8, RGB raster from the repeated md5 hex stream), so the
+    DuckDB oracle states expected dims without a decoder.
+
+    A PNG needs zlib framing and checksums, all of which codegen can
+    produce without a compressor: the IDAT stream is a single STORED
+    deflate block (legal zlib: 78 01, block header 01 + LEN/NLEN
+    little-endian, raw bytes), the adler32 is an expression fold over
+    the per-byte ints of the raster hex, and chunk CRCs are Spark's
+    built-in ``crc32``. The decode stage then inflates and defilters
+    these as real compressed-format bytes."""
+    n = F.length(F.col(text_col))
+    w = (n % 8 + 1).cast("int")
+    h = (F.floor(n / 8).cast("int") % 8 + 1).cast("int")
+    stride_hex = w * F.lit(6)  # 3 bytes/pixel = 6 hex chars per pixel row unit
+    raster_hex_len = h * stride_hex
+    reps = F.floor(raster_hex_len / 32).cast("int") + 1
+    raster_hex = F.substring(
+        F.call_function("repeat", F.md5(F.col(text_col)), reps),
+        F.lit(1),
+        raster_hex_len,
+    )
+    # raw deflate payload: per scanline, filter byte 00 + 3w raster bytes
+    raw_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), h),
+            lambda r: F.concat(
+                F.lit("00"),
+                F.substring(raster_hex, (r - 1) * stride_hex + 1, stride_hex),
+            ),
+        ),
+        "",
+    )
+    raw_len = (h * (w * 3 + 1)).cast("bigint")
+
+    def be_hex(col, width_chars: int):
+        return F.lpad(F.hex(col), width_chars, "0")
+
+    def le16_hex(col):
+        be = be_hex(col, 4)
+        return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+    # adler32 as a fold over the raw bytes (s1/s2 mod 65521); arrays are
+    # tiny (raster <= 200 bytes) so the per-row fold stays cheap
+    byte_at = lambda i: F.conv(  # noqa: E731
+        F.substring(raw_hex, (i - 1) * 2 + 1, 2), 16, 10
+    ).cast("long")
+    adler = F.aggregate(
+        F.sequence(F.lit(1), raw_len.cast("int")),
+        F.struct(F.lit(1).cast("long").alias("s1"), F.lit(0).cast("long").alias("s2")),
+        lambda acc, i: F.struct(
+            ((acc["s1"] + byte_at(i)) % 65521).alias("s1"),
+            ((acc["s2"] + acc["s1"] + byte_at(i)) % 65521).alias("s2"),
+        ),
+        lambda acc: acc["s2"] * 65536 + acc["s1"],
+    )
+    zlib_hex = F.concat(
+        F.lit("780101"),  # zlib header (no preset dict) + final stored block
+        le16_hex(raw_len),
+        le16_hex(F.lit(65535) - raw_len),
+        raw_hex,
+        be_hex(adler, 8),
+    )
+
+    def chunk_hex(type_hex: str, data_hex):
+        body = F.concat(F.lit(type_hex), data_hex)
+        crc = F.crc32(F.unhex(body))
+        return F.concat(
+            be_hex((F.length(data_hex) / 2).cast("long"), 8), body, be_hex(crc, 8)
+        )
+
+    ihdr_data = F.concat(
+        be_hex(w.cast("long"), 8), be_hex(h.cast("long"), 8), F.lit("0802000000")
+    )
+    payload = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A"),
+            chunk_hex("49484452", ihdr_data),  # IHDR
+            chunk_hex("49444154", zlib_hex),  # IDAT
+            chunk_hex("49454E44", F.lit("")),  # IEND
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.lit("image/png").alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("int").alias("size_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """DETERMINISTIC FAKE decoder (no image libs in this container):
     derives (width, height, channels) from the payload's md5. Replace the
@@ -207,6 +411,10 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             mt != "image/fake" and p[0:1] == b"P" and p[1:2] in b"123456"
         ):
             parsed = _parse_ppm(p)
+        elif mt == "image/png" or (
+            mt != "image/fake" and p[0:8] == b"\x89PNG\r\n\x1a\n"
+        ):
+            parsed = _parse_png(p)
         elif mt == "image/bmp" or (mt != "image/fake" and p[0:2] == b"BM"):
             parsed = _parse_bmp(p)
         else:

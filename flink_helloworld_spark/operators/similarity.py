@@ -20,6 +20,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_helloworld_spark.operators._numeric import (
+    pack_scaled_int,
+    round_half_away,
+)
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -198,7 +203,7 @@ def cosine_topk_vectorized_sharded(
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0.0] = np.inf  # zero vectors never match
         mat_n = mat / norms[:, None]
-        sims = np.round(mat_n @ mat_n.T, round_dp)  # one BLAS call per bucket
+        sims = round_half_away(mat_n @ mat_n.T, round_dp)  # one BLAS call per bucket
         np.fill_diagonal(sims, -np.inf)  # exclude self
         out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
         n = len(ids)
@@ -299,7 +304,7 @@ def embedding_near_dup_pairs(
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0.0] = np.inf  # zero vectors never match (oracle: NULL)
         mat_n = mat / norms[:, None]
-        sims = np.round(mat_n @ mat_n.T, 6)
+        sims = round_half_away(mat_n @ mat_n.T, 6)
         ia, ib = np.triu_indices(len(ids), 1)
         keep = sims[ia, ib] >= threshold
         return pd.DataFrame(
@@ -374,7 +379,7 @@ def _assign_cells_blas(
             q = np.array(list(pdf["vec"]), dtype=np.float64)
             qn = np.linalg.norm(q, axis=1)
             qn[qn == 0.0] = np.inf
-            sims = np.round((q / qn[:, None]) @ b_cmat.value.T, round_dp)
+            sims = round_half_away((q / qn[:, None]) @ b_cmat.value.T, round_dp)
             # stable argsort on -sims: ties keep ascending centroid id
             top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             n = top.shape[1]
@@ -468,7 +473,7 @@ def ivf_cosine_topk(
         m_ids, m_mat = ids[member], mat_n[member]
         if len(m_ids) == 0:
             return pd.DataFrame({c.name: [] for c in schema.fields})
-        sims = np.round(mat_n @ m_mat.T, round_dp)
+        sims = round_half_away(mat_n @ m_mat.T, round_dp)
         q_idx, n_idx = np.nonzero(ids[:, None] != m_ids[None, :])
         return pd.DataFrame(
             {
@@ -532,7 +537,7 @@ def _pq_codes_dtab_blas(
                 diff = qs[:, None, :] - cs[None, :, :]
                 sq = np.einsum("ijk,ijk->ij", diff, diff)
                 packed = (
-                    np.round(sq * 1_000_000.0).astype(np.int64) * ksub + b_cids
+                    pack_scaled_int(sq) * ksub + b_cids
                 )
                 out[f"code_{j}"] = (packed.min(axis=1) % ksub).astype(np.int32)
                 dtabs.append(sq)  # cid-ascending within each subspace
@@ -832,7 +837,7 @@ def semantic_decontaminate(
             q = np.array(list(pdf["vec"]), dtype=np.float64)
             qn = np.linalg.norm(q, axis=1)
             qn[qn == 0.0] = np.inf
-            sims = np.round((q / qn[:, None]) @ bench_mat.T, round_dp)
+            sims = round_half_away((q / qn[:, None]) @ bench_mat.T, round_dp)
             mx = sims.max(axis=1)
             yield pd.DataFrame(
                 {
@@ -959,7 +964,7 @@ def ivf2_cosine_topk(
         mat_n = mat / norms[:, None]
         q_ids, q_mat = ids[~is_i], mat_n[~is_i]
         c_ids, c_mat = ids[is_i], mat_n[is_i]
-        sims = np.round(q_mat @ c_mat.T, round_dp)
+        sims = round_half_away(q_mat @ c_mat.T, round_dp)
         qi, ci = np.indices(sims.shape)
         return pd.DataFrame(
             {
@@ -998,7 +1003,7 @@ def ivf2_cosine_topk(
         m_ids, m_mat = ids[member], mat_n[member]
         if len(m_ids) == 0:
             return pd.DataFrame({f.name: [] for f in out_schema.fields})
-        sims = np.round(mat_n @ m_mat.T, round_dp)
+        sims = round_half_away(mat_n @ m_mat.T, round_dp)
         q_idx, n_idx = np.nonzero(ids[:, None] != m_ids[None, :])
         return pd.DataFrame(
             {

@@ -104,21 +104,21 @@ def streaming_window_topn_job(
     def rank_and_upsert(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window as Wspec
 
+        if batch.isEmpty():
+            return
         batch = batch.withColumn(
             "window_key",
             F.concat_ws("#", F.col("window_start").cast("string"), "key"),
         ).localCheckpoint(eager=True)  # update-mode batch is consumed twice
         agg_sink(batch, batch_id)
-        touched = [
-            r.window_start
-            for r in batch.select("window_start").distinct().collect()
-        ]
-        if not touched:
-            return
         # current aggregate state for the touched windows (tiny slice:
-        # |touched windows| x |keys|), re-ranked and upserted by slot
-        state = agg_sink.read(batch.sparkSession).where(
-            F.col("window_start").isin(touched)
+        # |touched windows| x |keys|), selected executor-side via a
+        # broadcast semi-join against the batch's distinct windows — no
+        # driver collect, so a late-data-heavy stream with many open
+        # windows never hops window metadata through the driver
+        touched = batch.select("window_start").distinct()
+        state = agg_sink.read(batch.sparkSession).join(
+            F.broadcast(touched), "window_start", "left_semi"
         )
         ranked = (
             state.withColumn(

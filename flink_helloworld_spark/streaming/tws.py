@@ -47,6 +47,20 @@ ROLLING_OUTPUT = StructType(
 _STATE_SCHEMA = StructType([StructField("total", DoubleType())])
 
 
+def _concat_chunks(rows: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
+    """Merge the per-key Arrow chunk iterator into ONE frame so callers
+    sort the whole micro-batch once. transformWithState hands a key's
+    rows as multiple pdfs whenever they exceed
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default 10k);
+    sorting each chunk independently would leave cross-chunk order
+    partitioning-dependent — exactly what the seq/ts columns exist to
+    prevent. Returns None for an empty iterator."""
+    chunks = [pdf for pdf in rows if len(pdf)]
+    if not chunks:
+        return None
+    return chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+
+
 class RollingSumProcessor(StatefulProcessor):
     """Per-event rolling sum on typed ValueState — the
     ``rolling_sum_stream`` semantics (reference KeyedStream.sum,
@@ -62,8 +76,12 @@ class RollingSumProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         (total,) = self._total.get() if self._total.exists() else (0.0,)
         out = []
-        for pdf in rows:
-            for rec in pdf.sort_values("seq").to_dict("records"):
+        # Concatenate ALL Arrow chunks before sorting: a key whose batch
+        # exceeds arrow.maxRecordsPerBatch arrives as multiple pdfs, and
+        # per-chunk sorts would make ordering partitioning-dependent.
+        batch = _concat_chunks(rows)
+        if batch is not None:
+            for rec in batch.sort_values("seq").to_dict("records"):
                 total = round(total + rec["v"], 9)
                 out.append(
                     {"k": key[0], "seq": rec["seq"], "v": rec["v"], "running_total": total}
@@ -160,8 +178,10 @@ class ChainJoinProcessor(StatefulProcessor):
             while i < n:
                 dim = stages[i]["dim"]
                 if dim is None:
-                    buf = stages[i]["buf"]
-                    stages[i]["buf"] = buf[-(self._max_buffer - 1):] + [rec]
+                    # (buf + [rec])[-cap:] holds the cap for every value,
+                    # including max_buffer=1 where buf[-0:] would be the
+                    # whole list
+                    stages[i]["buf"] = (stages[i]["buf"] + [rec])[-self._max_buffer:]
                     return
                 rec = {**rec, **dim}
                 i += 1
@@ -171,8 +191,9 @@ class ChainJoinProcessor(StatefulProcessor):
         # renames columns that start with "_" to positional names — so the
         # plumbing columns travel as chain_seq/chain_side, and a seq_col
         # carried through as a fact column is read back from chain_seq
-        for pdf in rows:
-            for rec in pdf.sort_values("chain_seq").to_dict("records"):
+        batch = _concat_chunks(rows)
+        if batch is not None:
+            for rec in batch.sort_values("chain_seq").to_dict("records"):
                 side = rec["chain_side"]
                 if side == "F":
                     cascade(
@@ -375,8 +396,9 @@ class SessionFlushProcessor(StatefulProcessor):
         else:
             start, end, total, cnt, timer_ms = None, None, 0.0, 0, None
         out: list[dict] = []
-        for pdf in rows:
-            for rec in pdf.sort_values("ts_ms").to_dict("records"):
+        batch = _concat_chunks(rows)
+        if batch is not None:
+            for rec in batch.sort_values("ts_ms").to_dict("records"):
                 t = int(rec["ts_ms"])
                 if end is not None and t - end > self._gap_ms:
                     # gap exceeded by a LATER event arriving before the
@@ -491,8 +513,9 @@ class DomainCapProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         (n,) = self._n.get() if self._n.exists() else (0,)
         out = []
-        for pdf in rows:
-            for rec in pdf.sort_values("seq").to_dict("records"):
+        batch = _concat_chunks(rows)
+        if batch is not None:
+            for rec in batch.sort_values("seq").to_dict("records"):
                 n += 1
                 out.append(
                     {
