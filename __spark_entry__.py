@@ -689,7 +689,13 @@ def _q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.cosine_topk(load_tables(spark, sf_dir).embeddings, k=5)
+    # EXACT all-pairs top-k (no bucketing/recall loss) via the 2-D
+    # block-sharded BLAS kernel — replaced the interpreted O(N²)
+    # zip_with join (98.9s -> ~2s at sf0.1); output contract moved to
+    # ranked-on-6dp-rounded cosine, same as the vectorized family, so
+    # BLAS summation order can't reorder near-ties vs the oracle.
+    # cosine_topk stays in the library as the 30-line reference form.
+    return S.cosine_topk_exact_sharded(load_tables(spark, sf_dir).embeddings, k=5)
 
 
 def _q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1864,70 +1870,24 @@ def _q_product_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering contract: the driver's correctness gate checks only
-        # the FIRST 50 entries. Front-loaded here: the 47 queries that
-        # had no driver row in rounds 1-2 plus the three repaired this
-        # round; previously-green queries rotate to the back. Rotate
-        # again next round so every query accumulates an official row.
-        "retention_cohorts": _q_retention_cohorts,
-        "pack_sequences": _q_pack_sequences,
-        "decontaminate": _q_decontaminate,
-        "similarity_ivf_topk": _q_similarity_ivf_topk,
-        "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
-        "embedding_kmeans": _q_embedding_kmeans,
-        "repeated_spans": _q_repeated_spans,
-        "span_coverage": _q_span_coverage,
-        "semantic_dedup": _q_semantic_dedup,
-        "lookup_enrich": _q_lookup_enrich,
-        "lookup_multi_get": _q_lookup_multi_get,
-        "range_join": _q_range_join,
-        "percentiles": _q_percentiles,
-        "cube_counts": _q_cube_counts,
-        "salted_sum": _q_salted_sum,
-        "rollup_counts": _q_rollup_counts,
-        "distinct_users": _q_distinct_users,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "bm25_search": _q_bm25_search,
-        "dedup_clusters": _q_dedup_clusters,
-        "window_topn": _q_window_topn,
-        "scd2_intervals": _q_scd2_intervals,
-        "hll_distinct_sketch": _q_hll_distinct_sketch,
-        "zorder_layout": _q_zorder_layout,
-        "term_postings": _q_term_postings,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "changelog_materialize": _q_changelog_materialize,
-        "sql_q3_shipping": _q_sql_q3_shipping,
-        "sql_q6_forecast": _q_sql_q6_forecast,
-        "sql_q7_volume": _q_sql_q7_volume,
-        "sql_q10_returns": _q_sql_q10_returns,
-        "sql_q14_promo": _q_sql_q14_promo,
-        "sql_q18_large_orders": _q_sql_q18_large_orders,
-        "sql_q19_disjunct": _q_sql_q19_disjunct,
-        "sql_q22_idle_customers": _q_sql_q22_idle_customers,
-        "sql_q8_market_share": _q_sql_q8_market_share,
-        "sql_q13_order_dist": _q_sql_q13_order_dist,
-        "sql_q15_top_supplier": _q_sql_q15_top_supplier,
-        "sql_q17_small_qty": _q_sql_q17_small_qty,
-        "sql_q2_min_cost_supp": _q_sql_q2_min_cost_supp,
-        "sql_q4_priority": _q_sql_q4_priority,
-        "sql_q9_profit": _q_sql_q9_profit,
-        "sql_q11_important_parts": _q_sql_q11_important_parts,
-        "sql_q12_late_lines": _q_sql_q12_late_lines,
-        "sql_q16_supplier_cnt": _q_sql_q16_supplier_cnt,
-        "sql_q20_dominant_supp": _q_sql_q20_dominant_supp,
-        "sql_q21_waiting_supp": _q_sql_q21_waiting_supp,
-        "multimodal_ppm_decode": _q_multimodal_ppm_decode,
-        "multimodal_png_decode": _q_multimodal_png_decode,
-        "cep_pattern": _q_cep_pattern,
-        "gapfill_locf": _q_gapfill_locf,
+        # the FIRST 50 entries. Round-4 rotation: the 8 queries that have
+        # never had an official driver row, the round-4 addition
+        # (multimodal_png_decode), the 24 queries whose last official row
+        # is round 1, and the oldest round-2 rows fill slot 50;
+        # round-3-checked queries rotate to the back. Rotate again next
+        # round so every query keeps accumulating fresh official rows.
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
         "unigram_logppl": _q_unigram_logppl,
         "gopher_rules": _q_gopher_rules,
         "domain_cap": _q_domain_cap,
         "decontaminate_semantic": _q_decontaminate_semantic,
+        "similarity_topk_vectorized": _q_similarity_topk_vectorized,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "bpe_token_fertility": _q_bpe_token_fertility,
+        "multimodal_png_decode": _q_multimodal_png_decode,
         "funnel_conversion": _q_funnel_conversion,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh_topk": _q_similarity_lsh_topk,
-        "similarity_topk_vectorized": _q_similarity_topk_vectorized,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "corpus_clean": _q_corpus_clean,
         "multimodal_decode": _q_multimodal_decode,
@@ -1993,12 +1953,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _q_bloom_membership,
         "table_profile": _q_table_profile,
         "multimodal_audio": _q_multimodal_audio,
-        "bpe_train_merges": _q_bpe_train_merges,
-        "bpe_token_fertility": _q_bpe_token_fertility,
         "text_diversity": _q_text_diversity,
         "skew_report": _q_skew_report,
         "dedup_containment": _q_dedup_containment,
         "chunk_documents": _q_chunk_documents,
+        "retention_cohorts": _q_retention_cohorts,
+        "pack_sequences": _q_pack_sequences,
+        "decontaminate": _q_decontaminate,
+        "similarity_ivf_topk": _q_similarity_ivf_topk,
+        "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
+        "embedding_kmeans": _q_embedding_kmeans,
+        "repeated_spans": _q_repeated_spans,
+        "span_coverage": _q_span_coverage,
+        "semantic_dedup": _q_semantic_dedup,
+        "lookup_enrich": _q_lookup_enrich,
+        "lookup_multi_get": _q_lookup_multi_get,
+        "range_join": _q_range_join,
+        "percentiles": _q_percentiles,
+        "cube_counts": _q_cube_counts,
+        "salted_sum": _q_salted_sum,
+        "rollup_counts": _q_rollup_counts,
+        "distinct_users": _q_distinct_users,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_search": _q_bm25_search,
+        "dedup_clusters": _q_dedup_clusters,
+        "window_topn": _q_window_topn,
+        "scd2_intervals": _q_scd2_intervals,
+        "hll_distinct_sketch": _q_hll_distinct_sketch,
+        "zorder_layout": _q_zorder_layout,
+        "term_postings": _q_term_postings,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "changelog_materialize": _q_changelog_materialize,
+        "sql_q3_shipping": _q_sql_q3_shipping,
+        "sql_q6_forecast": _q_sql_q6_forecast,
+        "sql_q7_volume": _q_sql_q7_volume,
+        "sql_q10_returns": _q_sql_q10_returns,
+        "sql_q14_promo": _q_sql_q14_promo,
+        "sql_q18_large_orders": _q_sql_q18_large_orders,
+        "sql_q19_disjunct": _q_sql_q19_disjunct,
+        "sql_q22_idle_customers": _q_sql_q22_idle_customers,
+        "sql_q8_market_share": _q_sql_q8_market_share,
+        "sql_q13_order_dist": _q_sql_q13_order_dist,
+        "sql_q15_top_supplier": _q_sql_q15_top_supplier,
+        "sql_q17_small_qty": _q_sql_q17_small_qty,
+        "sql_q2_min_cost_supp": _q_sql_q2_min_cost_supp,
+        "sql_q4_priority": _q_sql_q4_priority,
+        "sql_q9_profit": _q_sql_q9_profit,
+        "sql_q11_important_parts": _q_sql_q11_important_parts,
+        "sql_q12_late_lines": _q_sql_q12_late_lines,
+        "sql_q16_supplier_cnt": _q_sql_q16_supplier_cnt,
+        "sql_q20_dominant_supp": _q_sql_q20_dominant_supp,
+        "sql_q21_waiting_supp": _q_sql_q21_waiting_supp,
+        "multimodal_ppm_decode": _q_multimodal_ppm_decode,
+        "cep_pattern": _q_cep_pattern,
+        "gapfill_locf": _q_gapfill_locf,
     }
 
 
@@ -3464,7 +3472,8 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hits USING (doc_id)
         """,
         "similarity_topk": _cosine_pairs_sql(
-            "embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id"
+            "embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id",
+            round_dp=6,
         ),
         "similarity_lsh_topk": _cosine_pairs_sql(
             "b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id",

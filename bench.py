@@ -102,6 +102,10 @@ HEADLINE = [
     "sql_q9_profit",
     "sql_q21_waiting_supp",
 ]
+# The bench covers the ENTIRE registry (VERDICT r3 #5: regressions in
+# non-headline queries were invisible). HEADLINE runs first in its
+# historical order so round-over-round comparisons stay aligned; every
+# remaining queries() entry is appended in registry order.
 
 
 def main() -> None:
@@ -129,7 +133,8 @@ def main() -> None:
     # rest, and exit non-zero at the end if anything failed
     timings: dict[str, object] = {}
     failed: list[str] = []
-    for name in HEADLINE:
+    run_order = HEADLINE + [q for q in qs if q not in HEADLINE]
+    for name in run_order:
         t0 = time.time()
         try:
             qs[name](spark, SF_DIR).write.mode("overwrite").format(
@@ -157,6 +162,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
                 "sf": float(sf),
                 "failed": failed,
             }

@@ -69,7 +69,7 @@ def cosine_topk(
     )
 
 
-def cosine_topk_vectorized(
+def cosine_topk_broadcast_index(
     emb: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
@@ -142,6 +142,119 @@ def cosine_topk_vectorized(
         ]
     )
     return emb.select(id_col, vec_col).mapInPandas(topk, schema)
+
+
+def cosine_topk_exact_sharded(
+    emb: DataFrame,
+    k: int = 5,
+    q_shards: int = 8,
+    c_shards: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """EXACT all-pairs top-k cosine — the scale form of ``cosine_topk``
+    (same candidate set: every pair, no bucketing/recall loss), computed
+    as a 2-D block decomposition: queries are md5-sharded into
+    ``q_shards`` groups and replicated across ``c_shards`` candidate
+    shards, so each (q_shard, c_shard) task scores one
+    (N/G)×(N/H) block with ONE BLAS product, keeps its per-block top-k
+    per query, and a final per-query window merges the H·k survivors.
+
+    No driver materialization: the shuffle is N·(G+H) replicated rows on
+    uniform md5 shard keys; per-task memory is one block, so the kernel
+    scales out by raising the shard counts. The interpreted
+    ``cosine_topk`` stays as the 60-line reference implementation —
+    identical output under this rounded-ranking contract.
+
+    Determinism: cosines round to ``round_dp`` and rank on the ROUNDED
+    value (tiebreak neighbor id), same contract as
+    ``cosine_topk_vectorized_sharded``; zero vectors never match."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    qs = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("xshard:"), F.col("id"))), 1, 15), 16, 10)
+        .cast("long")
+        % q_shards
+    ).cast("int")
+    cs = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("yshard:"), F.col("id"))), 1, 15), 16, 10)
+        .cast("long")
+        % c_shards
+    ).cast("int")
+    q_rep = v.select(
+        "id",
+        "vec",
+        qs.alias("qs"),
+        F.explode(F.sequence(F.lit(0), F.lit(c_shards - 1))).alias("cs"),
+        F.lit(True).alias("is_q"),
+    )
+    c_rep = v.select(
+        "id",
+        "vec",
+        F.explode(F.sequence(F.lit(0), F.lit(q_shards - 1))).alias("qs"),
+        cs.alias("cs"),
+        F.lit(False).alias("is_q"),
+    )
+    tagged = q_rep.unionByName(c_rep)
+
+    block_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[pdf["is_q"]]
+        c = pdf[~pdf["is_q"]]
+        if len(q) == 0 or len(c) == 0:
+            return pd.DataFrame(columns=list(block_schema.fieldNames()))
+        q_ids = q["id"].to_numpy(dtype=np.int64)
+        c_ids = c["id"].to_numpy(dtype=np.int64)
+        q_mat = np.array(list(q["vec"]), dtype=np.float64)
+        c_mat = np.array(list(c["vec"]), dtype=np.float64)
+        qn = np.linalg.norm(q_mat, axis=1)
+        cn = np.linalg.norm(c_mat, axis=1)
+        qn[qn == 0.0] = np.inf
+        cn[cn == 0.0] = np.inf
+        sims = round_half_away(
+            (q_mat / qn[:, None]) @ (c_mat / cn[:, None]).T, round_dp
+        )
+        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf  # exclude self
+        take = min(k, sims.shape[1])
+        out = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for row_i in range(len(q_ids)):
+            s = sims[row_i]
+            order = np.lexsort((c_ids, -s))[:take]
+            order = order[np.isfinite(s[order])]
+            out["query_id"].extend([q_ids[row_i]] * len(order))
+            out["neighbor_id"].extend(c_ids[order])
+            out["cosine"].extend(s[order])
+        return pd.DataFrame(out, columns=list(block_schema.fieldNames()))
+
+    from pyspark.sql import Window
+
+    block_top = tagged.groupBy("qs", "cs").applyInPandas(per_block, block_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        block_top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
 
 
 def cosine_topk_vectorized_sharded(

@@ -217,16 +217,36 @@ def char_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     words = _words(F.col(text_col))
 
     def simpson(arr: Column) -> Column:
-        # Σ over distinct values of count² via a sorted-run trick would
-        # need a shuffle; aggregate over the distinct set stays per-row
-        counts = F.transform(
-            F.array_distinct(arr),
-            lambda v: F.size(F.filter(arr, lambda x: x == v)).cast("long"),
+        # Σ over distinct values of count², per row, via a SORTED-RUN
+        # fold: array_sort groups equal values into runs, one pass
+        # accumulates run lengths and Σrun² — O(n log n) per row vs the
+        # O(distinct·n) per-distinct filter scan it replaces (which was
+        # the whole of text_diversity's bench cost on character arrays).
+        # Integer arithmetic throughout ⇒ bit-identical Σcnt².
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("ssq"),
         )
+
+        def step(acc: Column, x: Column) -> Column:
+            new_run = acc["prev"].isNull() | (acc["prev"] != x)
+            return F.when(
+                new_run,
+                F.struct(
+                    x.alias("prev"),
+                    F.lit(1).cast("long").alias("run"),
+                    (acc["ssq"] + acc["run"] * acc["run"]).alias("ssq"),
+                ),
+            ).otherwise(
+                F.struct(x.alias("prev"), (acc["run"] + 1).alias("run"), acc["ssq"])
+            )
+
         sum_sq = F.aggregate(
-            F.transform(counts, lambda c: c * c),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+            F.array_sort(arr),
+            init,
+            step,
+            lambda acc: acc["ssq"] + acc["run"] * acc["run"],
         )
         n = F.size(arr).cast("long")
         return F.when(

@@ -27,6 +27,8 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+
+from flink_helloworld_spark.streaming._util import concat_chunks
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -94,8 +96,9 @@ def followed_by_within_stream(
                     still.append(e)
             pending[:] = still
 
-        for pdf in batches:
-            for rec in pdf.sort_values([tsm_col, id_col]).to_dict("records"):
+        batch = concat_chunks(batches)
+        if batch is not None:
+            for rec in batch.sort_values([tsm_col, id_col]).to_dict("records"):
                 tsm, etype = int(rec[tsm_col]), rec[type_col]
                 finalize_closed(tsm)
                 if not_between is not None and etype == not_between:

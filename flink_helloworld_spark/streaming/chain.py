@@ -36,6 +36,8 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+
+from flink_helloworld_spark.streaming._util import concat_chunks
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -125,14 +127,16 @@ def chain_stateful_join(
                 dim = stages[i]["dim"]
                 if dim is None:
                     buf = stages[i]["buf"]
-                    stages[i]["buf"] = buf[-(max_buffer - 1) :] + [rec]
+                    # (buf + [rec])[-cap:] holds for max_buffer=1 too
+                    stages[i]["buf"] = (buf + [rec])[-max_buffer:]
                     return
                 rec = {**rec, **dim}
                 i += 1
             out_rows.append(rec)
 
-        for pdf in batches:
-            for rec in pdf.sort_values(seq_col).to_dict("records"):
+        batch = concat_chunks(batches)
+        if batch is not None:
+            for rec in batch.sort_values(seq_col).to_dict("records"):
                 side = rec["_side"]
                 if side == FACT_SIDE:
                     cascade({key: rec[key], **{c: rec[c] for c in fact_cols}}, 0)

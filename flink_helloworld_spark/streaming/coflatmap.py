@@ -37,6 +37,8 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
+
+from flink_helloworld_spark.streaming._util import concat_chunks
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -175,8 +177,9 @@ def co_flat_map_join(
             row.update({c: (dim or {}).get(c) for c in right_cols})
             out_rows.append(row)
 
-        for pdf in batches:
-            for rec in pdf.sort_values(seq_col).to_dict("records"):
+        batch = concat_chunks(batches)
+        if batch is not None:
+            for rec in batch.sort_values(seq_col).to_dict("records"):
                 if rec["_side"] == RIGHT:
                     dim = {c: rec[c] for c in right_cols}
                     for fact in buf:  # flush everything buffered
@@ -187,7 +190,7 @@ def co_flat_map_join(
                     if dim is not None:
                         emit(fact)
                     else:  # buffer until dimension arrives, oldest evicted
-                        buf = buf[-(max_buffer - 1) :] + [fact]
+                        buf = (buf + [fact])[-max_buffer:]
         state.update((encode_record(dim), encode_records(buf)))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)

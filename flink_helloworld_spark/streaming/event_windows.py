@@ -22,6 +22,8 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+
+from flink_helloworld_spark.streaming._util import concat_chunks
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -158,8 +160,9 @@ def late_rows_stream(script_stream: DataFrame, window_ms: int, lateness_ms: int 
     def fn(key: Any, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (max_wm,) = state.get if state.exists else (-1,)
         rows = []
-        for pdf in batches:
-            for rec in pdf.sort_values("seq").to_dict("records"):
+        batch = concat_chunks(batches)
+        if batch is not None:
+            for rec in batch.sort_values("seq").to_dict("records"):
                 if rec["k"] == WM_KEY:
                     max_wm = max(max_wm, rec["event_ts_ms"])
                     continue

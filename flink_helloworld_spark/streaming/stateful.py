@@ -22,6 +22,8 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+
+from flink_helloworld_spark.streaming._util import concat_chunks
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -52,8 +54,9 @@ def rolling_sum_stream(
     def fn(k: Any, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (total,) = state.get if state.exists else (0.0,)
         rows = []
-        for pdf in batches:
-            for rec in pdf.sort_values(seq_col).to_dict("records"):
+        batch = concat_chunks(batches)
+        if batch is not None:
+            for rec in batch.sort_values(seq_col).to_dict("records"):
                 total = round(total + rec[value], 9)
                 rows.append(
                     {key: k[0], seq_col: rec[seq_col], value: rec[value], out_value: total}
@@ -86,8 +89,9 @@ def count_window_stream(
     def fn(k: Any, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         cnt, acc, fired = state.get if state.exists else (0, 0.0, 0)
         rows = []
-        for pdf in batches:
-            for rec in pdf.sort_values(seq_col).to_dict("records"):
+        batch = concat_chunks(batches)
+        if batch is not None:
+            for rec in batch.sort_values(seq_col).to_dict("records"):
                 cnt += 1
                 acc = round(acc + rec[value], 9)
                 if cnt == n:
@@ -123,8 +127,9 @@ def count_trigger_evictor_stream(
         seen, tail_json = state.get if state.exists else (0, "[]")
         tail: list[float] = json.loads(tail_json)
         rows = []
-        for pdf in batches:
-            for rec in pdf.sort_values(seq_col).to_dict("records"):
+        batch = concat_chunks(batches)
+        if batch is not None:
+            for rec in batch.sort_values(seq_col).to_dict("records"):
                 seen += 1
                 tail = (tail + [rec[value]])[-keep:]
                 if seen % every == 0:

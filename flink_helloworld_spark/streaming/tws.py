@@ -44,21 +44,11 @@ ROLLING_OUTPUT = StructType(
     ]
 )
 
+from flink_helloworld_spark.streaming._util import (  # noqa: E402
+    concat_chunks as _concat_chunks,
+)
+
 _STATE_SCHEMA = StructType([StructField("total", DoubleType())])
-
-
-def _concat_chunks(rows: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
-    """Merge the per-key Arrow chunk iterator into ONE frame so callers
-    sort the whole micro-batch once. transformWithState hands a key's
-    rows as multiple pdfs whenever they exceed
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default 10k);
-    sorting each chunk independently would leave cross-chunk order
-    partitioning-dependent — exactly what the seq/ts columns exist to
-    prevent. Returns None for an empty iterator."""
-    chunks = [pdf for pdf in rows if len(pdf)]
-    if not chunks:
-        return None
-    return chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
 
 
 class RollingSumProcessor(StatefulProcessor):

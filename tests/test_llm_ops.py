@@ -173,6 +173,54 @@ def test_deterministic_sampling_is_stable_and_disjoint(spark, sf_dir):
     assert len(split) == docs.count()  # exhaustive, disjoint by construction
 
 
+def test_exact_sharded_topk_matches_numpy_model(spark, sf_dir):
+    """cosine_topk_exact_sharded (2-D block BLAS, no driver collect)
+    must reproduce the full all-pairs rounded-ranking result exactly:
+    an independent in-test NumPy model computes every pair, rounds
+    half-away to 6 dp, and ranks by (cosine desc, neighbor id)."""
+    import numpy as np
+
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir).embeddings
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = np.inf
+    mat_n = mat / norms[:, None]
+    sims = mat_n @ mat_n.T
+    sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+    np.fill_diagonal(sims, -np.inf)
+    expect = {}
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -sims[i]))[:5]
+        for rank, j in enumerate(order, start=1):
+            expect[(ids[i], rank)] = (ids[j], sims[i][j])
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in S.cosine_topk_exact_sharded(emb, k=5).collect()
+    }
+    assert got == expect
+
+
+def test_exact_sharded_topk_degenerate_shards(spark):
+    """Shard counts larger than the corpus and single-shard configs both
+    stay exact (empty blocks, self-only blocks)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    for g, h in [(1, 1), (8, 8)]:
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in S.cosine_topk_exact_sharded(
+                emb, k=2, q_shards=g, c_shards=h
+            ).collect()
+        }
+        assert got[(0, 1)] == 1 and got[(0, 2)] == 2
+
+
 def test_vectorized_topk_matches_exact(spark, sf_dir):
     from flink_helloworld_spark.sources.tables import load_tables
 
@@ -183,7 +231,7 @@ def test_vectorized_topk_matches_exact(spark, sf_dir):
     }
     fast = {
         (r.query_id, r.rank): (r.neighbor_id, r.cosine)
-        for r in S.cosine_topk_vectorized(emb, k=3).collect()
+        for r in S.cosine_topk_broadcast_index(emb, k=3).collect()
     }
     assert set(exact) == set(fast)
     agree = sum(1 for key in exact if exact[key][0] == fast[key][0])

@@ -1,0 +1,244 @@
+"""Property tests for the stateful streaming operators: randomized
+(seeded) event scripts replayed through the streaming engine and
+asserted against a sequential Python model / batch recomputation. The
+golden fixtures (test_streaming_golden.py) pin 5 hand-picked scripts;
+these fuzz the watermark/ordering edges with 50+ random per-key scripts
+per operator.
+
+Scripts are packed so each test stays one-or-few streaming runs: state
+is keyed, so 60 independent random scripts replay CONCURRENTLY under 60
+distinct keys in a single query (watermark-free operators), and the
+watermark-dependent operators replay a few multi-key random scripts
+that share one global watermark — exactly Spark's runtime shape.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import tempfile
+import time as _time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_helloworld_spark.streaming import event_windows as EW
+from flink_helloworld_spark.streaming.coflatmap import co_flat_map_join
+from flink_helloworld_spark.streaming.replay import (
+    Step,
+    read_script_stream,
+    run_available_now,
+    write_script,
+)
+
+WINDOW_MS = 3000
+
+
+def _write_files(
+    rows_per_file: list[list[dict]], workdir: str, dtypes: dict | None = None
+) -> None:
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    t0 = _time.time() - len(rows_per_file) * 4
+    for i, rows in enumerate(rows_per_file):
+        p = os.path.join(workdir, f"f{i:04d}.parquet")
+        pdf = pd.DataFrame(rows)
+        if dtypes:
+            # None-bearing int columns must stay INT64 in parquet
+            # (pandas would otherwise promote them to DOUBLE)
+            pdf = pdf.astype(dtypes)
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+
+
+def test_coflatmap_join_matches_model_on_60_random_scripts(spark):
+    """60 independent random fact/dim scripts (one per key) replayed in
+    ONE co_flat_map_join query: the streaming result must equal the
+    sequential buffer-until-dim model for every script — dims overwrite,
+    facts join immediately when a dim is known, buffered facts flush
+    with the dim that arrives, facts with no dim ever are never emitted.
+    Rows are shuffled WITHIN each micro-batch file so the seq-restore
+    path is exercised, and scripts are sliced across batches at random
+    points so state round-trips mid-script."""
+    rng = random.Random(0xC0FFEE)
+    events: list[dict] = []  # global arrival order
+    for script in range(60):
+        key = f"s{script:02d}"
+        n_ev = rng.randint(2, 8)
+        for _ in range(n_ev):
+            if rng.random() < 0.35:
+                events.append(
+                    {"side": "R", "key": key, "amount": None,
+                     "dim_name": f"{key}-d{rng.randint(0, 3)}"}
+                )
+            else:
+                events.append(
+                    {"side": "L", "key": key, "amount": rng.randint(1, 999),
+                     "dim_name": None}
+                )
+    rng.shuffle(events)
+    for seq, e in enumerate(events):
+        e["_seq"] = seq
+
+    # model: sequential per-key replay in seq order
+    dim: dict[str, str] = {}
+    buf: dict[str, list[int]] = {}
+    expect: list[tuple[str, int, str]] = []
+    for e in events:
+        k = e["key"]
+        if e["side"] == "R":
+            dim[k] = e["dim_name"]
+            for amount in buf.pop(k, []):
+                expect.append((k, amount, dim[k]))
+        elif k in dim:
+            expect.append((k, e["amount"], dim[k]))
+        else:
+            buf.setdefault(k, []).append(e["amount"])
+
+    # slice the global order into ~12 micro-batches at random cut points,
+    # then shuffle within each batch (seq must restore order)
+    cuts = sorted(rng.sample(range(1, len(events)), 11))
+    batches = [events[a:b] for a, b in zip([0] + cuts, cuts + [len(events)])]
+    for b in batches:
+        rng.shuffle(b)
+    workdir = tempfile.mkdtemp(prefix="cfm-prop-")
+    _write_files(batches, workdir, dtypes={"amount": "Int64"})
+    raw = (
+        spark.readStream.schema(
+            "side string, key string, amount long, dim_name string, _seq long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    left = raw.where(F.col("side") == "L").select("key", "_seq", "amount")
+    right = raw.where(F.col("side") == "R").select("key", "_seq", "dim_name")
+    joined = co_flat_map_join(left, right, "key", ["amount"], ["dim_name"], "_seq")
+    rows = run_available_now(joined, "cfm_prop")
+    got = sorted((r.key, r.amount, r.dim_name) for r in rows)
+    assert got == sorted(expect)
+
+
+def _random_watermark_script(
+    rng: random.Random, n_keys: int, n_data: int, horizon_ms: int
+) -> list[Step]:
+    keys = [f"k{i:02d}" for i in range(n_keys)]
+    steps: list[Step] = []
+    for _ in range(n_data):
+        wm = rng.randrange(horizon_ms) if rng.random() < 0.25 else -1
+        steps.append(
+            Step(rng.choice(keys), rng.randint(1, 99), rng.randrange(horizon_ms), wm)
+        )
+    return steps
+
+
+def _model_tumbling(steps: list[Step]) -> dict[tuple[int, str], int]:
+    """Flink-rule model of the append-mode tumbling sum: a row is dropped
+    iff its window's maxTimestamp (end-1) ≤ the current Flink watermark
+    (set by strictly EARLIER steps; watermarks only move forward); every
+    surviving row lands in its (window_start, key) sum and each window
+    fires exactly once (lateness 0 ⇒ no re-fires)."""
+    cur_wm = -1
+    sums: dict[tuple[int, str], int] = {}
+    for s in steps:
+        w_start = (s.event_ts_ms // WINDOW_MS) * WINDOW_MS
+        if not (w_start + WINDOW_MS - 1 <= cur_wm):
+            key = (w_start, s.k)
+            sums[key] = sums.get(key, 0) + s.v
+        if s.watermark_ms > 0:
+            cur_wm = max(cur_wm, s.watermark_ms)
+    return sums
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_tumbling_sum_matches_model_on_random_scripts(spark, seed):
+    """3 seeds × 18 keys = 54 random per-key scripts through the
+    watermarked tumbling sum: streaming output (append mode, late rows
+    dropped at the translated Flink boundary) must equal the sequential
+    watermark model for every (window, key).
+
+    Random scripts freely let data rows OUTPACE the scripted watermark
+    (legal in Flink, where the watermark lags max event time
+    arbitrarily), so this uses the harness's documented bounded-out-of-
+    orderness mapping: delay = the script horizon so data rows never
+    advance Spark's ``max_ts - delay`` watermark, and driver rows offset
+    by delay+1 place it exactly at the Flink drop boundary."""
+    rng = random.Random(seed)
+    horizon = 15_000
+    steps = _random_watermark_script(rng, n_keys=18, n_data=24, horizon_ms=horizon)
+    workdir = tempfile.mkdtemp(prefix=f"tumb-prop-{seed}-")
+    write_script(steps, workdir, wm_offset=horizon + 1)
+    stream = EW.tumbling_sum_stream(
+        read_script_stream(spark, workdir), "3 seconds", delay=f"{horizon} milliseconds"
+    )
+    rows = run_available_now(stream, f"tumb_prop_{seed}")
+    got = {
+        (int(r.window_start.timestamp() * 1000), r.k): int(r.window_sum) for r in rows
+    }
+    assert got == _model_tumbling(steps)
+
+
+def _model_late_flags(
+    steps: list[Step], lateness_ms: int
+) -> list[tuple[str, int, int, bool]]:
+    """Model of the late-row classifier: the tracked watermark is the
+    running max of emitted driver rows (flink wm + 1, per the harness
+    translation), and a row is late iff window_end + lateness ≤ it."""
+    max_wm = -1
+    out = []
+    for s in steps:
+        w_end = (s.event_ts_ms // WINDOW_MS + 1) * WINDOW_MS
+        out.append((s.k, s.v, s.event_ts_ms, w_end + lateness_ms <= max_wm))
+        if s.watermark_ms > 0:
+            max_wm = max(max_wm, s.watermark_ms + 1)
+    return out
+
+
+@pytest.mark.parametrize("seed,lateness", [(7, 0), (8, 2000)])
+def test_late_rows_classifier_matches_model_on_random_scripts(spark, seed, lateness):
+    """Randomized W11 side-output classification, with and without
+    allowedLateness: every row's is_late flag must match the sequential
+    watermark model, across micro-batch state round-trips."""
+    rng = random.Random(seed)
+    steps = _random_watermark_script(rng, n_keys=10, n_data=22, horizon_ms=15_000)
+    workdir = tempfile.mkdtemp(prefix=f"late-prop-{seed}-")
+    write_script(steps, workdir)
+    stream = EW.late_rows_stream(
+        read_script_stream(spark, workdir), WINDOW_MS, lateness_ms=lateness
+    )
+    rows = run_available_now(stream, f"late_prop_{seed}")
+    got = sorted((r.k, r.v, r.event_ts_ms, r.is_late) for r in rows)
+    assert got == sorted(_model_late_flags(steps, lateness))
+
+
+def test_rolling_sum_correct_across_arrow_chunk_splits(spark):
+    """Regression for the per-chunk-sort hazard (ADVICE r3): with
+    ``arrow.maxRecordsPerBatch`` forced to 4, a single key's 24-row
+    micro-batch arrives as SIX chunks; out-of-seq rows across chunk
+    boundaries must still produce the exact in-seq running totals."""
+    from flink_helloworld_spark.streaming.stateful import rolling_sum_stream
+
+    rng = random.Random(99)
+    vals = [float(rng.randint(1, 50)) for _ in range(24)]
+    rows = [{"k": "only", "_seq": i, "v": v} for i, v in enumerate(vals)]
+    rng.shuffle(rows)  # file order != seq order, so chunks interleave seqs
+    workdir = tempfile.mkdtemp(prefix="chunk-prop-")
+    _write_files([rows], workdir)  # ONE file = one micro-batch, 6 chunks
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        raw = (
+            spark.readStream.schema("k string, _seq long, v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(workdir)
+        )
+        out = rolling_sum_stream(raw, "k", "v", "_seq")
+        got = {r._seq: r.running_total for r in run_available_now(out, "chunk_prop")}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    total = 0.0
+    for i, v in enumerate(vals):
+        total = round(total + v, 9)
+        assert got[i] == total
