@@ -820,6 +820,39 @@ def _q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logppl(load_tables(spark, sf_dir).documents)
 
 
+def _q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interpolated bigram LM perplexity (Jelinek-Mercer λ=0.7 backoff to
+    # the unigram) — the next rung of the CCNet-style LM-filter ladder;
+    # decimal-exact token sums keep the oracle hash stable
+    from flink_helloworld_spark.operators.text import bigram_logppl
+
+    return bigram_logppl(load_tables(spark, sf_dir).documents)
+
+
+def _q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed quality-classifier TRAINING (GPT-3/CCNet pipeline
+    # stage): full-batch logistic regression distilling the Gopher rule
+    # verdict from continuous features; per-row gradients round to 9 dp
+    # and sum as DECIMAL so each GD step is partitioning-independent,
+    # and the oracle replays every step as chained CTEs (same pattern
+    # as the k-means and BPE trainers). 1 driver row per iteration.
+    from flink_helloworld_spark.operators.classifier import (
+        quality_classifier_weights,
+    )
+
+    return quality_classifier_weights(load_tables(spark, sf_dir).documents)
+
+
+def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train, then score the whole corpus with the learned weights — the
+    # scoring pass is one codegen projection
+    from flink_helloworld_spark.operators.classifier import (
+        quality_classifier_score,
+    )
+
+    return quality_classifier_score(load_tables(spark, sf_dir).documents)
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the published Gopher filter set as named per-doc boolean flags
     from flink_helloworld_spark.operators.text import gopher_rules
@@ -1885,6 +1918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": _q_bpe_train_merges,
         "bpe_token_fertility": _q_bpe_token_fertility,
         "multimodal_png_decode": _q_multimodal_png_decode,
+        "bigram_logppl": _q_bigram_logppl,
+        "classifier_train": _q_classifier_train,
+        "classifier_score": _q_classifier_score,
         "funnel_conversion": _q_funnel_conversion,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh_topk": _q_similarity_lsh_topk,
@@ -2633,6 +2669,109 @@ def _bpe_fertility_sql(n_merges: int = 8) -> str:
                CAST(sum(length(wl.w)) AS INT) AS n_chars
         FROM fert_wl wl LEFT JOIN fert_enc{n_merges} e ON wl.w = e.w
         GROUP BY wl.doc_id
+    """
+
+
+_CLF_FEATURES = [
+    "bias",
+    "words_over_100",
+    "mean_word_len_over_10",
+    "stopword_frac",
+    "alpha_word_ratio",
+    "symbol_ratio",
+]
+
+
+def _classifier_ctes(n_iters: int = 3, lr: float = 0.5) -> str:
+    """Chained-CTE replay of classifier.train_quality_classifier: the
+    feature projection mirrors the Gopher-oracle expressions, then each
+    GD step is (per-row 9-dp-rounded gradient → DECIMAL sums → weight
+    CTE of 6 scalar columns, rounded half-away to 9 dp). Fixed
+    left-to-right w·x order and double casts match the engine op-for-op.
+    Ends with clf_w{n_iters}."""
+    mwl = "(n_chars - (n_words - 1))::DOUBLE / n_words::DOUBLE"
+    stop_sum = " + ".join(
+        f"CASE WHEN list_contains(list_transform(ws, w -> lower(w)), '{s}')"
+        " THEN 1 ELSE 0 END"
+        for s in ["the", "be", "to", "of", "and", "that", "have", "with"]
+    )
+    parts = [
+        f"""clf_m AS (
+          SELECT doc_id,
+                 len(ws) AS n_words,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS n_symbols,
+                 len(list_filter(string_split(text, chr(10)),
+                                 ln -> ln LIKE '%...')) AS ell_lines,
+                 len(string_split(text, chr(10))) AS n_lines,
+                 len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                   AS alpha_words,
+                 {stop_sum} AS stop_hits
+          FROM (SELECT doc_id, text, {_WS} AS ws FROM documents)
+          WHERE len(ws) > 0)""",
+        f"""clf_f AS (
+          SELECT doc_id,
+                 CASE WHEN n_words >= 5 AND n_words <= 100000
+                       AND {mwl} >= 3.0 AND {mwl} <= 10.0
+                       AND n_symbols::DOUBLE / n_words::DOUBLE <= 0.1
+                       AND ell_lines::DOUBLE / n_lines::DOUBLE <= 0.3
+                       AND alpha_words::DOUBLE / n_words::DOUBLE >= 0.8
+                       AND stop_hits >= 2
+                      THEN 1.0 ELSE 0.0 END AS y,
+                 1.0 AS f0,
+                 n_words::DOUBLE / 100.0 AS f1,
+                 ({mwl}) / 10.0 AS f2,
+                 stop_hits::DOUBLE / 8.0 AS f3,
+                 alpha_words::DOUBLE / n_words::DOUBLE AS f4,
+                 n_symbols::DOUBLE / n_words::DOUBLE AS f5
+          FROM clf_m)""",
+        "clf_w0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{d}" for d in range(6))
+        + ")",
+    ]
+    z = " + ".join(f"w.w{d} * f.f{d}" for d in range(6))
+    for it in range(n_iters):
+        grads = ", ".join(
+            f"sum(round((f.y - 1.0 / (1.0 + exp(-({z})))) * f.f{d}, 9)"
+            f"::DECIMAL(28,9)) AS s{d}"
+            for d in range(6)
+        )
+        parts.append(
+            f"""clf_g{it} AS (
+              SELECT {grads}, count(*) AS n
+              FROM clf_f f CROSS JOIN clf_w{it} w)"""
+        )
+        ws_next = ", ".join(
+            f"round(w.w{d} + {lr!r} * (g.s{d}::DOUBLE / g.n), 9) AS w{d}"
+            for d in range(6)
+        )
+        parts.append(
+            f"""clf_w{it + 1} AS (
+              SELECT {ws_next}
+              FROM clf_w{it} w CROSS JOIN clf_g{it} g)"""
+        )
+    return ",\n        ".join(parts)
+
+
+def _classifier_train_sql(n_iters: int = 3, lr: float = 0.5) -> str:
+    names = ", ".join(f"({d}, '{n}')" for d, n in enumerate(_CLF_FEATURES))
+    pick = " ".join(f"WHEN {d} THEN w.w{d}" for d in range(6))
+    return f"""
+        WITH {_classifier_ctes(n_iters, lr)}
+        SELECT CAST(f.idx AS INT) AS feature_idx, f.name AS feature,
+               CASE f.idx {pick} END AS weight
+        FROM (VALUES {names}) f(idx, name) CROSS JOIN clf_w{n_iters} w
+    """
+
+
+def _classifier_score_sql(n_iters: int = 3, lr: float = 0.5) -> str:
+    z = " + ".join(f"w.w{d} * f.f{d}" for d in range(6))
+    return f"""
+        WITH {_classifier_ctes(n_iters, lr)}
+        SELECT f.doc_id, CAST(f.y AS INT) AS label,
+               round(1.0 / (1.0 + exp(-({z}))), 6) AS score,
+               round(1.0 / (1.0 + exp(-({z}))), 6) >= 0.5 AS pred
+        FROM clf_f f CROSS JOIN clf_w{n_iters} w
     """
 
 
@@ -3633,6 +3772,34 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             WHERE rank <= 5
         """,
+        # λ and 1-λ interpolate as the exact float64 reprs the engine
+        # computes (1.0-0.7 is 0.30000000000000004, not 0.3)
+        "bigram_logppl": f"""
+            WITH base AS (SELECT doc_id, {_WS} AS ws FROM documents),
+            toks AS (
+              SELECT doc_id, u.pos AS pos, u.w AS w, u.prev AS prev FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+                  i -> struct_pack(pos := i, w := ws[i],
+                                   prev := CASE WHEN i > 1 THEN ws[i-1] END))) AS u
+                FROM base)),
+            tot AS (SELECT count(*)::DOUBLE AS t FROM toks),
+            uni AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+            big AS (SELECT prev, w, count(*) AS cpw FROM toks
+                    WHERE prev IS NOT NULL GROUP BY prev, w),
+            scored AS (
+              SELECT t.doc_id,
+                round(-ln(
+                  CASE WHEN t.prev IS NULL THEN u.cw::DOUBLE / (SELECT t FROM tot)
+                  ELSE {0.7!r} * coalesce(b.cpw::DOUBLE / up.cw::DOUBLE, 0.0)
+                       + {1.0 - 0.7!r} * (u.cw::DOUBLE / (SELECT t FROM tot)) END
+                ), 9)::DECIMAL(28,9) AS nlp
+              FROM toks t JOIN uni u ON t.w = u.w
+              LEFT JOIN uni up ON t.prev = up.w
+              LEFT JOIN big b ON t.prev = b.prev AND t.w = b.w)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6) AS mean_neg_logp
+            FROM scored GROUP BY doc_id
+        """,
         "unigram_logppl": f"""
             WITH words AS (
               SELECT doc_id, unnest({_WS}) AS w FROM documents),
@@ -3686,6 +3853,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train_merges": _bpe_train_sql(8),
         "bpe_token_fertility": _bpe_fertility_sql(8),
+        "classifier_train": _classifier_train_sql(3, 0.5),
+        "classifier_score": _classifier_score_sql(3, 0.5),
         "domain_cap": """
             SELECT doc_id, source,
                    CAST(row_number() OVER (

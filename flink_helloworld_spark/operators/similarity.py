@@ -147,8 +147,8 @@ def cosine_topk_broadcast_index(
 def cosine_topk_exact_sharded(
     emb: DataFrame,
     k: int = 5,
-    q_shards: int = 8,
-    c_shards: int = 8,
+    q_shards: int | None = None,
+    c_shards: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
@@ -169,9 +169,23 @@ def cosine_topk_exact_sharded(
 
     Determinism: cosines round to ``round_dp`` and rank on the ROUNDED
     value (tiebreak neighbor id), same contract as
-    ``cosine_topk_vectorized_sharded``; zero vectors never match."""
+    ``cosine_topk_vectorized_sharded``; zero vectors never match.
+
+    ``q_shards``/``c_shards`` default to max(8, ⌈N/256⌉) so blocks stay
+    ~256×256 as the corpus grows: total work is inherently O(N²) (this
+    IS the exhaustive baseline — the ANN family is the sub-quadratic
+    route), but per-TASK work stays constant and the N²-growth lands in
+    task COUNT, which is what a cluster absorbs. The shard count is the
+    only scalar that touches the driver."""
+    import math
+
     import numpy as np
     import pandas as pd
+
+    if q_shards is None or c_shards is None:
+        auto = max(8, math.ceil(emb.count() / 256))
+        q_shards = q_shards or auto
+        c_shards = c_shards or auto
 
     from pyspark.sql.types import (
         DoubleType,

@@ -338,6 +338,78 @@ def gopher_rules(
     return out.select("doc_id", *flags.keys(), passed.alias("passes_gopher"))
 
 
+def bigram_logppl(
+    docs: DataFrame,
+    text_col: str = "text",
+    lam: float = 0.7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Interpolated bigram log-perplexity — the next rung above
+    ``unigram_logppl`` on the CCNet-style LM-filter ladder: the corpus's
+    own bigram model scores each document by mean -ln p, with
+    Jelinek-Mercer interpolation p(w|prev) = λ·C(prev,w)/C(prev) +
+    (1-λ)·C(w)/T so unseen bigrams back off to the unigram instead of
+    -ln 0. Each document's FIRST token has no context and scores by the
+    unigram alone. Boilerplate scores low (its bigrams saturate the
+    corpus), gibberish high.
+
+    Determinism contract matches unigram_logppl: per-token -ln p rounded
+    to 9 dp, summed as DECIMAL(28,9) (exact, order-independent), final
+    mean one double division rounded to ``round_dp``.
+
+    Scale shape: the context column comes from a lag window PARTITIONED
+    by doc_id (state bounded per doc), then three hash joins all keyed
+    on words/bigrams (unigram for w, unigram for prev's context count,
+    bigram for the pair) — vocab is unbounded so joins are hash, not
+    broadcast; bigram keys are near-uniform. Nothing driver-side except
+    the scalar corpus token count.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(_words(F.col(text_col))).alias("pos", "w")
+    ).withColumn(
+        "prev",
+        F.lag("w").over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    total = toks.count()  # scalar: corpus token count
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    big = (
+        toks.where(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("cpw"))
+    )
+    p_uni = F.col("cw").cast("double") / F.lit(float(total))
+    p_big = F.col("cpw").cast("double") / F.col("cprev").cast("double")
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(
+        F.lit(lam) * F.coalesce(p_big, F.lit(0.0)) + F.lit(1.0 - lam) * p_uni
+    )
+    scored = (
+        toks.join(uni, "w")
+        .join(
+            uni.select(F.col("w").alias("prev"), F.col("cw").alias("cprev")),
+            "prev",
+            "left",
+        )
+        .join(big, ["prev", "w"], "left")
+        .select(
+            "doc_id",
+            F.round(-F.log(p), 9).cast("decimal(28,9)").alias("nlp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("nlp").cast("double") / F.count(F.lit(1)).cast("double"),
+                round_dp,
+            ).alias("mean_neg_logp"),
+        )
+        .select("doc_id", "n_tokens", "mean_neg_logp")
+    )
+
+
 def unigram_logppl(
     docs: DataFrame, text_col: str = "text", round_dp: int = 6
 ) -> DataFrame:
