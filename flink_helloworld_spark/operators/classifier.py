@@ -47,22 +47,16 @@ def _round9(x: float) -> float:
     return s * math.floor(abs(x) * 1e9 + 0.5) / 1e9
 
 
-def doc_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, y, f0..f5): bounded continuous features from the same
-    integer statistics the Gopher rules use, plus the rule verdict as
-    the weak-supervision label. Fixed-order double arithmetic over
-    integers — bit-identical across engines."""
-    base = docs.select(
-        "doc_id", F.col(text_col).alias("_t"),
-        F.filter(F.split(F.col(text_col), " "), lambda w: w != "").alias("ws"),
-    )
-    ws = F.col("ws")
+def _feature_exprs(text_ref: Column, ws: Column) -> tuple[Column, list[Column]]:
+    """(label, [f0..f5]) column expressions over a text column and its
+    word array — shared by batch features and the streaming gate so the
+    float op sequence is identical wherever scoring runs."""
     n_words = F.size(ws)
-    n_chars = F.length("_t")
+    n_chars = F.length(text_ref)
     words_d = n_words.cast("double")
     mean_wlen = (n_chars - (n_words - 1)).cast("double") / words_d
-    n_symbols = F.size(F.regexp_extract_all(F.col("_t"), F.lit(r"(#|\.\.\.)"), 0))
-    lines = F.split(F.col("_t"), "\n")
+    n_symbols = F.size(F.regexp_extract_all(text_ref, F.lit(r"(#|\.\.\.)"), 0))
+    lines = F.split(text_ref, "\n")
     ellipsis_ratio = (
         F.size(F.filter(lines, lambda ln: ln.endswith("..."))).cast("double")
         / F.size(lines).cast("double")
@@ -86,15 +80,32 @@ def doc_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         & (alpha_ratio >= 0.8)
         & (stop_hits >= 2)
     )
-    return base.where(n_words > 0).select(
+    label = F.when(passes, 1.0).otherwise(0.0)
+    feats = [
+        F.lit(1.0),
+        words_d / 100.0,
+        mean_wlen / 10.0,
+        stop_hits.cast("double") / 8.0,
+        alpha_ratio,
+        symbol_ratio,
+    ]
+    return label, feats
+
+
+def doc_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, y, f0..f5): bounded continuous features from the same
+    integer statistics the Gopher rules use, plus the rule verdict as
+    the weak-supervision label. Fixed-order double arithmetic over
+    integers — bit-identical across engines."""
+    base = docs.select(
+        "doc_id", F.col(text_col).alias("_t"),
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "").alias("ws"),
+    )
+    label, feats = _feature_exprs(F.col("_t"), F.col("ws"))
+    return base.where(F.size("ws") > 0).select(
         "doc_id",
-        F.when(passes, 1.0).otherwise(0.0).alias("y"),
-        F.lit(1.0).alias("f0"),
-        (words_d / 100.0).alias("f1"),
-        (mean_wlen / 10.0).alias("f2"),
-        (stop_hits.cast("double") / 8.0).alias("f3"),
-        alpha_ratio.alias("f4"),
-        symbol_ratio.alias("f5"),
+        label.alias("y"),
+        *[f.alias(f"f{d}") for d, f in enumerate(feats)],
     )
 
 
@@ -143,6 +154,29 @@ def quality_classifier_weights(
         [(d, FEATURE_NAMES[d], w[d]) for d in range(len(w))],
         "feature_idx int, feature string, weight double",
     )
+
+
+def attach_quality_score(
+    df: DataFrame, weights: list[float], text_col: str = "text"
+) -> DataFrame:
+    """Attach ``quality_score`` = σ(w·x) (6 dp) to EVERY row, keeping
+    the input columns — the train-offline/score-online serving form:
+    weights learned batch-side become plan constants in a STATELESS
+    codegen projection, so the same expression gates an unbounded
+    stream (see streaming_pretrain_front) or a batch table. Rows with
+    no words score NULL (no features)."""
+    staged = df.withColumn(
+        "_qc_ws", F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    )
+    _, feats = _feature_exprs(F.col(text_col), F.col("_qc_ws"))
+    z: Column = F.lit(weights[0]) * feats[0]
+    for d in range(1, len(weights)):
+        z = z + F.lit(weights[d]) * feats[d]
+    score = F.when(
+        F.size("_qc_ws") > 0,
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6),
+    )
+    return staged.withColumn("quality_score", score).drop("_qc_ws")
 
 
 def quality_classifier_score(

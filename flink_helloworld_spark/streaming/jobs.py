@@ -267,6 +267,8 @@ def streaming_pretrain_front(
     time_col: str = "event_time",
     text_col: str = "text",
     delay: str = "10 minutes",
+    classifier_weights: list[float] | None = None,
+    classifier_threshold: float = 0.5,
 ) -> DataFrame:
     """The full streaming pretrain front-end as ONE query, composing the
     round-3 surface: Gopher rule gate (stateless codegen projection) →
@@ -276,6 +278,12 @@ def streaming_pretrain_front(
     for documents that can survive; the TWS stage chains after
     dropDuplicatesWithinWatermark the same way the single-query capstone
     chains across its re-key seam.
+
+    ``classifier_weights`` (learned batch-side by
+    ``classifier.train_quality_classifier``) adds the
+    train-offline/score-online stage: σ(w·x) as plan constants in the
+    same stateless gate, dropping rows under ``classifier_threshold``
+    before any state is paid for them.
 
     Returns the flagged stream (doc_id, source, domain_rank, kept);
     callers route kept=true to the lake sink and the rest to an audit
@@ -295,6 +303,16 @@ def streaming_pretrain_front(
     gated = stream.where(
         (n_words >= 5) & (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
     )
+    if classifier_weights is not None:
+        from flink_helloworld_spark.operators.classifier import (
+            attach_quality_score,
+        )
+
+        gated = (
+            attach_quality_score(gated, classifier_weights, text_col)
+            .where(F.col("quality_score") >= classifier_threshold)
+            .drop("quality_score")
+        )
     deduped = (
         gated.withWatermark(time_col, delay)
         .withColumn("content_hash", F.md5(F.col(text_col)))

@@ -291,3 +291,73 @@ def test_streaming_pretrain_front_composes_gate_dedup_cap(spark):
     assert rows[1].kept and rows[1].domain_rank == 1
     assert not rows[3].kept and rows[3].domain_rank == 2  # over domain-a cap
     assert rows[5].kept  # domain b's first
+
+
+def test_streaming_classifier_gate_matches_batch_scores(spark):
+    """Train-offline/score-online: weights learned batch-side become
+    plan constants in the streaming front-end's stateless gate, and the
+    streaming scores agree EXACTLY with batch scoring of the same rows
+    (same shared feature expressions). A high threshold drops the
+    low-quality survivor the plain Gopher gate would pass."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.operators.classifier import (
+        attach_quality_score,
+        train_quality_classifier,
+    )
+    from flink_helloworld_spark.streaming.jobs import streaming_pretrain_front
+    from flink_helloworld_spark.streaming.replay import run_available_now
+
+    good = "the cat and the dog sat with a mat to rest for that while"
+    bad = "#### aaaaaaaaaa #### bbbbbbbbbbbb #### cccccccccccc ####"
+    train_docs = spark.createDataFrame(
+        [(i, good + f" v{i}") for i in range(4)]
+        + [(10 + i, bad + f" x{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    w = train_quality_classifier(train_docs, n_iters=8)
+
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "source": ["a", "a"],
+            "text": [good, bad],
+            "event_time": [base, base + pd.Timedelta(seconds=1)],
+        }
+    )
+    pdf["event_time"] = pd.to_datetime(pdf["event_time"]).astype("datetime64[us]")
+    workdir = tempfile.mkdtemp(prefix="clf-gate-")
+    p = os.path.join(workdir, "f000.parquet")
+    pdf.to_parquet(p, index=False)
+    os.utime(p, (_time.time() - 60, _time.time() - 60))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, source string, text string, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    batch = spark.createDataFrame(
+        [(1, good), (2, bad)], "doc_id long, text string"
+    )
+    scores = {
+        r.doc_id: r.quality_score
+        for r in attach_quality_score(batch, w).collect()
+    }
+    assert scores[1] > scores[2]
+    thr = (scores[1] + scores[2]) / 2
+    out = streaming_pretrain_front(
+        stream, domain_cap=5, classifier_weights=w, classifier_threshold=thr
+    )
+    rows = {r.doc_id: r for r in run_available_now(out, "clf_gate")}
+    assert set(rows) == {1}  # the low-scoring doc never reached state
