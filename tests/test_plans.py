@@ -342,3 +342,49 @@ def test_round3_pipeline_ops_plan_contracts(spark, sf_dir):
     assert "Exchange" not in plan  # benchmark is broadcast, corpus streams
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan
+
+
+def test_bigram_logppl_no_global_window_no_python(spark, sf_dir):
+    """The lag window partitions by doc_id (never a single-partition
+    sort) and the whole model is JVM-side column expressions."""
+    import __spark_entry__ as entry
+
+    plan = explain_str(entry.queries()["bigram_logppl"](spark, sf_dir), "simple")
+    assert "Window" in plan and "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_sharded_topk_plan_is_block_grouped(spark, sf_dir):
+    """The exhaustive top-k must never plan a pair blowup: the only
+    wide operation is the (qs, cs) group exchange feeding the Arrow
+    block kernel, plus the final per-query rank window."""
+    from flink_helloworld_spark.operators import similarity as S
+
+    emb = load_tables(spark, sf_dir).embeddings
+    plan = explain_str(S.cosine_topk_exact_sharded(emb, k=5), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # per-block BLAS kernel
+    assert "SinglePartition" not in plan  # rank window partitions by query
+
+
+def test_classifier_gradient_is_single_partial_agg(spark, sf_dir):
+    """One GD step = one hash aggregate with map-side partials over the
+    feature projection — pure JVM, no Python, no extra exchanges."""
+    from flink_helloworld_spark.operators.classifier import doc_features, _z
+
+    feats = doc_features(load_tables(spark, sf_dir).documents)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z([0.0] * 6)))
+    step = feats.agg(
+        *[
+            F.sum(
+                F.round((F.col("y") - p) * F.col(f"f{d}"), 9).cast("decimal(28,9)")
+            ).alias(f"s{d}")
+            for d in range(6)
+        ]
+    )
+    plan = explain_str(step, "simple")
+    assert "partial" in plan  # map-side combine
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1  # only the final 1-row gather
