@@ -2296,8 +2296,11 @@ def _cosine_pairs_sql(join_cond: str, extra_cte: str = "", round_dp: int | None 
     if round_dp is not None:
         # rounded BEFORE ranking: mirrors the sharded BLAS kernel, which
         # ranks on the rounded cosine so float summation order cannot
-        # reorder near-ties between the two engines
-        cos = f"round({cos}, {round_dp})"
+        # reorder near-ties between the two engines. The kernels force
+        # zero-vector norms to +inf, so any pair touching a zero vector
+        # scores a finite 0.0 — coalesce mirrors that (the interpreted
+        # path and its unrounded oracle both keep NULL instead)
+        cos = f"round(coalesce({cos}, 0.0), {round_dp})"
     return f"""
       {extra_cte}
       SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
@@ -2604,14 +2607,26 @@ def _bpe_ctes(n_merges: int = 8) -> str:
                          cnt
                   FROM bpe_vocab{r}))"""
         )
+        # aggregated to EXACTLY one row (sentinel '' / n=0 when no pairs
+        # exist — min() over the ≤1-row argmax subquery, single CTE
+        # reference so the chain can't re-evaluate) so the CROSS JOIN
+        # below never annihilates the vocab chain; the fold guards on
+        # n >= 2 to mirror the engine's stop rule — once a round's best
+        # drops below 2 the vocab is left untouched, every later round
+        # recomputes the same sub-2 best, and the train output's
+        # pair_count >= 2 filter is exact (not a monotonicity assumption)
         parts.append(
             f"""bpe_best{r} AS (
-            SELECT l, r, sum(cnt)::BIGINT AS n FROM bpe_pairs{r}
-            GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1)"""
+            SELECT coalesce(min(l), '') AS l, coalesce(min(r), '') AS r,
+                   coalesce(min(n), 0)::BIGINT AS n
+            FROM (SELECT l, r, sum(cnt)::BIGINT AS n FROM bpe_pairs{r}
+                  GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1))"""
         )
         parts.append(
             f"""bpe_vocab{r + 1} AS (
-            SELECT {_bpe_merge_fold('v.syms', 'b.l', 'b.r')} AS syms, v.cnt
+            SELECT CASE WHEN b.n >= 2
+                   THEN {_bpe_merge_fold('v.syms', 'b.l', 'b.r')}
+                   ELSE v.syms END AS syms, v.cnt
             FROM bpe_vocab{r} v CROSS JOIN bpe_best{r} b)"""
         )
     return ",\n        ".join(parts)
@@ -2619,9 +2634,10 @@ def _bpe_ctes(n_merges: int = 8) -> str:
 
 def _bpe_train_sql(n_merges: int = 8) -> str:
     # engine stops when the best pair count drops below 2 and leaves the
-    # vocabulary untouched from that round on; the trailing WHERE mirrors
-    # the emitted-row cutoff (counts are monotone on this corpus — if a
-    # sub-2 round ever fired mid-run the chain would need a short-circuit)
+    # vocabulary untouched from that round on; the CTE chain's n>=2 fold
+    # guard freezes the vocab identically, so every post-stop round
+    # recomputes the SAME sub-2 best and the trailing WHERE removes
+    # exactly the rounds the engine never emitted
     sel = "\n            UNION ALL\n            ".join(
         f'SELECT {r} AS step, l AS "left", r AS "right",'
         f" l || r AS merged, n AS pair_count FROM bpe_best{r}"
@@ -2649,9 +2665,14 @@ def _bpe_fertility_sql(n_merges: int = 8) -> str:
             SELECT w, syms FROM bpe_vocab0_words)""",
     ]
     for r in range(n_merges):
+        # same n >= 2 guard as the training chain: merges the engine
+        # never learned are never applied (bpe_best{r} is sentinel-padded
+        # to one row, so the CROSS JOIN also can't empty the chain)
         parts.append(
             f"""fert_enc{r + 1} AS (
-            SELECT e.w, {_bpe_merge_fold('e.syms', 'b.l', 'b.r')} AS syms
+            SELECT e.w, CASE WHEN b.n >= 2
+                   THEN {_bpe_merge_fold('e.syms', 'b.l', 'b.r')}
+                   ELSE e.syms END AS syms
             FROM fert_enc{r} e CROSS JOIN bpe_best{r} b)"""
         )
     return f"""
@@ -2741,8 +2762,11 @@ def _classifier_ctes(n_iters: int = 3, lr: float = 0.5) -> str:
               SELECT {grads}, count(*) AS n
               FROM clf_f f CROSS JOIN clf_w{it} w)"""
         )
+        # nullif/coalesce mirror the engine's empty-corpus guard: with
+        # zero feature rows the sums are NULL and weights stay put
         ws_next = ", ".join(
-            f"round(w.w{d} + {lr!r} * (g.s{d}::DOUBLE / g.n), 9) AS w{d}"
+            f"coalesce(round(w.w{d} + {lr!r} * (g.s{d}::DOUBLE / nullif(g.n, 0)), 9),"
+            f" w.w{d}) AS w{d}"
             for d in range(6)
         )
         parts.append(

@@ -123,10 +123,17 @@ def train_quality_classifier(
     n_iters: int = 3,
     lr: float = 0.5,
     text_col: str = "text",
+    _features: DataFrame | None = None,
 ) -> list[float]:
     """Full-batch GD on the logistic loss; returns the 6 weights after
-    ``n_iters`` steps (each exactly reproducible — see module doc)."""
-    feats = doc_features(docs, text_col).localCheckpoint()
+    ``n_iters`` steps (each exactly reproducible — see module doc).
+    ``_features`` lets a caller that already materialized
+    ``doc_features`` (e.g. the train-then-score query) reuse it."""
+    feats = (
+        _features
+        if _features is not None
+        else doc_features(docs, text_col).localCheckpoint()
+    )
     k = len(FEATURE_NAMES)
     w = [0.0] * k
     for _ in range(n_iters):
@@ -138,6 +145,8 @@ def train_quality_classifier(
             for d in range(k)
         ] + [F.count(F.lit(1)).alias("n")]
         row = feats.agg(*aggs).collect()[0]  # 1 row per iteration, like Lloyd
+        if row["n"] == 0:  # empty corpus: sums are NULL, weights stay
+            break
         n = float(row["n"])
         w = [
             _round9(w[d] + lr * (float(row[f"s{d}"]) / n)) for d in range(k)
@@ -184,10 +193,14 @@ def quality_classifier_score(
 ) -> DataFrame:
     """Train, then score every document with the final weights:
     (doc_id, label, score, pred) — score is σ(w·x) rounded to 6 dp,
-    pred the 0.5 threshold. The scoring pass is one codegen projection;
-    only the weights (7 numbers × n_iters) ever touch the driver."""
-    w = train_quality_classifier(docs, n_iters=n_iters, lr=lr, text_col=text_col)
-    feats = doc_features(docs, text_col)
+    pred the 0.5 threshold. The scoring pass is one codegen projection
+    over the SAME checkpointed features training used (the feature
+    regexes run once per corpus, not once per phase); only the weights
+    (7 numbers × n_iters) ever touch the driver."""
+    feats = doc_features(docs, text_col).localCheckpoint()
+    w = train_quality_classifier(
+        docs, n_iters=n_iters, lr=lr, text_col=text_col, _features=feats
+    )
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(w))), 6)
     return feats.select(
         "doc_id",
