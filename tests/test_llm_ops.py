@@ -994,6 +994,39 @@ def test_bpe_train_matches_reference(spark):
     assert got == expect
 
 
+def test_bpe_train_random_corpora_match_reference(spark):
+    """Seeded random corpora — including chain-heavy words ('aaaa') that
+    stress the left-to-right non-overlap fold and sparse corpora that
+    trigger the early-stop rule — must match the pure-Python reference
+    merge-for-merge."""
+    import random
+    from collections import Counter
+
+    from flink_helloworld_spark.operators.bpe import bpe_train
+
+    for seed in (5, 21, 42):
+        rng = random.Random(seed)
+        alphabet = "aab bc"
+        words = [
+            "".join(rng.choice(alphabet).strip() or "a" for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 18))
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(1, 5))
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        wc = Counter(w for t in texts for w in t.split(" ") if w)
+        expect = _bpe_reference(dict(wc), n_merges=6)
+        got = [
+            (r.step, r.left, r.right, r.merged, r.pair_count)
+            for r in bpe_train(docs, n_merges=6).orderBy("step").collect()
+        ]
+        assert got == expect, f"seed {seed}"
+
+
 def test_bpe_train_on_testdata_prefix_matches_reference(spark, sf_dir):
     from collections import Counter
 

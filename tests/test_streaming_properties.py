@@ -212,6 +212,93 @@ def test_late_rows_classifier_matches_model_on_random_scripts(spark, seed, laten
     assert got == sorted(_model_late_flags(steps, lateness))
 
 
+GAP_MS = 5_000
+
+
+@pytest.mark.parametrize("seed", [3, 14])
+def test_timer_sessions_match_model_on_random_scripts(spark, seed):
+    """Timer-based session flush (SessionFlushProcessor) fuzz: random
+    keys/gaps on a monotone event-time script — sessions close BOTH ways
+    (inline when a same-key event exceeds the gap, and via event-time
+    timer when other keys drag the watermark past a silent key's
+    last+gap). Streaming output must equal the sequential
+    split-on-gap model for every key."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        _pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.tws import session_flush_tws
+
+    rng = random.Random(seed)
+    keys = [f"k{i}" for i in range(6)]
+    base_ms = 1_767_225_600_000  # 2026-01-01 UTC, epoch ms
+    t = base_ms
+    events = []
+    for _ in range(28):
+        t += rng.randint(500, GAP_MS * 2)  # monotone: no late data
+        events.append({"k": rng.choice(keys), "ts_ms": t, "v": float(rng.randint(1, 9))})
+    # far-future spacers fire every remaining timer (watermark applied
+    # with the usual batch lag, so three trailing batches like
+    # write_script's end-of-input flush)
+    spacers = [
+        [{"k": "zz", "ts_ms": t + 10_000_000_000 + i, "v": 0.0}] for i in range(3)
+    ]
+
+    # model: per key, split on gap, round-9 running totals
+    expect: list[tuple] = []
+    per_key: dict[str, list] = {}
+    for e in events:
+        per_key.setdefault(e["k"], []).append(e)
+    for k, evs in per_key.items():
+        cur = [evs[0]]
+        for e in evs[1:]:
+            if e["ts_ms"] - cur[-1]["ts_ms"] > GAP_MS:
+                total = 0.0
+                for x in cur:
+                    total = round(total + x["v"], 9)
+                expect.append((k, cur[0]["ts_ms"], cur[-1]["ts_ms"], total, len(cur)))
+                cur = []
+            cur.append(e)
+        total = 0.0
+        for x in cur:
+            total = round(total + x["v"], 9)
+        expect.append((k, cur[0]["ts_ms"], cur[-1]["ts_ms"], total, len(cur)))
+
+    cuts = sorted(rng.sample(range(1, len(events)), 9))
+    batches = [events[a:b] for a, b in zip([0] + cuts, cuts + [len(events)])] + spacers
+    rows_per_file = []
+    for b in batches:
+        rows_per_file.append(
+            [
+                {
+                    "k": e["k"],
+                    "ts": pd.Timestamp(e["ts_ms"], unit="ms"),
+                    "v": e["v"],
+                }
+                for e in b
+            ]
+        )
+    workdir = tempfile.mkdtemp(prefix=f"sess-prop-{seed}-")
+    # us-precision: pandas' default ns parquet type reads back as LONG
+    _write_files(rows_per_file, workdir, dtypes={"ts": "datetime64[us]"})
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    out = session_flush_tws(stream, gap_ms=GAP_MS)
+    rows = run_available_now(out, f"sess_prop_{seed}")
+    got = sorted(
+        (r.k, r.session_start_ms, r.session_end_ms, r.total, r.cnt)
+        for r in rows
+        if r.k != "zz"
+    )
+    assert got == sorted(expect)
+
+
 def test_rolling_sum_correct_across_arrow_chunk_splits(spark):
     """Regression for the per-chunk-sort hazard (ADVICE r3): with
     ``arrow.maxRecordsPerBatch`` forced to 4, a single key's 24-row
