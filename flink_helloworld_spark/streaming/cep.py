@@ -102,8 +102,12 @@ def followed_by_within_stream(
                 tsm, etype = int(rec[tsm_col]), rec[type_col]
                 finalize_closed(tsm)
                 if not_between is not None and etype == not_between:
-                    # kills unresolved As AND same-ms B-bound entries
-                    pending[:] = [e for e in pending if e.get("bt") is not None and e["bt"] < tsm]
+                    # kills unresolved As AND same-ms B-bound entries —
+                    # after finalize_closed(tsm), every surviving bound
+                    # entry has bt == tsm (events arrive in ts order and
+                    # earlier-bt entries were just emitted), so the kill
+                    # is a full clear
+                    pending.clear()
                 elif etype == second:
                     nxt = []
                     for e in pending:
@@ -117,7 +121,13 @@ def followed_by_within_stream(
                     pending[:] = nxt
                 if etype == first:
                     pending.append({"a": int(rec[id_col]), "at": tsm})
-        state.update((json.dumps(pending),))
+        if pending:
+            state.update((json.dumps(pending),))
+        elif state.exists:
+            # drop the key's state slot entirely once nothing is pending:
+            # state stays O(keys with open patterns), not O(keys ever
+            # seen) — the bounded-state discipline the docstring promises
+            state.remove()
         yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
     return (

@@ -29,21 +29,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
-    IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
 
-from flink_helloworld_spark.streaming.replay import WM_KEY, drop_wm_rows
+from flink_helloworld_spark.streaming.replay import WM_KEY
 
 
 def tumbling_sum_stream(
     script_stream: DataFrame,
     size: str,
     delay: str = "0 milliseconds",
-    output_mode_hint: str = "append",
 ) -> DataFrame:
     """Keyed tumbling event-time sum over a scripted stream.
 

@@ -99,7 +99,11 @@ def streaming_window_topn_job(
         )
     )
     agg_sink = KeyedUpsertSink(f"{sink_path}/agg", "window_key", "cnt")
-    topn_sink = KeyedUpsertSink(f"{sink_path}/topn", "window_rank", "cnt")
+    # rank slots order by batch RECENCY, not cnt: when a new occupant
+    # TIES the old occupant's count at a slot, the freshest ranking must
+    # win — ordering by cnt would nondeterministically keep the stale
+    # row, duplicating one key across two slots and dropping the other
+    topn_sink = KeyedUpsertSink(f"{sink_path}/topn", "window_rank", "_ver")
 
     def rank_and_upsert(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window as Wspec
@@ -136,7 +140,14 @@ def streaming_window_topn_job(
                     "#", F.col("window_start").cast("string"), F.col("rank")
                 ),
             )
-            .select("window_rank", "window_start", "rank", "key", "cnt")
+            .select(
+                "window_rank",
+                "window_start",
+                "rank",
+                "key",
+                "cnt",
+                F.lit(batch_id).alias("_ver"),
+            )
         )
         topn_sink(ranked, batch_id)
 
@@ -318,7 +329,14 @@ def streaming_pretrain_front(
         .withColumn("content_hash", F.md5(F.col(text_col)))
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
-    seq = F.unix_millis(F.col(time_col))
+    # seq must totally order same-domain docs: two docs sharing a
+    # millisecond would otherwise tie and the kept/dropped decision at
+    # the cap boundary would depend on Arrow chunk arrival order —
+    # not replay-stable. 2^20 doc-id low bits break the tie
+    # deterministically (millis * 2^20 stays well under 2^63).
+    seq = F.unix_millis(F.col(time_col)) * F.lit(1048576) + F.pmod(
+        F.col("doc_id"), F.lit(1048576)
+    )
     return streaming_domain_cap(
         deduped.withColumn("seq", seq), cap=domain_cap
     )

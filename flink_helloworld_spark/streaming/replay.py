@@ -120,7 +120,10 @@ def drop_wm_rows(df: DataFrame, key_col: str = "k") -> DataFrame:
 
 def run_available_now(stream: DataFrame, query_name: str, output_mode: str = "append"):
     """Run a streaming DataFrame to completion on the available script
-    files (one batch per file) into an in-memory table; returns rows."""
+    files (one batch per file) into an in-memory table; returns rows.
+    Raises on timeout instead of silently returning a truncated table —
+    a partial result set would fail (or worse, pass) downstream
+    assertions confusingly."""
     spark = stream.sparkSession
     q = (
         stream.writeStream.format("memory")
@@ -129,5 +132,9 @@ def run_available_now(stream: DataFrame, query_name: str, output_mode: str = "ap
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming replay '{query_name}' did not finish within 300s"
+        )
     return spark.sql(f"SELECT * FROM {query_name}").collect()

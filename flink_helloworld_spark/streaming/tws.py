@@ -390,11 +390,17 @@ class SessionFlushProcessor(StatefulProcessor):
         if batch is not None:
             for rec in batch.sort_values("ts_ms").to_dict("records"):
                 t = int(rec["ts_ms"])
-                if end is not None and t - end > self._gap_ms:
-                    # gap exceeded by a LATER event arriving before the
-                    # watermark reached old_end+gap: close the old
-                    # session inline — the timer path only covers keys
-                    # that go silent
+                if end is not None and t - end >= self._gap_ms:
+                    # gap reached by a LATER event arriving before the
+                    # watermark hit old_end+gap: close the old session
+                    # inline — the timer path only covers keys that go
+                    # silent. ">=" matches BOTH the timer boundary (the
+                    # timer at end+gap fires once the watermark reaches
+                    # it) and Spark's batch session windows (an event at
+                    # exactly prev+gap is adjacent, not overlapping), so
+                    # the session-split rule is identical whichever path
+                    # closes it — micro-batch packing can only affect
+                    # late-classification, never session boundaries
                     out.append(
                         {
                             "k": key[0],

@@ -143,6 +143,49 @@ def test_streaming_window_topn_overtake(spark):
     assert aggs == {"a": 3, "b": 2, "c": 4}
 
 
+def test_streaming_window_topn_tie_overtake_prefers_fresh_ranking(spark):
+    """Review regression: when a new key TIES the current occupant's
+    count at a rank slot, the freshest ranking must win the slot (order
+    by batch recency, not cnt) — otherwise the stale row survives the
+    upsert, one key occupies two slots, and the tying key vanishes."""
+    import tempfile
+
+    from flink_helloworld_spark.streaming.jobs import streaming_window_topn_job
+
+    workdir = tempfile.mkdtemp(prefix="topn-tie-")
+    t0 = time.time() - 60
+    day = 1704067200000
+    h = 3600 * 1000
+    batches = [
+        [("b", day), ("b", day + h), ("b", day + 2 * h)],
+        # aa reaches the SAME count (3); tiebreak key-asc ranks aa first
+        [("aa", day + 3 * h), ("aa", day + 4 * h), ("aa", day + 5 * h)],
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(workdir, f"b{i:02d}.parquet")
+        pd.DataFrame(rows, columns=["event_type", "ts_ms"]).to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("event_type string, ts_ms long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+    )
+    agg_sink, topn_sink, query = streaming_window_topn_job(
+        stream,
+        tempfile.mkdtemp(prefix="topn-tie-sink-"),
+        tempfile.mkdtemp(prefix="topn-tie-ck-"),
+        n=2,
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        query.awaitTermination(60)
+    top = {r.rank: (r.key, r.cnt) for r in topn_sink.read(spark).collect()}
+    assert top == {1: ("aa", 3), 2: ("b", 3)}
+
+
 def test_streaming_kmv_matches_batch_recompute(spark):
     """Cross-batch sketch mergeability: the streaming KMV state after N
     batches must equal the batch operator recomputed over ALL rows —

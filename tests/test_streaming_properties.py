@@ -255,7 +255,8 @@ def test_timer_sessions_match_model_on_random_scripts(spark, seed):
     for k, evs in per_key.items():
         cur = [evs[0]]
         for e in evs[1:]:
-            if e["ts_ms"] - cur[-1]["ts_ms"] > GAP_MS:
+            # ">= gap" split rule — identical to the timer boundary
+            if e["ts_ms"] - cur[-1]["ts_ms"] >= GAP_MS:
                 total = 0.0
                 for x in cur:
                     total = round(total + x["v"], 9)
@@ -297,6 +298,49 @@ def test_timer_sessions_match_model_on_random_scripts(spark, seed):
         if r.k != "zz"
     )
     assert got == sorted(expect)
+
+
+def test_session_event_at_exact_gap_starts_new_session(spark):
+    """Review regression: an event arriving exactly gap_ms after the
+    previous one must START A NEW session via the inline path, matching
+    the timer boundary (the timer at end+gap fires once the watermark
+    reaches it) — previously the inline check used a strict '>' and the
+    split/merge decision depended on micro-batch packing."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        _pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.tws import session_flush_tws
+
+    base_ms = 1_767_261_600_000
+    rows = [
+        {"k": "a", "ts": pd.Timestamp(base_ms, unit="ms"), "v": 1.0},
+        {"k": "a", "ts": pd.Timestamp(base_ms + GAP_MS, unit="ms"), "v": 2.0},
+    ]
+    spacers = [
+        [{"k": "z", "ts": pd.Timestamp(base_ms + 10_000_000_000 + i, unit="ms"), "v": 0.0}]
+        for i in range(3)
+    ]
+    workdir = tempfile.mkdtemp(prefix="sess-boundary-")
+    _write_files([rows] + spacers, workdir, dtypes={"ts": "datetime64[us]"})
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    out = session_flush_tws(stream, gap_ms=GAP_MS)
+    got = sorted(
+        (r.session_start_ms, r.session_end_ms, r.total, r.cnt)
+        for r in run_available_now(out, "sess_boundary")
+        if r.k == "a"
+    )
+    assert got == [
+        (base_ms, base_ms, 1.0, 1),
+        (base_ms + GAP_MS, base_ms + GAP_MS, 2.0, 1),
+    ]
 
 
 def test_rolling_sum_correct_across_arrow_chunk_splits(spark):
