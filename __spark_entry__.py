@@ -2207,7 +2207,7 @@ def _hll_sql() -> str:
             ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT % {HLL_M}
               AS bucket,
             ('0x' || substr(md5(user_id::VARCHAR), 3, 12))::BIGINT AS w
-          FROM events),
+          FROM events WHERE user_id IS NOT NULL),
         regs AS (
           SELECT event_type, bucket,
             max(CASE WHEN w > 0 THEN 49 - length(bin(w)) ELSE 49 END) AS m_j
@@ -2251,8 +2251,8 @@ def _cms_sql() -> str:
         top10 AS (SELECT user_id, count(*) AS true_cnt FROM events
                   GROUP BY 1 ORDER BY true_cnt DESC, user_id LIMIT 10),
         probes AS ({probes})
-        SELECT user_id, true_cnt, min(cnt) AS cms_est
-        FROM probes JOIN sk USING (row_id, col_id)
+        SELECT user_id, true_cnt, min(coalesce(cnt, 0)) AS cms_est
+        FROM probes LEFT JOIN sk USING (row_id, col_id)
         GROUP BY 1, 2
     """
 
@@ -3308,7 +3308,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT col_name,
                 ('0x' || substr(md5(sv), 1, 2))::BIGINT % 64 AS bucket,
                 ('0x' || substr(md5(sv), 3, 12))::BIGINT AS w
-              FROM long),
+              FROM long WHERE sv IS NOT NULL),
             regs AS (
               SELECT col_name, bucket,
                 max(CASE WHEN w > 0 THEN 49 - length(bin(w)) ELSE 49 END) AS m_j
@@ -4271,12 +4271,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
                      lag(o_orderpriority) OVER (
                        PARTITION BY o_custkey
-                       ORDER BY o_orderdate, o_orderkey) AS prev
+                       ORDER BY o_orderdate, o_orderkey) AS prev,
+                     lag(1) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS has_prev
               FROM orders),
             chg AS (
               SELECT o_custkey, o_orderpriority,
                      o_orderdate AS valid_from, o_orderkey
-              FROM seq WHERE prev IS NULL OR prev <> o_orderpriority)
+              FROM seq WHERE has_prev IS NULL
+                 OR prev IS DISTINCT FROM o_orderpriority)
             SELECT o_custkey, o_orderpriority, valid_from,
                    lead(valid_from) OVER (
                      PARTITION BY o_custkey

@@ -44,6 +44,13 @@ def followed_by_within(
     a_ts_ms, b_ts_ms, lag_ms). The B event is the EARLIEST qualifying
     ``second`` after A (Flink's relaxed-contiguity semantics); ms ties
     among B events resolve to the smallest ``id_col``.
+
+    Blocking granularity is MILLISECOND, not sequence position: a
+    ``not_between`` event sharing B's millisecond blocks the match even
+    when its id orders it after B — at ms event-time resolution the two
+    are simultaneous and the guard can't claim C happened "after" the
+    close. The streaming twin (streaming/cep.py) and the DuckDB oracle
+    implement the same rule, so all three stay in lockstep.
     """
     e = events.select(
         F.col(key),

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_helloworld_spark.operators.text import GOPHER_STOPWORDS
+from flink_helloworld_spark.operators.text import GOPHER_STOPWORDS, _words
 
 FEATURE_NAMES = [
     "bias",
@@ -99,7 +99,7 @@ def doc_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     integers — bit-identical across engines."""
     base = docs.select(
         "doc_id", F.col(text_col).alias("_t"),
-        F.filter(F.split(F.col(text_col), " "), lambda w: w != "").alias("ws"),
+        _words(F.col(text_col)).alias("ws"),
     )
     label, feats = _feature_exprs(F.col("_t"), F.col("ws"))
     return base.where(F.size("ws") > 0).select(
@@ -174,9 +174,7 @@ def attach_quality_score(
     codegen projection, so the same expression gates an unbounded
     stream (see streaming_pretrain_front) or a batch table. Rows with
     no words score NULL (no features)."""
-    staged = df.withColumn(
-        "_qc_ws", F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    )
+    staged = df.withColumn("_qc_ws", _words(F.col(text_col)))
     _, feats = _feature_exprs(F.col(text_col), F.col("_qc_ws"))
     z: Column = F.lit(weights[0]) * feats[0]
     for d in range(1, len(weights)):

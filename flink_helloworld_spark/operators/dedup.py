@@ -29,8 +29,10 @@ from ._cache import _SHARED_CACHES, release_shared_caches, share  # noqa: F401
 # --- tokenization / shingling ---------------------------------------------
 
 
-def _words(text: Column) -> Column:
-    return F.filter(F.split(text, " "), lambda w: w != "")
+# the ENGINE-WIDE tokenization contract lives in text._words; dedup
+# signatures, classifier features, and text stats are oracle-pinned to
+# agree, so there is exactly one definition to change
+from flink_helloworld_spark.operators.text import _words  # noqa: E402,F401
 
 
 def shingles(text: Column, n: int = 3) -> Column:

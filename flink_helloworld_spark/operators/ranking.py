@@ -140,13 +140,22 @@ def bm25_search(
         .crossJoin(F.broadcast(stats))
     )
     # pivot df values into scalar columns via a broadcast 1-row agg so the
-    # score expression stays a fixed-order column formula
-    df_row = dfs.groupBy().pivot("term", terms).agg(F.first("df"))
+    # score expression stays a fixed-order column formula. The pivot
+    # names columns after the raw terms — positionally rename to
+    # _df_{i} (explicit pivot values fix the column order) so a query
+    # term equal to a plan column ('n', 'dl', ...) or containing a
+    # backtick can't collide or break parsing
+    df_row = (
+        dfs.groupBy()
+        .pivot("term", terms)
+        .agg(F.first("df"))
+        .toDF(*[f"_df_{i}" for i in range(len(terms))])
+    )
     base = base.crossJoin(F.broadcast(df_row))
 
     def contrib(i: int, t: str):
         tf = F.col(f"tf_{i}").cast("double")
-        df_c = F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("double")
+        df_c = F.coalesce(F.col(f"_df_{i}"), F.lit(0)).cast("double")
         idf = F.log(
             F.lit(1.0)
             + (F.col("n").cast("double") - df_c + F.lit(0.5)) / (df_c + F.lit(0.5))

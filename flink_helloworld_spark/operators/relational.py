@@ -211,10 +211,19 @@ def scd2_intervals(
     from pyspark.sql import Window as Wspec
 
     w = Wspec.partitionBy(key).orderBy(time_col, seq_col)
+    # change detection must be NULL-safe: lag(attr) can't distinguish
+    # "no previous row" from "previous attr was NULL", so a separate
+    # lag(1) marks row-existence and the value compare uses <=> — a
+    # HIGH -> NULL -> HIGH history yields three intervals instead of
+    # dropping the NULL period and fabricating boundaries after it
     chg = (
         orders.select(key, attr, time_col, seq_col)
         .withColumn("_prev", F.lag(attr).over(w))
-        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr)))
+        .withColumn("_has_prev", F.lag(F.lit(1)).over(w))
+        .where(
+            F.col("_has_prev").isNull()
+            | ~F.col("_prev").eqNullSafe(F.col(attr))
+        )
         .select(key, attr, F.col(time_col).alias("valid_from"), seq_col)
     )
     w2 = Wspec.partitionBy(key).orderBy("valid_from", seq_col)

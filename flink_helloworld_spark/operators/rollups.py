@@ -128,7 +128,11 @@ def hll_distinct(df: DataFrame, group: str, value: str) -> DataFrame:
     w = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
     rho = F.when(w > 0, F.lit(49) - F.length(F.bin(w))).otherwise(F.lit(49))
     regs = (
-        df.select(F.col(group), bucket, rho.cast("int").alias("rho"))
+        # NULLs are not values: md5(NULL) would otherwise form a phantom
+        # NULL-bucket register counted as populated (same rule, with the
+        # same rationale comment, as kmv_distinct)
+        df.where(F.col(value).isNotNull())
+        .select(F.col(group), bucket, rho.cast("int").alias("rho"))
         .groupBy(group, "bucket")
         .agg(F.max("rho").alias("m_j"))
     )
@@ -222,13 +226,28 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
             F.max("rho").alias("m_j"),
         )
     )
+    # NULL values ride level 1 for the row/null/min/max stats but must
+    # NOT form an HLL register: md5(NULL) lands them in a NULL bucket,
+    # which the register aggregates below exclude (an all-NULL column
+    # then takes the linear-counting branch to a clean 0 estimate)
     lvl2 = lvl1.groupBy("col_name").agg(
         F.sum("n").alias("n_rows"),
         F.sum("nn").alias("n_null"),
         F.min("mn").alias("min_v"),
         F.max("mx").alias("max_v"),
-        F.sum(F.expr("shiftleft(1L, 49 - m_j)")).alias("s"),
-        (F.lit(HLL_M) - F.count(F.lit(1))).cast("int").alias("n_zero"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("bucket").isNotNull(),
+                    F.expr("shiftleft(1L, 49 - m_j)"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("s"),
+        (
+            F.lit(HLL_M)
+            - F.count(F.when(F.col("bucket").isNotNull(), F.lit(1)))
+        ).cast("int").alias("n_zero"),
     )
     s_total = F.col("s") + F.col("n_zero").cast("long") * F.lit(1 << 49).cast("long")
     e_raw = F.lit(HLL_NUMER) / s_total.cast("double")
@@ -303,10 +322,15 @@ def cms_point_estimates(df: DataFrame, value: str, probes: DataFrame) -> DataFra
         ).alias("c"),
     ).select(*probes.columns, "c.row_id", "c.col_id")
     keep = [c for c in probes.columns]
+    # LEFT join: a probe cell absent from the sparse sketch is a ZERO
+    # counter and must participate in the min — an inner join would
+    # inflate the estimate (min over populated cells only) and silently
+    # drop probes whose d cells are all empty (same contract note as
+    # bloom_might_contain)
     return (
-        cells.join(F.broadcast(sketch), ["row_id", "col_id"])
+        cells.join(F.broadcast(sketch), ["row_id", "col_id"], "left")
         .groupBy(*keep)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
 
 
@@ -401,12 +425,25 @@ def histogram_quantiles(
         F.sum("bin_cnt").over(w_cum).alias("cum_cnt"),
         F.sum("bin_cnt").over(w_all).alias("total"),
     )
+    from fractions import Fraction
+
     parts = []
     for q in quantiles:
-        qname = f"p{int(round(q * 100)):02d}"
+        # exact rational threshold cum·den >= total·num — integer-only,
+        # so sub-percent quantiles (p99.9) are honored instead of being
+        # silently snapped to the nearest whole percent; labels keep the
+        # p50/p95 form for whole percents and read p99_9 otherwise
+        frac = Fraction(str(q))
+        pct = q * 100
+        qname = (
+            f"p{int(round(pct)):02d}"
+            if abs(pct - round(pct)) < 1e-9
+            else "p" + f"{pct:g}".replace(".", "_")
+        )
         hit = (
             cum.where(
-                F.col("cum_cnt") * 100 >= F.col("total") * int(round(q * 100))
+                F.col("cum_cnt") * F.lit(frac.denominator)
+                >= F.col("total") * F.lit(frac.numerator)
             )
             .groupBy(group)
             .agg(F.min("bin").alias("bin"))

@@ -117,8 +117,11 @@ def cosine_topk_broadcast_index(
                 s = sims[row_i]
                 self_mask = idx_ids == qid
                 s = np.where(self_mask, -np.inf, s)
-                # top-k by (sim desc, id asc): lexsort on (-sim, id)
+                # top-k by (sim desc, id asc): lexsort on (-sim, id);
+                # drop the -inf self entry when k >= index size (same
+                # guard as cosine_topk_exact_sharded)
                 order = np.lexsort((idx_ids, -s))[:k]
+                order = order[np.isfinite(s[order])]
                 out["query_id"].extend([qid] * len(order))
                 out["rank"].extend(range(1, len(order) + 1))
                 out["neighbor_id"].extend(idx_ids[order])

@@ -372,14 +372,17 @@ def bigram_logppl(
         "prev",
         F.lag("w").over(Window.partitionBy("doc_id").orderBy("pos")),
     )
-    total = toks.count()  # scalar: corpus token count
+    # corpus token count as a broadcast 1-row aggregate — an eager
+    # .count() here would re-run the explode AND the lag window as a
+    # separate full-corpus job
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("_t"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
     big = (
         toks.where(F.col("prev").isNotNull())
         .groupBy("prev", "w")
         .agg(F.count(F.lit(1)).alias("cpw"))
     )
-    p_uni = F.col("cw").cast("double") / F.lit(float(total))
+    p_uni = F.col("cw").cast("double") / F.col("_t")
     p_big = F.col("cpw").cast("double") / F.col("cprev").cast("double")
     p = F.when(F.col("prev").isNull(), p_uni).otherwise(
         F.lit(lam) * F.coalesce(p_big, F.lit(0.0)) + F.lit(1.0 - lam) * p_uni
@@ -392,6 +395,7 @@ def bigram_logppl(
             "left",
         )
         .join(big, ["prev", "w"], "left")
+        .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
             F.round(-F.log(p), 9).cast("decimal(28,9)").alias("nlp"),
@@ -432,13 +436,20 @@ def unigram_logppl(
     words = docs.select(
         "doc_id", F.explode(_words(F.col(text_col))).alias("w")
     )
-    total = words.count()  # scalar: corpus token count
+    # corpus token count rides as a broadcast 1-row aggregate (the
+    # bm25_search stats pattern) instead of an eager .count() — no
+    # duplicate full-corpus scan before the real query
+    total = words.agg(F.count(F.lit(1)).cast("double").alias("_t"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-    scored = words.join(vocab, "w").select(
-        "doc_id",
-        F.round(-F.log(F.col("cnt").cast("double") / F.lit(float(total))), 9)
-        .cast("decimal(28,9)")
-        .alias("nlp"),
+    scored = (
+        words.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("cnt").cast("double") / F.col("_t")), 9)
+            .cast("decimal(28,9)")
+            .alias("nlp"),
+        )
     )
     return (
         scored.groupBy("doc_id")

@@ -209,3 +209,113 @@ def test_cms_never_undercounts(spark):
     assert len(out) == 17
     for r in out:
         assert r.cms_est >= r.true_cnt  # CMS one-sided error guarantee
+
+
+def test_scd2_null_attribute_periods_are_intervals(spark):
+    """Review regression: a HIGH -> NULL -> HIGH history must produce
+    THREE intervals (the NULL period is a real validity range), and an
+    unchanged value after a NULL row must not fabricate a boundary."""
+    from flink_helloworld_spark.operators.relational import scd2_intervals
+
+    rows = [
+        (1, "HIGH", "2024-01-01", 1),
+        (1, None, "2024-02-01", 2),
+        (1, None, "2024-02-15", 3),  # unchanged NULL: no new interval
+        (1, "HIGH", "2024-03-01", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, attr string, d string, seq long"
+    ).withColumn("d", F.to_date("d"))
+    got = [
+        (r.attr, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in scd2_intervals(df, "k", "attr", "d", "seq")
+        .orderBy("valid_from")
+        .collect()
+    ]
+    assert got == [
+        ("HIGH", "2024-01-01", "2024-02-01", False),
+        (None, "2024-02-01", "2024-03-01", False),
+        ("HIGH", "2024-03-01", "None", True),
+    ]
+
+
+def test_hll_ignores_null_values(spark):
+    """Review regression: NULL values must not form a phantom register —
+    a group of only NULLs estimates 0 distinct, and a mixed group
+    estimates the same as with the NULLs removed."""
+    from flink_helloworld_spark.operators.rollups import hll_distinct
+
+    rows = [("only_null", None)] * 5 + [("mixed", None)] * 3 + [
+        ("mixed", f"u{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r.g: r.distinct_estimate for r in hll_distinct(df, "g", "v").collect()}
+    clean = spark.createDataFrame(
+        [("mixed", f"u{i}") for i in range(10)], "g string, v string"
+    )
+    (want,) = hll_distinct(clean, "g", "v").collect()
+    assert "only_null" not in got  # no values -> no group row at all
+    assert got["mixed"] == want.distinct_estimate
+
+
+def test_profile_table_nulls_counted_but_not_registered(spark):
+    """profile_table: NULLs ride the null/row counts but never the HLL
+    registers; an all-NULL column estimates 0 distinct."""
+    from flink_helloworld_spark.operators.rollups import profile_table
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (2.0, None)], "a double, b double"
+    )
+    got = {r.col_name: r for r in profile_table(df, ["a", "b"]).collect()}
+    assert (got["a"].n_rows, got["a"].n_null) == (3, 0)
+    assert round(got["a"].distinct_estimate) == 2
+    assert (got["b"].n_rows, got["b"].n_null) == (3, 3)
+    assert got["b"].distinct_estimate == 0.0
+
+
+def test_cms_estimates_include_empty_cells(spark):
+    """Review regression: a probe key absent from the corpus must get an
+    estimate (0 unless every one of its d cells collides), never vanish
+    from the output, and min() must include empty counters."""
+    from flink_helloworld_spark.operators.rollups import cms_point_estimates
+
+    df = spark.createDataFrame([("a",), ("b",)], "v string")
+    probes = spark.createDataFrame([("a",), ("zzz-not-present",)], "v string")
+    got = {r.v: r.cms_est for r in cms_point_estimates(df, "v", probes).collect()}
+    assert set(got) == {"a", "zzz-not-present"}  # absent probe still emitted
+    assert got["a"] >= 1
+    assert got["zzz-not-present"] == 0  # 2-key corpus can't fill all 4 cells
+
+
+def test_histogram_sub_percent_quantiles_honored(spark):
+    """Review regression: p99.9 must not be silently snapped to p100 —
+    the threshold is the exact rational q, and the label reads p99_9."""
+    from flink_helloworld_spark.operators.rollups import histogram_quantiles
+
+    rows = [("g", float(v)) for v in range(1000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.quantile: r.value_est
+        for r in histogram_quantiles(
+            df, "g", "v", bin_width=1.0, quantiles=(0.999, 1.0)
+        ).collect()
+    }
+    assert set(got) == {"p99_9", "p100"}
+    # 1000 values 0..999: cum >= 999 first at bin 998 (the 999th order
+    # statistic), cum >= 1000 first at bin 999 — the old whole-percent
+    # snapping made both thresholds cum >= 1000
+    assert got["p99_9"] == 998.0
+    assert got["p100"] == 999.0
+
+
+def test_bm25_query_term_colliding_with_plan_column(spark):
+    """Review regression: a query term equal to an internal plan column
+    name ('n') must not break the score expression."""
+    from flink_helloworld_spark.operators.ranking import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "n data pipeline"), (2, "data only here"), (3, "nothing at all")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in bm25_search(docs, ("n", "data"), topn=3).collect()}
+    assert 1 in got and 2 in got
