@@ -285,14 +285,12 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concat-and-chunk packing plan (2048-token bins, 8 shards) over
     # whitespace token counts
-    from flink_helloworld_spark.functions import words_of
+    from flink_helloworld_spark.functions import n_tokens_of
     from flink_helloworld_spark.operators.sampling import pack_sequences
 
     docs = load_tables(spark, sf_dir).documents.select(
         "doc_id",
-        F.size(F.filter(words_of(F.col("text")), lambda w: w != "")).alias(
-            "n_tokens"
-        ),
+        n_tokens_of(F.col("text")).alias("n_tokens"),
     )
     return pack_sequences(docs, "doc_id", "n_tokens", capacity=2048, shards=8)
 
@@ -311,7 +309,7 @@ def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality filter -> exact dedup -> near-dup removal (corpus_clean)
     # -> eval-set decontamination -> concat-and-chunk packing. Each
     # stage shrinks the next stage's input; Catalyst sees it whole.
-    from flink_helloworld_spark.functions import words_of
+    from flink_helloworld_spark.functions import n_tokens_of
     from flink_helloworld_spark.operators.sampling import pack_sequences
 
     from flink_helloworld_spark.operators._cache import share
@@ -331,9 +329,7 @@ def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = keep.select(
         "doc_id",
-        F.size(F.filter(words_of(F.col("text")), lambda w: w != "")).alias(
-            "n_tokens"
-        ),
+        n_tokens_of(F.col("text")).alias("n_tokens"),
     )
     return pack_sequences(toks, "doc_id", "n_tokens", capacity=2048, shards=8)
 
@@ -347,34 +343,44 @@ def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the when-to-salt diagnostic: per candidate key column, the hottest
     # key's share of rows and the hot/median frequency ratio — the two
-    # numbers that predict reducer overload before a shuffle is planned
+    # numbers that predict reducer overload before a shuffle is planned.
+    # MELTED into one pass (explode to (key_column, key) rows) so the
+    # events table is scanned ONCE for all candidate columns — the same
+    # fusion profile_table uses; a per-column loop would re-read the
+    # fact table N times at the 100 TB design point
     ev = load_tables(spark, sf_dir).events
-    parts = []
-    for c in ("user_id", "event_type"):
-        freq = ev.groupBy(F.col(c).cast("string").alias("k")).agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        parts.append(
-            freq.agg(
-                F.lit(c).alias("key_column"),
-                F.count(F.lit(1)).alias("n_keys"),
-                F.max("cnt").alias("hot_cnt"),
-                F.sum("cnt").alias("n_rows"),
-                F.percentile("cnt", F.lit(0.5)).alias("median_cnt"),
-            ).select(
-                "key_column",
-                "n_keys",
-                "hot_cnt",
-                (F.col("hot_cnt").cast("double") / F.col("n_rows").cast("double"))
-                .alias("hot_share"),
-                (F.col("hot_cnt").cast("double") / F.col("median_cnt"))
-                .alias("hot_over_median"),
+    melted = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("key_column"),
+                        F.col(c).cast("string").alias("k"),
+                    )
+                    for c in ("user_id", "event_type")
+                ]
             )
+        ).alias("s")
+    ).select("s.key_column", "s.k")
+    freq = melted.groupBy("key_column", "k").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        freq.groupBy("key_column")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("hot_cnt"),
+            F.sum("cnt").alias("n_rows"),
+            F.percentile("cnt", F.lit(0.5)).alias("median_cnt"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .select(
+            "key_column",
+            "n_keys",
+            "hot_cnt",
+            (F.col("hot_cnt").cast("double") / F.col("n_rows").cast("double"))
+            .alias("hot_share"),
+            (F.col("hot_cnt").cast("double") / F.col("median_cnt"))
+            .alias("hot_over_median"),
+        )
+    )
 
 
 def _q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,14 +478,12 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RAG-style chunking plan: 64-token windows, stride 48 (16-token
     # overlap) — one row per (doc, chunk) with offset and actual length
-    from flink_helloworld_spark.functions import words_of
+    from flink_helloworld_spark.functions import n_tokens_of
 
     docs = load_tables(spark, sf_dir).documents
     toks = docs.select(
         "doc_id",
-        F.size(F.filter(words_of(F.col("text")), lambda w: w != "")).alias(
-            "n_tokens"
-        ),
+        n_tokens_of(F.col("text")).alias("n_tokens"),
     ).where(F.col("n_tokens") > 0)
     starts = toks.select(
         "doc_id",
@@ -3061,8 +3065,11 @@ def oracle_sql() -> dict[str, str]:
             FROM typed GROUP BY user_id
         """,
         "side_output_split": """
+            -- NOT coalesce(pred, FALSE): the engine's filter_split routes
+            -- NULL-predicate rows to the side channel; bare NOT(pred)
+            -- would drop them
             SELECT event_id, user_id, event_type, value
-            FROM events WHERE NOT (value > 100.0)
+            FROM events WHERE NOT coalesce(value > 100.0, FALSE)
         """,
         "json_extract": """
             SELECT event_type,
@@ -3977,8 +3984,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "window_last_value": """
+            -- struct-max, not arg_max: DuckDB arg_max SKIPS rows whose
+            -- value is NULL, but Spark max_by returns the value AT the
+            -- max key even when NULL — the struct pair is NULL-faithful
             SELECT date_trunc('day', ts) AS window_start, user_id,
-                   arg_max(value, event_id) AS last_value
+                   (max(struct_pack(k := event_id, v := value))).v
+                     AS last_value
             FROM events GROUP BY 1, 2
         """,
         "point_lookup": "SELECT * FROM customer WHERE c_custkey = 42",
@@ -4158,7 +4169,10 @@ def oracle_sql() -> dict[str, str]:
             latest AS (
               SELECT user_id,
                      arg_max(op, event_id) AS op,
-                     arg_max(value, event_id) AS value,
+                     -- struct-max: NULL-faithful latest value (arg_max
+                     -- would fall back to an older non-NULL value)
+                     (max(struct_pack(k := event_id, v := value))).v
+                       AS value,
                      max(event_id) AS event_id
               FROM ch GROUP BY user_id)
             SELECT user_id, event_id, value FROM latest WHERE op <> 'D'

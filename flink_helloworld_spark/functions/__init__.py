@@ -86,3 +86,10 @@ def words_of(text: Column) -> Column:
     shingling (reference splits on a single space,
     HelloWorldFlinkTest.java:42)."""
     return F.split(text, " ")
+
+
+def n_tokens_of(text: Column) -> Column:
+    """Non-empty whitespace token count — ONE definition of the
+    token-count contract every packing/chunking query mirrors in its
+    oracle via the same ``_WS`` replica."""
+    return F.size(F.filter(words_of(text), lambda w: w != ""))

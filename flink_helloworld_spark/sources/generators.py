@@ -66,18 +66,25 @@ def _range(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(1, n + 1).select(F.col("id").alias("seq"))
 
 
-def waybill_c(spark: SparkSession, n: int) -> DataFrame:
-    """WaybillCSource.java:22-33 — ops/site stream."""
+def _waybill_c_columns() -> list[Column]:
+    """The WaybillC projection (WaybillCSource.java:22-33), shared by the
+    batch and streaming generators so the two can never drift — the
+    DuckDB oracle replays exactly this column list."""
     seq = F.col("seq")
     site = _hash_int("site", seq, 1, 9)
-    return _range(spark, n).select(
+    return [
         waybill_code(seq).alias("waybill_code"),
         _bitstring("sign", seq, 30).alias("waybill_sign"),
         site.cast("string").alias("site_code"),
         F.concat(F.lit("站点"), site.cast("string")).alias("site_name"),
         seq.alias("time_stamp"),
         seq.alias("seq"),
-    )
+    ]
+
+
+def waybill_c(spark: SparkSession, n: int) -> DataFrame:
+    """WaybillCSource.java:22-33 — ops/site stream."""
+    return _range(spark, n).select(*_waybill_c_columns())
 
 
 def waybill_e(spark: SparkSession, n: int) -> DataFrame:
@@ -193,15 +200,8 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 1, partitions: int =
 
 
 def waybill_c_stream(spark: SparkSession, rows_per_second: int = 1) -> DataFrame:
-    """Streaming WaybillCSource: rate ticks through the same exprs."""
-    seq = F.col("seq")
-    site = _hash_int("site", seq, 1, 9)
+    """Streaming WaybillCSource: rate ticks through the SAME projection
+    as the batch generator (one definition, no drift)."""
     return rate_stream(spark, rows_per_second).select(
-        waybill_code(seq).alias("waybill_code"),
-        _bitstring("sign", seq, 30).alias("waybill_sign"),
-        site.cast("string").alias("site_code"),
-        F.concat(F.lit("站点"), site.cast("string")).alias("site_name"),
-        seq.alias("time_stamp"),
-        seq.alias("seq"),
-        F.col("emit_time"),
+        *_waybill_c_columns(), F.col("emit_time")
     )

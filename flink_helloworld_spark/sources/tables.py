@@ -78,6 +78,24 @@ def _enforce_contract(name: str, df: DataFrame) -> DataFrame:
     drifted = {c: t for c, t in contract.items() if have[c] != t}
     if not drifted:
         return df
+    # a LongType column where the contract wants a timestamp means the
+    # session-wide nanosAsLong conf (set once _read_events runs) turned
+    # a TIMESTAMP(NANOS) column into raw int64 nanos. Only events.ts has
+    # the explicit ns->us repair; for any OTHER table/column, a silent
+    # cast("timestamp") would reinterpret the nanos count as epoch
+    # SECONDS — absurd values instead of a loud schema error. Fail here.
+    bad_ts = [
+        c
+        for c, t in drifted.items()
+        if t.startswith("timestamp") and have[c] == "bigint"
+    ]
+    if bad_ts and name != "events":
+        raise ValueError(
+            f"testdata drift: table {name!r} columns {bad_ts} read as raw "
+            f"int64 (likely TIMESTAMP(NANOS) under the nanosAsLong conf); "
+            f"add an explicit unit-aware repair like _read_events' before "
+            f"casting — a bare timestamp cast would fabricate values"
+        )
     from pyspark.sql import functions as F
 
     return df.select(
