@@ -1908,9 +1908,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering contract: the driver's correctness gate checks only
         # the FIRST 50 entries. Round-4 rotation: the 8 queries that have
-        # never had an official driver row, the round-4 addition
-        # (multimodal_png_decode), the 24 queries whose last official row
-        # is round 1, and the oldest round-2 rows fill slot 50;
+        # never had an official driver row, the 4 round-4 additions
+        # (multimodal_png_decode, bigram_logppl, classifier_train,
+        # classifier_score), the 24 queries whose last official row is
+        # round 1, and the oldest round-2 rows fill slot 50;
         # round-3-checked queries rotate to the back. Rotate again next
         # round so every query keeps accumulating fresh official rows.
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,

