@@ -43,13 +43,18 @@ def iterate_fixpoint(
     truncates the growing lineage each round so the loop scales with
     iterations.
     """
+    from pyspark.sql import functions as F
+
     from flink_helloworld_spark.operators.relational import union_streams
 
     exited: list[DataFrame] = []
     work = df
     for _ in range(max_iters):
         looping = work.where(continue_cond)
-        exited.append(work.where(~continue_cond))
+        # NULL-cond rows EXIT (they don't satisfy "continue"): a bare
+        # ~cond would exclude them from BOTH branches and silently drop
+        # them — the same NULL-routing rule as filter_split
+        exited.append(work.where(~F.coalesce(continue_cond, F.lit(False))))
         if looping.isEmpty():
             break
         work = step(looping).localCheckpoint(eager=True)

@@ -393,3 +393,17 @@ def test_classifier_gradient_is_single_partial_agg(spark, sf_dir):
     assert "partial" in plan  # map-side combine
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") == 1  # only the final 1-row gather
+
+
+def test_iterate_fixpoint_null_condition_rows_exit(spark):
+    """NULL continue-condition rows must EXIT the loop (the filter_split
+    NULL-routing rule) — a bare ~cond would drop them from both
+    branches and they would silently vanish from the result."""
+    from flink_helloworld_spark.plans import iterate_fixpoint
+
+    df = spark.createDataFrame([(1,), (7,), (None,)], "v int")
+    out = iterate_fixpoint(
+        df, lambda d: d.withColumn("v", F.col("v") + 1), F.col("v") <= 5
+    )
+    rows = sorted((r.v if r.v is not None else -1) for r in out.collect())
+    assert rows == [-1, 6, 7]
