@@ -102,6 +102,30 @@ def write_script(steps: list[Step], workdir: str, wm_offset: int = 1) -> None:
             seq += 1
 
 
+def write_batch_files(
+    rows_per_file: list[list[dict]],
+    workdir: str,
+    dtypes: dict | None = None,
+) -> None:
+    """Canonical micro-batch file writer for replay tests: one parquet
+    per batch with strictly increasing mtimes so ``maxFilesPerTrigger=1``
+    replays them in order. ``dtypes`` pins pandas column types (e.g.
+    ``{"amount": "Int64"}`` so None-bearing ints stay INT64, or
+    ``{"ts": "datetime64[us]"}`` so timestamps don't become ns/LONG).
+    The scattered inline copies of this pattern in tests should migrate
+    here — an mtime-granularity fix must land in ONE place."""
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    t0 = time.time() - len(rows_per_file) * 4
+    for i, rows in enumerate(rows_per_file):
+        path = os.path.join(workdir, f"f{i:04d}.parquet")
+        pdf = pd.DataFrame(rows)
+        if dtypes:
+            pdf = pdf.astype(dtypes)
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (t0 + i, t0 + i))
+
+
 def read_script_stream(spark: SparkSession, workdir: str) -> DataFrame:
     """Streaming scan of a written script: one file per micro-batch, an
     ``event_time`` TimestampType column ready for ``withWatermark``."""

@@ -71,10 +71,24 @@ def test_lsh_topk_subset_of_bruteforce_candidates(spark, sf_dir):
     from flink_helloworld_spark.sources.tables import load_tables
 
     emb = load_tables(spark, sf_dir).embeddings
+    import math
+
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
     exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, k=3).collect()}
-    approx = {(r.query_id, r.neighbor_id) for r in S.lsh_cosine_topk(emb, k=3, planes=4).collect()}
-    # every approximate neighbor must be a real vector pair; recall>0
-    assert approx and len(approx & exact) > 0
+    approx_rows = S.lsh_cosine_topk(emb, k=3, planes=4).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    # VALIDITY: every reported cosine must equal the true cosine of that
+    # pair (not just "some pair exists")
+    for r in approx_rows:
+        a, b = vecs[r.query_id], vecs[r.neighbor_id]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        assert abs(r.cosine - dot / (na * nb)) < 1e-6
+    # RECALL floor: measured 0.165 on this deterministic corpus at
+    # planes=4 (16 buckets / 500 vectors — deliberately aggressive);
+    # a bucketing regression (hashing the wrong column) lands near 3/500
+    assert len(approx & exact) / len(exact) > 0.1
 
 
 def test_quality_score_components(spark):
@@ -844,6 +858,7 @@ def test_semantic_decontaminate_flags_near_benchmark(spark):
     # vectors (same generator modulo pattern repeats every 13) flag true
     flagged = [r.vec_id for r in rows if r.is_contaminated]
     top = {r.vec_id: r.max_bench_cosine for r in rows}
+    assert flagged  # the 13-periodic duplicates GUARANTEE true positives
     assert all(0.999 <= top[i] for i in flagged)
     assert any(not r.is_contaminated for r in rows)
 
@@ -892,13 +907,10 @@ def test_bigram_logppl_interpolation_and_backoff(spark):
     assert out[1].n_tokens == 4 and out[2].n_tokens == 2
     assert out[1].mean_neg_logp == round(d1, 6)
     assert out[2].mean_neg_logp == round(d2, 6)
-    # unseen bigram backs off: doc of two words never adjacent in corpus
-    docs2 = spark.createDataFrame(
-        [(1, "x y x y"), (2, "y y")],  # (y,y) unseen... appears in doc2 only
-        "doc_id long, text string",
-    )
-    rows = {r.doc_id: r for r in bigram_logppl(docs2).collect()}
-    assert all(r.mean_neg_logp is not None for r in rows.values())  # no -ln 0
+    # NB: because the operator trains on the SAME corpus it scores,
+    # every scored adjacent pair is by construction a seen corpus bigram
+    # — the coalesce backoff branch is defensive, not reachable here, so
+    # no "unseen bigram" case can be staged through the public operator
 
 
 def test_quality_classifier_learns_and_is_partition_invariant(spark, sf_dir):
@@ -918,10 +930,15 @@ def test_quality_classifier_learns_and_is_partition_invariant(spark, sf_dir):
     w2 = train_quality_classifier(docs.repartition(13), n_iters=3)
     assert w == w2  # exact, not approximate
     scored = quality_classifier_score(docs, n_iters=3).collect()
-    pos = [r.score for r in scored if r.label == 1]
-    neg = [r.score for r in scored if r.label == 0]
-    if pos and neg:
-        assert sum(pos) / len(pos) > sum(neg) / len(neg)
+    # the smoke corpus is ALL-negative under the Gopher verdict (every
+    # synthetic doc violates some rule), so a pos-vs-neg separation
+    # check here would be vacuous — it lives in
+    # test_quality_classifier_separates_construction on a mixed corpus.
+    # Here assert the scorer is total and the labels really are uniform
+    # (if regeneration ever adds positives, revisit).
+    assert len(scored) == docs.count()
+    assert {r.label for r in scored} == {0}
+    assert all(r.score is not None for r in scored)
 
 
 def test_quality_classifier_separates_construction(spark):

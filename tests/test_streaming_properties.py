@@ -36,21 +36,9 @@ from flink_helloworld_spark.streaming.replay import (
 WINDOW_MS = 3000
 
 
-def _write_files(
-    rows_per_file: list[list[dict]], workdir: str, dtypes: dict | None = None
-) -> None:
-    shutil.rmtree(workdir, ignore_errors=True)
-    os.makedirs(workdir)
-    t0 = _time.time() - len(rows_per_file) * 4
-    for i, rows in enumerate(rows_per_file):
-        p = os.path.join(workdir, f"f{i:04d}.parquet")
-        pdf = pd.DataFrame(rows)
-        if dtypes:
-            # None-bearing int columns must stay INT64 in parquet
-            # (pandas would otherwise promote them to DOUBLE)
-            pdf = pdf.astype(dtypes)
-        pdf.to_parquet(p, index=False)
-        os.utime(p, (t0 + i, t0 + i))
+from flink_helloworld_spark.streaming.replay import (  # noqa: E402
+    write_batch_files as _write_files,
+)
 
 
 def test_coflatmap_join_matches_model_on_60_random_scripts(spark):
