@@ -306,32 +306,11 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full training-data prep pipeline as ONE declarative plan:
-    # quality filter -> exact dedup -> near-dup removal (corpus_clean)
-    # -> eval-set decontamination -> concat-and-chunk packing. Each
-    # stage shrinks the next stage's input; Catalyst sees it whole.
-    from flink_helloworld_spark.functions import n_tokens_of
-    from flink_helloworld_spark.operators.sampling import pack_sequences
-
-    from flink_helloworld_spark.operators._cache import share
-
-    docs = load_tables(spark, sf_dir).documents
-    benchmark = docs.where(F.col("doc_id") % 20 == 0)
-    cleaned = D.corpus_clean(docs).select("doc_id")
-    # corpus carries the whole cleaning cascade in its lineage and feeds
-    # three plan branches (gram explode, decontam base join, final keep)
-    # — persist it once or Catalyst recomputes the LSH subtree per branch
-    corpus = share(
-        docs.join(cleaned, "doc_id").where(F.col("doc_id") % 20 != 0)
-    )
-    decon = D.ngram_decontaminate(corpus, benchmark, n=5)
-    keep = corpus.join(
-        decon.where(~F.col("contaminated")).select("doc_id"), "doc_id"
-    )
-    toks = keep.select(
-        "doc_id",
-        n_tokens_of(F.col("text")).alias("n_tokens"),
-    )
-    return pack_sequences(toks, "doc_id", "n_tokens", capacity=2048, shards=8)
+    # quality filter -> exact dedup -> near-dup removal -> eval-set
+    # decontamination -> concat-and-chunk packing. Round-5 rebuild: the
+    # fused pretrain_prep_plan tokenizes each doc ONCE and drops two
+    # corpus-wide joins (r4 bench regression 3.7->5.4s; see SCALE_NOTES)
+    return D.pretrain_prep_plan(load_tables(spark, sf_dir).documents)
 
 
 def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:

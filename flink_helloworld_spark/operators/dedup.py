@@ -269,6 +269,107 @@ def corpus_clean(
     )
 
 
+def pretrain_prep_plan(
+    docs: DataFrame,
+    quality_min: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    decon_n: int = 5,
+    capacity: int = 2048,
+    shards: int = 8,
+) -> DataFrame:
+    """The full pretrain-prep composite (quality filter → exact dedup →
+    MinHash near-dup removal → eval-set decontamination → concat-and-
+    chunk packing) as ONE fused plan that tokenizes each document
+    EXACTLY ONCE.
+
+    Result-identical to composing `corpus_clean` + `ngram_decontaminate`
+    + `pack_sequences` (the r1–r4 form), but restructured for the 100 TB
+    wall-clock:
+
+    - the word split is materialized once into `ws` and every stage
+      (quality ratios, minhash 3-shingles, decontamination 5-grams,
+      packing token counts) derives from it — the composed form split
+      the text 4×;
+    - the quality filter is an inline predicate on the same projection
+      (the composed form scored, projected to doc_id, and joined back —
+      a whole extra shuffle of the corpus);
+    - exact dedup is one window over md5(text) (`doc_id == min(doc_id)`)
+      instead of aggregate-then-self-join — one corpus shuffle, not two.
+
+    The benchmark docs are `doc_id % 20 == 0` (the same 5% eval-suite
+    stand-in `ngram_decontaminate`'s standalone query uses); they are
+    excluded from the packed corpus and their distinct grams are
+    broadcast, so the corpus text itself never shuffles for the
+    decontamination probe.
+    """
+    from pyspark.sql import Window
+
+    from flink_helloworld_spark.operators.sampling import pack_sequences
+    from flink_helloworld_spark.operators.text import quality_metric_cols
+
+    base = docs.select("doc_id", "text", _words(F.col("text")).alias("ws"))
+    score = quality_metric_cols(F.col("text"), F.col("ws"))["quality_score"]
+    quality = base.where(score >= quality_min)
+    w_exact = Window.partitionBy(F.md5("text"))
+    surv = share(
+        quality.withColumn("_min_id", F.min("doc_id").over(w_exact))
+        .where(F.col("doc_id") == F.col("_min_id"))
+        .select("doc_id", "ws")
+    )
+    # minhash_dedup_pairs' banding/verify shape, fed from the cached word
+    # arrays instead of re-shingling raw text (dedup.py:192 contract)
+    sh = share(
+        surv.where(F.size("ws") >= shingle_n).select(
+            "doc_id", shingles_from_words(F.col("ws"), shingle_n).alias("sh")
+        )
+    )
+    buckets = _buckets_from_shingles(sh, num_hashes, bands)
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # no .distinct() on the drop set: it feeds a LEFT ANTI join, where
+    # duplicate right-side keys are absorbed by the build-side hash table
+    # — a distinct here would be a whole extra shuffle for nothing
+    dropped = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jaccard(F.col("sa.sh"), F.col("sb.sh")) >= jaccard_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+    )
+    corpus = surv.join(dropped, "doc_id", "left_anti").where(
+        F.col("doc_id") % 20 != 0
+    )
+    bench_grams = (
+        docs.where(F.col("doc_id") % 20 == 0)
+        .select(F.explode(shingles(F.col("text"), decon_n)).alias("g"))
+        .distinct()
+    )
+    # same anti-join-absorbs-duplicates rule: no distinct on hit_ids
+    # (bench_grams keeps ITS distinct — that one shrinks the broadcast)
+    hit_ids = (
+        corpus.select(
+            "doc_id", F.explode(shingles_from_words(F.col("ws"), decon_n)).alias("g")
+        )
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+    )
+    keep = corpus.join(hit_ids, "doc_id", "left_anti")
+    # n_tokens_of(text) == size(_words(text)) == size(ws): same contract
+    toks = keep.select("doc_id", F.size("ws").alias("n_tokens"))
+    return pack_sequences(toks, "doc_id", "n_tokens", capacity=capacity, shards=shards)
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

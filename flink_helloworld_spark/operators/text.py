@@ -45,19 +45,19 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic document quality: word-length shape, stopword presence,
-    punctuation density — the standard cheap pre-filter for LLM corpora
-    (à la C4/Gopher rules), as one pass of column arithmetic."""
-    # materialize the word array once: several expressions below use it,
-    # and in-projection reuse would recompute the split per reference
-    # (CollapseProject keeps a multiply-used non-cheap alias separate)
-    base = docs.select("doc_id", F.col(text_col).alias("_t"), _words(F.col(text_col)).alias("ws"))
-    ws = F.col("ws")
+def quality_metric_cols(text: Column, ws: Column) -> dict[str, Column]:
+    """The quality-score arithmetic as reusable Columns over an already
+    materialized (text, word-array) pair — the ONE definition both
+    `quality_score` and fused pipelines (`dedup.pretrain_prep_plan`)
+    compile against, so the filter predicate is oracle-pinned once.
+
+    CALLER CONTRACT: `ws` must reference a materialized column holding
+    `_words(text)` (not the raw expression), or CollapseProject re-inlines
+    the split per use."""
     n_words = F.size(ws)
-    n_chars = F.length("_t")
+    n_chars = F.length(text)
     stop_hits = F.size(F.filter(ws, lambda w: w.isin(*LANG_MARKERS["en"])))
-    n_punct = F.size(F.regexp_extract_all(F.col("_t"), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0))
     # nullif guards: empty docs (0 words / 0 chars) yield NULL ratios
     # instead of ANSI-mode DIVIDE_BY_ZERO at scale
     words_d = F.nullif(n_words.cast("double"), F.lit(0.0))
@@ -72,6 +72,29 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when(stop_ratio > 0.0, 4).otherwise(0)
         + F.when(punct_ratio < 0.2, 2).otherwise(0)
     ).cast("double") / F.lit(10.0)
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wlen,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: word-length shape, stopword presence,
+    punctuation density — the standard cheap pre-filter for LLM corpora
+    (à la C4/Gopher rules), as one pass of column arithmetic."""
+    # materialize the word array once: several expressions below use it,
+    # and in-projection reuse would recompute the split per reference
+    # (CollapseProject keeps a multiply-used non-cheap alias separate)
+    base = docs.select("doc_id", F.col(text_col).alias("_t"), _words(F.col(text_col)).alias("ws"))
+    cols = quality_metric_cols(F.col("_t"), F.col("ws"))
+    n_words = cols["n_words"]
+    mean_wlen = cols["mean_word_len"]
+    stop_ratio = cols["stopword_ratio"]
+    punct_ratio = cols["punct_ratio"]
+    score = cols["quality_score"]
     return base.select(
         "doc_id",
         n_words.alias("n_words"),
