@@ -224,6 +224,12 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(load_tables(spark, sf_dir).documents)
 
 
+def _q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the bounded-cost contract for density-heavy corpora: candidates
+    # must share a rare (df<=16) shingle, values stay exact-Jaccard
+    return D.ngram_jaccard_pairs_capped(load_tables(spark, sf_dir).documents)
+
+
 def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_stats(load_tables(spark, sf_dir).documents)
 
@@ -713,6 +719,12 @@ def _q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall@k of every ANN variant (at its registry parameters) vs the
+    # exact sharded baseline — the ANN family's quality number
+    return S.ann_recall_at_k(load_tables(spark, sf_dir).embeddings, k=5)
+
+
 def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashed exact-substring dedup: every 10-token sliding window (stride
     # 1 — within-doc repeats count), one uniform-key hash agg; text never
@@ -784,6 +796,17 @@ def _q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replays the deterministic construction's dimensions.
     media = MM.attach_png_binary(load_tables(spark, sf_dir).documents)
     return MM.decode_image_features(media)
+
+
+def _q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL audio decode end-to-end: genuine RIFF/WAVE PCM payloads built
+    # JVM-side (multimodal.attach_wav_binary), parsed by the stdlib
+    # `wave` module with RMS computed from the actual int16 samples —
+    # audio joins netpbm/BMP/PNG as a decode-real modality; the oracle
+    # replays the deterministic construction (rate table, frame count,
+    # md5-derived samples) without any decoder.
+    media = MM.attach_wav_binary(load_tables(spark, sf_dir).documents)
+    return MM.decode_wav_features(media)
 
 
 def _q_similarity_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1886,13 +1909,64 @@ def _q_product_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering contract: the driver's correctness gate checks only
-        # the FIRST 50 entries. Round-4 rotation: the 8 queries that have
-        # never had an official driver row, the 4 round-4 additions
-        # (multimodal_png_decode, bigram_logppl, classifier_train,
-        # classifier_score), the 24 queries whose last official row is
-        # round 1, and the oldest round-2 rows fill slot 50;
-        # round-3-checked queries rotate to the back. Rotate again next
-        # round so every query keeps accumulating fresh official rows.
+        # the FIRST 50 entries. Round-5 rotation (staleness from the
+        # union of CORRECTNESS_r01-r04): the 3 brand-new queries
+        # (multimodal_wav_decode, similarity_ann_recall,
+        # dedup_ngram_jaccard_capped), all 34 queries whose newest
+        # official row is round 2, and the 13 oldest round-3 rows fill
+        # slot 50; round-3/4-checked queries rotate to the back. Rotate
+        # again next round so every query keeps accumulating fresh
+        # official rows.
+        "multimodal_wav_decode": _q_multimodal_wav_decode,
+        "similarity_ann_recall": _q_similarity_ann_recall,
+        "dedup_ngram_jaccard_capped": _q_dedup_ngram_jaccard_capped,
+        "json_extract": _q_json_extract,
+        "top_customers": _q_top_customers,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_buckets": _q_dedup_minhash_buckets,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_pii_scrub": _q_text_pii_scrub,
+        "text_repetition": _q_text_repetition,
+        "stratified_sample": _q_stratified_sample,
+        "split_holdout": _q_split_holdout,
+        "mixture_sample": _q_mixture_sample,
+        "histogram_quantiles": _q_histogram_quantiles,
+        "dedup_incremental": _q_dedup_incremental,
+        "rolling_median": _q_rolling_median,
+        "quality_checks": _q_quality_checks,
+        "pq_codes": _q_pq_codes,
+        "pretrain_prep": _q_pretrain_prep,
+        "grouping_sets_counts": _q_grouping_sets,
+        "unpivot_metrics": _q_unpivot_metrics,
+        "salted_enrich": _q_salted_enrich,
+        "event_transitions": _q_event_transitions,
+        "vocab_coverage": _q_vocab_coverage,
+        "bloom_membership": _q_bloom_membership,
+        "table_profile": _q_table_profile,
+        "multimodal_audio": _q_multimodal_audio,
+        "text_diversity": _q_text_diversity,
+        "skew_report": _q_skew_report,
+        "dedup_containment": _q_dedup_containment,
+        "chunk_documents": _q_chunk_documents,
+        "retention_cohorts": _q_retention_cohorts,
+        "pack_sequences": _q_pack_sequences,
+        "decontaminate": _q_decontaminate,
+        "similarity_ivf_topk": _q_similarity_ivf_topk,
+        "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
+        "embedding_kmeans": _q_embedding_kmeans,
+        "repeated_spans": _q_repeated_spans,
+        "span_coverage": _q_span_coverage,
+        "semantic_dedup": _q_semantic_dedup,
+        "lookup_enrich": _q_lookup_enrich,
+        "lookup_multi_get": _q_lookup_multi_get,
+        "range_join": _q_range_join,
+        "percentiles": _q_percentiles,
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
         "unigram_logppl": _q_unigram_logppl,
         "gopher_rules": _q_gopher_rules,
@@ -1943,53 +2017,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_streams": _q_union_streams,
         "merge_last_non_null": _q_merge_last_non_null,
         "side_output_split": _q_side_output_split,
-        "json_extract": _q_json_extract,
-        "top_customers": _q_top_customers,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_buckets": _q_dedup_minhash_buckets,
-        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "text_token_stats": _q_text_token_stats,
-        "text_quality": _q_text_quality,
-        "text_lang_id": _q_text_lang_id,
-        "text_fingerprint": _q_text_fingerprint,
-        "text_pii_scrub": _q_text_pii_scrub,
-        "text_repetition": _q_text_repetition,
-        "stratified_sample": _q_stratified_sample,
-        "split_holdout": _q_split_holdout,
-        "mixture_sample": _q_mixture_sample,
-        "histogram_quantiles": _q_histogram_quantiles,
-        "dedup_incremental": _q_dedup_incremental,
-        "rolling_median": _q_rolling_median,
-        "quality_checks": _q_quality_checks,
-        "pq_codes": _q_pq_codes,
-        "pretrain_prep": _q_pretrain_prep,
-        "grouping_sets_counts": _q_grouping_sets,
-        "unpivot_metrics": _q_unpivot_metrics,
-        "salted_enrich": _q_salted_enrich,
-        "event_transitions": _q_event_transitions,
-        "vocab_coverage": _q_vocab_coverage,
-        "bloom_membership": _q_bloom_membership,
-        "table_profile": _q_table_profile,
-        "multimodal_audio": _q_multimodal_audio,
-        "text_diversity": _q_text_diversity,
-        "skew_report": _q_skew_report,
-        "dedup_containment": _q_dedup_containment,
-        "chunk_documents": _q_chunk_documents,
-        "retention_cohorts": _q_retention_cohorts,
-        "pack_sequences": _q_pack_sequences,
-        "decontaminate": _q_decontaminate,
-        "similarity_ivf_topk": _q_similarity_ivf_topk,
-        "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
-        "embedding_kmeans": _q_embedding_kmeans,
-        "repeated_spans": _q_repeated_spans,
-        "span_coverage": _q_span_coverage,
-        "semantic_dedup": _q_semantic_dedup,
-        "lookup_enrich": _q_lookup_enrich,
-        "lookup_multi_get": _q_lookup_multi_get,
-        "range_join": _q_range_join,
-        "percentiles": _q_percentiles,
         "cube_counts": _q_cube_counts,
         "salted_sum": _q_salted_sum,
         "rollup_counts": _q_rollup_counts,
@@ -2898,7 +2925,7 @@ def _semantic_dedup_sql(
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "wordcount": """
             SELECT word, count(*) AS cnt
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -3106,6 +3133,28 @@ def oracle_sql() -> dict[str, str]:
               ON a.blk = b.blk AND a.doc_id < b.doc_id
             WHERE jaccard >= 0.2
         """,
+        "dedup_ngram_jaccard_capped": f"""
+            WITH {_shingle_ctes()},
+            blk AS (
+              SELECT d.doc_id, d.lang AS blk, sh.sh
+              FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+              WHERE len(sh.sh) > 0),
+            ex AS (SELECT blk, doc_id, unnest(sh) AS s FROM blk),
+            rare AS (SELECT blk, s FROM ex GROUP BY blk, s HAVING count(*) <= 16),
+            rex AS (SELECT ex.blk, ex.doc_id, ex.s
+                    FROM ex JOIN rare ON ex.blk = rare.blk AND ex.s = rare.s),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM rex a JOIN rex b
+                       ON a.blk = b.blk AND a.s = b.s AND a.doc_id < b.doc_id)
+            SELECT c.doc_a, c.doc_b,
+              len(list_intersect(a.sh, b.sh))::DOUBLE
+                / nullif((len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 0.0)
+                AS jaccard
+            FROM cand c
+            JOIN blk a ON c.doc_a = a.doc_id
+            JOIN blk b ON c.doc_b = b.doc_id
+            WHERE jaccard >= 0.2
+        """,
         "text_token_stats": rf"""
             SELECT doc_id,
               CAST(len({_WS}) AS INT) AS n_ws_tokens,
@@ -3195,9 +3244,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": f"""
             WITH {_shingle_ctes()}, {_sig_cte()},
             buckets AS (SELECT doc_id, 0 AS band_id, md5(sig0::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 1 AS band_id, md5(sig1::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 2 AS band_id, md5(sig2::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 3 AS band_id, md5(sig3::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 4 AS band_id, md5(sig4::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 5 AS band_id, md5(sig5::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 6 AS band_id, md5(sig6::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 7 AS band_id, md5(sig7::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 8 AS band_id, md5(sig8::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 9 AS band_id, md5(sig9::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 10 AS band_id, md5(sig10::VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, 11 AS band_id, md5(sig11::VARCHAR) AS band_key FROM sig),
+            small AS (SELECT band_id, band_key FROM buckets
+                      GROUP BY band_id, band_key HAVING count(*) <= 64),
+            capped AS (SELECT b.doc_id, b.band_id, b.band_key
+                       FROM buckets b JOIN small USING (band_id, band_key)),
             cand AS (
               SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-              FROM buckets x JOIN buckets y
+              FROM capped x JOIN capped y
                 ON x.band_id = y.band_id AND x.band_key = y.band_key
                AND x.doc_id < y.doc_id)
             SELECT doc_a, doc_b,
@@ -3914,6 +3967,39 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS decode_ok
             FROM documents
         """,
+        "multimodal_wav_decode": """
+            WITH p AS (
+              SELECT doc_id,
+                CASE length(text) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+                length(text) % 250 + 1 AS nf,
+                text
+              FROM documents),
+            st AS (
+              SELECT doc_id, rate, nf,
+                substr(repeat(md5(text), CAST(nf * 4 // 32 + 1 AS INT)),
+                       1, nf * 4) AS stream
+              FROM p),
+            idx AS (SELECT doc_id, rate, nf, stream,
+                           unnest(range(1, nf + 1)) AS i FROM st),
+            sv AS (
+              SELECT doc_id, rate, nf,
+                CASE WHEN ('0x' || substr(stream, (i - 1) * 4 + 1, 4))::BIGINT >= 32768
+                     THEN ('0x' || substr(stream, (i - 1) * 4 + 1, 4))::BIGINT - 65536
+                     ELSE ('0x' || substr(stream, (i - 1) * 4 + 1, 4))::BIGINT
+                END AS v
+              FROM idx),
+            agg AS (SELECT doc_id, rate, nf, sum(v * v) AS sum_sq
+                    FROM sv GROUP BY doc_id, rate, nf)
+            SELECT doc_id,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(nf AS INT) AS n_frames,
+                   CAST(nf * 1000 // rate AS INT) AS duration_ms,
+                   CAST(floor(sqrt(sum_sq::DOUBLE / nf)) AS INT) AS rms_q,
+                   TRUE AS decode_ok
+            FROM agg
+        """,
         "multimodal_decode": """
             SELECT doc_id,
               CAST(1 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS INT) AS width,
@@ -4330,3 +4416,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY i.product_name
         """,
     }
+    # recall@k composes the already-defined per-variant oracles: each
+    # nests as a parenthesized WITH-subquery, so the ground truth and
+    # every ANN variant replay EXACTLY the SQL their standalone rows are
+    # graded on — one definition per topology
+    d["similarity_ann_recall"] = f"""
+        WITH exact AS (
+          SELECT query_id, neighbor_id FROM ({d["similarity_topk"]}) e),
+        ann AS (
+          SELECT 'ivf' AS variant, query_id, neighbor_id
+            FROM ({d["similarity_ivf_topk"]}) v1
+          UNION ALL
+          SELECT 'ivf2' AS variant, query_id, neighbor_id
+            FROM ({d["similarity_ivf2_topk"]}) v2
+          UNION ALL
+          SELECT 'ivfpq' AS variant, query_id, neighbor_id
+            FROM ({d["similarity_ivfpq_topk"]}) v3
+          UNION ALL
+          SELECT 'lsh' AS variant, query_id, neighbor_id
+            FROM ({d["similarity_lsh_topk"]}) v4),
+        hits AS (
+          SELECT a.variant, count(*) AS n_ann,
+                 CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hits
+          FROM ann a LEFT JOIN exact e
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+          GROUP BY a.variant),
+        tot AS (SELECT count(*) AS n_exact FROM exact)
+        SELECT variant, n_hits, n_ann, n_exact,
+               n_hits::DOUBLE / nullif(n_exact::DOUBLE, 0.0) AS recall
+        FROM hits CROSS JOIN tot
+    """
+    return d

@@ -155,19 +155,35 @@ def main() -> None:
         sum(t if isinstance(t, float) else t["sec"] for t in timings.values()),
         3,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "n_queries": len(timings),
-                "sf": float(sf),
-                "failed": failed,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": float(sf),
+        "failed": failed,
+    }
+    print(json.dumps(payload))
+    # the driver's BENCH_r{N}.json captures only the stdout TAIL, which a
+    # full-registry line overflows (r4 lost the first 61 timings) — also
+    # write the complete record to a committed file, named for the round
+    # the driver is about to stamp (max existing BENCH_r{N} + 1)
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        n = (max(rounds) + 1) if rounds else 0
+        with open(os.path.join(here, f"bench_local_r{n:02d}.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError as exc:
+        print(f"[bench] could not persist local record: {exc}", file=sys.stderr)
     if failed:
         sys.exit(1)
 

@@ -462,6 +462,205 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_capped(
+    docs: DataFrame,
+    text_col: str = "text",
+    block_col: str = "lang",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_df: int = 16,
+) -> DataFrame:
+    """`ngram_jaccard_pairs` with a DOCUMENT-FREQUENCY CAP on the
+    inverted index — the bounded-cost contract for density-heavy corpora
+    (the fix `ngram_jaccard_pairs`' docstring names but declines).
+
+    Contract: candidate pairs must share at least one RARE shingle
+    (block-local document frequency ≤ `max_df`); every candidate is then
+    verified with EXACT Jaccard over the FULL shingle sets, so reported
+    values are bit-identical to the uncapped operator — the cap only
+    costs recall on pairs whose entire overlap is ultra-frequent
+    boilerplate shingles (which at threshold 0.2 are overwhelmingly
+    non-duplicates anyway: a shingle shared by >max_df docs carries
+    ~zero pair-discrimination, exactly like a stopword in retrieval).
+
+    Scale design (r5 rebuild, measured in SCALE_NOTES):
+
+    1. COLLAPSE identical shingle-sets first (`_seth` = md5 of the
+       deterministic shingle order): every stage below runs once per
+       DISTINCT set, not per document — at crawl density (30–50 % exact
+       copies) this alone removes the dominant cost, and the 10×-copies
+       replica runs near-flat.
+    2. Document frequency is the SUM OF GROUP SIZES over sets containing
+       the shingle (a window over the set-level index), so the rare/
+       frequent split is exactly the per-document contract.
+    3. The rare self-join doubles as the |A∩B|-over-rare counter, and a
+       SOUND bound |A∩B| ≤ shared_rare + min(|freq_A|, |freq_B|) prunes
+       set pairs that cannot reach the threshold before the O(|A|+|B|)
+       array verify (pure pruning — survivors verify exactly, so neither
+       step 1 nor 3 changes the output and the oracle mirrors only the
+       df cap).
+    4. Set-level matches expand back to member pairs through joins on
+       the group key (within-group pairs are jaccard 1.0 by identity,
+       emitted only when the group's set has ≥1 rare shingle, same as
+       the per-document candidate rule) — output-proportional work.
+    """
+    from pyspark.sql import Window
+
+    # shingle every doc ONCE and persist: members, the rep table, and the
+    # expansion joins all read this cache (a re-derivation would repeat
+    # the corpus-wide shingling — the linear term that dominates at 10×)
+    base = share(
+        docs.select(
+            F.col("doc_id"),
+            F.col(block_col).alias("blk"),
+            shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .withColumn("_seth", F.md5(F.concat_ws("\x1f", "sh")))
+    )
+    members = base.select("blk", "_seth", "doc_id")
+    w_grp = Window.partitionBy("blk", "_seth")
+    reps = share(
+        base.withColumn("_rep", F.min("doc_id").over(w_grp))
+        .withColumn("_m", F.count(F.lit(1)).over(w_grp))
+        .where(F.col("doc_id") == F.col("_rep"))
+        .select("blk", "_seth", F.col("doc_id").alias("rep"), "_m", "sh")
+    )
+    ex = reps.select("blk", "_seth", "rep", "_m", F.explode("sh").alias("s"))
+    w_df = Window.partitionBy("blk", "s")
+    rare = share(
+        ex.withColumn("_df", F.sum("_m").over(w_df))
+        .where(F.col("_df") <= max_df)
+        .select("blk", "_seth", "rep", "s")
+    )
+    stats = share(
+        reps.select("blk", "_seth", "rep", F.size("sh").alias("_n"))
+        .join(
+            rare.groupBy("rep").agg(F.count(F.lit(1)).alias("_nr")),
+            "rep",
+            "left",
+        )
+        .select(
+            "blk",
+            "_seth",
+            "rep",
+            "_n",
+            F.coalesce("_nr", F.lit(0)).alias("_nr"),
+            (F.col("_n") - F.coalesce("_nr", F.lit(0))).alias("_nf"),
+        )
+    )
+    shared_rare = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .groupBy(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
+        .agg(F.count(F.lit(1)).alias("_sr"))
+    )
+    bounded = (
+        shared_rare.join(
+            stats.select(
+                F.col("rep").alias("rep_a"),
+                F.col("_n").alias("_na"),
+                F.col("_nf").alias("_fa"),
+            ),
+            "rep_a",
+        )
+        .join(
+            stats.select(
+                F.col("rep").alias("rep_b"),
+                F.col("_n").alias("_nb"),
+                F.col("_nf").alias("_fb"),
+            ),
+            "rep_b",
+        )
+        .withColumn("_max_inter", F.col("_sr") + F.least("_fa", "_fb"))
+        .where(
+            F.col("_max_inter").cast("double")
+            / F.nullif(
+                (F.col("_na") + F.col("_nb") - F.col("_max_inter")).cast("double"),
+                F.lit(0.0),
+            )
+            >= threshold
+        )
+        .select("rep_a", "rep_b")
+    )
+    set_pairs = (
+        bounded.join(
+            reps.select(
+                F.col("rep").alias("rep_a"),
+                F.col("blk").alias("_blk"),
+                F.col("_seth").alias("_seth_a"),
+                F.col("sh").alias("_sh_a"),
+            ),
+            "rep_a",
+        )
+        .join(
+            reps.select(
+                F.col("rep").alias("rep_b"),
+                F.col("_seth").alias("_seth_b"),
+                F.col("sh").alias("_sh_b"),
+            ),
+            "rep_b",
+        )
+        .select(
+            "_blk",
+            "_seth_a",
+            "_seth_b",
+            jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    cross = (
+        set_pairs.join(
+            members.select(
+                F.col("blk").alias("_blk"),
+                F.col("_seth").alias("_seth_a"),
+                F.col("doc_id").alias("_ida"),
+            ),
+            ["_blk", "_seth_a"],
+        )
+        .join(
+            members.select(
+                F.col("blk").alias("_blk"),
+                F.col("_seth").alias("_seth_b"),
+                F.col("doc_id").alias("_idb"),
+            ),
+            ["_blk", "_seth_b"],
+        )
+        .select(
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        members.alias("m1")
+        .join(
+            members.alias("m2"),
+            (F.col("m1.blk") == F.col("m2.blk"))
+            & (F.col("m1._seth") == F.col("m2._seth"))
+            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+        )
+        .join(
+            stats.where(F.col("_nr") > 0).select(
+                F.col("blk").alias("_sblk"), F.col("_seth").alias("_sseth")
+            ),
+            (F.col("m1.blk") == F.col("_sblk"))
+            & (F.col("m1._seth") == F.col("_sseth")),
+        )
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m2.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 # --- duplicate clustering (connected components) ----------------------------
 
 
@@ -616,6 +815,7 @@ def containment_pairs(
     bands: int = 12,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Asymmetric containment dedup: |A∩B| / |A| per candidate pair in
     BOTH directions. High containment with low Jaccard is the signature
@@ -628,9 +828,28 @@ def containment_pairs(
     4x3 banding would miss it — rows=1 trades candidate volume for the
     recall containment needs (still a bucket self-join, never N²). The
     shingle table is computed once and persisted across branches.
+
+    `max_bucket` caps bucket MEMBERSHIP before the pair join: a bucket
+    of m docs contributes m(m-1)/2 candidates, and measured 10×-density
+    (r5, SCALE_NOTES) grew pairs 121× through exactly such buckets —
+    all of them degenerate exact-copy clusters that the exact-dedup
+    stage upstream already collapses. The cap bounds per-bucket work at
+    a constant while leaving every bucket at tested scales intact
+    (max observed membership: 21 at sf0.1); contained-in-boilerplate
+    pairs live in small buckets by construction (the contained doc's
+    minhash minima mostly differ from the superset's).
     """
     sh = share(shingle_table(docs, text_col, shingle_n))
     buckets = _buckets_from_shingles(sh, num_hashes, bands)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w_b = Window.partitionBy("band_id", "band_key")
+        buckets = (
+            buckets.withColumn("_m", F.count(F.lit(1)).over(w_b))
+            .where(F.col("_m") <= max_bucket)
+            .drop("_m")
+        )
     cand = (
         buckets.alias("x")
         .join(

@@ -571,11 +571,23 @@ def decode_audio_features(media: DataFrame, window_ms: int = 250) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_real:  # pragma: no cover
-                raise NotImplementedError(
-                    "real codec path: wire soundfile.read(io.BytesIO(payload)) here"
-                )
-            feats = [_fake_audio_decode(bytes(p)) for p in pdf["payload"]]
+            feats = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if b[:4] == b"RIFF":
+                    # WAV is decode-REAL (stdlib wave, r5): rate/duration/
+                    # RMS from the actual samples; corrupt RIFF falls back
+                    r = _decode_wav(b)
+                    if r is not None:
+                        rate, _nch, _nf, dur, rms = r
+                        feats.append((rate, dur, rms))
+                        continue
+                if use_real:  # pragma: no cover — compressed codecs only
+                    raise NotImplementedError(
+                        "compressed codec path (mp3/ogg/flac): wire "
+                        "soundfile.read(io.BytesIO(payload)) here"
+                    )
+                feats.append(_fake_audio_decode(b))
             durations = [f[1] for f in feats]
             yield pd.DataFrame(
                 {
@@ -592,4 +604,175 @@ def decode_audio_features(media: DataFrame, window_ms: int = 250) -> DataFrame:
 
     return media.select("doc_id", "payload").mapInPandas(
         decode, AUDIO_FEATURES_SCHEMA
+    )
+
+
+# --- WAV (RIFF PCM): decode-REAL audio, stdlib-pure --------------------------
+# Mirrors the PNG move (attach_png_binary / _decode_png): genuine payloads
+# built JVM-side, parsed by the stdlib `wave` module — audio joins netpbm/
+# BMP/PNG as a decode-real modality; only genuinely COMPRESSED codecs
+# (mp3/ogg/flac) remain behind the library-gated branch.
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("rms_q", IntegerType()),
+        StructField("decode_ok", BooleanType()),
+    ]
+)
+
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def attach_wav_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize GENUINE RIFF/WAVE PCM payloads from document text,
+    entirely JVM-side: 16-bit mono, sample rate chosen from a 4-entry
+    table by ``length(text) % 4``, ``1 + length(text) % 250`` frames
+    whose int16 values come from the repeated md5 hex stream — so the
+    DuckDB oracle can state rate / frame count / exact RMS without any
+    decoder, the same construction-replay trick as ``attach_png_binary``.
+
+    WAV needs no compressor or checksum: the payload is a fixed-layout
+    little-endian header + raw PCM, so the whole build is string
+    concatenation over hex, staged per the CollapseProject rule (stream
+    and data hex bind to columns before reuse). Sample VALUES read
+    big-endian from the hex stream; the payload stores each as the
+    little-endian byte pair WAV requires (swap via substring)."""
+
+    def be_hex(col, width_chars: int):
+        return F.lpad(F.hex(col), width_chars, "0")
+
+    def le32_hex(col):
+        be = be_hex(col, 8)
+        return F.concat(
+            F.substring(be, 7, 2),
+            F.substring(be, 5, 2),
+            F.substring(be, 3, 2),
+            F.substring(be, 1, 2),
+        )
+
+    n = F.length(F.col(text_col))
+    base = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_text"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in _WAV_RATES]), (n % 4 + 1).cast("int")
+        ).alias("_rate"),
+        (n % 250 + 1).cast("int").alias("_nf"),
+    )
+    stream = base.select(
+        "doc_id",
+        "_rate",
+        "_nf",
+        F.substring(
+            F.call_function(
+                "repeat",
+                F.md5(F.col("_text")),
+                (F.floor(F.col("_nf") * 4 / 32) + 1).cast("int"),
+            ),
+            F.lit(1),
+            F.col("_nf") * 4,
+        ).alias("_stream"),
+    )
+    data = stream.select(
+        "doc_id",
+        "_rate",
+        "_nf",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_nf")),
+                lambda i: F.concat(
+                    F.substring(F.col("_stream"), (i - 1) * 4 + 3, 2),
+                    F.substring(F.col("_stream"), (i - 1) * 4 + 1, 2),
+                ),
+            ),
+            "",
+        ).alias("_data_hex"),
+    )
+    final = data.select(
+        "doc_id",
+        F.unhex(
+            F.concat(
+                F.lit("52494646"),  # "RIFF"
+                le32_hex(F.lit(36) + F.col("_nf") * 2),
+                F.lit("57415645666D742010000000"),  # "WAVEfmt " + LE32(16)
+                F.lit("01000100"),  # PCM, mono
+                le32_hex(F.col("_rate")),
+                le32_hex(F.col("_rate") * 2),  # byte rate (mono int16)
+                F.lit("02001000"),  # block align 2, 16 bits/sample
+                F.lit("64617461"),  # "data"
+                le32_hex(F.col("_nf") * 2),
+                F.col("_data_hex"),
+            )
+        ).alias("payload"),
+    )
+    return final.select(
+        "doc_id",
+        F.lit("audio/wav").alias("media_type"),
+        "payload",
+        F.length("payload").cast("int").alias("size_bytes"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """Parse a RIFF/WAVE PCM payload with the stdlib ``wave`` module and
+    compute (rate, channels, frames, duration_ms, rms_q) from the ACTUAL
+    samples. rms_q = floor(sqrt(mean(v²))) over int16 values — every
+    intermediate is exact in float64 (Σv² < 2^53), so the quantized RMS
+    is engine-portable for the oracle."""
+    import io
+    import math
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            rate = wf.getframerate()
+            nch = wf.getnchannels()
+            sampwidth = wf.getsampwidth()
+            nf = wf.getnframes()
+            frames = wf.readframes(nf)
+    except (wave.Error, EOFError):
+        return None
+    if sampwidth != 2 or nch < 1:
+        return None
+    vals = struct.unpack(f"<{len(frames) // 2}h", frames)
+    duration_ms = nf * 1000 // rate if rate else 0
+    if vals:
+        sum_sq = 0
+        for v in vals:
+            sum_sq += v * v
+        rms_q = int(math.floor(math.sqrt(sum_sq / len(vals))))
+    else:
+        rms_q = 0
+    return rate, nch, nf, duration_ms, rms_q
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL WAV decode stage: partition-preserving
+    ``mapInPandas`` over (doc_id, payload); non-WAV / corrupt payloads
+    yield ``decode_ok = false`` zeros instead of poisoning the batch."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_decode_wav(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [r[0] if r else 0 for r in rows],
+                    "n_channels": [r[1] if r else 0 for r in rows],
+                    "n_frames": [r[2] if r else 0 for r in rows],
+                    "duration_ms": [r[3] if r else 0 for r in rows],
+                    "rms_q": [r[4] if r else 0 for r in rows],
+                    "decode_ok": [r is not None for r in rows],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, WAV_FEATURES_SCHEMA
     )

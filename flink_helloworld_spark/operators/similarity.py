@@ -1152,3 +1152,73 @@ def ivf2_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def ann_recall_at_k(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of every ANN variant against the exact baseline — the
+    quality number the ANN family is actually tuned by at 100 TB (cells
+    probed / bands / planes trade recall for wall-clock; wall-clock alone
+    says nothing).
+
+    Ground truth = ``cosine_topk_exact_sharded`` (the exhaustive-by-
+    contract baseline); each variant runs with the SAME parameters as its
+    registry query, so the measured recall describes the shipped
+    configuration. Output: one row per variant —
+    (variant, n_hits, n_ann, n_exact, recall) with
+    recall = |ANN ∩ exact| / |exact| over all queries.
+
+    Scale shape: the exact side is computed once and persisted; variants
+    union into ONE tagged table, so the membership probe is a single
+    (query_id, neighbor_id) hash join + one small agg. Totals ride as a
+    broadcast 1-row aggregate crossJoin, never an eager count.
+    """
+    from flink_helloworld_spark.operators._cache import share
+
+    exact = share(
+        cosine_topk_exact_sharded(emb, k=k, id_col=id_col, vec_col=vec_col).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    variants = {
+        "ivf": ivf_cosine_topk(emb, k=k, n_probe=2, id_col=id_col, vec_col=vec_col),
+        "ivf2": ivf2_cosine_topk(
+            emb, k=k, n_probe=2, n_super_probe=2, id_col=id_col, vec_col=vec_col
+        ),
+        "ivfpq": ivfpq_topk(
+            emb, k=k, n_probe=2, m=4, ksub=16, rerank=16,
+            id_col=id_col, vec_col=vec_col,
+        ),
+        "lsh": lsh_cosine_topk(emb, k=k, planes=8, id_col=id_col, vec_col=vec_col),
+    }
+    tagged = None
+    for name, df in variants.items():
+        t = df.select(
+            F.lit(name).alias("variant"), "query_id", "neighbor_id"
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = (
+        tagged.join(
+            exact.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_ann"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+    )
+    tot = exact.groupBy().agg(F.count(F.lit(1)).alias("n_exact"))
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "variant",
+        "n_hits",
+        "n_ann",
+        "n_exact",
+        (
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0))
+        ).alias("recall"),
+    )

@@ -423,3 +423,202 @@ def test_tws_state_resumes_from_checkpoint_across_restarts(spark):
         ("b", 0, 5.0),
         ("b", 1, 6.0),
     ]
+
+
+# --- composed streaming front-end fuzz (r5: VERDICT #8) ---------------------
+
+
+def _front_corpus(rng, n_domains, docs_per_domain=(3, 7)):
+    """Random corpus for the pretrain front-end: per doc a style drawn
+    from {good, too-short, bad-mean-length, duplicate-of-earlier}. Times
+    are strictly increasing seconds so arrival order == event order, and
+    duplicates always copy a doc at least one file-chunk back so a
+    duplicate never shares a micro-batch with its original (within-batch
+    dedup keep-order is unspecified; cross-batch it is first-wins)."""
+    good_words = [
+        "the", "quick", "brown", "jumps", "window", "stream",
+        "little", "castle", "over", "dog", "fox", "apple",
+    ]
+    rows = []
+    for d in range(n_domains):
+        for _ in range(rng.randint(*docs_per_domain)):
+            i = len(rows)
+            style = rng.random()
+            if style < 0.15 and i > 40:
+                text = rows[rng.randrange(0, i - 40)][2]  # duplicate
+            elif style < 0.35:
+                text = " ".join(rng.choice("ab") for _ in range(rng.randint(5, 9)))
+            elif style < 0.45:
+                text = " ".join(good_words[: rng.randint(1, 4)])  # too short
+            else:
+                text = " ".join(
+                    rng.choice(good_words) for _ in range(rng.randint(5, 14))
+                )
+            rows.append((i, f"dom{d}", text))
+    return rows
+
+
+def _write_front_files(rows, workdir, n_files=6):
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    chunk = (len(rows) + n_files - 1) // n_files
+    t0 = _time.time() - 120
+    for fi in range(n_files):
+        part = rows[fi * chunk : (fi + 1) * chunk]
+        if not part:
+            continue
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in part],
+                "source": [r[1] for r in part],
+                "text": [r[2] for r in part],
+                "event_time": [
+                    base + pd.Timedelta(seconds=r[0]) for r in part
+                ],
+            }
+        )
+        pdf["event_time"] = pd.to_datetime(pdf["event_time"]).astype(
+            "datetime64[us]"
+        )
+        p = os.path.join(workdir, f"f{fi:03d}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (t0 + fi, t0 + fi))
+
+
+def _model_gate(text):
+    ws = [w for w in text.split(" ") if w]
+    n = len(ws)
+    if n < 5:
+        return False
+    mean_wlen = (len(text) - (n - 1)) / n
+    return 3.0 <= mean_wlen <= 10.0
+
+
+def _model_front(rows, cap, keep):
+    """Sequential replay of gate → first-wins dedup → per-domain cap."""
+    seen, counts, expect = set(), {}, {}
+    for i, dom, text in rows:
+        if not keep(text):
+            continue
+        if text in seen:
+            continue
+        seen.add(text)
+        counts[dom] = counts.get(dom, 0) + 1
+        expect[i] = (dom, counts[dom], counts[dom] <= cap)
+    return expect
+
+
+def _read_front_stream(spark, workdir):
+    return (
+        spark.readStream.schema(
+            "doc_id long, source string, text string, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_pretrain_front_fuzz_matches_sequential_model(spark, seed):
+    """50 random per-domain scripts through the COMPOSED front-end
+    (Gopher gate → watermark dedup → TWS domain cap) in ONE streaming
+    query, asserted doc-for-doc against a sequential Python model."""
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.jobs import streaming_pretrain_front
+
+    rng = random.Random(seed)
+    rows = _front_corpus(rng, n_domains=50)
+    workdir = tempfile.mkdtemp(prefix=f"front-fuzz-{seed}-")
+    try:
+        _write_front_files(rows, workdir)
+        out = streaming_pretrain_front(
+            _read_front_stream(spark, workdir), domain_cap=2
+        )
+        got = {
+            r.doc_id: (r.source, r.domain_rank, r.kept)
+            for r in run_available_now(out, f"front_fuzz_{seed}")
+        }
+        expect = _model_front(rows, cap=2, keep=_model_gate)
+        assert got == expect
+        assert len(expect) >= 100  # the fuzz actually exercised the stages
+        assert any(not k for (_, _, k) in expect.values())  # caps fired
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", [303, 404])
+def test_pretrain_front_classifier_gate_fuzz_matches_batch_scores(spark, seed):
+    """Same fuzz with the train-offline/score-online classifier gate
+    enabled: weights learned batch-side, the model's keep-rule uses the
+    BATCH scores of the same texts (exact agreement is the contract),
+    then first-wins dedup and the domain cap as before."""
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.operators.classifier import (
+        attach_quality_score,
+        train_quality_classifier,
+    )
+    from flink_helloworld_spark.streaming.jobs import streaming_pretrain_front
+
+    good = "the cat and the dog sat with a mat to rest for that while"
+    bad = "#### aaaaaaaaaa #### bbbbbbbbbbbb #### cccccccccccc ####"
+    train_docs = spark.createDataFrame(
+        [(i, good + f" v{i}") for i in range(4)]
+        + [(10 + i, bad + f" x{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    w = train_quality_classifier(train_docs, n_iters=8)
+
+    rng = random.Random(seed)
+    rows = _front_corpus(rng, n_domains=50)
+    texts = sorted({t for _, _, t in rows})
+    scored = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    score_of = dict(
+        zip(
+            texts,
+            [
+                r.quality_score
+                for r in attach_quality_score(scored, w)
+                .orderBy("doc_id")
+                .collect()
+            ],
+        )
+    )
+    gate_scores = sorted(
+        score_of[t] for t in {t for _, _, t in rows if _model_gate(t)}
+    )
+    thr = gate_scores[len(gate_scores) // 2]  # median: both sides populated
+
+    workdir = tempfile.mkdtemp(prefix=f"front-clf-fuzz-{seed}-")
+    try:
+        _write_front_files(rows, workdir)
+        out = streaming_pretrain_front(
+            _read_front_stream(spark, workdir),
+            domain_cap=2,
+            classifier_weights=w,
+            classifier_threshold=thr,
+        )
+        got = {
+            r.doc_id: (r.source, r.domain_rank, r.kept)
+            for r in run_available_now(out, f"front_clf_fuzz_{seed}")
+        }
+        expect = _model_front(
+            rows,
+            cap=2,
+            keep=lambda t: _model_gate(t) and score_of[t] >= thr,
+        )
+        assert got == expect
+        assert len(expect) >= 50
+        # the classifier gate actually dropped gate-surviving docs
+        dropped_by_clf = [
+            t for _, _, t in rows if _model_gate(t) and score_of[t] < thr
+        ]
+        assert dropped_by_clf
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
