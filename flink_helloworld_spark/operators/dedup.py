@@ -409,47 +409,72 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing a blocking key, via the
-    standard SHINGLE-INVERTED-INDEX join: explode (block, shingle, doc),
+    standard SHINGLE-INVERTED-INDEX join: explode (block, shingle, set),
     self-join on (block, shingle), and count shared shingles per pair
     with one hash agg — |A∩B| arrives as an integer count and
-    |A∪B| = |A|+|B|-|A∩B| from per-doc sizes, so the Jaccard doubles
+    |A∪B| = |A|+|B|-|A∩B| from per-set sizes, so the Jaccard doubles
     are bit-identical to the array-intersect form.
 
-    Scale shape: pairs sharing ZERO shingles are never materialized
-    (with any threshold > 0 they can't pass), unlike a per-block
-    cross-join whose O(block²) candidate set dominated at bench scale
-    (234 s → ~3 s at sf0.1). The remaining cost driver is shingle
-    document frequency (a shingle shared by m docs contributes m·(m-1)/2
-    join rows) — the exact-Jaccard analog of the minhash family's
-    banding knob, with the same mitigation if needed: drop
-    ultra-frequent shingles before the join (changes the contract, so
-    not done here)."""
-    sh = docs.select(
-        F.col("doc_id"),
-        F.col(block_col).alias("blk"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).where(F.size("sh") > 0)
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    ex = sh.select("blk", "doc_id", F.explode("sh").alias("s"))
+    r5: the index is built over DISTINCT shingle sets (`_seth` = md5 of
+    the deterministic shingle order; identical docs collapse to one
+    representative), and set-level matches expand back to member pairs
+    through joins on the group key — within-group pairs are jaccard 1.0
+    by identity. Output is unchanged (the oracle still states the plain
+    per-document join); the quadratic index join now grows with DISTINCT
+    near-dup density only, not with exact-copy multiplicity (which at
+    crawl scale is the dominant duplicate mass — measured 15× wall-clock
+    at 10×-copies before, ~flat after).
+
+    Remaining cost driver is DISTINCT-set shingle frequency (m sets
+    sharing a shingle ⇒ m(m-1)/2 join rows) — the exact-Jaccard analog
+    of the minhash banding knob; `ngram_jaccard_pairs_capped` is the
+    bounded-cost contract when that density is also adversarial.
+    """
+    from pyspark.sql import Window
+
+    base = share(
+        docs.select(
+            F.col("doc_id"),
+            F.col(block_col).alias("blk"),
+            shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .withColumn("_seth", F.md5(F.concat_ws("\x1f", "sh")))
+    )
+    members = base.select("blk", "_seth", "doc_id")
+    w_grp = Window.partitionBy("blk", "_seth")
+    reps = share(
+        base.withColumn("_rep", F.min("doc_id").over(w_grp))
+        .withColumn("_m", F.count(F.lit(1)).over(w_grp))
+        .where(F.col("doc_id") == F.col("_rep"))
+        .select("blk", "_seth", F.col("doc_id").alias("rep"), "sh")
+    )
+    sizes = reps.select("rep", F.size("sh").alias("n"))
+    ex = reps.select("blk", "_seth", "rep", F.explode("sh").alias("s"))
     inter = (
         ex.alias("a")
         .join(
             ex.alias("b"),
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.blk").alias("_blk"),
+            F.col("a._seth").alias("_seth_a"),
+            F.col("b._seth").alias("_seth_b"),
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
         )
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("_na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("_nb")), "doc_b")
+    set_pairs = (
+        inter.join(sizes.select(F.col("rep").alias("rep_a"), F.col("n").alias("_na")), "rep_a")
+        .join(sizes.select(F.col("rep").alias("rep_b"), F.col("n").alias("_nb")), "rep_b")
         .select(
-            "doc_a",
-            "doc_b",
+            "_blk",
+            "_seth_a",
+            "_seth_b",
             (
                 F.col("_inter").cast("double")
                 / F.nullif(
@@ -460,6 +485,46 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    cross = (
+        set_pairs.join(
+            members.select(
+                F.col("blk").alias("_blk"),
+                F.col("_seth").alias("_seth_a"),
+                F.col("doc_id").alias("_ida"),
+            ),
+            ["_blk", "_seth_a"],
+        )
+        .join(
+            members.select(
+                F.col("blk").alias("_blk"),
+                F.col("_seth").alias("_seth_b"),
+                F.col("doc_id").alias("_idb"),
+            ),
+            ["_blk", "_seth_b"],
+        )
+        .select(
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # identical non-empty sets always share every shingle: jaccard 1.0,
+    # no candidate condition to re-check
+    within = (
+        members.alias("m1")
+        .join(
+            members.alias("m2"),
+            (F.col("m1.blk") == F.col("m2.blk"))
+            & (F.col("m1._seth") == F.col("m2._seth"))
+            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+        )
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m2.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs_capped(
@@ -471,8 +536,10 @@ def ngram_jaccard_pairs_capped(
     max_df: int = 16,
 ) -> DataFrame:
     """`ngram_jaccard_pairs` with a DOCUMENT-FREQUENCY CAP on the
-    inverted index — the bounded-cost contract for density-heavy corpora
-    (the fix `ngram_jaccard_pairs`' docstring names but declines).
+    inverted index — the bounded-cost contract for corpora whose
+    DISTINCT-set near-dup density is itself adversarial (the uncapped
+    operator collapses exact copies but still grows with Σ df² over
+    distinct sets).
 
     Contract: candidate pairs must share at least one RARE shingle
     (block-local document frequency ≤ `max_df`); every candidate is then
