@@ -725,6 +725,16 @@ def _q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_recall_at_k(load_tables(spark, sf_dir).embeddings, k=5)
 
 
+def _q_similarity_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 100 TB operating mode of the recall audit: exact ground truth
+    # only for the 10% deterministic query sample (vs the FULL candidate
+    # corpus) — the exhaustive baseline's N² shrinks by the sampling
+    # factor, the estimate stays unbiased
+    return S.ann_recall_at_k(
+        load_tables(spark, sf_dir).embeddings, k=5, sample_mod=10
+    )
+
+
 def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashed exact-substring dedup: every 10-token sliding window (stride
     # 1 — within-doc repeats count), one uniform-key hash agg; text never
@@ -1919,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # official rows.
         "multimodal_wav_decode": _q_multimodal_wav_decode,
         "similarity_ann_recall": _q_similarity_ann_recall,
+        "similarity_ann_recall_sampled": _q_similarity_ann_recall_sampled,
         "dedup_ngram_jaccard_capped": _q_dedup_ngram_jaccard_capped,
         "json_extract": _q_json_extract,
         "top_customers": _q_top_customers,
@@ -4435,6 +4446,34 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'lsh' AS variant, query_id, neighbor_id
             FROM ({d["similarity_lsh_topk"]}) v4),
+        hits AS (
+          SELECT a.variant, count(*) AS n_ann,
+                 CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hits
+          FROM ann a LEFT JOIN exact e
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+          GROUP BY a.variant),
+        tot AS (SELECT count(*) AS n_exact FROM exact)
+        SELECT variant, n_hits, n_ann, n_exact,
+               n_hits::DOUBLE / nullif(n_exact::DOUBLE, 0.0) AS recall
+        FROM hits CROSS JOIN tot
+    """
+    d["similarity_ann_recall_sampled"] = f"""
+        WITH exact AS (
+          SELECT query_id, neighbor_id FROM ({d["similarity_topk"]}) e
+          WHERE query_id % 10 = 0),
+        ann AS (
+          SELECT 'ivf' AS variant, query_id, neighbor_id
+            FROM ({d["similarity_ivf_topk"]}) v1 WHERE query_id % 10 = 0
+          UNION ALL
+          SELECT 'ivf2' AS variant, query_id, neighbor_id
+            FROM ({d["similarity_ivf2_topk"]}) v2 WHERE query_id % 10 = 0
+          UNION ALL
+          SELECT 'ivfpq' AS variant, query_id, neighbor_id
+            FROM ({d["similarity_ivfpq_topk"]}) v3 WHERE query_id % 10 = 0
+          UNION ALL
+          SELECT 'lsh' AS variant, query_id, neighbor_id
+            FROM ({d["similarity_lsh_topk"]}) v4 WHERE query_id % 10 = 0),
         hits AS (
           SELECT a.variant, count(*) AS n_ann,
                  CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -155,6 +155,7 @@ def cosine_topk_exact_sharded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    queries_df: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT all-pairs top-k cosine — the scale form of ``cosine_topk``
     (same candidate set: every pair, no bucketing/recall loss), computed
@@ -189,6 +190,8 @@ def cosine_topk_exact_sharded(
         auto = max(8, math.ceil(emb.count() / 256))
         q_shards = q_shards or auto
         c_shards = c_shards or auto
+    if queries_df is None:
+        queries_df = emb
 
     from pyspark.sql.types import (
         DoubleType,
@@ -198,7 +201,14 @@ def cosine_topk_exact_sharded(
         StructType,
     )
 
+    # queries_df restricts the QUERY side only (recall audits at scale
+    # sample their query set; candidates stay the full corpus) — the
+    # kernel's id-equality self-exclusion is independent of whether the
+    # query rows also appear on the candidate side
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    v_q = queries_df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
     qs = (
         F.conv(F.substring(F.md5(F.concat(F.lit("xshard:"), F.col("id"))), 1, 15), 16, 10)
         .cast("long")
@@ -209,7 +219,7 @@ def cosine_topk_exact_sharded(
         .cast("long")
         % c_shards
     ).cast("int")
-    q_rep = v.select(
+    q_rep = v_q.select(
         "id",
         "vec",
         qs.alias("qs"),
@@ -1159,6 +1169,7 @@ def ann_recall_at_k(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Recall@k of every ANN variant against the exact baseline — the
     quality number the ANN family is actually tuned by at 100 TB (cells
@@ -1176,13 +1187,26 @@ def ann_recall_at_k(
     union into ONE tagged table, so the membership probe is a single
     (query_id, neighbor_id) hash join + one small agg. Totals ride as a
     broadcast 1-row aggregate crossJoin, never an eager count.
+
+    ``sample_mod`` is the 100 TB operating mode: ground truth is
+    computed only for the deterministic query sample
+    (``id % sample_mod == 0``) against the FULL candidate corpus, and
+    each ANN variant's output is filtered to the same sample — the
+    exhaustive baseline's N² shrinks by the sampling factor while the
+    measured recall stays an unbiased estimate of the full-corpus
+    number (queries are exchangeable under the deterministic id hash).
     """
     from flink_helloworld_spark.operators._cache import share
 
+    q_sample = (
+        emb.where(F.col(id_col) % sample_mod == 0)
+        if sample_mod is not None
+        else None
+    )
     exact = share(
-        cosine_topk_exact_sharded(emb, k=k, id_col=id_col, vec_col=vec_col).select(
-            "query_id", "neighbor_id"
-        )
+        cosine_topk_exact_sharded(
+            emb, k=k, id_col=id_col, vec_col=vec_col, queries_df=q_sample
+        ).select("query_id", "neighbor_id")
     )
     variants = {
         "ivf": ivf_cosine_topk(emb, k=k, n_probe=2, id_col=id_col, vec_col=vec_col),
@@ -1200,6 +1224,8 @@ def ann_recall_at_k(
         t = df.select(
             F.lit(name).alias("variant"), "query_id", "neighbor_id"
         )
+        if sample_mod is not None:
+            t = t.where(F.col("query_id") % sample_mod == 0)
         tagged = t if tagged is None else tagged.unionByName(t)
     hits = (
         tagged.join(
