@@ -44,11 +44,27 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def shingles_from_words(ws: Column, n: int = 3) -> Column:
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - n),
-        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
-    )
-    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
+    """Distinct word n-grams via ITERATED zip_with of the word array
+    against its own 1..n-1 shifts. The obvious index-lambda form
+    (`transform(sequence, i -> slice(ws, i+1, n))`) captures ``ws``
+    INSIDE the per-element lambda — when a caller passes the raw
+    split-of-text expression, CollapseProject re-inlines the whole split
+    subtree into every element (O(n²)/row; measured 7× on
+    text_fingerprint). zip_with's lambdas touch only their element
+    arguments, so ``ws`` and its shifted slices evaluate once per ROW
+    no matter what expression the caller hands in."""
+    size = F.size(ws)
+    g = ws
+    for j in range(1, n):
+        # shorter shifted array: zip_with null-pads the tail; those
+        # partial grams are sliced off below
+        g = F.zip_with(
+            g,
+            F.slice(ws, j + 1, F.greatest(size - j, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    grams = F.slice(g, 1, F.greatest(size - (n - 1), F.lit(0)))
+    return F.when(size >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
 

@@ -169,7 +169,12 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Shape: bigrams explode once, then one hash-aggregate per (doc,
     bigram) and one per doc — map-side partials both times, linear in
     corpus size. Docs with <2 words report zero repetition."""
-    ws = _words(F.col(text_col))
+    # bind the word split to a column BEFORE the per-element lambda
+    # references it: slice-of-raw-split inside transform re-inlines the
+    # whole split subtree per bigram (CollapseProject; the fingerprint/
+    # PNG-builder trap)
+    staged = docs.select("doc_id", _words(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
     # guard: sequence(0, -1) would auto-step BACKWARD in Spark, inventing
     # phantom bigrams for docs with <2 words — emit an empty array instead
     bigrams = F.when(
@@ -179,7 +184,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    exploded = staged.select("doc_id", F.explode(bigrams).alias("bigram"))
     per_bigram = exploded.groupBy("doc_id", "bigram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -201,7 +206,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         top_frac.alias("top_bigram_frac"),
     )
     # docs with <2 words have no bigrams at all: report explicit zeros
-    short = docs.where(F.size(ws) < 2).select(
+    short = staged.where(F.size(ws) < 2).select(
         "doc_id",
         F.lit(0).alias("n_bigrams"),
         F.lit(0.0).alias("dup_bigram_frac"),
@@ -214,16 +219,28 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: md5 of whitespace-normalized lowercase
     text (exact-dup key) + a locality-sensitive piece fingerprint (min
     md5 over word 4-gram pieces — one shared piece ⇒ likely overlap)."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    ws = _words(norm)
+    # STAGED projections: the gram lambda below references the word
+    # array per ELEMENT — if `ws` were the raw split-of-regexp
+    # expression, CollapseProject would re-inline that whole subtree
+    # into every element evaluation (O(n²)/row, the PNG-builder trap);
+    # binding norm and ws to columns first makes each slice O(gram)
+    staged = docs.select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ").alias(
+            "_norm"
+        ),
+    ).select("doc_id", "_norm", _words(F.col("_norm")).alias("_ws"))
+    ws = F.col("_ws")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(ws) - 4),
         lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i + 1, 4))),
     )
-    piece_min = F.when(F.size(ws) >= 4, F.array_min(grams)).otherwise(F.md5(norm))
-    return docs.select(
+    piece_min = F.when(F.size(ws) >= 4, F.array_min(grams)).otherwise(
+        F.md5(F.col("_norm"))
+    )
+    return staged.select(
         "doc_id",
-        F.md5(norm).alias("content_fp"),
+        F.md5(F.col("_norm")).alias("content_fp"),
         piece_min.alias("piece_fp"),
     )
 
