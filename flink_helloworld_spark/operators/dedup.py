@@ -909,29 +909,48 @@ def containment_pairs(
     but banded 12x1 (any matching minhash ⇒ candidate): a contained doc
     shares only a fraction of the superset's shingles, so the symmetric
     4x3 banding would miss it — rows=1 trades candidate volume for the
-    recall containment needs (still a bucket self-join, never N²). The
-    shingle table is computed once and persisted across branches.
+    recall containment needs (still a bucket self-join, never N²).
 
-    `max_bucket` caps bucket MEMBERSHIP before the pair join: a bucket
-    of m docs contributes m(m-1)/2 candidates, and measured 10×-density
-    (r5, SCALE_NOTES) grew pairs 121× through exactly such buckets —
-    all of them degenerate exact-copy clusters that the exact-dedup
-    stage upstream already collapses. The cap bounds per-bucket work at
-    a constant while leaving every bucket at tested scales intact
-    (max observed membership: 21 at sf0.1); contained-in-boilerplate
-    pairs live in small buckets by construction (the contained doc's
-    minhash minima mostly differ from the superset's).
+    r5 scale rebuild, same recipe as `ngram_jaccard_pairs`:
+
+    - identical shingle SETS collapse to one representative before any
+      banding (identical sets ⇒ identical signatures ⇒ identical
+      buckets), and set-level matches expand back through group-key
+      joins — within-group pairs are 1.0/1.0 containment by identity,
+      and the asymmetric values SWAP when the member-pair id order flips;
+    - `max_bucket` caps bucket membership as the SUM OF GROUP SIZES
+      (exactly the per-document contract): a bucket of m docs
+      contributes m(m-1)/2 candidates, and 10×-density grew pairs 121×
+      through degenerate exact-copy buckets that upstream exact dedup
+      collapses in any real pipeline. Every bucket at tested scales
+      survives the cap (max observed membership 21 at sf0.1 vs 64).
     """
-    sh = share(shingle_table(docs, text_col, shingle_n))
-    buckets = _buckets_from_shingles(sh, num_hashes, bands)
-    if max_bucket is not None:
-        from pyspark.sql import Window
+    from pyspark.sql import Window
 
+    base = share(
+        shingle_table(docs, text_col, shingle_n).withColumn(
+            "_seth", F.md5(F.concat_ws("\x1f", "sh"))
+        )
+    )
+    members = base.select("_seth", "doc_id")
+    w_grp = Window.partitionBy("_seth")
+    reps = share(
+        base.withColumn("_rep", F.min("doc_id").over(w_grp))
+        .withColumn("_m", F.count(F.lit(1)).over(w_grp))
+        .where(F.col("doc_id") == F.col("_rep"))
+        .select("_seth", F.col("doc_id").alias("rep"), "_m", "sh")
+    )
+    buckets = _buckets_from_shingles(
+        reps.select(F.col("rep").alias("doc_id"), "sh"), num_hashes, bands
+    ).join(
+        reps.select(F.col("rep").alias("doc_id"), "_seth", "_m"), "doc_id"
+    )
+    if max_bucket is not None:
         w_b = Window.partitionBy("band_id", "band_key")
         buckets = (
-            buckets.withColumn("_m", F.count(F.lit(1)).over(w_b))
-            .where(F.col("_m") <= max_bucket)
-            .drop("_m")
+            buckets.withColumn("_wm", F.sum("_m").over(w_b))
+            .where(F.col("_wm") <= max_bucket)
+            .drop("_wm")
         )
     cand = (
         buckets.alias("x")
@@ -942,42 +961,89 @@ def containment_pairs(
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            F.col("x.doc_id").alias("rep_a"),
+            F.col("x._seth").alias("_seth_a"),
+            F.col("y.doc_id").alias("rep_b"),
+            F.col("y._seth").alias("_seth_b"),
         )
         .distinct()
     )
     # materialize the intersection size as its own projection: it feeds
     # both containment ratios, and CollapseProject would otherwise inline
     # the O(|A|+|B|) array_intersect into each use (computed twice)
-    sized = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+    set_pairs = (
+        cand.join(
+            reps.select(F.col("rep").alias("rep_a"), F.col("sh").alias("_sh_a")),
+            "rep_a",
+        )
+        .join(
+            reps.select(F.col("rep").alias("rep_b"), F.col("sh").alias("_sh_b")),
+            "rep_b",
+        )
         .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+            "_seth_a",
+            "_seth_b",
+            F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
             .cast("double")
             .alias("_inter"),
-            F.size("sa.sh").cast("double").alias("_na"),
-            F.size("sb.sh").cast("double").alias("_nb"),
+            F.size("_sh_a").cast("double").alias("_na"),
+            F.size("_sh_b").cast("double").alias("_nb"),
+        )
+        .select(
+            "_seth_a",
+            "_seth_b",
+            (F.col("_inter") / F.nullif(F.col("_na"), F.lit(0.0))).alias("_cab"),
+            (F.col("_inter") / F.nullif(F.col("_nb"), F.lit(0.0))).alias("_cba"),
+        )
+        .where((F.col("_cab") >= threshold) | (F.col("_cba") >= threshold))
+    )
+    cross = (
+        set_pairs.join(
+            members.select(
+                F.col("_seth").alias("_seth_a"), F.col("doc_id").alias("_ida")
+            ),
+            "_seth_a",
+        )
+        .join(
+            members.select(
+                F.col("_seth").alias("_seth_b"), F.col("doc_id").alias("_idb")
+            ),
+            "_seth_b",
+        )
+        .select(
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
+            # asymmetric values follow the id order of the emitted pair
+            F.when(F.col("_ida") < F.col("_idb"), F.col("_cab"))
+            .otherwise(F.col("_cba"))
+            .alias("containment_a_in_b"),
+            F.when(F.col("_ida") < F.col("_idb"), F.col("_cba"))
+            .otherwise(F.col("_cab"))
+            .alias("containment_b_in_a"),
         )
     )
-    return (
-        sized.select(
-            "doc_a",
-            "doc_b",
-            (F.col("_inter") / F.nullif(F.col("_na"), F.lit(0.0))).alias(
-                "containment_a_in_b"
-            ),
-            (F.col("_inter") / F.nullif(F.col("_nb"), F.lit(0.0))).alias(
-                "containment_b_in_a"
-            ),
+    # identical sets: 1.0/1.0 containment; candidate rule = the group's
+    # buckets survived the cap (any one band suffices)
+    small_groups = buckets.select("_seth").distinct()
+    within = (
+        members.alias("m1")
+        .join(
+            members.alias("m2"),
+            (F.col("m1._seth") == F.col("m2._seth"))
+            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
         )
-        .where(
-            (F.col("containment_a_in_b") >= threshold)
-            | (F.col("containment_b_in_a") >= threshold)
+        .join(
+            small_groups.select(F.col("_seth").alias("_sg")),
+            F.col("m1._seth") == F.col("_sg"),
+        )
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m2.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("containment_a_in_b"),
+            F.lit(1.0).alias("containment_b_in_a"),
         )
     )
+    return cross.unionByName(within)
 
 
 def repeated_spans(
