@@ -230,6 +230,32 @@ def _q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     return D.ngram_jaccard_pairs_capped(load_tables(spark, sf_dir).documents)
 
 
+def _q_dedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the corpus REWRITE near-dup detection exists for: one survivor
+    # (min doc_id) per transitive duplicate cluster, with the number of
+    # absorbed near-copies carried for downstream mixture weighting
+    docs = load_tables(spark, sf_dir).documents
+    pairs = D.minhash_dedup_pairs(docs).where("is_dup")
+    return D.cluster_prune(docs, pairs)
+
+
+def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the eval-suite-side decontamination view: per benchmark doc, how
+    # many corpus docs share a 5-gram (which eval rows are burned)
+    docs = load_tables(spark, sf_dir).documents
+    benchmark = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return D.decontamination_report(corpus, benchmark, n=5)
+
+
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # write-side closing step: deterministic md5 sharding + per-shard
+    # manifest (docs, tokens, id range, XOR content fingerprint)
+    from flink_helloworld_spark.operators import layout as L
+
+    return L.shard_manifest(load_tables(spark, sf_dir).documents, shards=16)
+
+
 def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_stats(load_tables(spark, sf_dir).documents)
 
@@ -732,6 +758,15 @@ def _q_similarity_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFr
     # factor, the estimate stays unbiased
     return S.ann_recall_at_k(
         load_tables(spark, sf_dir).embeddings, k=5, sample_mod=10
+    )
+
+
+def _q_similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # int8 scalar quantization (FAISS SQ8): per-dim min/max codes, 4x
+    # memory cut; asymmetric top-k (full-precision query sample vs the
+    # reconstructed corpus) through the block-sharded exact kernel
+    return S.sq_cosine_topk(
+        load_tables(spark, sf_dir).embeddings, k=5, sample_mod=7
     )
 
 
@@ -1920,13 +1955,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering contract: the driver's correctness gate checks only
         # the FIRST 50 entries. Round-5 rotation (staleness from the
-        # union of CORRECTNESS_r01-r04): the 3 brand-new queries
-        # (multimodal_wav_decode, similarity_ann_recall,
-        # dedup_ngram_jaccard_capped), all 34 queries whose newest
-        # official row is round 2, and the 13 oldest round-3 rows fill
-        # slot 50; round-3/4-checked queries rotate to the back. Rotate
-        # again next round so every query keeps accumulating fresh
-        # official rows.
+        # union of CORRECTNESS_r01-r04): the 8 brand-new queries
+        # (multimodal_wav_decode, similarity_ann_recall{,_sampled},
+        # dedup_ngram_jaccard_capped, dedup_cluster_prune,
+        # contamination_report, shard_manifest, similarity_sq_topk),
+        # all 34 queries whose newest official row is round 2, and the
+        # oldest round-3 rows fill slot 50; round-3/4-checked queries
+        # rotate to the back (locally re-verified via
+        # tools/check_oracle.py before ship). Rotate again next round so
+        # every query keeps accumulating fresh official rows.
+        "dedup_cluster_prune": _q_dedup_cluster_prune,
+        "contamination_report": _q_contamination_report,
+        "shard_manifest": _q_shard_manifest,
+        "similarity_sq_topk": _q_similarity_sq_topk,
         "multimodal_wav_decode": _q_multimodal_wav_decode,
         "similarity_ann_recall": _q_similarity_ann_recall,
         "similarity_ann_recall_sampled": _q_similarity_ann_recall_sampled,
@@ -3666,6 +3707,74 @@ def oracle_sql() -> dict[str, str]:
                        <> start_offset // 2048 AS spans_boundary
             FROM s
         """,
+        "contamination_report": f"""
+            WITH {_shingle_ctes(5)},
+            bench AS (SELECT doc_id AS bench_id, unnest(sh) AS g FROM sh
+                      WHERE doc_id % 20 = 0),
+            corp AS (SELECT doc_id, unnest(sh) AS g FROM sh
+                     WHERE doc_id % 20 <> 0),
+            hits AS (SELECT bench_id,
+                            count(DISTINCT c.doc_id) AS n_docs_hit,
+                            count(*) AS n_gram_hits
+                     FROM corp c JOIN bench b USING (g) GROUP BY bench_id)
+            SELECT b.bench_id,
+                   coalesce(n_docs_hit, 0) AS n_docs_hit,
+                   coalesce(n_gram_hits, 0) AS n_gram_hits,
+                   coalesce(n_docs_hit, 0) > 0 AS compromised
+            FROM (SELECT doc_id AS bench_id FROM documents
+                  WHERE doc_id % 20 = 0) b
+            LEFT JOIN hits USING (bench_id)
+        """,
+        "dedup_cluster_prune": f"""
+            WITH RECURSIVE {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()},
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM buckets x JOIN buckets y
+                ON x.band_id = y.band_id AND x.band_key = y.band_key
+               AND x.doc_id < y.doc_id),
+            dup AS (
+              SELECT doc_a, doc_b FROM cand
+              JOIN sh sa ON doc_a = sa.doc_id
+              JOIN sh sb ON doc_b = sb.doc_id
+              WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / nullif((len(sa.sh) + len(sb.sh)
+                          - len(list_intersect(sa.sh, sb.sh)))::DOUBLE, 0.0)
+                >= 0.5),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM dup
+              UNION ALL SELECT doc_b, doc_a FROM dup),
+            walk(node, lab) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, w.lab FROM walk w
+              JOIN edges e ON e.src = w.node WHERE w.lab < e.dst),
+            lab AS (SELECT node AS doc_id, min(lab) AS cluster_id
+                    FROM walk GROUP BY node),
+            absorbed AS (SELECT cluster_id,
+                                CAST(count(*) - 1 AS INT) AS dups
+                         FROM lab GROUP BY cluster_id)
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+                   coalesce(a.dups, 0) AS dups_removed
+            FROM documents d
+            LEFT JOIN absorbed a ON d.doc_id = a.cluster_id
+            WHERE d.doc_id NOT IN (
+              SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+        """,
+        "shard_manifest": f"""
+            WITH t AS (SELECT
+              CAST(('0x' || substr(md5('shard:' || doc_id::VARCHAR),
+                                   1, 15))::BIGINT % 16 AS INT) AS shard_id,
+              doc_id,
+              len({_WS}) AS tok,
+              ('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
+                              1, 15))::BIGINT AS fp
+            FROM documents)
+            SELECT shard_id, count(*) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS total_tokens,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id,
+                   bit_xor(fp) AS fingerprint
+            FROM t GROUP BY shard_id
+        """,
         "decontaminate": f"""
             WITH ws AS (SELECT doc_id, {_WS} AS ws FROM documents),
             sh AS (SELECT doc_id,
@@ -3687,6 +3796,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_topk": _cosine_pairs_sql(
             "embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id",
+            round_dp=6,
+        ),
+        # SQ8: per-dim min/max int8 codes; queries full-precision vs the
+        # reconstructed corpus (asymmetric), same rounded-rank contract
+        "similarity_sq_topk": _cosine_pairs_sql(
+            "qry q JOIN recon c ON q.vec_id <> c.vec_id",
+            extra_cte="""
+              WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> x::DOUBLE) AS emb
+                         FROM embeddings),
+              idx AS (SELECT unnest(range(1, 65)) AS pos),
+              dims AS (SELECT pos, min(emb[pos]) AS mn, max(emb[pos]) AS mx
+                       FROM v CROSS JOIN idx GROUP BY pos),
+              stats AS (SELECT list(mn ORDER BY pos) AS mn,
+                               list((mx - mn) / 255.0 ORDER BY pos) AS scale
+                        FROM dims),
+              coded AS (SELECT vec_id,
+                 list_transform(range(1, len(emb) + 1), i ->
+                   CASE WHEN s.scale[i] <= 0.0 THEN 0
+                        ELSE CAST(least(255.0, greatest(0.0,
+                               round((emb[i] - s.mn[i]) / s.scale[i], 0)))
+                             AS INT) END) AS codes
+               FROM v CROSS JOIN stats s),
+              recon AS (SELECT vec_id,
+                 list_transform(range(1, len(codes) + 1), i ->
+                   s.mn[i] + codes[i]::DOUBLE * s.scale[i]) AS embedding
+               FROM coded CROSS JOIN stats s),
+              qry AS (SELECT vec_id, emb AS embedding FROM v
+                      WHERE vec_id % 7 = 0)""",
             round_dp=6,
         ),
         "similarity_lsh_topk": _cosine_pairs_sql(

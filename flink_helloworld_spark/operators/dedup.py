@@ -1155,3 +1155,87 @@ def repeated_span_coverage(
             ).alias("dup_frac"),
         )
     )
+
+
+# --- corpus rewrite: keep one doc per near-dup cluster ---------------------
+
+
+def cluster_prune(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The corpus REWRITE that near-dup detection exists for: given the
+    verified duplicate pairs, keep exactly one document per duplicate
+    cluster (the minimum doc_id — the same canonical-survivor rule as
+    ``duplicate_clusters``) and drop the rest. Returns the surviving
+    corpus rows plus ``dups_removed`` — how many near-copies each
+    survivor absorbed (0 for docs in no cluster), so downstream mixture
+    weighting can up-weight heavily-duplicated content if desired
+    (the Lee et al. "Deduplicating Training Data" recipe surface).
+
+    Scale shape: cluster membership is proportional to the DUPLICATED
+    subset, not the corpus — the full corpus is touched only by one
+    left anti/left join pair on doc_id (hash-partitioned, no text
+    movement beyond the survivor projection). The transitive closure
+    itself reuses ``duplicate_clusters`` (per-round shuffles on node
+    id, driver sees only 1-row convergence counts).
+    """
+    clusters = duplicate_clusters(pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    absorbed = clusters.where(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id", (F.col("cluster_size") - 1).cast("int").alias("_absorbed")
+    )
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .join(absorbed, "doc_id", "left")
+        .select(
+            *[c for c in docs.columns],
+            F.coalesce(F.col("_absorbed"), F.lit(0)).alias("dups_removed"),
+        )
+    )
+
+
+def decontamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """The eval-suite-side view of ``ngram_decontaminate``: one row per
+    BENCHMARK document — how many corpus docs share at least one word
+    ``n``-gram with it, and how many (corpus_doc, gram) hits in total.
+    This is the report an eval owner reads to decide which benchmark
+    items are burned before trusting a score (the corpus-side flag says
+    what to drop; this side says which eval rows are compromised).
+
+    Scale shape: identical to ``ngram_decontaminate`` — the benchmark
+    gram table (bench_id, gram) is small and BROADCAST, the 100 TB
+    corpus side is a map-side hash probe, and the only shuffle is the
+    final aggregation on bench_id (keyspace = the eval suite, tiny).
+    Grams are per-doc DISTINCT on both sides, so "hits" counts
+    (corpus_doc, gram) pairs once each.
+    """
+    bench_grams = benchmark.select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    )
+    corpus_grams = corpus.select(
+        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_hit"),
+            F.count(F.lit(1)).alias("n_gram_hits"),
+        )
+    )
+    return (
+        benchmark.select(F.col("doc_id").alias("bench_id"))
+        .join(hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_docs_hit", F.lit(0)).alias("n_docs_hit"),
+            F.coalesce("n_gram_hits", F.lit(0)).alias("n_gram_hits"),
+            (F.coalesce("n_docs_hit", F.lit(0)) > 0).alias("compromised"),
+        )
+    )

@@ -66,3 +66,73 @@ def zorder_layout_stats(
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The WRITE-side closing step of a training-data pipeline: assign
+    every document a deterministic shard and emit the per-shard manifest
+    a downstream trainer consumes — row count, token count, id range and
+    an order-independent content fingerprint (so a re-run, a backfill,
+    or a second engine can verify shard-for-shard that it produced the
+    same data without comparing documents).
+
+    Shard = md5(id) mod ``shards`` — uniform and engine-portable, so the
+    layout has no skew and any system can recompute membership from the
+    id alone. Fingerprint = BIT_XOR of a 60-bit md5 of (id, text): XOR is
+    commutative/associative, so the fingerprint is independent of row
+    order and map-side combinable — each executor folds its partition
+    locally and the shuffle carries ``shards`` longs, nothing else.
+
+    Scale shape: ONE pass, one hash-aggregate on a uniform key with
+    ``shards`` groups; token counting is a codegen split/size, no
+    Python. Output: (shard_id, n_docs, total_tokens, min_id, max_id,
+    fingerprint).
+    """
+    from flink_helloworld_spark.operators.text import _words
+
+    sid = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % shards
+    ).cast("int")
+    doc_fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(":"), F.col(text_col)
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            sid.alias("shard_id"),
+            F.col(id_col).alias("_id"),
+            F.size(_words(F.col(text_col))).cast("long").alias("_tok"),
+            doc_fp.alias("_fp"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("total_tokens"),
+            F.min("_id").alias("min_id"),
+            F.max("_id").alias("max_id"),
+            F.bit_xor("_fp").alias("fingerprint"),
+        )
+    )

@@ -1079,3 +1079,129 @@ def test_bpe_encode_token_counts(spark):
     assert out[1].n_chars == 8 and out[2].n_chars == 2
     assert out[1].n_tokens == 2  # each 'aaaa' collapses to one token
     assert out[2].n_tokens == 1
+
+
+# --- cluster prune / contamination report / shard manifest / SQ8 -----------
+
+
+def test_cluster_prune_keeps_one_survivor_per_cluster(spark):
+    docs = _docs(
+        spark,
+        [
+            "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+            "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+            "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+            "totally unrelated words apple banana cherry date elderberry fig",
+        ],
+    )
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5).where("is_dup")
+    out = {r.doc_id: r for r in D.cluster_prune(docs, pairs).collect()}
+    assert set(out) == {0, 3}, "one survivor per cluster plus the singleton"
+    assert out[0].dups_removed == 2
+    assert out[3].dups_removed == 0
+    assert out[0].text.startswith("alpha")  # full doc row survives
+
+
+def test_cluster_prune_transitive_chain_single_survivor(spark):
+    # A~B and B~C but A!~C directly: closure must still collapse to one
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    b = a + " x1 x2"
+    c = b + " y1 y2 z1 z2 z3"
+    docs = _docs(spark, [a, b, c])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.dups_removed for r in D.cluster_prune(docs, pairs).collect()}
+    assert out == {0: 2}
+
+
+def test_decontamination_report_flags_burned_bench_rows(spark):
+    bench = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog",  # 5-grams shared below
+            "nothing here overlaps with anything in the training corpus at all",
+        ],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix the quick brown fox jumps over something", "en", "s", 1),
+            (11, "another copy the quick brown fox jumps too", "en", "s", 1),
+            (12, "clean document with fully original content words only", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.bench_id: r for r in D.decontamination_report(corpus, bench, n=5).collect()}
+    assert out[0].n_docs_hit == 2 and out[0].compromised
+    # doc10 shares 'the quick brown fox jumps'+'quick brown fox jumps over';
+    # doc11 shares only the first -> 3 (doc,gram) hits
+    assert out[0].n_gram_hits == 3
+    assert out[1].n_docs_hit == 0 and not out[1].compromised
+
+
+def test_shard_manifest_complete_and_order_invariant(spark):
+    from flink_helloworld_spark.operators import layout as L
+
+    docs = _docs(spark, [f"word{i} alpha beta gamma" for i in range(40)])
+    m1 = L.shard_manifest(docs, shards=4).collect()
+    assert sum(r.n_docs for r in m1) == 40
+    assert sum(r.total_tokens for r in m1) == 40 * 4
+    # fingerprint / membership identical under reshuffling row order
+    m2 = L.shard_manifest(docs.repartition(7), shards=4).collect()
+    as_map = lambda rows: {r.shard_id: (r.n_docs, r.total_tokens, r.fingerprint) for r in rows}  # noqa: E731
+    assert as_map(m1) == as_map(m2)
+    # dropping one doc changes exactly that doc's shard fingerprint
+    m3 = as_map(L.shard_manifest(docs.where("doc_id <> 0"), shards=4).collect())
+    changed = [s for s in as_map(m1) if as_map(m1)[s] != m3.get(s)]
+    assert len(changed) == 1
+
+
+def test_sq_quantize_codes_bounded_and_reconstruction_tight(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)] + [1.5])  # dim 9 constant
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.sq_quantize(emb, dims=9).collect()
+    for r in out:
+        assert all(0 <= c <= 255 for c in r.codes)
+        assert r.codes[8] == 0  # constant dim -> scale 0 -> code 0
+    # reconstruction error bounded by scale/2 per dimension
+    one = out[0]
+    orig = dict(rows)[one.id]
+    for d in range(8):
+        recon = one.mn[d] + one.codes[d] * one.scale[d]
+        assert abs(recon - orig[d]) <= one.scale[d] / 2 + 1e-12
+
+
+def test_sq_topk_preserves_ranking_on_separated_clusters(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        center = np.zeros(16)
+        center[i % 4 * 4] = 10.0  # four well-separated directions
+        rows.append((i, [float(x) for x in center + rng.normal(scale=0.05, size=16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = S.cosine_topk_exact_sharded(
+        emb, k=3, q_shards=2, c_shards=2,
+        queries_df=emb.where("vec_id % 7 = 0"),
+    ).collect()
+    sq = S.sq_cosine_topk(emb, k=3, dims=16, sample_mod=7).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    sq_sets = {}
+    for r in sq:
+        sq_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(sq_sets) == set(exact_sets)
+    # SQ8 noise reorders within-cluster near-ties (cosines ~0.9999 apart)
+    # but must never cross the inter-cluster separation: every neighbor
+    # stays in the query's own direction cluster, scores stay near 1
+    for q, nbrs in sq_sets.items():
+        assert all(n % 4 == q % 4 for n in nbrs), (q, nbrs)
+    assert all(r.cosine > 0.99 for r in sq)

@@ -411,3 +411,36 @@ def test_iterate_fixpoint_null_condition_rows_exit(spark):
     )
     rows = sorted((r.v if r.v is not None else -1) for r in out.collect())
     assert rows == [-1, 6, 7]
+
+
+def test_round5_new_ops_plan_contracts(spark, sf_dir):
+    from flink_helloworld_spark.operators import layout as L
+    from flink_helloworld_spark.operators import similarity as S
+
+    docs = load_tables(spark, sf_dir).documents
+    emb = load_tables(spark, sf_dir).embeddings
+
+    # contamination_report: benchmark gram table broadcast, corpus side
+    # probes map-side; only the tiny bench_id agg shuffles
+    rep = D.decontamination_report(
+        docs.where("doc_id % 20 <> 0"), docs.where("doc_id % 20 = 0"), n=5
+    )
+    plan = explain_str(rep, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+    # shard_manifest: ONE hash exchange (the shard_id agg) with map-side
+    # partials; everything else codegen projections
+    man = L.shard_manifest(docs, shards=16)
+    plan = explain_str(man, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+
+    # sq_quantize: stats ride as a broadcast 1-row crossJoin (no eager
+    # collect), coding is shuffle-free codegen
+    coded = S.sq_quantize(emb)
+    plan = explain_str(coded, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
