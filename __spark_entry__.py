@@ -1352,6 +1352,16 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_clusters(pairs)
 
 
+def _q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same components, adversarial-scale algorithm: alternating
+    # large-star/small-star contraction — O(log n) rounds vs
+    # O(diameter) for min-label propagation
+    pairs = D.minhash_dedup_pairs(load_tables(spark, sf_dir).documents).where(
+        "is_dup"
+    )
+    return D.duplicate_clusters_twostar(pairs)
+
+
 def _q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Flink SQL "Window Top-N": top-3 event types per tumbling day
     ev = load_tables(spark, sf_dir).events
@@ -1965,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracle.py before ship). Rotate again next round so
         # every query keeps accumulating fresh official rows.
         "dedup_cluster_prune": _q_dedup_cluster_prune,
+        "dedup_clusters_twostar": _q_dedup_clusters_twostar,
         "contamination_report": _q_contamination_report,
         "shard_manifest": _q_shard_manifest,
         "similarity_sq_topk": _q_similarity_sq_topk,
@@ -4565,6 +4576,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY i.product_name
         """,
     }
+    # two-star CC has the SAME output contract as min-label CC — the
+    # recursive-CTE oracle is algorithm-independent, so both queries
+    # share one definition (what's checked is the fixpoint, not the path)
+    d["dedup_clusters_twostar"] = d["dedup_clusters"]
     # recall@k composes the already-defined per-variant oracles: each
     # nests as a parenthesized WITH-subquery, so the ground truth and
     # every ANN variant replay EXACTLY the SQL their standalone rows are

@@ -1239,3 +1239,76 @@ def decontamination_report(
             (F.coalesce("n_docs_hit", F.lit(0)) > 0).alias("compromised"),
         )
     )
+
+
+def duplicate_clusters_twostar(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the adversarial-scale path ``duplicate_clusters``'s
+    docstring points at: min-label propagation needs O(diameter) rounds,
+    this contracts paths LOGARITHMICALLY, so a 100 TB crawl with freak
+    million-node chains (boilerplate rings, templated mirrors) still
+    converges in ~log n shuffles. Same output contract as
+    ``duplicate_clusters``: (doc_id, cluster_id = component min,
+    cluster_size) for every doc in a cluster of size >= 2.
+
+    Each round is two grouped aggregations + joins on node id (uniform
+    keys, map-side partials); edges keep the child>parent orientation
+    invariant, so convergence (the star forest: every node points at its
+    component minimum) is detected by an edge-set equality check on the
+    materialized round — driver sees two counts per round, never data.
+    """
+    e = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        # LARGE-STAR: every strictly-larger neighbor of u links to the
+        # minimum of u's closed neighborhood
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # SMALL-STAR: u's parents (all < u by orientation) re-link to
+        # their minimum; u links there too
+        pmin = ls.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (
+            ls.join(pmin, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        new_e = (
+            relink.unionByName(pmin.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        stable = new_e.count() == e.count() and new_e.exceptAll(e).isEmpty()
+        e = new_e
+        if stable:
+            break
+    from pyspark.sql import Window
+
+    members = e.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).unionByName(
+        e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+    ).distinct()
+    w = Window.partitionBy("cluster_id")
+    return members.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).cast("int").alias("cluster_size"),
+    )

@@ -319,3 +319,55 @@ def test_bm25_query_term_colliding_with_plan_column(spark):
     )
     got = {r.doc_id for r in bm25_search(docs, ("n", "data"), topn=3).collect()}
     assert 1 in got and 2 in got
+
+
+def test_twostar_matches_minlabel_on_chain_and_forest(spark):
+    from flink_helloworld_spark.operators import dedup as D
+
+    # long chain (adversarial for min-label: diameter = n) + a triangle
+    # + an isolated pair
+    chain = [(i, i + 1) for i in range(100, 140)]
+    tri = [(1, 2), (2, 3), (1, 3)]
+    pair = [(900, 901)]
+    pairs = spark.createDataFrame(chain + tri + pair, "doc_a long, doc_b long")
+    a = {(r.doc_id, r.cluster_id, r.cluster_size)
+         for r in D.duplicate_clusters(pairs, max_iters=50).collect()}
+    b = {(r.doc_id, r.cluster_id, r.cluster_size)
+         for r in D.duplicate_clusters_twostar(pairs).collect()}
+    assert a == b
+    assert (100, 100, 41) in b and (901, 900, 2) in b and (3, 1, 3) in b
+
+
+def test_twostar_random_graphs_match_union_find(spark):
+    import random
+
+    from flink_helloworld_spark.operators import dedup as D
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = sorted({
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randint(5, 80))
+        })
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        from collections import Counter
+
+        roots = {x: min(y for y in range(n) if find(y) == find(x))
+                 for x in range(n)}
+        touched = {u for e in edges for u in e}
+        sizes = Counter(roots[x] for x in touched)
+        expect = {(x, roots[x], sizes[roots[x]]) for x in touched}
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {(r.doc_id, r.cluster_id, r.cluster_size)
+               for r in D.duplicate_clusters_twostar(pairs).collect()}
+        assert got == expect, f"trial {trial}"
