@@ -93,33 +93,18 @@ def shard_manifest(
     Python. Output: (shard_id, n_docs, total_tokens, min_id, max_id,
     fingerprint).
     """
+    from flink_helloworld_spark.functions import md5_prefix_long
     from flink_helloworld_spark.operators.text import _words
 
     sid = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("shard:"), F.col(id_col).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_prefix_long(
+            F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
+        )
         % shards
     ).cast("int")
-    doc_fp = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col(id_col).cast("string"), F.lit(":"), F.col(text_col)
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    doc_fp = md5_prefix_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(text_col))
+    )
     return (
         docs.select(
             sid.alias("shard_id"),

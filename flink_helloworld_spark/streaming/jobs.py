@@ -340,3 +340,95 @@ def streaming_pretrain_front(
     return streaming_domain_cap(
         deduped.withColumn("seq", seq), cap=domain_cap
     )
+
+
+def streaming_shard_manifest_job(
+    stream: DataFrame,
+    shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``operators/layout.shard_manifest``: maintain
+    the per-shard manifest incrementally as documents arrive, emitting
+    the refreshed row for every shard a micro-batch touches.
+
+    This is the payoff of the manifest's algebra: counts and token sums
+    are additive, id bounds fold under min/max, and the content
+    fingerprint is a BIT_XOR — all associative + commutative, so state
+    is FIVE scalars per shard and the streaming manifest after any batch
+    sequence equals the batch operator over everything ingested so far
+    (asserted bit-identical in tests). A restart replays to the same
+    values from the checkpoint; a backfill engine can verify shard by
+    shard without reading documents.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from flink_helloworld_spark.functions import md5_prefix_long
+    from flink_helloworld_spark.operators.text import _words
+
+    out_schema = StructType(
+        [
+            StructField("shard_id", IntegerType()),
+            StructField("n_docs", LongType()),
+            StructField("total_tokens", LongType()),
+            StructField("min_id", LongType()),
+            StructField("max_id", LongType()),
+            StructField("fingerprint", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_docs", LongType()),
+            StructField("total_tokens", LongType()),
+            StructField("min_id", LongType()),
+            StructField("max_id", LongType()),
+            StructField("fingerprint", LongType()),
+        ]
+    )
+
+    def fn(key, batches, state: GroupState):
+        n, tok, lo, hi, fp = (
+            state.get if state.exists else (0, 0, None, None, 0)
+        )
+        for pdf in batches:
+            n += len(pdf)
+            tok += int(pdf["_tok"].sum())
+            bmin, bmax = int(pdf["_id"].min()), int(pdf["_id"].max())
+            lo = bmin if lo is None else min(lo, bmin)
+            hi = bmax if hi is None else max(hi, bmax)
+            for h in pdf["_fp"]:
+                fp ^= int(h)
+        state.update((n, tok, lo, hi, fp))
+        yield pd.DataFrame(
+            [
+                {
+                    "shard_id": key[0],
+                    "n_docs": n,
+                    "total_tokens": tok,
+                    "min_id": lo,
+                    "max_id": hi,
+                    "fingerprint": fp,
+                }
+            ]
+        )
+
+    sid = (
+        md5_prefix_long(
+            F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
+        )
+        % shards
+    ).cast("int")
+    doc_fp = md5_prefix_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(text_col))
+    )
+    tagged = stream.select(
+        sid.alias("shard_id"),
+        F.col(id_col).alias("_id"),
+        F.size(_words(F.col(text_col))).cast("long").alias("_tok"),
+        doc_fp.alias("_fp"),
+    )
+    return tagged.groupBy("shard_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -404,3 +404,49 @@ def test_streaming_classifier_gate_matches_batch_scores(spark):
     )
     rows = {r.doc_id: r for r in run_available_now(out, "clf_gate")}
     assert set(rows) == {1}  # the low-scoring doc never reached state
+
+
+def test_streaming_shard_manifest_matches_batch_recompute(spark):
+    """The manifest algebra is associative/commutative (adds, min/max,
+    XOR), so the streaming manifest after N micro-batches must equal the
+    batch operator over all ingested docs — bit-identical, including the
+    fingerprint."""
+    from flink_helloworld_spark.operators.layout import shard_manifest
+    from flink_helloworld_spark.streaming.jobs import streaming_shard_manifest_job
+
+    workdir = tempfile.mkdtemp(prefix="manifest-stream-")
+    batches = [
+        [(i, f"alpha beta doc number {i}") for i in range(0, 30)],
+        [(i, f"alpha beta doc number {i}") for i in range(30, 55)],
+        [(i, f"gamma delta doc {i} tail words") for i in range(55, 80)],
+    ]
+    t0 = time.time() - 30
+    for i, rows in enumerate(batches):
+        path = os.path.join(workdir, f"b{i:02d}.parquet")
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            path, index=False
+        )
+        os.utime(path, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(workdir)
+    )
+    out = run_available_now(
+        streaming_shard_manifest_job(stream, shards=4),
+        "manifest_stream",
+        output_mode="update",
+    )
+    final = {}
+    for r in out:  # update mode: last emission per shard wins
+        final[r.shard_id] = (
+            r.n_docs, r.total_tokens, r.min_id, r.max_id, r.fingerprint
+        )
+    all_rows = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(all_rows, "doc_id long, text string")
+    expect = {
+        r.shard_id: (r.n_docs, r.total_tokens, r.min_id, r.max_id, r.fingerprint)
+        for r in shard_manifest(batch_df, shards=4).collect()
+    }
+    assert final == expect
+    assert sum(v[0] for v in final.values()) == 80
