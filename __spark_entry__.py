@@ -248,6 +248,22 @@ def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontamination_report(corpus, benchmark, n=5)
 
 
+_MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.15, "src3": 0.05}
+_MIXTURE_BUDGET = 4000
+
+
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mixture feasibility sheet: per source, what the corpus can deliver
+    # against target weights + token budget (rates, achieved, deficits)
+    from flink_helloworld_spark.operators.sampling import mixture_plan
+
+    return mixture_plan(
+        load_tables(spark, sf_dir).documents,
+        _MIXTURE_WEIGHTS,
+        _MIXTURE_BUDGET,
+    )
+
+
 def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write-side closing step: deterministic md5 sharding + per-shard
     # manifest (docs, tokens, id range, XOR content fingerprint)
@@ -1965,10 +1981,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering contract: the driver's correctness gate checks only
         # the FIRST 50 entries. Round-5 rotation (staleness from the
-        # union of CORRECTNESS_r01-r04): the 8 brand-new queries
+        # union of CORRECTNESS_r01-r04): the 10 brand-new queries
         # (multimodal_wav_decode, similarity_ann_recall{,_sampled},
         # dedup_ngram_jaccard_capped, dedup_cluster_prune,
-        # contamination_report, shard_manifest, similarity_sq_topk),
+        # dedup_clusters_twostar, contamination_report, shard_manifest,
+        # mixture_plan, similarity_sq_topk),
         # all 34 queries whose newest official row is round 2, and the
         # oldest round-3 rows fill slot 50; round-3/4-checked queries
         # rotate to the back (locally re-verified via
@@ -1978,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_twostar": _q_dedup_clusters_twostar,
         "contamination_report": _q_contamination_report,
         "shard_manifest": _q_shard_manifest,
+        "mixture_plan": _q_mixture_plan,
         "similarity_sq_topk": _q_similarity_sq_topk,
         "multimodal_wav_decode": _q_multimodal_wav_decode,
         "similarity_ann_recall": _q_similarity_ann_recall,
@@ -3770,6 +3788,26 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN absorbed a ON d.doc_id = a.cluster_id
             WHERE d.doc_id NOT IN (
               SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+        """,
+        "mixture_plan": f"""
+            WITH t AS (SELECT source,
+                CAST(sum(len({_WS})) AS BIGINT) AS available_tokens
+              FROM documents GROUP BY source),
+            p AS (SELECT source, available_tokens,
+                CASE {' '.join(f"WHEN source = '{s}' THEN {w}" for s, w in _MIXTURE_WEIGHTS.items())}
+                     ELSE 0.0 END::DOUBLE * {float(_MIXTURE_BUDGET)}
+                  AS target_tokens
+              FROM t)
+            SELECT source, available_tokens, target_tokens,
+                   coalesce(least(1.0, target_tokens
+                     / nullif(available_tokens::DOUBLE, 0.0)), 0.0)
+                     AS sample_rate,
+                   least(target_tokens, available_tokens::DOUBLE)
+                     AS achieved_tokens,
+                   target_tokens
+                     - least(target_tokens, available_tokens::DOUBLE)
+                     AS deficit_tokens
+            FROM p
         """,
         "shard_manifest": f"""
             WITH t AS (SELECT

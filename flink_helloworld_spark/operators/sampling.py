@@ -180,3 +180,58 @@ def domain_cap(
         domain_col,
         F.row_number().over(w).alias("domain_rank"),
     ).withColumn("kept", F.col("domain_rank") <= cap)
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture FEASIBILITY planning: given target mixture weights and a
+    total token budget, report per source what the corpus can actually
+    deliver — available tokens, the target, the deterministic sampling
+    rate ``min(1, target/available)``, achieved tokens, and the deficit
+    when a source runs dry (the Pile/Dolma recipe-sheet math, computed
+    from the data instead of assumed).
+
+    Sources absent from ``weights`` get weight 0 (reported, not
+    sampled); a weighted source absent from the corpus simply yields no
+    row — the deficit for it is the full target, visible because
+    achieved < budget in the output sum.
+
+    Scale shape: ONE map-side-combinable aggregation over the corpus
+    (token counting is a codegen split/size) to a row per source —
+    driver never sees documents, and the plan output is small enough to
+    feed the actual samplers (``deterministic_sample`` rate per source,
+    or ``mixture_quota_sample`` after dividing by mean doc length).
+    """
+    from flink_helloworld_spark.operators.text import _words
+
+    w = F.lit(0.0)
+    for value, wt in weights.items():
+        w = F.when(F.col(strata_col) == value, F.lit(float(wt))).otherwise(w)
+    per_source = (
+        docs.select(
+            F.col(strata_col),
+            F.size(_words(F.col(text_col))).cast("long").alias("_tok"),
+        )
+        .groupBy(strata_col)
+        .agg(F.sum("_tok").alias("available_tokens"))
+    )
+    target = w * F.lit(float(budget_tokens))
+    rate = F.least(
+        F.lit(1.0),
+        target
+        / F.nullif(F.col("available_tokens").cast("double"), F.lit(0.0)),
+    )
+    achieved = F.least(target, F.col("available_tokens").cast("double"))
+    return per_source.select(
+        strata_col,
+        "available_tokens",
+        target.alias("target_tokens"),
+        F.coalesce(rate, F.lit(0.0)).alias("sample_rate"),
+        achieved.alias("achieved_tokens"),
+        (target - achieved).alias("deficit_tokens"),
+    )

@@ -1205,3 +1205,30 @@ def test_sq_topk_preserves_ranking_on_separated_clusters(spark):
     for q, nbrs in sq_sets.items():
         assert all(n % 4 == q % 4 for n in nbrs), (q, nbrs)
     assert all(r.cosine > 0.99 for r in sq)
+
+
+def test_mixture_plan_saturated_and_dry_sources(spark):
+    from flink_helloworld_spark.operators.sampling import mixture_plan
+
+    rows = []
+    for i in range(10):  # srcA: 10 docs x 4 tokens = 40 tokens
+        rows.append((i, "a b c d", "en", "srcA", 7))
+    for i in range(10, 12):  # srcB: 2 docs x 2 tokens = 4 tokens
+        rows.append((i, "x y", "en", "srcB", 3))
+    rows.append((20, "p q r", "en", "srcC", 5))  # unweighted source
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in mixture_plan(
+        docs, {"srcA": 0.5, "srcB": 0.5}, budget_tokens=20
+    ).collect()}
+    # srcA: target 10 of 40 available -> rate .25, no deficit
+    assert out["srcA"].available_tokens == 40
+    assert out["srcA"].sample_rate == 0.25
+    assert out["srcA"].deficit_tokens == 0.0
+    # srcB: target 10 of 4 available -> saturated, deficit 6
+    assert out["srcB"].sample_rate == 1.0
+    assert out["srcB"].achieved_tokens == 4.0
+    assert out["srcB"].deficit_tokens == 6.0
+    # srcC: weight 0 -> reported, nothing sampled
+    assert out["srcC"].target_tokens == 0.0 and out["srcC"].sample_rate == 0.0
