@@ -3799,9 +3799,10 @@ def oracle_sql() -> dict[str, str]:
                   AS target_tokens
               FROM t)
             SELECT source, available_tokens, target_tokens,
-                   coalesce(least(1.0, target_tokens
-                     / nullif(available_tokens::DOUBLE, 0.0)), 0.0)
-                     AS sample_rate,
+                   CASE WHEN available_tokens > 0
+                        THEN least(1.0, target_tokens
+                                        / available_tokens::DOUBLE)
+                        ELSE 0.0 END AS sample_rate,
                    least(target_tokens, available_tokens::DOUBLE)
                      AS achieved_tokens,
                    target_tokens

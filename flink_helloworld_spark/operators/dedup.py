@@ -1241,7 +1241,7 @@ def decontamination_report(
     )
 
 
-def duplicate_clusters_twostar(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def duplicate_clusters_twostar(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
     Beyond") — the adversarial-scale path ``duplicate_clusters``'s
@@ -1254,10 +1254,31 @@ def duplicate_clusters_twostar(pairs: DataFrame, max_iters: int = 20) -> DataFra
 
     Each round is two grouped aggregations + joins on node id (uniform
     keys, map-side partials); edges keep the child>parent orientation
-    invariant, so convergence (the star forest: every node points at its
-    component minimum) is detected by an edge-set equality check on the
-    materialized round — driver sees two counts per round, never data.
+    invariant. Convergence (the star forest: every node points at its
+    component minimum) is detected by an order-independent
+    (count, XOR-of-edge-hashes) checksum computed as ONE small aggregate
+    scan of each materialized round — edge sets are distinct, so equal
+    checksums mean equal sets (modulo a ~2^-60 collision) without the
+    old-vs-new anti-join shuffle; the driver sees two scalars per round,
+    never data. ``max_iters=64`` covers any graph a 64-bit id space can
+    hold (rounds needed ≈ log2(longest path)); if the cap is somehow
+    exhausted the function RAISES rather than returning the structurally
+    invalid multi-membership rows an unconverged edge set would yield —
+    the members derivation below is only correct at the fixpoint.
     """
+    from flink_helloworld_spark.functions import md5_prefix_long
+
+    def _checksum(edges: DataFrame) -> tuple:
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                md5_prefix_long(
+                    F.concat_ws(":", F.col("u"), F.col("v"))
+                )
+            ).alias("x"),
+        ).collect()[0]
+        return (row.n, row.x)
+
     e = (
         pairs.select(
             F.greatest("doc_a", "doc_b").alias("u"),
@@ -1267,6 +1288,8 @@ def duplicate_clusters_twostar(pairs: DataFrame, max_iters: int = 20) -> DataFra
         .distinct()
         .localCheckpoint(eager=False)
     )
+    prev_sum = _checksum(e)
+    converged = False
     for _ in range(max_iters):
         # LARGE-STAR: every strictly-larger neighbor of u links to the
         # minimum of u's closed neighborhood
@@ -1295,10 +1318,19 @@ def duplicate_clusters_twostar(pairs: DataFrame, max_iters: int = 20) -> DataFra
             .distinct()
             .localCheckpoint(eager=True)
         )
-        stable = new_e.count() == e.count() and new_e.exceptAll(e).isEmpty()
+        new_sum = _checksum(new_e)
+        stable = new_sum == prev_sum
+        prev_sum = new_sum
         e = new_e
         if stable:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"two-star contraction did not converge in {max_iters} rounds "
+            "— refusing to emit an unconverged (structurally invalid) "
+            "edge set; raise max_iters"
+        )
     from pyspark.sql import Window
 
     members = e.select(

@@ -68,6 +68,38 @@ def zorder_layout_stats(
     )
 
 
+def shard_tagged(
+    docs: DataFrame,
+    shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ONE definition of the manifest hash recipe, shared by the
+    batch operator and its streaming twin (their contract is a
+    bit-identical manifest, so the shard key, token rule, and
+    fingerprint input must never drift apart): (shard_id, _id, _tok,
+    _fp) per document, where shard_id = md5('shard:'||id) mod shards
+    and _fp = 60-bit md5 of 'id:text'."""
+    from flink_helloworld_spark.functions import md5_prefix_long
+    from flink_helloworld_spark.operators.text import _words
+
+    sid = (
+        md5_prefix_long(
+            F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
+        )
+        % shards
+    ).cast("int")
+    doc_fp = md5_prefix_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(text_col))
+    )
+    return docs.select(
+        sid.alias("shard_id"),
+        F.col(id_col).alias("_id"),
+        F.size(_words(F.col(text_col))).cast("long").alias("_tok"),
+        doc_fp.alias("_fp"),
+    )
+
+
 def shard_manifest(
     docs: DataFrame,
     shards: int = 16,
@@ -93,25 +125,8 @@ def shard_manifest(
     Python. Output: (shard_id, n_docs, total_tokens, min_id, max_id,
     fingerprint).
     """
-    from flink_helloworld_spark.functions import md5_prefix_long
-    from flink_helloworld_spark.operators.text import _words
-
-    sid = (
-        md5_prefix_long(
-            F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
-        )
-        % shards
-    ).cast("int")
-    doc_fp = md5_prefix_long(
-        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(text_col))
-    )
     return (
-        docs.select(
-            sid.alias("shard_id"),
-            F.col(id_col).alias("_id"),
-            F.size(_words(F.col(text_col))).cast("long").alias("_tok"),
-            doc_fp.alias("_fp"),
-        )
+        shard_tagged(docs, shards, text_col=text_col, id_col=id_col)
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -221,17 +221,22 @@ def mixture_plan(
         .agg(F.sum("_tok").alias("available_tokens"))
     )
     target = w * F.lit(float(budget_tokens))
-    rate = F.least(
-        F.lit(1.0),
-        target
-        / F.nullif(F.col("available_tokens").cast("double"), F.lit(0.0)),
-    )
+    # guard BEFORE least(): Spark's least() SKIPS nulls, so feeding it
+    # the nullif-ed division would report rate 1.0 for a source with
+    # zero available tokens instead of "nothing to sample"
+    rate = F.when(
+        F.col("available_tokens") > 0,
+        F.least(
+            F.lit(1.0),
+            target / F.col("available_tokens").cast("double"),
+        ),
+    ).otherwise(F.lit(0.0))
     achieved = F.least(target, F.col("available_tokens").cast("double"))
     return per_source.select(
         strata_col,
         "available_tokens",
         target.alias("target_tokens"),
-        F.coalesce(rate, F.lit(0.0)).alias("sample_rate"),
+        rate.alias("sample_rate"),
         achieved.alias("achieved_tokens"),
         (target - achieved).alias("deficit_tokens"),
     )

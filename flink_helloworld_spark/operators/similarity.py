@@ -1328,6 +1328,8 @@ def sq_cosine_topk(
     table is what you'd persist; reconstruction happens inside the
     scoring task.
     """
+    import math
+
     coded = sq_quantize(emb, dims=dims, id_col=id_col, vec_col=vec_col)
     recon = coded.select(
         F.col("id").alias(id_col),
@@ -1339,9 +1341,15 @@ def sq_cosine_topk(
     queries_df = emb.where(F.col(id_col) % sample_mod == 0).select(
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
     )
+    # autosize the blocks from the RAW table count (cheap metadata scan):
+    # letting the kernel count `recon` would execute the whole
+    # quantize+reconstruct pipeline once extra just to size shards
+    shards = max(8, math.ceil(emb.count() / 256))
     return cosine_topk_exact_sharded(
         recon,
         k=k,
+        q_shards=shards,
+        c_shards=shards,
         id_col=id_col,
         vec_col=vec_col,
         round_dp=round_dp,

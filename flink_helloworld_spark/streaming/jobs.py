@@ -365,9 +365,6 @@ def streaming_shard_manifest_job(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-    from flink_helloworld_spark.functions import md5_prefix_long
-    from flink_helloworld_spark.operators.text import _words
-
     out_schema = StructType(
         [
             StructField("shard_id", IntegerType()),
@@ -393,12 +390,17 @@ def streaming_shard_manifest_job(
             state.get if state.exists else (0, 0, None, None, 0)
         )
         for pdf in batches:
+            # null tolerance mirrors the batch aggregate EXACTLY:
+            # count(*) counts every row, sum/min/max/bit_xor SKIP nulls
+            # (pandas renders a null in these long columns as NaN)
             n += len(pdf)
-            tok += int(pdf["_tok"].sum())
-            bmin, bmax = int(pdf["_id"].min()), int(pdf["_id"].max())
-            lo = bmin if lo is None else min(lo, bmin)
-            hi = bmax if hi is None else max(hi, bmax)
-            for h in pdf["_fp"]:
+            tok += int(pdf["_tok"].dropna().sum())
+            ids = pdf["_id"].dropna()
+            if len(ids):
+                bmin, bmax = int(ids.min()), int(ids.max())
+                lo = bmin if lo is None else min(lo, bmin)
+                hi = bmax if hi is None else max(hi, bmax)
+            for h in pdf["_fp"].dropna():
                 fp ^= int(h)
         state.update((n, tok, lo, hi, fp))
         yield pd.DataFrame(
@@ -414,21 +416,9 @@ def streaming_shard_manifest_job(
             ]
         )
 
-    sid = (
-        md5_prefix_long(
-            F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
-        )
-        % shards
-    ).cast("int")
-    doc_fp = md5_prefix_long(
-        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(text_col))
-    )
-    tagged = stream.select(
-        sid.alias("shard_id"),
-        F.col(id_col).alias("_id"),
-        F.size(_words(F.col(text_col))).cast("long").alias("_tok"),
-        doc_fp.alias("_fp"),
-    )
+    from flink_helloworld_spark.operators.layout import shard_tagged
+
+    tagged = shard_tagged(stream, shards, text_col=text_col, id_col=id_col)
     return tagged.groupBy("shard_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

@@ -1232,3 +1232,21 @@ def test_mixture_plan_saturated_and_dry_sources(spark):
     assert out["srcB"].deficit_tokens == 6.0
     # srcC: weight 0 -> reported, nothing sampled
     assert out["srcC"].target_tokens == 0.0 and out["srcC"].sample_rate == 0.0
+
+
+def test_mixture_plan_zero_available_source_rate_zero(spark):
+    # review finding: Spark's least() skips NULLs, so the rate for a
+    # weighted source with 0 available tokens must be guarded to 0.0
+    from flink_helloworld_spark.operators.sampling import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d", "en", "srcA", 7), (1, "   ", "en", "srcEmpty", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.source: r for r in mixture_plan(
+        docs, {"srcA": 0.5, "srcEmpty": 0.5}, budget_tokens=8
+    ).collect()}
+    assert out["srcEmpty"].available_tokens == 0
+    assert out["srcEmpty"].sample_rate == 0.0
+    assert out["srcEmpty"].deficit_tokens == 4.0
+    assert out["srcA"].sample_rate == 1.0  # target 4 = available 4

@@ -371,3 +371,22 @@ def test_twostar_random_graphs_match_union_find(spark):
         got = {(r.doc_id, r.cluster_id, r.cluster_size)
                for r in D.duplicate_clusters_twostar(pairs).collect()}
         assert got == expect, f"trial {trial}"
+
+
+def test_twostar_raises_rather_than_emitting_unconverged_state(spark):
+    # review finding: an exhausted round cap must raise — the members
+    # derivation is only valid at the fixpoint, and truncation produced
+    # structurally invalid multi-membership rows
+    import pytest
+
+    from flink_helloworld_spark.operators import dedup as D
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.duplicate_clusters_twostar(chain, max_iters=2)
+    # and the default cap converges fine on the same graph
+    out = D.duplicate_clusters_twostar(chain).collect()
+    assert all(r.cluster_id == 0 and r.cluster_size == 51 for r in out)
+    assert len(out) == 51
