@@ -622,3 +622,69 @@ def test_pretrain_front_classifier_gate_fuzz_matches_batch_scores(spark, seed):
         assert dropped_by_clf
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_streaming_manifest_equals_batch_for_random_docs_and_splits(spark):
+    """PROPERTY: for random documents (including empty/whitespace text
+    and skewed ids) under a random partition into micro-batches, the
+    streaming shard manifest equals the batch recompute bit-for-bit —
+    the manifest algebra (add / min / max / XOR) has no order or
+    batching dependence."""
+    import random
+
+    from flink_helloworld_spark.operators.layout import shard_manifest
+    from flink_helloworld_spark.streaming.jobs import (
+        streaming_shard_manifest_job,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", ""]
+    for seed in range(5):
+        rng = random.Random(1000 + seed)
+        n = rng.randint(20, 120)
+        rows = [
+            (
+                rng.randint(0, 10**9),
+                " ".join(rng.choice(words) for _ in range(rng.randint(0, 12))),
+            )
+            for _ in range(n)
+        ]
+        # random batch split: 1..6 batches, arbitrary sizes
+        cuts = sorted(rng.sample(range(1, n), rng.randint(0, min(5, n - 1))))
+        batches, prev = [], 0
+        for c in cuts + [n]:
+            batches.append(rows[prev:c])
+            prev = c
+        workdir = tempfile.mkdtemp(prefix=f"manifest-fuzz-{seed}-")
+        try:
+            t0 = _time.time() - 60
+            for i, b in enumerate(batches):
+                path = os.path.join(workdir, f"b{i:02d}.parquet")
+                pd.DataFrame(b, columns=["doc_id", "text"]).to_parquet(
+                    path, index=False
+                )
+                os.utime(path, (t0 + i, t0 + i))
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(workdir)
+            )
+            out = run_available_now(
+                streaming_shard_manifest_job(stream, shards=4),
+                f"manifest_fuzz_{seed}",
+                output_mode="update",
+            )
+            final = {}
+            for r in out:
+                final[r.shard_id] = (
+                    r.n_docs, r.total_tokens, r.min_id, r.max_id, r.fingerprint
+                )
+            batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+            expect = {
+                r.shard_id: (
+                    r.n_docs, r.total_tokens, r.min_id, r.max_id, r.fingerprint
+                )
+                for r in shard_manifest(batch_df, shards=4).collect()
+            }
+            assert final == expect, f"seed {seed}"
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
