@@ -417,6 +417,108 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
 # --- blocked n-gram Jaccard (no minhash) ------------------------------------
 
 
+def _collapse_shingle_sets(
+    docs: DataFrame,
+    text_col: str,
+    shingle_n: int,
+    block_col: str | None = None,
+    with_m: bool = False,
+):
+    """The ONE definition of the identical-set collapse every
+    pair-generating dedup operator builds on (review: this scaffolding
+    was triplicated across the Jaccard pair ops and containment, a drift
+    hazard on the `_seth` serialization and rep tie-break).
+
+    Shingles each doc ONCE (word filter runs on the cheap materialized
+    split, not the shingle expression), collapses identical shingle SETS
+    to one representative (min doc_id) keyed by ``_seth`` = md5 of the
+    deterministic shingle order, and returns ``(members, reps, keys)``:
+    members = (keys..., doc_id) for the expansion joins back to
+    documents, reps = (keys..., rep, [_m group size], sh) for the
+    set-level work, keys = the group key columns ([blk] + _seth). Both
+    tables are ``share``d — every downstream branch reads the cache, so
+    the corpus-wide shingling (the linear term that dominates at 10×)
+    runs once per plan."""
+    from pyspark.sql import Window
+
+    cols = [F.col("doc_id")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("blk"))
+    base = share(
+        docs.select(*cols, _words(F.col(text_col)).alias("ws"))
+        .where(F.size("ws") >= shingle_n)
+        .withColumn("sh", shingles_from_words(F.col("ws"), shingle_n))
+        .drop("ws")
+        .withColumn("_seth", F.md5(F.concat_ws("\x1f", "sh")))
+    )
+    keys = (["blk"] if block_col is not None else []) + ["_seth"]
+    members = base.select(*keys, "doc_id")
+    w_grp = Window.partitionBy(*keys)
+    rep_cols = [*keys, F.col("doc_id").alias("rep")]
+    if with_m:
+        rep_cols.append(F.col("_m"))
+    rep_cols.append(F.col("sh"))
+    reps = share(
+        base.withColumn("_rep", F.min("doc_id").over(w_grp))
+        .withColumn("_m", F.count(F.lit(1)).over(w_grp))
+        .where(F.col("doc_id") == F.col("_rep"))
+        .select(*rep_cols)
+    )
+    return members, reps, keys
+
+
+def _expand_cross_pairs(
+    set_pairs: DataFrame, members: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Join set-LEVEL matched pairs back to member documents: set_pairs
+    carries the group keys suffixed _a/_b (``_blk`` for the block key)
+    plus its value columns; the result carries (_ida, _idb) per member
+    pair with the value columns untouched. Output-proportional work —
+    the joins run on the tiny matched-pair table, never the corpus."""
+    blk_keys = ["_blk"] if "blk" in keys else []
+    blk_cols = [F.col("blk").alias("_blk")] if blk_keys else []
+    a_side = members.select(
+        *blk_cols,
+        F.col("_seth").alias("_seth_a"),
+        F.col("doc_id").alias("_ida"),
+    )
+    b_side = members.select(
+        *blk_cols,
+        F.col("_seth").alias("_seth_b"),
+        F.col("doc_id").alias("_idb"),
+    )
+    return set_pairs.join(a_side, blk_keys + ["_seth_a"]).join(
+        b_side, blk_keys + ["_seth_b"]
+    )
+
+
+def _within_group_pairs(
+    members: DataFrame, keys: list[str], gate: DataFrame | None = None
+) -> DataFrame:
+    """All ordered (doc_a < doc_b) member pairs within each
+    identical-set group — these match by IDENTITY (jaccard 1.0, mutual
+    containment), no candidate re-check. ``gate`` optionally restricts
+    to groups (same key columns) that satisfied the operator's candidate
+    rule, so capped variants stay faithful to their per-document
+    contract."""
+    cond = (F.col("m1._seth") == F.col("m2._seth")) & (
+        F.col("m1.doc_id") < F.col("m2.doc_id")
+    )
+    if "blk" in keys:
+        cond = (F.col("m1.blk") == F.col("m2.blk")) & cond
+    pairs = members.alias("m1").join(members.alias("m2"), cond)
+    if gate is not None:
+        gcond = F.col("m1._seth") == F.col("_g_seth")
+        gsel = [F.col("_seth").alias("_g_seth")]
+        if "blk" in keys:
+            gcond = (F.col("m1.blk") == F.col("_g_blk")) & gcond
+            gsel.insert(0, F.col("blk").alias("_g_blk"))
+        pairs = pairs.join(gate.select(*gsel), gcond)
+    return pairs.select(
+        F.col("m1.doc_id").alias("doc_a"), F.col("m2.doc_id").alias("doc_b")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -446,24 +548,8 @@ def ngram_jaccard_pairs(
     of the minhash banding knob; `ngram_jaccard_pairs_capped` is the
     bounded-cost contract when that density is also adversarial.
     """
-    from pyspark.sql import Window
-
-    base = share(
-        docs.select(
-            F.col("doc_id"),
-            F.col(block_col).alias("blk"),
-            shingles(F.col(text_col), shingle_n).alias("sh"),
-        )
-        .where(F.size("sh") > 0)
-        .withColumn("_seth", F.md5(F.concat_ws("\x1f", "sh")))
-    )
-    members = base.select("blk", "_seth", "doc_id")
-    w_grp = Window.partitionBy("blk", "_seth")
-    reps = share(
-        base.withColumn("_rep", F.min("doc_id").over(w_grp))
-        .withColumn("_m", F.count(F.lit(1)).over(w_grp))
-        .where(F.col("doc_id") == F.col("_rep"))
-        .select("blk", "_seth", F.col("doc_id").alias("rep"), "sh")
+    members, reps, keys = _collapse_shingle_sets(
+        docs, text_col, shingle_n, block_col=block_col
     )
     sizes = reps.select("rep", F.size("sh").alias("n"))
     ex = reps.select("blk", "_seth", "rep", F.explode("sh").alias("s"))
@@ -501,44 +587,15 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    cross = (
-        set_pairs.join(
-            members.select(
-                F.col("blk").alias("_blk"),
-                F.col("_seth").alias("_seth_a"),
-                F.col("doc_id").alias("_ida"),
-            ),
-            ["_blk", "_seth_a"],
-        )
-        .join(
-            members.select(
-                F.col("blk").alias("_blk"),
-                F.col("_seth").alias("_seth_b"),
-                F.col("doc_id").alias("_idb"),
-            ),
-            ["_blk", "_seth_b"],
-        )
-        .select(
-            F.least("_ida", "_idb").alias("doc_a"),
-            F.greatest("_ida", "_idb").alias("doc_b"),
-            "jaccard",
-        )
+    cross = _expand_cross_pairs(set_pairs, members, keys).select(
+        F.least("_ida", "_idb").alias("doc_a"),
+        F.greatest("_ida", "_idb").alias("doc_b"),
+        "jaccard",
     )
     # identical non-empty sets always share every shingle: jaccard 1.0,
     # no candidate condition to re-check
-    within = (
-        members.alias("m1")
-        .join(
-            members.alias("m2"),
-            (F.col("m1.blk") == F.col("m2.blk"))
-            & (F.col("m1._seth") == F.col("m2._seth"))
-            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
-        )
-        .select(
-            F.col("m1.doc_id").alias("doc_a"),
-            F.col("m2.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
+    within = _within_group_pairs(members, keys).withColumn(
+        "jaccard", F.lit(1.0)
     )
     return cross.unionByName(within)
 
@@ -589,25 +646,8 @@ def ngram_jaccard_pairs_capped(
     """
     from pyspark.sql import Window
 
-    # shingle every doc ONCE and persist: members, the rep table, and the
-    # expansion joins all read this cache (a re-derivation would repeat
-    # the corpus-wide shingling — the linear term that dominates at 10×)
-    base = share(
-        docs.select(
-            F.col("doc_id"),
-            F.col(block_col).alias("blk"),
-            shingles(F.col(text_col), shingle_n).alias("sh"),
-        )
-        .where(F.size("sh") > 0)
-        .withColumn("_seth", F.md5(F.concat_ws("\x1f", "sh")))
-    )
-    members = base.select("blk", "_seth", "doc_id")
-    w_grp = Window.partitionBy("blk", "_seth")
-    reps = share(
-        base.withColumn("_rep", F.min("doc_id").over(w_grp))
-        .withColumn("_m", F.count(F.lit(1)).over(w_grp))
-        .where(F.col("doc_id") == F.col("_rep"))
-        .select("blk", "_seth", F.col("doc_id").alias("rep"), "_m", "sh")
+    members, reps, keys = _collapse_shingle_sets(
+        docs, text_col, shingle_n, block_col=block_col, with_m=True
     )
     ex = reps.select("blk", "_seth", "rep", "_m", F.explode("sh").alias("s"))
     w_df = Window.partitionBy("blk", "s")
@@ -697,50 +737,16 @@ def ngram_jaccard_pairs_capped(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    cross = (
-        set_pairs.join(
-            members.select(
-                F.col("blk").alias("_blk"),
-                F.col("_seth").alias("_seth_a"),
-                F.col("doc_id").alias("_ida"),
-            ),
-            ["_blk", "_seth_a"],
-        )
-        .join(
-            members.select(
-                F.col("blk").alias("_blk"),
-                F.col("_seth").alias("_seth_b"),
-                F.col("doc_id").alias("_idb"),
-            ),
-            ["_blk", "_seth_b"],
-        )
-        .select(
-            F.least("_ida", "_idb").alias("doc_a"),
-            F.greatest("_ida", "_idb").alias("doc_b"),
-            "jaccard",
-        )
+    cross = _expand_cross_pairs(set_pairs, members, keys).select(
+        F.least("_ida", "_idb").alias("doc_a"),
+        F.greatest("_ida", "_idb").alias("doc_b"),
+        "jaccard",
     )
-    within = (
-        members.alias("m1")
-        .join(
-            members.alias("m2"),
-            (F.col("m1.blk") == F.col("m2.blk"))
-            & (F.col("m1._seth") == F.col("m2._seth"))
-            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
-        )
-        .join(
-            stats.where(F.col("_nr") > 0).select(
-                F.col("blk").alias("_sblk"), F.col("_seth").alias("_sseth")
-            ),
-            (F.col("m1.blk") == F.col("_sblk"))
-            & (F.col("m1._seth") == F.col("_sseth")),
-        )
-        .select(
-            F.col("m1.doc_id").alias("doc_a"),
-            F.col("m2.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
+    # identity matches, gated on the per-document candidate rule: the
+    # group's set must hold >= 1 rare shingle
+    within = _within_group_pairs(
+        members, keys, gate=stats.where(F.col("_nr") > 0)
+    ).withColumn("jaccard", F.lit(1.0))
     return cross.unionByName(within)
 
 
@@ -927,18 +933,8 @@ def containment_pairs(
     """
     from pyspark.sql import Window
 
-    base = share(
-        shingle_table(docs, text_col, shingle_n).withColumn(
-            "_seth", F.md5(F.concat_ws("\x1f", "sh"))
-        )
-    )
-    members = base.select("_seth", "doc_id")
-    w_grp = Window.partitionBy("_seth")
-    reps = share(
-        base.withColumn("_rep", F.min("doc_id").over(w_grp))
-        .withColumn("_m", F.count(F.lit(1)).over(w_grp))
-        .where(F.col("doc_id") == F.col("_rep"))
-        .select("_seth", F.col("doc_id").alias("rep"), "_m", "sh")
+    members, reps, keys = _collapse_shingle_sets(
+        docs, text_col, shingle_n, with_m=True
     )
     buckets = _buckets_from_shingles(
         reps.select(F.col("rep").alias("doc_id"), "sh"), num_hashes, bands
@@ -997,51 +993,25 @@ def containment_pairs(
         )
         .where((F.col("_cab") >= threshold) | (F.col("_cba") >= threshold))
     )
-    cross = (
-        set_pairs.join(
-            members.select(
-                F.col("_seth").alias("_seth_a"), F.col("doc_id").alias("_ida")
-            ),
-            "_seth_a",
-        )
-        .join(
-            members.select(
-                F.col("_seth").alias("_seth_b"), F.col("doc_id").alias("_idb")
-            ),
-            "_seth_b",
-        )
-        .select(
-            F.least("_ida", "_idb").alias("doc_a"),
-            F.greatest("_ida", "_idb").alias("doc_b"),
-            # asymmetric values follow the id order of the emitted pair
-            F.when(F.col("_ida") < F.col("_idb"), F.col("_cab"))
-            .otherwise(F.col("_cba"))
-            .alias("containment_a_in_b"),
-            F.when(F.col("_ida") < F.col("_idb"), F.col("_cba"))
-            .otherwise(F.col("_cab"))
-            .alias("containment_b_in_a"),
-        )
+    cross = _expand_cross_pairs(set_pairs, members, keys).select(
+        F.least("_ida", "_idb").alias("doc_a"),
+        F.greatest("_ida", "_idb").alias("doc_b"),
+        # asymmetric values follow the id order of the emitted pair
+        F.when(F.col("_ida") < F.col("_idb"), F.col("_cab"))
+        .otherwise(F.col("_cba"))
+        .alias("containment_a_in_b"),
+        F.when(F.col("_ida") < F.col("_idb"), F.col("_cba"))
+        .otherwise(F.col("_cab"))
+        .alias("containment_b_in_a"),
     )
     # identical sets: 1.0/1.0 containment; candidate rule = the group's
     # buckets survived the cap (any one band suffices)
-    small_groups = buckets.select("_seth").distinct()
     within = (
-        members.alias("m1")
-        .join(
-            members.alias("m2"),
-            (F.col("m1._seth") == F.col("m2._seth"))
-            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+        _within_group_pairs(
+            members, keys, gate=buckets.select("_seth").distinct()
         )
-        .join(
-            small_groups.select(F.col("_seth").alias("_sg")),
-            F.col("m1._seth") == F.col("_sg"),
-        )
-        .select(
-            F.col("m1.doc_id").alias("doc_a"),
-            F.col("m2.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("containment_a_in_b"),
-            F.lit(1.0).alias("containment_b_in_a"),
-        )
+        .withColumn("containment_a_in_b", F.lit(1.0))
+        .withColumn("containment_b_in_a", F.lit(1.0))
     )
     return cross.unionByName(within)
 

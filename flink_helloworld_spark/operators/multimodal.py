@@ -741,6 +741,11 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int] | None:
         return None
     if sampwidth != 2 or nch < 1:
         return None
+    if len(frames) % 2 or len(frames) != nf * nch * 2:
+        # data chunk cut mid-frame (wave.open accepts it; unpack would
+        # raise struct.error OUTSIDE the except above and poison the
+        # whole Arrow batch) — corrupt, same contract as a bad header
+        return None
     vals = struct.unpack(f"<{len(frames) // 2}h", frames)
     duration_ms = nf * 1000 // rate if rate else 0
     if vals:

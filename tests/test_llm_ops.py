@@ -1250,3 +1250,28 @@ def test_mixture_plan_zero_available_source_rate_zero(spark):
     assert out["srcEmpty"].sample_rate == 0.0
     assert out["srcEmpty"].deficit_tokens == 4.0
     assert out["srcA"].sample_rate == 1.0  # target 4 = available 4
+
+
+def test_wav_decode_truncated_payload_flags_corrupt_not_crash(spark):
+    # review finding: a data chunk cut mid-frame passes wave.open but
+    # made struct.unpack raise OUTSIDE the except, killing the batch
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x01\x02\x03\x04\x05\x06\x07\x08")
+    good = buf.getvalue()
+    cases = [good, good[:-1], good[:-3], b"RIFFgarbage", b""]
+    media = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(cases)], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in MM.decode_wav_features(media).collect()}
+    assert out[0].decode_ok and out[0].n_frames == 4
+    assert out[0].sample_rate == 8000
+    for i in (1, 2, 3, 4):
+        assert not out[i].decode_ok, f"case {i} must flag corrupt"
+        assert out[i].rms_q == 0

@@ -432,9 +432,13 @@ def _front_corpus(rng, n_domains, docs_per_domain=(3, 7)):
     """Random corpus for the pretrain front-end: per doc a style drawn
     from {good, too-short, bad-mean-length, duplicate-of-earlier}. Times
     are strictly increasing seconds so arrival order == event order, and
-    duplicates always copy a doc at least one file-chunk back so a
+    duplicates always copy a doc at least 101 rows back while
+    _write_front_files ASSERTS its file chunks hold <= 100 rows — so a
     duplicate never shares a micro-batch with its original (within-batch
-    dedup keep-order is unspecified; cross-batch it is first-wins)."""
+    dedup keep-order is unspecified; cross-batch it is first-wins). The
+    pairing is load-bearing: review found the old distance (41) could
+    land inside a 42-59-row chunk, making the sequential model's
+    first-wins assumption silently seed-dependent."""
     good_words = [
         "the", "quick", "brown", "jumps", "window", "stream",
         "little", "castle", "over", "dog", "fox", "apple",
@@ -444,8 +448,8 @@ def _front_corpus(rng, n_domains, docs_per_domain=(3, 7)):
         for _ in range(rng.randint(*docs_per_domain)):
             i = len(rows)
             style = rng.random()
-            if style < 0.15 and i > 40:
-                text = rows[rng.randrange(0, i - 40)][2]  # duplicate
+            if style < 0.15 and i > 100:
+                text = rows[rng.randrange(0, i - 100)][2]  # duplicate
             elif style < 0.35:
                 text = " ".join(rng.choice("ab") for _ in range(rng.randint(5, 9)))
             elif style < 0.45:
@@ -461,6 +465,9 @@ def _front_corpus(rng, n_domains, docs_per_domain=(3, 7)):
 def _write_front_files(rows, workdir, n_files=6):
     base = pd.Timestamp("2026-01-01 10:00:00")
     chunk = (len(rows) + n_files - 1) // n_files
+    # keep the cross-batch guarantee of _front_corpus's 101-row
+    # duplicate distance honest: grow n_files, not chunk size
+    assert chunk <= 100, f"chunk {chunk} breaks the duplicate-distance pact"
     t0 = _time.time() - 120
     for fi in range(n_files):
         part = rows[fi * chunk : (fi + 1) * chunk]
