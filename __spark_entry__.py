@@ -927,6 +927,34 @@ def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(load_tables(spark, sf_dir).documents)
 
 
+def _q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-rule ablation + cumulative-survivor funnel over the Gopher set
+    from flink_helloworld_spark.operators.text import filter_funnel
+
+    return filter_funnel(load_tables(spark, sf_dir).documents)
+
+
+def _q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MOSS winnowing: windowed-min k-gram hashes, local-coverage guarantee
+    from flink_helloworld_spark.operators.text import winnowing_fingerprint
+
+    return winnowing_fingerprint(load_tables(spark, sf_dir).documents)
+
+
+def _q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-document segment dedup REWRITE (CCNet paragraph-dedup shape)
+    from flink_helloworld_spark.operators.dedup import boilerplate_scrub
+
+    return boilerplate_scrub(load_tables(spark, sf_dir).documents)
+
+
+def _q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-label norm/dims audit gating the ANN index builds
+    from flink_helloworld_spark.operators.similarity import embedding_audit
+
+    return embedding_audit(load_tables(spark, sf_dir).embeddings)
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-source document cap by deterministic md5 order — the mixture
     # guard against one crawl source flooding the corpus
@@ -1981,16 +2009,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering contract: the driver's correctness gate checks only
         # the FIRST 50 entries. Round-5 rotation (staleness from the
-        # union of CORRECTNESS_r01-r04): the 10 brand-new queries
-        # (multimodal_wav_decode, similarity_ann_recall{,_sampled},
-        # dedup_ngram_jaccard_capped, dedup_cluster_prune,
-        # dedup_clusters_twostar, contamination_report, shard_manifest,
-        # mixture_plan, similarity_sq_topk),
-        # all 34 queries whose newest official row is round 2, and the
-        # oldest round-3 rows fill slot 50; round-3/4-checked queries
-        # rotate to the back (locally re-verified via
-        # tools/check_oracle.py before ship). Rotate again next round so
-        # every query keeps accumulating fresh official rows.
+        # union of CORRECTNESS_r01-r04): the 14 brand-new queries first
+        # (boilerplate_scrub, filter_funnel, winnowing_fingerprint,
+        # embedding_audit, multimodal_wav_decode,
+        # similarity_ann_recall{,_sampled}, dedup_ngram_jaccard_capped,
+        # dedup_cluster_prune, dedup_clusters_twostar,
+        # contamination_report, shard_manifest, mixture_plan,
+        # similarity_sq_topk),
+        # then the queries whose newest official row is round 2;
+        # round-3/4-checked queries rotate to the back (locally
+        # re-verified via tools/check_oracle.py before ship). Rotate
+        # again next round so every query keeps accumulating fresh
+        # official rows.
+        "boilerplate_scrub": _q_boilerplate_scrub,
+        "filter_funnel": _q_filter_funnel,
+        "winnowing_fingerprint": _q_winnowing_fingerprint,
+        "embedding_audit": _q_embedding_audit,
         "dedup_cluster_prune": _q_dedup_cluster_prune,
         "dedup_clusters_twostar": _q_dedup_clusters_twostar,
         "contamination_report": _q_contamination_report,
@@ -3003,6 +3037,68 @@ def _semantic_dedup_sql(
           FROM vv LEFT JOIN dropped d ON vv.id = d.id)
         SELECT vec_id, cluster_id, is_kept FROM out
     """
+
+
+# Shared Gopher-rule CTE (per-doc boolean flags) — the ONE SQL mirror
+# of text.gopher_rules, consumed by both the gopher_rules oracle and
+# the filter_funnel ablation oracle so the rule arithmetic cannot fork.
+_GOPHER_R_CTE = rf"""
+            WITH base AS (SELECT doc_id, text, {_WS} AS ws FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '(#|\.\.\.)')) AS n_symbols,
+                     string_split(text, chr(10)) AS lines,
+                     len(list_filter(string_split(text, chr(10)),
+                                     ln -> ln LIKE '%...')) AS ell_lines,
+                     len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                       AS alpha_words,
+                     {" + ".join(
+                        f"CASE WHEN list_contains(list_transform(ws, w -> lower(w)), '{s}') THEN 1 ELSE 0 END"
+                        for s in ["the", "be", "to", "of", "and", "that", "have", "with"])}
+                       AS stop_hits
+              FROM base),
+            r AS (
+              SELECT doc_id,
+                coalesce(n_words >= 5 AND n_words <= 100000, FALSE) AS rule_word_count,
+                coalesce((n_chars - (n_words - 1))::DOUBLE / nullif(n_words, 0)::DOUBLE >= 3.0
+                  AND (n_chars - (n_words - 1))::DOUBLE / nullif(n_words, 0)::DOUBLE <= 10.0, FALSE)
+                  AS rule_mean_word_len,
+                coalesce(n_symbols::DOUBLE / nullif(n_words, 0)::DOUBLE <= 0.1, FALSE)
+                  AS rule_symbol_ratio,
+                coalesce(ell_lines::DOUBLE / len(lines)::DOUBLE <= 0.3, FALSE)
+                  AS rule_ellipsis_lines,
+                coalesce(alpha_words::DOUBLE / nullif(n_words, 0)::DOUBLE >= 0.8, FALSE)
+                  AS rule_alpha_words,
+                coalesce(stop_hits >= 2, FALSE) AS rule_stopwords
+              FROM m)"""
+
+
+def _filter_funnel_sql() -> str:
+    """Ablation-funnel oracle: one aggregate over the shared rule CTE,
+    then a 6-way UNION ALL (one row per rule, same fixed order as
+    text.GOPHER_RULE_ORDER)."""
+    from flink_helloworld_spark.operators.text import GOPHER_RULE_ORDER
+
+    aggs = ["count(*) AS n_docs"]
+    rows = []
+    for i, r in enumerate(GOPHER_RULE_ORDER):
+        aggs.append(
+            f"sum(CASE WHEN NOT {r} THEN 1 ELSE 0 END)::BIGINT AS f{i}"
+        )
+        cum = " AND ".join(GOPHER_RULE_ORDER[: i + 1])
+        aggs.append(f"sum(CASE WHEN {cum} THEN 1 ELSE 0 END)::BIGINT AS c{i}")
+        rows.append(
+            f"SELECT {i + 1} AS stage, '{r}' AS rule, n_docs,"
+            f" f{i} AS n_fail_alone, c{i} AS n_pass_cum FROM a"
+        )
+    return (
+        f"{_GOPHER_R_CTE},\n            a AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM r)\n            "
+        + "\n            UNION ALL ".join(rows)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4077,42 +4173,85 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6) AS mean_neg_logp
             FROM scored GROUP BY doc_id
         """,
-        "gopher_rules": rf"""
-            WITH base AS (SELECT doc_id, text, {_WS} AS ws FROM documents),
-            m AS (
-              SELECT doc_id,
-                     len(ws) AS n_words,
-                     length(text) AS n_chars,
-                     len(regexp_extract_all(text, '(#|\.\.\.)')) AS n_symbols,
-                     string_split(text, chr(10)) AS lines,
-                     len(list_filter(string_split(text, chr(10)),
-                                     ln -> ln LIKE '%...')) AS ell_lines,
-                     len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
-                       AS alpha_words,
-                     {" + ".join(
-                        f"CASE WHEN list_contains(list_transform(ws, w -> lower(w)), '{s}') THEN 1 ELSE 0 END"
-                        for s in ["the", "be", "to", "of", "and", "that", "have", "with"])}
-                       AS stop_hits
-              FROM base),
-            r AS (
-              SELECT doc_id,
-                coalesce(n_words >= 5 AND n_words <= 100000, FALSE) AS rule_word_count,
-                coalesce((n_chars - (n_words - 1))::DOUBLE / nullif(n_words, 0)::DOUBLE >= 3.0
-                  AND (n_chars - (n_words - 1))::DOUBLE / nullif(n_words, 0)::DOUBLE <= 10.0, FALSE)
-                  AS rule_mean_word_len,
-                coalesce(n_symbols::DOUBLE / nullif(n_words, 0)::DOUBLE <= 0.1, FALSE)
-                  AS rule_symbol_ratio,
-                coalesce(ell_lines::DOUBLE / len(lines)::DOUBLE <= 0.3, FALSE)
-                  AS rule_ellipsis_lines,
-                coalesce(alpha_words::DOUBLE / nullif(n_words, 0)::DOUBLE >= 0.8, FALSE)
-                  AS rule_alpha_words,
-                coalesce(stop_hits >= 2, FALSE) AS rule_stopwords
-              FROM m)
+        "gopher_rules": f"""
+            {_GOPHER_R_CTE}
             SELECT *,
               (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
                AND rule_ellipsis_lines AND rule_alpha_words AND rule_stopwords)
               AS passes_gopher
             FROM r
+        """,
+        "filter_funnel": _filter_funnel_sql(),
+        "boilerplate_scrub": f"""
+            WITH wsx AS (SELECT doc_id, {_WS} AS ws FROM documents),
+            toks AS (
+              SELECT doc_id, unnest(ws) AS w,
+                     unnest(range(1, len(ws) + 1)) AS pos
+              FROM wsx),
+            segs AS (
+              SELECT doc_id, ((pos - 1) // 8) AS seg_idx,
+                     string_agg(w, ' ' ORDER BY pos) AS seg_text
+              FROM toks GROUP BY doc_id, seg_idx),
+            freq AS (
+              SELECT md5(seg_text) AS h, count(DISTINCT doc_id) AS nd
+              FROM segs GROUP BY 1),
+            kept AS (
+              SELECT s.doc_id, s.seg_idx, s.seg_text, f.nd < 2 AS keep
+              FROM segs s JOIN freq f ON md5(s.seg_text) = f.h),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(seg_text, ' ' ORDER BY seg_idx)
+                       FILTER (WHERE keep) AS clean_text,
+                     count(*)::INT AS n_segments,
+                     sum(CASE WHEN keep THEN 0 ELSE 1 END)::INT AS n_dropped
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(clean_text, '') AS clean_text,
+                   coalesce(n_segments, 0) AS n_segments,
+                   coalesce(n_dropped, 0) AS n_dropped
+            FROM documents d LEFT JOIN rebuilt USING (doc_id)
+        """,
+        "winnowing_fingerprint": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+              FROM documents),
+            wsx AS (
+              SELECT doc_id, norm,
+                     list_filter(string_split(norm, ' '), w -> w <> '') AS ws
+              FROM base),
+            g AS (
+              SELECT doc_id, norm,
+                     CASE WHEN len(ws) >= 4 THEN
+                       list_transform(range(1, len(ws) - 4 + 2),
+                         i -> md5(array_to_string(ws[i:i+3], ' ')))
+                     END AS grams
+              FROM wsx),
+            sel AS (
+              SELECT doc_id,
+                     CASE WHEN grams IS NULL THEN [md5(norm)]
+                     ELSE list_distinct(
+                       list_transform(range(1, greatest(len(grams) - 4, 0) + 2),
+                         j -> list_min(grams[j:j+3])))
+                     END AS fps
+              FROM g)
+            SELECT doc_id, unnest(fps) AS fp FROM sel
+        """,
+        "embedding_audit": """
+            WITH p AS (
+              SELECT label,
+                     round(sqrt(coalesce(list_sum(
+                       list_transform(range(1, len(embedding) + 1),
+                         i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+                       0.0)), 9)::DECIMAL(28,9) AS n,
+                     len(embedding)::INT AS d
+              FROM embeddings)
+            SELECT label, count(*) AS n_vecs,
+                   sum(CASE WHEN n = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+                   min(d) AS min_dims, max(d) AS max_dims,
+                   round(sum(n)::DOUBLE / count(*)::DOUBLE, 6) AS mean_norm,
+                   round(min(n)::DOUBLE, 6) AS min_norm,
+                   round(max(n)::DOUBLE, 6) AS max_norm
+            FROM p GROUP BY label
         """,
         "bpe_train_merges": _bpe_train_sql(8),
         "bpe_token_fertility": _bpe_fertility_sql(8),

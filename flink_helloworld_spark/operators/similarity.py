@@ -1355,3 +1355,58 @@ def sq_cosine_topk(
         round_dp=round_dp,
         queries_df=queries_df,
     )
+
+
+def embedding_audit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-label embedding-table audit — the pre-flight check every
+    ANN/semantic-dedup family in this module assumes but none
+    verifies: L2 norms (the cosine kernels force zero-vector norms to
+    +inf, so ``n_zero`` is the count of rows those kernels silently
+    score 0.0), dimension consistency (a ragged embedding column makes
+    every BLAS reshape undefined), and the norm spread per label (a
+    collapsed or exploding norm band is the standard symptom of a bad
+    embedding export). At 100 TB this runs once per ingest batch and
+    gates the expensive index builds.
+
+    Output: one row per label — ``(label, n_vecs, n_zero, min_dims,
+    max_dims, mean_norm, min_norm, max_norm)``.
+
+    Determinism contract (the logppl pattern): per-row norm is rounded
+    to 9 dp and carried as DECIMAL(28,9), so min/max/mean are exact and
+    order-independent; the mean is one double division rounded to
+    ``round_dp``. The squared-norm fold is a fixed left-to-right
+    ``F.aggregate`` over the array — same order as the oracle's
+    ``list_sum(list_transform(...))``.
+
+    Scale shape: one projection + one hash-aggregate on ``label`` with
+    map-side partials; constant state per label, nothing driver-side.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    per = emb.select(
+        F.col(label_col).alias("label"),
+        F.round(norm, 9).cast("decimal(28,9)").alias("_n"),
+        F.size(vec_col).alias("_d"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("_n") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.min("_d").alias("min_dims"),
+        F.max("_d").alias("max_dims"),
+        F.round(
+            F.sum("_n").cast("double") / F.count(F.lit(1)).cast("double"),
+            round_dp,
+        ).alias("mean_norm"),
+        F.round(F.min("_n").cast("double"), round_dp).alias("min_norm"),
+        F.round(F.max("_n").cast("double"), round_dp).alias("max_norm"),
+    )

@@ -502,3 +502,120 @@ def unigram_logppl(
         )
         .select("doc_id", "n_tokens", "mean_neg_logp")
     )
+
+
+# Fixed rule order for the ablation funnel — MUST match the column
+# order produced by gopher_rules (and the oracle's UNION ALL order).
+GOPHER_RULE_ORDER = [
+    "rule_word_count",
+    "rule_mean_word_len",
+    "rule_symbol_ratio",
+    "rule_ellipsis_lines",
+    "rule_alpha_words",
+    "rule_stopwords",
+]
+
+
+def filter_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-rule ablation funnel over the Gopher filter set — the
+    pipeline-observability report every production cleaning run keeps
+    beside the filter itself: for each rule, how many documents fail it
+    IN ISOLATION (``n_fail_alone``, the rule's marginal strictness) and
+    how many survive the rules applied CUMULATIVELY in the fixed order
+    (``n_pass_cum``, the funnel). At 100 TB this is how a rule change
+    is evaluated before it reruns the corpus: a rule whose marginal
+    kill-rate explodes between crawls signals drift, and the funnel
+    column shows where the budget actually goes.
+
+    Output: one row per rule, ``(stage, rule, n_docs, n_fail_alone,
+    n_pass_cum)`` — exact integers only, engine-portable.
+
+    Scale shape: ONE pass — the gopher flag projection (codegen,
+    dedup.py-style zero exchanges) followed by a single global
+    aggregate whose partials are 13 counters per task (map-side
+    combine); the result is 6 rows built by exploding a literal array,
+    never a per-rule rescan. Reference anchor: the rule set is
+    text.py:312 (gopher_rules), Rae et al. 2021 §A1.1.
+    """
+    g = gopher_rules(docs, text_col=text_col)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for i, r in enumerate(GOPHER_RULE_ORDER):
+        aggs.append(
+            F.sum(F.when(F.col(r), 0).otherwise(1)).alias(f"_fail_{i}")
+        )
+        cum = F.lit(True)
+        for prior in GOPHER_RULE_ORDER[: i + 1]:
+            cum = cum & F.col(prior)
+        aggs.append(F.sum(F.when(cum, 1).otherwise(0)).alias(f"_cum_{i}"))
+    row = g.agg(*aggs)
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(r).alias("rule"),
+                F.col("n_docs").alias("n_docs"),
+                F.col(f"_fail_{i}").alias("n_fail_alone"),
+                F.col(f"_cum_{i}").alias("n_pass_cum"),
+            )
+            for i, r in enumerate(GOPHER_RULE_ORDER)
+        ]
+    )
+    return row.select(F.explode(stages).alias("s")).select("s.*")
+
+
+def winnowing_fingerprint(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm): hash every ``k``-gram, slide a window of ``w``
+    consecutive gram hashes, keep the minimum hash of each window, and
+    return the distinct selected hashes per document. Unlike the
+    single min-hash ``piece_fp`` in ``fingerprint`` (text.py:218),
+    winnowing GUARANTEES any shared run of ``w + k - 1`` tokens
+    between two documents yields at least one shared fingerprint —
+    the local-coverage property that makes it the standard
+    plagiarism/overlap detector.
+
+    Output: ``(doc_id, fp)`` rows — documents shorter than ``k`` words
+    fingerprint to the md5 of their normalized text so every doc has
+    at least one row and downstream overlap joins stay total.
+
+    Scale shape: entirely per-row column arithmetic (normalize →
+    gram-hash → windowed min → distinct) inside whole-stage codegen;
+    the explode emits ~tokens/w rows per doc and there is NO shuffle at
+    all — overlap detection downstream is one hash join on ``fp``.
+    The gram array is bound to a materialized column before the
+    windowed-min lambda slices it (the CollapseProject staging rule,
+    same trap as text.py:218).
+    """
+    staged = docs.select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ").alias(
+            "_norm"
+        ),
+    ).select("doc_id", "_norm", _words(F.col("_norm")).alias("_ws"))
+    ws = F.col("_ws")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - k),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i + 1, k))),
+    )
+    staged2 = staged.select(
+        "doc_id",
+        "_norm",
+        F.when(F.size(ws) >= k, grams).alias("_grams"),
+    )
+    g = F.col("_grams")
+    selected = F.when(
+        g.isNotNull(),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(g) - w, F.lit(0))),
+                lambda j: F.array_min(F.slice(g, j + 1, w)),
+            )
+        ),
+    ).otherwise(F.array(F.md5(F.col("_norm"))))
+    return staged2.select("doc_id", F.explode(selected).alias("fp"))

@@ -1275,3 +1275,110 @@ def test_wav_decode_truncated_payload_flags_corrupt_not_crash(spark):
     for i in (1, 2, 3, 4):
         assert not out[i].decode_ok, f"case {i} must flag corrupt"
         assert out[i].rms_q == 0
+
+
+def test_boilerplate_scrub_removes_shared_segments(spark):
+    header = "site nav home about contact terms privacy login"  # 8 words
+    docs = _docs(
+        spark,
+        [
+            header + " unique tail zero",
+            header + " other body one",
+            "entirely original content nothing shared here at all",
+            "",
+        ],
+    )
+    got = {r.doc_id: r for r in D.boilerplate_scrub(docs, w=8, min_docs=2).collect()}
+    assert got[0].clean_text == "unique tail zero"
+    assert got[0].n_segments == 2 and got[0].n_dropped == 1
+    assert got[1].clean_text == "other body one"
+    assert got[2].clean_text == "entirely original content nothing shared here at all"
+    assert got[2].n_dropped == 0
+    assert got[3].clean_text == "" and got[3].n_segments == 0 and got[3].n_dropped == 0
+
+
+def test_boilerplate_scrub_fully_boilerplate_doc_empties(spark):
+    block = "one two three four five six seven eight"
+    docs = _docs(spark, [block, block, block + " nine"])
+    got = {r.doc_id: r for r in D.boilerplate_scrub(docs, w=8, min_docs=2).collect()}
+    assert got[0].clean_text == "" and got[0].n_dropped == 1
+    assert got[1].clean_text == ""
+    # doc 2's second segment is the lone word "nine" (unique) — kept
+    assert got[2].clean_text == "nine" and got[2].n_segments == 2
+
+
+def test_filter_funnel_matches_recomputed_flags(spark):
+    docs = _docs(
+        spark,
+        [
+            "a b",  # fails word_count (min 5)
+            "the be to of and that have with regular words here today",
+            "zz zz zz zz zz",  # no stopwords
+            "the be weird #### #### #### symbol heavy doc of words",
+        ],
+    )
+    flags = T.gopher_rules(docs).toPandas()
+    funnel = {r.rule: r for r in T.filter_funnel(docs).collect()}
+    assert [funnel[r].stage for r in T.GOPHER_RULE_ORDER] == [1, 2, 3, 4, 5, 6]
+    cum = flags[T.GOPHER_RULE_ORDER[0]].copy()
+    for i, rule in enumerate(T.GOPHER_RULE_ORDER):
+        row = funnel[rule]
+        assert row.n_docs == len(flags)
+        assert row.n_fail_alone == int((~flags[rule]).sum())
+        if i > 0:
+            cum = cum & flags[rule]
+        assert row.n_pass_cum == int(cum.sum())
+    # funnel is monotone non-increasing
+    cums = [funnel[r].n_pass_cum for r in T.GOPHER_RULE_ORDER]
+    assert all(a >= b for a, b in zip(cums, cums[1:]))
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    # the paper's guarantee: a shared run of w + k - 1 = 7 tokens must
+    # produce at least one shared fingerprint
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 words
+    docs = _docs(
+        spark,
+        [
+            "aa bb cc " + shared + " dd ee",
+            "xx yy " + shared + " zz ww vv uu",
+            "totally disjoint vocabulary here nothing matches anything else",
+        ],
+    )
+    fps: dict[int, set] = {0: set(), 1: set(), 2: set()}
+    for r in T.winnowing_fingerprint(docs, k=4, w=4).collect():
+        fps[r.doc_id].add(r.fp)
+    assert fps[0] & fps[1], "shared 7-token run must share a fingerprint"
+    assert not (fps[0] & fps[2])
+    # identical docs -> identical fingerprint sets
+    twins = _docs(spark, ["one two three four five six seven eight", "one two three four five six seven eight"])
+    tf: dict[int, set] = {0: set(), 1: set()}
+    for r in T.winnowing_fingerprint(twins).collect():
+        tf[r.doc_id].add(r.fp)
+    assert tf[0] == tf[1] and tf[0]
+
+
+def test_winnowing_short_doc_single_fp(spark):
+    docs = _docs(spark, ["two words", ""])
+    rows = T.winnowing_fingerprint(docs, k=4, w=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.fp)
+    assert len(by_doc[0]) == 1 and len(by_doc[1]) == 1
+
+
+def test_embedding_audit_norms_and_zero_count(spark):
+    rows = [
+        (1, [3.0, 4.0, 0.0], 0),
+        (2, [0.0, 0.0, 0.0], 0),
+        (3, [1.0, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in S.embedding_audit(emb).collect()}
+    assert got[0].n_vecs == 2 and got[0].n_zero == 1
+    assert got[0].min_norm == 0.0 and got[0].max_norm == 5.0
+    assert got[0].mean_norm == 2.5
+    assert got[0].min_dims == 3 and got[0].max_dims == 3
+    assert got[1].n_vecs == 1 and got[1].n_zero == 0 and got[1].mean_norm == 1.0

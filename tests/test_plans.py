@@ -444,3 +444,58 @@ def test_round5_new_ops_plan_contracts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_winnowing_fingerprint_zero_exchange_pure_codegen(spark, sf_dir):
+    """Winnowing is per-row column arithmetic: normalize → gram-hash →
+    windowed min → explode. NO shuffle, NO Python stage — the plan is
+    scan → project/generate only."""
+    from flink_helloworld_spark.operators.text import winnowing_fingerprint
+
+    plan = explain_str(
+        winnowing_fingerprint(load_tables(spark, sf_dir).documents), "simple"
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filter_funnel_is_one_aggregate_no_rescan(spark, sf_dir):
+    """The funnel is ONE global aggregate (13 counters) over the gopher
+    projection — a per-rule rescan would show multiple scans/unions."""
+    from flink_helloworld_spark.operators.text import filter_funnel
+
+    plan = explain_str(
+        filter_funnel(load_tables(spark, sf_dir).documents), "simple"
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "partial" in plan  # map-side combine of the counters
+    assert plan.count("Exchange SinglePartition") == 1  # the 1-row gather
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_boilerplate_scrub_shuffles_hashes_not_text(spark, sf_dir):
+    """The frequency pass groups md5 hashes (map-side partials); the
+    verdict join and reassembly key on doc_id/seg_hash — no Python,
+    no cartesian pair blowup, and no global sort anywhere."""
+    from flink_helloworld_spark.operators.dedup import boilerplate_scrub
+
+    plan = explain_str(
+        boilerplate_scrub(load_tables(spark, sf_dir).documents), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan  # nothing gathers
+
+
+def test_embedding_audit_single_label_aggregate(spark, sf_dir):
+    """One projection + one label-keyed hash aggregate with map-side
+    partials; constant state per label."""
+    from flink_helloworld_spark.operators.similarity import embedding_audit
+
+    plan = explain_str(
+        embedding_audit(load_tables(spark, sf_dir).embeddings), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
