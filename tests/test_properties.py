@@ -97,3 +97,90 @@ def test_exact_duplicates_partitions_rows(spark, texts):
     assert sum(r.n_copies for r in out) == len(texts)
     assert len({r.text_hash for r in out}) == len(out)
     assert len(out) == len(set(texts))
+
+
+@st.composite
+def _word_docs(draw):
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    n = draw(st.integers(min_value=1, max_value=8))
+    docs = []
+    for i in range(n):
+        k = draw(st.integers(min_value=0, max_value=30))
+        docs.append((i, " ".join(draw(st.sampled_from(vocab)) for _ in range(k))))
+    return docs
+
+
+@given(docs=_word_docs())
+@_settings
+def test_boilerplate_scrub_matches_python_reference(spark, docs):
+    """For ANY corpus: the distributed scrub equals a sequential
+    reimplementation — same segmentation, same global frequency rule,
+    same in-order reassembly. A tiny vocab + w=3 forces real segment
+    collisions across documents."""
+    from flink_helloworld_spark.operators.dedup import boilerplate_scrub
+
+    w = 3
+    segs_by_doc: dict[int, list[str]] = {}
+    for i, t in docs:
+        ws = [x for x in t.split(" ") if x != ""]
+        segs_by_doc[i] = [" ".join(ws[j : j + w]) for j in range(0, len(ws), w)]
+    from collections import defaultdict
+
+    doc_count: dict[str, set] = defaultdict(set)
+    for i, segs in segs_by_doc.items():
+        for s in segs:
+            doc_count[s].add(i)
+    expect = {}
+    for i, segs in segs_by_doc.items():
+        kept = [s for s in segs if len(doc_count[s]) < 2]
+        expect[i] = (
+            " ".join(kept),
+            len(segs),
+            sum(1 for s in segs if len(doc_count[s]) >= 2),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_segments, r.n_dropped)
+        for r in boilerplate_scrub(df, w=w, min_docs=2).collect()
+    }
+    assert got == expect
+
+
+@given(docs=_word_docs())
+@_settings
+def test_winnowing_matches_python_reference(spark, docs):
+    """For ANY corpus: fingerprint sets equal the paper's algorithm run
+    sequentially (k-gram md5s, window-of-w minima, distinct)."""
+    import hashlib
+
+    from flink_helloworld_spark.operators.text import winnowing_fingerprint
+
+    k, w = 2, 3
+
+    def norm(t: str) -> str:
+        import re
+
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    expect: dict[int, set] = {}
+    for i, t in docs:
+        nt = norm(t)
+        ws = [x for x in nt.split(" ") if x != ""]
+        if len(ws) < k:
+            expect[i] = {md5(nt)}
+            continue
+        grams = [md5(" ".join(ws[j : j + k])) for j in range(len(ws) - k + 1)]
+        sel = set()
+        for j in range(max(len(grams) - w, 0) + 1):
+            sel.add(min(grams[j : j + w]))
+        expect[i] = sel
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict[int, set] = {i: set() for i, _ in docs}
+    for r in winnowing_fingerprint(df, k=k, w=w).collect():
+        got[r.doc_id].add(r.fp)
+    assert got == expect
