@@ -941,6 +941,13 @@ def _q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprint(load_tables(spark, sf_dir).documents)
 
 
+def _q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MOSS downstream half: df-capped fingerprint self-join → overlap pairs
+    from flink_helloworld_spark.operators.text import winnowing_overlap
+
+    return winnowing_overlap(load_tables(spark, sf_dir).documents)
+
+
 def _q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-document segment dedup REWRITE (CCNet paragraph-dedup shape)
     from flink_helloworld_spark.operators.dedup import boilerplate_scrub
@@ -2024,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_scrub": _q_boilerplate_scrub,
         "filter_funnel": _q_filter_funnel,
         "winnowing_fingerprint": _q_winnowing_fingerprint,
+        "winnowing_overlap": _q_winnowing_overlap,
         "embedding_audit": _q_embedding_audit,
         "dedup_cluster_prune": _q_dedup_cluster_prune,
         "dedup_clusters_twostar": _q_dedup_clusters_twostar,
@@ -3037,6 +3045,35 @@ def _semantic_dedup_sql(
           FROM vv LEFT JOIN dropped d ON vv.id = d.id)
         SELECT vec_id, cluster_id, is_kept FROM out
     """
+
+
+# Shared winnowing-selection CTE (per-doc fingerprint lists) — the ONE
+# SQL mirror of text.winnowing_fingerprint (k=4, w=4), consumed by both
+# the fingerprint oracle and the overlap-pairs oracle.
+_WINNOW_SEL_CTE = r"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+              FROM documents),
+            wsx AS (
+              SELECT doc_id, norm,
+                     list_filter(string_split(norm, ' '), w -> w <> '') AS ws
+              FROM base),
+            g AS (
+              SELECT doc_id, norm,
+                     CASE WHEN len(ws) >= 4 THEN
+                       list_transform(range(1, len(ws) - 4 + 2),
+                         i -> md5(array_to_string(ws[i:i+3], ' ')))
+                     END AS grams
+              FROM wsx),
+            sel AS (
+              SELECT doc_id,
+                     CASE WHEN grams IS NULL THEN [md5(norm)]
+                     ELSE list_distinct(
+                       list_transform(range(1, greatest(len(grams) - 4, 0) + 2),
+                         j -> list_min(grams[j:j+3])))
+                     END AS fps
+              FROM g)"""
 
 
 # Shared Gopher-rule CTE (per-doc boolean flags) — the ONE SQL mirror
@@ -4210,31 +4247,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_dropped, 0) AS n_dropped
             FROM documents d LEFT JOIN rebuilt USING (doc_id)
         """,
-        "winnowing_fingerprint": r"""
-            WITH base AS (
-              SELECT doc_id,
-                     regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
-              FROM documents),
-            wsx AS (
-              SELECT doc_id, norm,
-                     list_filter(string_split(norm, ' '), w -> w <> '') AS ws
-              FROM base),
-            g AS (
-              SELECT doc_id, norm,
-                     CASE WHEN len(ws) >= 4 THEN
-                       list_transform(range(1, len(ws) - 4 + 2),
-                         i -> md5(array_to_string(ws[i:i+3], ' ')))
-                     END AS grams
-              FROM wsx),
-            sel AS (
-              SELECT doc_id,
-                     CASE WHEN grams IS NULL THEN [md5(norm)]
-                     ELSE list_distinct(
-                       list_transform(range(1, greatest(len(grams) - 4, 0) + 2),
-                         j -> list_min(grams[j:j+3])))
-                     END AS fps
-              FROM g)
+        "winnowing_fingerprint": f"""
+            {_WINNOW_SEL_CTE}
             SELECT doc_id, unnest(fps) AS fp FROM sel
+        """,
+        "winnowing_overlap": f"""
+            {_WINNOW_SEL_CTE},
+            fps AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+            ok AS (
+              SELECT fp FROM (
+                SELECT fp, count(DISTINCT doc_id) AS df FROM fps GROUP BY fp)
+              WHERE df <= 20),
+            b AS (SELECT f.doc_id, f.fp FROM fps f JOIN ok USING (fp))
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   count(*)::BIGINT AS n_shared
+            FROM b x JOIN b y USING (fp)
+            WHERE x.doc_id < y.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
         "embedding_audit": """
             WITH p AS (

@@ -619,3 +619,53 @@ def winnowing_fingerprint(
         ),
     ).otherwise(F.array(F.md5(F.col("_norm"))))
     return staged2.select("doc_id", F.explode(selected).alias("fp"))
+
+
+def winnowing_overlap(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-overlap candidates from winnowing fingerprints — the
+    downstream half of ``winnowing_fingerprint`` (MOSS's actual use):
+    documents sharing ``min_shared``+ selected fingerprints are overlap
+    candidates, with the shared count as the match strength.
+
+    ``max_df`` is the scale guard: a fingerprint present in more than
+    ``max_df`` documents is corpus boilerplate, not overlap signal, and
+    joining on it costs O(df²) pairs — the same document-frequency cap
+    the capped exact-Jaccard variant ships (dedup.py). Dropping those
+    posting lists bounds the self-join at ``max_df²`` pairs per
+    fingerprint REGARDLESS of corpus size; the boilerplate they
+    represent is the span/scrub families' job, not this operator's.
+
+    Output: ``(doc_a, doc_b, n_shared)`` with ``doc_a < doc_b``.
+
+    Scale shape: fingerprints are uniform md5 keys; the df-filter is
+    one hash agg + join (map-side partials), the pair generation is a
+    bounded self-join on the fingerprint, and the final agg keys on the
+    pair. No text shuffles anywhere — only 32-byte hashes and ids.
+    """
+    fps = winnowing_fingerprint(docs, k=k, w=w, text_col=text_col)
+    df_ok = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    bounded = fps.join(df_ok, "fp")
+    pairs = (
+        bounded.alias("a")
+        .join(bounded.alias("b"), "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return pairs

@@ -1382,3 +1382,40 @@ def test_embedding_audit_norms_and_zero_count(spark):
     assert got[0].mean_norm == 2.5
     assert got[0].min_dims == 3 and got[0].max_dims == 3
     assert got[1].n_vecs == 1 and got[1].n_zero == 0 and got[1].mean_norm == 1.0
+
+
+def test_winnowing_overlap_pairs_match_fp_intersections(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = _docs(
+        spark,
+        [
+            "aa bb " + shared + " cc dd",
+            "xx " + shared + " yy zz ww",
+            "totally disjoint vocabulary here nothing matches anything else",
+        ],
+    )
+    fps: dict[int, set] = {0: set(), 1: set(), 2: set()}
+    for r in T.winnowing_fingerprint(docs).collect():
+        fps[r.doc_id].add(r.fp)
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in T.winnowing_overlap(docs, min_shared=1, max_df=100).collect()
+    }
+    expect = {}
+    for a in range(3):
+        for b in range(a + 1, 3):
+            n = len(fps[a] & fps[b])
+            if n >= 1:
+                expect[(a, b)] = n
+    assert got == expect and (0, 1) in got
+
+
+def test_winnowing_overlap_df_cap_drops_hot_fingerprints(spark):
+    block = "one two three four five six seven eight nine ten"
+    docs = _docs(spark, [f"{block} unique{i}" for i in range(5)])
+    # every pair shares the block's fingerprints -> 10 pairs uncapped
+    uncapped = T.winnowing_overlap(docs, min_shared=1, max_df=100).collect()
+    assert len(uncapped) == 10
+    # the block fps appear in 5 docs; max_df=3 removes them all
+    capped = T.winnowing_overlap(docs, min_shared=1, max_df=3).collect()
+    assert capped == []
