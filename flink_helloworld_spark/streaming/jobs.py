@@ -422,3 +422,91 @@ def streaming_shard_manifest_job(
     return tagged.groupBy("shard_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_filter_funnel_job(
+    stream: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Streaming twin of ``operators/text.filter_funnel``: maintain the
+    per-rule ablation counters incrementally as documents arrive —
+    the live dashboard a 100 TB ingest watches for filter drift (a
+    rule whose marginal kill-rate jumps mid-crawl signals a content
+    shift long before the batch report would).
+
+    The funnel's algebra is purely additive (per document, each rule
+    contributes 0/1 to its marginal-fail and cumulative-pass counters),
+    so state is THREE scalars per rule and the streaming funnel after
+    any batch sequence equals the batch operator over everything
+    ingested (asserted bit-identical in tests). The gopher projection
+    itself is stateless and runs before any state is paid.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from flink_helloworld_spark.operators.text import (
+        GOPHER_RULE_ORDER,
+        gopher_rules,
+    )
+
+    flags = gopher_rules(stream, text_col=text_col)
+    entries = []
+    cum = F.lit(True)
+    for i, r in enumerate(GOPHER_RULE_ORDER):
+        cum = cum & F.col(r)
+        entries.append(
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(r).alias("rule"),
+                F.when(F.col(r), 0).otherwise(1).alias("fail"),
+                F.when(cum, 1).otherwise(0).alias("cum"),
+            )
+        )
+    contrib = flags.select(F.explode(F.array(*entries)).alias("s")).select(
+        "s.*"
+    )
+    out_schema = StructType(
+        [
+            StructField("stage", IntegerType()),
+            StructField("rule", StringType()),
+            StructField("n_docs", LongType()),
+            StructField("n_fail_alone", LongType()),
+            StructField("n_pass_cum", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_docs", LongType()),
+            StructField("n_fail_alone", LongType()),
+            StructField("n_pass_cum", LongType()),
+        ]
+    )
+
+    def fn(key, batches, state: GroupState):
+        n, f, c = state.get if state.exists else (0, 0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            f += int(pdf["fail"].sum())
+            c += int(pdf["cum"].sum())
+        state.update((n, f, c))
+        yield pd.DataFrame(
+            [
+                {
+                    "stage": key[0],
+                    "rule": key[1],
+                    "n_docs": n,
+                    "n_fail_alone": f,
+                    "n_pass_cum": c,
+                }
+            ]
+        )
+
+    return contrib.groupBy("stage", "rule").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

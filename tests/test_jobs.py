@@ -450,3 +450,44 @@ def test_streaming_shard_manifest_matches_batch_recompute(spark):
     }
     assert final == expect
     assert sum(v[0] for v in final.values()) == 80
+
+
+def test_streaming_filter_funnel_matches_batch_recompute(spark):
+    """The funnel counters are purely additive, so the streaming funnel
+    after N micro-batches must equal the batch filter_funnel over all
+    ingested docs — every column, every rule."""
+    from flink_helloworld_spark.operators.text import filter_funnel
+    from flink_helloworld_spark.streaming.jobs import streaming_filter_funnel_job
+
+    workdir = tempfile.mkdtemp(prefix="funnel-stream-")
+    batches = [
+        [(i, "the be to of and that have with regular words here") for i in range(8)]
+        + [(100 + i, "a b") for i in range(3)],
+        [(200 + i, "zz zz zz zz zz zz") for i in range(5)]
+        + [(300, "the be weird #### #### #### symbol of heavy doc")],
+        [(400 + i, f"the be to of words number {i} stretch out fine") for i in range(6)],
+    ]
+    t0 = time.time() - 30
+    for i, rows in enumerate(batches):
+        path = os.path.join(workdir, f"b{i:02d}.parquet")
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(path, index=False)
+        os.utime(path, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(workdir)
+    )
+    out = run_available_now(
+        streaming_filter_funnel_job(stream), "funnel_stream", output_mode="update"
+    )
+    final = {}
+    for r in out:  # update mode: last emission per rule wins
+        final[r.rule] = (r.stage, r.n_docs, r.n_fail_alone, r.n_pass_cum)
+    all_rows = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(all_rows, "doc_id long, text string")
+    expect = {
+        r.rule: (r.stage, r.n_docs, r.n_fail_alone, r.n_pass_cum)
+        for r in filter_funnel(batch_df).collect()
+    }
+    assert final == expect
+    assert all(v[1] == len(all_rows) for v in final.values())
