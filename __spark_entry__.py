@@ -870,6 +870,50 @@ def _q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_wav_features(media)
 
 
+def _q_multimodal_wav_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # real DSP over decoded audio: autocorrelation pitch (argmax of
+    # integer-exact Σ v_i·v_{i+L}) + zero-crossing count from the actual
+    # int16 samples; oracle replays the construction and the exact
+    # integer autocorrelation — no float-DSP portability contract needed
+    media = MM.attach_wav_binary(load_tables(spark, sf_dir).documents)
+    return MM.wav_autocorr_pitch(media)
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR (Xie et al. 2023) importance log-weights: hashed-unigram
+    # bucket model (1024 rows, broadcast) fit on target-vs-raw, one
+    # scoring join over the exploded raw pool
+    from flink_helloworld_spark.operators.selection import dsir_weights
+
+    return dsir_weights(load_tables(spark, sf_dir).documents)
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR Gumbel-top-k selection: md5-seeded Gumbel noise + logw,
+    # TakeOrderedAndProject — the deterministic importance-resampled
+    # subset a token budget buys
+    from flink_helloworld_spark.operators.selection import dsir_select
+
+    return dsir_select(load_tables(spark, sf_dir).documents, k=64)
+
+
+def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet head/middle/tail terciles: per-language exact percentile
+    # cuts over unigram log-perplexity, broadcast back over the corpus
+    from flink_helloworld_spark.operators.selection import perplexity_buckets
+
+    return perplexity_buckets(load_tables(spark, sf_dir).documents)
+
+
+def _q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic epoch shuffle: md5(seed:id) order within md5 shards,
+    # round-robin global positions — reproducible global shuffle with no
+    # global sort
+    from flink_helloworld_spark.operators import layout as L
+
+    return L.training_order(load_tables(spark, sf_dir).documents)
+
+
 def _q_similarity_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hierarchical (two-level) IVF: only the ~sqrt(C)-row super table is
     # driver metadata; the C-row centroid table stays distributed — the
@@ -2028,6 +2072,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-verified via tools/check_oracle.py before ship). Rotate
         # again next round so every query keeps accumulating fresh
         # official rows.
+        # round-5 late additions (brand new => front of the gate):
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
+        "ppl_buckets": _q_ppl_buckets,
+        "training_order": _q_training_order,
+        "multimodal_wav_pitch": _q_multimodal_wav_pitch,
         "boilerplate_scrub": _q_boilerplate_scrub,
         "filter_funnel": _q_filter_funnel,
         "winnowing_fingerprint": _q_winnowing_fingerprint,
@@ -4195,6 +4245,155 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tokens,
                    round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6) AS mean_neg_logp
             FROM scored GROUP BY doc_id
+        """,
+        "dsir_weights": f"""
+            WITH toks AS (
+              SELECT doc_id, (source = 'src0') AS is_target,
+                     ('0x' || substr(md5('dsir' || unnest({_WS})), 1, 15))::BIGINT
+                       % 1024 AS b
+              FROM documents),
+            tgt AS (SELECT b, count(*) AS ct FROM toks WHERE is_target GROUP BY b),
+            rawc AS (SELECT b, count(*) AS cr FROM toks WHERE NOT is_target GROUP BY b),
+            tt AS (SELECT count(*)::DOUBLE AS t FROM toks WHERE is_target),
+            tr AS (SELECT count(*)::DOUBLE AS t FROM toks WHERE NOT is_target),
+            model AS (
+              SELECT coalesce(tgt.b, rawc.b) AS b,
+                round(ln((coalesce(ct, 0)::DOUBLE + 0.5) / ((SELECT t FROM tt) + 512.0))
+                    - ln((coalesce(cr, 0)::DOUBLE + 0.5) / ((SELECT t FROM tr) + 512.0)),
+                    9)::DECIMAL(28,9) AS log_ratio
+              FROM tgt FULL OUTER JOIN rawc ON tgt.b = rawc.b)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(sum(log_ratio)::DOUBLE, 6) AS logw
+            FROM toks JOIN model USING (b)
+            WHERE NOT is_target
+            GROUP BY doc_id
+        """,
+        "dsir_select": f"""
+            WITH toks AS (
+              SELECT doc_id, (source = 'src0') AS is_target,
+                     ('0x' || substr(md5('dsir' || unnest({_WS})), 1, 15))::BIGINT
+                       % 1024 AS b
+              FROM documents),
+            tgt AS (SELECT b, count(*) AS ct FROM toks WHERE is_target GROUP BY b),
+            rawc AS (SELECT b, count(*) AS cr FROM toks WHERE NOT is_target GROUP BY b),
+            tt AS (SELECT count(*)::DOUBLE AS t FROM toks WHERE is_target),
+            tr AS (SELECT count(*)::DOUBLE AS t FROM toks WHERE NOT is_target),
+            model AS (
+              SELECT coalesce(tgt.b, rawc.b) AS b,
+                round(ln((coalesce(ct, 0)::DOUBLE + 0.5) / ((SELECT t FROM tt) + 512.0))
+                    - ln((coalesce(cr, 0)::DOUBLE + 0.5) / ((SELECT t FROM tr) + 512.0)),
+                    9)::DECIMAL(28,9) AS log_ratio
+              FROM tgt FULL OUTER JOIN rawc ON tgt.b = rawc.b),
+            w AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     round(sum(log_ratio)::DOUBLE, 6) AS logw
+              FROM toks JOIN model USING (b)
+              WHERE NOT is_target
+              GROUP BY doc_id)
+            SELECT doc_id, n_tokens, logw,
+              round(logw - ln(-ln(
+                ((('0x' || substr(md5('gumbel' || doc_id), 1, 15))::BIGINT::DOUBLE)
+                 + 0.5) / 1152921504606846976.0)), 6) AS gumbel_key
+            FROM w
+            ORDER BY gumbel_key DESC, doc_id
+            LIMIT 64
+        """,
+        "ppl_buckets": f"""
+            WITH words AS (
+              SELECT doc_id, unnest({_WS}) AS w FROM documents),
+            total AS (SELECT count(*)::DOUBLE AS t FROM words),
+            vocab AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+            scored AS (
+              SELECT doc_id,
+                     round(-ln(cnt::DOUBLE / (SELECT t FROM total)), 9)::DECIMAL(28,9)
+                       AS nlp
+              FROM words JOIN vocab USING (w)),
+            ppl AS (
+              SELECT doc_id, round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6)
+                       AS mean_neg_logp
+              FROM scored GROUP BY doc_id),
+            langd AS (
+              SELECT p.doc_id, d.lang, p.mean_neg_logp
+              FROM ppl p JOIN documents d USING (doc_id)),
+            cuts AS (
+              SELECT lang,
+                     round(quantile_cont(mean_neg_logp, 1.0 / 3.0), 9) AS t_head,
+                     round(quantile_cont(mean_neg_logp, 2.0 / 3.0), 9) AS t_middle
+              FROM langd GROUP BY lang)
+            SELECT doc_id, lang, mean_neg_logp,
+              CASE WHEN mean_neg_logp <= t_head THEN 'head'
+                   WHEN mean_neg_logp <= t_middle THEN 'middle'
+                   ELSE 'tail' END AS ppl_bucket
+            FROM langd JOIN cuts USING (lang)
+        """,
+        "training_order": """
+            WITH keyed AS (
+              SELECT doc_id, md5('epoch0:' || doc_id) AS key,
+                     CAST(('0x' || substr(md5('epoch0:' || doc_id), 1, 15))::BIGINT
+                          % 16 AS INT) AS shard_id
+              FROM documents),
+            pos AS (
+              SELECT doc_id, shard_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY shard_id ORDER BY key, doc_id) - 1 AS INT)
+                       AS shard_pos
+              FROM keyed)
+            SELECT doc_id, shard_id, shard_pos,
+                   CAST(shard_pos AS BIGINT) * 16 + shard_id AS global_pos
+            FROM pos
+        """,
+        "multimodal_wav_pitch": """
+            WITH p AS (
+              SELECT doc_id,
+                CASE length(text) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+                length(text) % 250 + 1 AS nf,
+                text
+              FROM documents),
+            st AS (
+              SELECT doc_id, rate, nf,
+                substr(repeat(md5(text), CAST(nf * 4 // 32 + 1 AS INT)),
+                       1, nf * 4) AS stream
+              FROM p),
+            idx AS (SELECT doc_id, nf, stream,
+                           unnest(range(1, nf + 1)) AS i FROM st),
+            sv AS (
+              SELECT doc_id, i,
+                CASE WHEN ('0x' || substr(stream, (i - 1) * 4 + 1, 4))::BIGINT >= 32768
+                     THEN ('0x' || substr(stream, (i - 1) * 4 + 1, 4))::BIGINT - 65536
+                     ELSE ('0x' || substr(stream, (i - 1) * 4 + 1, 4))::BIGINT
+                END AS v
+              FROM idx),
+            lags AS (SELECT doc_id, unnest(range(1, least(32, nf - 1) + 1)) AS L
+                     FROM p),
+            ac AS (
+              SELECT a.doc_id, l.L, sum(a.v * b.v) AS ac
+              FROM lags l
+              JOIN sv a ON a.doc_id = l.doc_id
+              JOIN sv b ON b.doc_id = l.doc_id AND b.i = a.i + l.L
+              GROUP BY a.doc_id, l.L),
+            best AS (
+              SELECT doc_id, L, ac,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY ac DESC, L) AS rn
+              FROM ac),
+            zc AS (
+              SELECT a.doc_id,
+                     sum(CASE WHEN (a.v < 0) <> (b.v < 0) THEN 1 ELSE 0 END) AS zc
+              FROM sv a JOIN sv b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+              GROUP BY a.doc_id)
+            SELECT p.doc_id,
+                   CAST(p.rate AS INT) AS sample_rate,
+                   CAST(coalesce(best.L, 0) AS INT) AS best_lag,
+                   CAST(coalesce(best.ac, 0) AS BIGINT) AS ac_peak,
+                   CASE WHEN best.L IS NOT NULL
+                        THEN round(p.rate::DOUBLE / best.L, 6)
+                        ELSE 0.0 END AS pitch_hz,
+                   CAST(coalesce(zc.zc, 0) AS INT) AS zero_crossings,
+                   TRUE AS decode_ok
+            FROM p
+            LEFT JOIN best ON best.doc_id = p.doc_id AND best.rn = 1
+            LEFT JOIN zc ON zc.doc_id = p.doc_id
         """,
         "unigram_logppl": f"""
             WITH words AS (

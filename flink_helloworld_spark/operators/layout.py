@@ -100,6 +100,53 @@ def shard_tagged(
     )
 
 
+def training_order(
+    docs: DataFrame,
+    seed: str = "epoch0",
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch-shuffle: assign every document a
+    pseudo-random global training position, reproducible across runs,
+    engines, and partitionings — the "global shuffle" a trainer needs
+    before each epoch, without ever performing a global sort.
+
+    Order key = md5(seed || ':' || id): changing ``seed`` re-shuffles
+    (epoch 2 ≠ epoch 1), same seed replays bit-identically. Each doc
+    lands in shard = key mod ``n_shards``; within a shard, position =
+    rank by (key, id). The GLOBAL order contract is round-robin over
+    shards: global_pos = shard_pos * n_shards + shard_id — readers
+    consume shards in rotation and see a uniformly shuffled stream.
+
+    Scale shape: one shuffle keyed on shard_id + a per-shard sort of
+    N/n_shards rows (Spark sorts each partition externally, spilling);
+    no global ordering is ever materialized, and the shard count is the
+    parallelism knob. Compare: ``df.orderBy(rand())`` is neither
+    reproducible nor engine-portable and range-partitions globally.
+
+    Output: (doc_id, shard_id, shard_pos, global_pos).
+    """
+    from pyspark.sql import Window
+
+    from flink_helloworld_spark.functions import md5_prefix_long
+
+    salted = F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(salted).alias("_key"),
+        (md5_prefix_long(salted) % n_shards).cast("int").alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard_id",
+        (F.row_number().over(w) - 1).alias("shard_pos"),
+    ).withColumn(
+        "global_pos",
+        F.col("shard_pos").cast("long") * n_shards + F.col("shard_id"),
+    )
+
+
 def shard_manifest(
     docs: DataFrame,
     shards: int = 16,

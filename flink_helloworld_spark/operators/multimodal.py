@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -780,4 +781,121 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "payload").mapInPandas(
         decode, WAV_FEATURES_SCHEMA
+    )
+
+
+# --- WAV autocorrelation pitch: real DSP over decoded samples ----------------
+# The feature-extraction rung ABOVE decode: autocorrelation pitch
+# estimation (the classic time-domain pitch detector) + zero-crossing
+# rate, computed from the ACTUAL int16 samples the stdlib `wave` module
+# returns. Every statistic is integer arithmetic (Σ v_i·v_{i+L} fits
+# int64: 250 terms × 32768² ≈ 2.7e11), so the DuckDB oracle replays the
+# construction and matches bit-for-bit — no float DSP portability risk.
+
+WAV_PITCH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("best_lag", IntegerType()),
+        StructField("ac_peak", LongType()),
+        StructField("pitch_hz", DoubleType()),
+        StructField("zero_crossings", IntegerType()),
+        StructField("decode_ok", BooleanType()),
+    ]
+)
+
+_MAX_LAG = 32
+
+
+def _wav_samples(payload: bytes) -> tuple[int, list[int]] | None:
+    """Decode a RIFF/WAVE PCM payload to (rate, int16 sample list) with
+    the stdlib ``wave`` module; same corrupt-payload contract as
+    ``_decode_wav`` (None, never an exception that poisons the batch)."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            rate = wf.getframerate()
+            nch = wf.getnchannels()
+            sampwidth = wf.getsampwidth()
+            nf = wf.getnframes()
+            frames = wf.readframes(nf)
+    except (wave.Error, EOFError):
+        return None
+    if sampwidth != 2 or nch != 1:
+        return None
+    if len(frames) % 2 or len(frames) != nf * 2:
+        return None
+    return rate, list(struct.unpack(f"<{len(frames) // 2}h", frames))
+
+
+def wav_autocorr_pitch(media: DataFrame, max_lag: int = _MAX_LAG) -> DataFrame:
+    """Arrow-batched autocorrelation pitch over real WAV payloads:
+    best_lag = argmax over L ∈ [1, min(max_lag, n-1)] of
+    Σ_i v_i·v_{i+L} (ties → smallest L), pitch_hz = rate / best_lag,
+    plus the zero-crossing count (sign changes between neighbours).
+    Documents with < 2 samples (or corrupt payloads) emit zeros with
+    ``decode_ok`` false only for the corrupt case.
+
+    Scale shape: partition-preserving ``mapInPandas`` — no shuffle, no
+    state; per-row cost is max_lag·n int multiplies on NumPy int64.
+    The autocorrelation is exact integer math end-to-end, so the value
+    hash is engine-portable without any rounding contract.
+    """
+    import math
+
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "sample_rate": [],
+                "best_lag": [],
+                "ac_peak": [],
+                "pitch_hz": [],
+                "zero_crossings": [],
+                "decode_ok": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                r = _wav_samples(bytes(p))
+                out["doc_id"].append(doc_id)
+                if r is None:
+                    out["sample_rate"].append(0)
+                    out["best_lag"].append(0)
+                    out["ac_peak"].append(0)
+                    out["pitch_hz"].append(0.0)
+                    out["zero_crossings"].append(0)
+                    out["decode_ok"].append(False)
+                    continue
+                rate, vals = r
+                v = np.asarray(vals, dtype=np.int64)
+                n = len(v)
+                best_lag, ac_peak = 0, 0
+                if n >= 2:
+                    n_lags = min(max_lag, n - 1)
+                    acs = [int(np.dot(v[:-L], v[L:])) for L in range(1, n_lags + 1)]
+                    best_lag = 1 + max(range(n_lags), key=lambda i: (acs[i], -i))
+                    ac_peak = acs[best_lag - 1]
+                    zc = int(np.sum((v[:-1] < 0) != (v[1:] < 0)))
+                else:
+                    zc = 0
+                out["sample_rate"].append(rate)
+                out["best_lag"].append(best_lag)
+                out["ac_peak"].append(ac_peak)
+                # half-away rounding (the engine/oracle tie rule; Python's
+                # round() is banker's) — see operators/_numeric.py
+                out["pitch_hz"].append(
+                    math.floor(rate / best_lag * 1e6 + 0.5) / 1e6
+                    if best_lag
+                    else 0.0
+                )
+                out["zero_crossings"].append(zc)
+                out["decode_ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, WAV_PITCH_SCHEMA
     )

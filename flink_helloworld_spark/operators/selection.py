@@ -1,0 +1,202 @@
+"""Data-selection operators: DSIR importance resampling and CCNet-style
+perplexity bucketing.
+
+The two published techniques a 100 TB pretraining pipeline uses to pick
+WHICH cleaned documents to train on (the dedup/filter family decides
+which to drop; this family ranks what's left):
+
+- DSIR (Xie et al., NeurIPS 2023, "Data Selection for Language Models
+  via Importance Resampling"): score every raw-pool document by the
+  log-likelihood ratio of a hashed-n-gram bag model fit on a small
+  target corpus vs one fit on the raw pool, then Gumbel-top-k sample.
+  The whole model is a fixed-size bucket table (``N_BUCKETS`` rows) —
+  broadcastable no matter how big the corpus is.
+- CCNet (Wenzek et al., 2020) perplexity bucketing: per language, split
+  documents into head/middle/tail terciles by LM perplexity; the
+  head/middle slices become the training pool.
+
+Engine-portable determinism follows the repo contract: per-token float
+terms rounded to 9 dp and summed as DECIMAL(28,9) (order-independent),
+final per-doc values one double op rounded to 6 dp, hashes via md5.
+
+Reference anchor: the reference repo's quality surface stops at
+word-level scoring (`StateTest.java` aggregations); these operators are
+north-star additions per SURVEY §2 "beyond-reference LLM-data surface".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import _words, unigram_logppl
+
+# Hashed-n-gram feature space for DSIR. Fixed size => the fitted model
+# is ALWAYS a 1024-row table regardless of corpus size: it broadcasts,
+# and the per-token scoring join is a map-side hash probe.
+N_BUCKETS = 1024
+_SALT = "dsir"
+
+
+def _bucket_expr(w):
+    """md5-hashed feature bucket in [0, N_BUCKETS): first 15 hex chars
+    (60 bits, fits a nonneg BIGINT in every engine) mod N_BUCKETS."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(_SALT), w)), 1, 15), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(N_BUCKETS))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_source: str = "src0",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight.
+
+    Documents from ``target_source`` form the target distribution; every
+    OTHER document is the raw pool being scored. Fit two Laplace-smoothed
+    hashed-unigram distributions p_t, p_r over ``N_BUCKETS`` buckets,
+    then logw(doc) = Σ_tokens ln(p_t[b]/p_r[b]) — high means
+    "looks like the target".
+
+    Scale shape: one token explode feeding two map-side-combinable
+    bucket-count aggs (output ≤ N_BUCKETS rows each), a full outer join
+    of those two TINY tables into a broadcast weight table, then ONE
+    hash-probe join of the exploded raw pool against it and a per-doc
+    agg. The corpus-sized side shuffles once (the per-doc agg); the
+    model never exceeds N_BUCKETS rows no matter the corpus size.
+
+    Determinism: per-bucket log-ratio rounded to 9 dp (ln on a ≤1024-row
+    table), per-doc sum as DECIMAL(28,9), final logw one double cast
+    rounded to 6 dp.
+    """
+    toks = docs.select(
+        "doc_id",
+        (F.col("source") == target_source).alias("is_target"),
+        F.explode(_words(F.col(text_col))).alias("w"),
+    ).withColumn("b", _bucket_expr(F.col("w")))
+
+    tgt = toks.where("is_target").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    raw = toks.where(~F.col("is_target")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    tot_t = toks.where("is_target").agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    tot_r = toks.where(~F.col("is_target")).agg(
+        F.count(F.lit(1)).cast("double").alias("tr")
+    )
+
+    a = F.lit(float(alpha))
+    denom_pad = F.lit(float(alpha) * N_BUCKETS)
+    model = (
+        tgt.join(raw, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "b",
+            F.round(
+                F.log((F.col("ct").cast("double") + a) / (F.col("tt") + denom_pad))
+                - F.log((F.col("cr").cast("double") + a) / (F.col("tr") + denom_pad)),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("log_ratio"),
+        )
+    )
+
+    scored = toks.where(~F.col("is_target")).join(F.broadcast(model), "b")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("log_ratio").cast("double"), 6).alias("logw"),
+        )
+        .select("doc_id", "n_tokens", "logw")
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_source: str = "src0",
+    k: int = 64,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    salt: str = "gumbel",
+) -> DataFrame:
+    """DSIR Gumbel-top-k selection: sample ``k`` raw-pool documents
+    without replacement, proportionally to exp(logw), by ranking on
+    logw + Gumbel noise (the exponential-races trick the DSIR paper
+    uses). The noise is derived from md5(doc_id) so every engine and
+    every run draws the same sample.
+
+    Scale shape: ``dsir_weights`` plus one TakeOrderedAndProject — the
+    top-k never globally sorts the corpus; each partition keeps its
+    local k and the driver merges P·k rows. ``k`` is the caller's
+    token-budget knob (at 100 TB you pass k = docs-you-can-afford).
+
+    gumbel = -ln(-ln(u)) with u = (h + 0.5) / 16^15 from the first 15
+    md5 hex chars — u ∈ (0,1) strictly, so both logs are finite.
+    """
+    w = dsir_weights(docs, target_source, text_col, alpha)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(16**15))
+    keyed = w.withColumn(
+        "gumbel_key", F.round(F.col("logw") - F.log(-F.log(u)), 6)
+    )
+    return (
+        keyed.orderBy(F.col("gumbel_key").desc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", "n_tokens", "logw", "gumbel_key")
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: per LANGUAGE, split
+    documents into terciles of unigram log-perplexity (lower = more
+    fluent/common = "head"). CCNet trains on head+middle and drops tail;
+    this operator emits the assignment so the downstream sampler can.
+
+    Scale shape: ``unigram_logppl`` (two word-keyed shuffles) + one
+    per-language EXACT percentile agg whose output is |langs| rows —
+    broadcast back over the scored corpus. The percentile agg holds
+    per-language value multisets; at 100 TB swap in approx_percentile
+    with the same bucket contract (documented trade — the oracle pins
+    the exact variant).
+
+    Determinism: tercile thresholds are exact linear-interpolation
+    percentiles over the 6 dp-rounded scores, themselves rounded to
+    9 dp; bucket assignment compares identical doubles in both engines.
+    """
+    scored = unigram_logppl(docs, text_col).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.round(
+            F.expr("percentile(mean_neg_logp, 1.0D / 3.0D)"), 9
+        ).alias("t_head"),
+        F.round(
+            F.expr("percentile(mean_neg_logp, 2.0D / 3.0D)"), 9
+        ).alias("t_middle"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("mean_neg_logp"),
+            F.when(F.col("mean_neg_logp") <= F.col("t_head"), F.lit("head"))
+            .when(F.col("mean_neg_logp") <= F.col("t_middle"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )

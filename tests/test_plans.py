@@ -499,3 +499,37 @@ def test_embedding_audit_single_label_aggregate(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_selection_ops_plan_contracts(spark, sf_dir):
+    """DSIR / ppl-buckets / training-order: the model tables broadcast,
+    the corpus shuffles only where the semantics force it."""
+    from flink_helloworld_spark.operators import layout as L
+    from flink_helloworld_spark.operators.selection import (
+        dsir_weights,
+        perplexity_buckets,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+
+    # DSIR: the 1024-row bucket model joins the exploded corpus via
+    # BROADCAST (never a corpus-sized shuffle on bucket id); no Python
+    plan = explain_str(dsir_weights(docs), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # shuffles: the two tiny bucket-count aggs + the per-doc agg — the
+    # corpus-sized explode must not hash-exchange on the bucket key
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+    # ppl_buckets: the per-language cuts table broadcasts back over the
+    # scored corpus (langs is tiny), no Python anywhere
+    plan = explain_str(perplexity_buckets(docs), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+    # training_order: ONE corpus exchange (by shard) feeding the
+    # per-shard sort; no global range partitioning, no Python
+    plan = explain_str(L.training_order(docs), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
