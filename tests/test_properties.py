@@ -184,3 +184,100 @@ def test_winnowing_matches_python_reference(spark, docs):
     for r in winnowing_fingerprint(df, k=k, w=w).collect():
         got[r.doc_id].add(r.fp)
     assert got == expect
+
+
+@st.composite
+def _sourced_docs(draw):
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    n = draw(st.integers(min_value=2, max_value=8))
+    docs = []
+    for i in range(n):
+        k = draw(st.integers(min_value=0, max_value=20))
+        src = draw(st.sampled_from(["src0", "src1", "src2"]))
+        docs.append(
+            (i, " ".join(draw(st.sampled_from(vocab)) for _ in range(k)), src)
+        )
+    return docs
+
+
+@given(docs=_sourced_docs())
+@_settings
+def test_dsir_weights_match_python_reference(spark, docs):
+    """For ANY corpus/source split: the distributed DSIR scorer equals a
+    sequential reimplementation of the same smoothed bucket model —
+    same md5 bucketing, same Laplace smoothing, same 9dp/6dp rounding
+    ladder. Empty raw pools and empty target pools both stay lawful
+    (the model smooths to a uniform prior, never divides by zero)."""
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from flink_helloworld_spark.operators.selection import N_BUCKETS, dsir_weights
+
+    def bucket(w: str) -> int:
+        return int(hashlib.md5(("dsir" + w).encode()).hexdigest()[:15], 16) % N_BUCKETS
+
+    tgt_counts: Counter = Counter()
+    raw_counts: Counter = Counter()
+    raw_docs: dict[int, list[int]] = {}
+    for i, t, src in docs:
+        ws = [x for x in t.split(" ") if x != ""]
+        bs = [bucket(w) for w in ws]
+        if src == "src0":
+            tgt_counts.update(bs)
+        else:
+            raw_counts.update(bs)
+            raw_docs[i] = bs
+    tt, tr = sum(tgt_counts.values()), sum(raw_counts.values())
+    pad = 0.5 * N_BUCKETS
+
+    def log_ratio(b: int) -> Decimal:
+        x = math.log((tgt_counts.get(b, 0) + 0.5) / (tt + pad)) - math.log(
+            (raw_counts.get(b, 0) + 0.5) / (tr + pad)
+        )
+        # round-half-away at 9dp, as DECIMAL
+        s = math.floor(abs(x) * 1e9 + 0.5) / 1e9
+        return Decimal(repr(math.copysign(s, x))).quantize(Decimal("0.000000001"))
+
+    expect = {}
+    for i, bs in raw_docs.items():
+        if not bs:
+            continue  # docs with zero tokens produce no scored rows
+        total = sum((log_ratio(b) for b in bs), Decimal(0))
+        logw = math.floor(abs(float(total)) * 1e6 + 0.5) / 1e6
+        expect[i] = (len(bs), math.copysign(logw, float(total)) + 0.0)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: (r.n_tokens, r.logw)
+        for r in dsir_weights(df, target_source="src0").collect()
+    }
+    assert got == expect
+
+
+@given(docs=_word_docs())
+@_settings
+def test_training_order_is_deterministic_permutation_any_corpus(spark, docs):
+    """For ANY doc set: training_order emits exactly one row per doc,
+    dense per-shard positions, unique global positions, and the md5
+    order key contract (within a shard, positions sort by md5 hex)."""
+    import hashlib
+    from collections import defaultdict
+
+    from flink_helloworld_spark.operators import layout as L
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = L.training_order(df, seed="fz", n_shards=4).collect()
+    assert len(out) == len(docs)
+    assert len({r.global_pos for r in out}) == len(docs)
+    per = defaultdict(list)
+    for r in out:
+        key = hashlib.md5(f"fz:{r.doc_id}".encode()).hexdigest()
+        expected_shard = int(key[:15], 16) % 4
+        assert r.shard_id == expected_shard
+        per[r.shard_id].append((r.shard_pos, key, r.doc_id))
+    for s, rows in per.items():
+        rows.sort()
+        assert [p for p, _, _ in rows] == list(range(len(rows)))
+        assert [k for _, k, _ in rows] == sorted(k for _, k, _ in rows)
