@@ -879,6 +879,13 @@ def _q_multimodal_wav_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.wav_autocorr_pitch(media)
 
 
+def _q_kneser_ney_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top rung of the LM-filter ladder: interpolated Kneser-Ney bigram
+    # (absolute discounting, continuation-unigram backoff) — the
+    # smoothing that wins for n-gram LMs, scored corpus-self-trained
+    return T.kneser_ney_logppl(load_tables(spark, sf_dir).documents)
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR (Xie et al. 2023) importance log-weights: hashed-unigram
     # bucket model (1024 rows, broadcast) fit on target-vs-raw, one
@@ -2073,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # again next round so every query keeps accumulating fresh
         # official rows.
         # round-5 late additions (brand new => front of the gate):
+        "kneser_ney_logppl": _q_kneser_ney_logppl,
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
         "ppl_buckets": _q_ppl_buckets,
@@ -4242,6 +4250,44 @@ def oracle_sql() -> dict[str, str]:
               FROM toks t JOIN uni u ON t.w = u.w
               LEFT JOIN uni up ON t.prev = up.w
               LEFT JOIN big b ON t.prev = b.prev AND t.w = b.w)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6) AS mean_neg_logp
+            FROM scored GROUP BY doc_id
+        """,
+        "kneser_ney_logppl": f"""
+            WITH wsx AS (SELECT doc_id, {_WS} AS ws FROM documents),
+            toks AS (
+              SELECT doc_id, unnest(ws) AS w,
+                     unnest(range(1, len(ws) + 1)) AS pos
+              FROM wsx),
+            seq AS (
+              SELECT doc_id, pos, w,
+                     lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM toks),
+            big AS (SELECT prev, w, count(*) AS cpw FROM seq
+                    WHERE prev IS NOT NULL GROUP BY prev, w),
+            prevtab AS (SELECT prev, sum(cpw) AS cprev, count(*) AS n1p_prev
+                        FROM big GROUP BY prev),
+            conttab AS (SELECT w, count(*) AS n1l_w FROM big GROUP BY w),
+            n1 AS (SELECT count(*)::DOUBLE AS n1 FROM big),
+            vv AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM seq),
+            scored AS (
+              SELECT s.doc_id,
+                round(-ln(
+                  CASE WHEN s.prev IS NULL THEN
+                    (coalesce(c.n1l_w, 0)::DOUBLE + 0.5)
+                      / ((SELECT n1 FROM n1) + 0.5 * (SELECT v FROM vv))
+                  ELSE
+                    (greatest(coalesce(b.cpw, 0)::DOUBLE - 0.75, 0.0)
+                     + 0.75 * p.n1p_prev::DOUBLE
+                       * ((coalesce(c.n1l_w, 0)::DOUBLE + 0.5)
+                          / ((SELECT n1 FROM n1) + 0.5 * (SELECT v FROM vv))))
+                    / p.cprev::DOUBLE
+                  END), 9)::DECIMAL(28,9) AS nlp
+              FROM seq s
+              LEFT JOIN big b ON b.prev = s.prev AND b.w = s.w
+              LEFT JOIN prevtab p ON p.prev = s.prev
+              LEFT JOIN conttab c ON c.w = s.w)
             SELECT doc_id, count(*) AS n_tokens,
                    round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6) AS mean_neg_logp
             FROM scored GROUP BY doc_id

@@ -669,3 +669,92 @@ def winnowing_overlap(
         .where(F.col("n_shared") >= min_shared)
     )
     return pairs
+
+
+def kneser_ney_logppl(
+    docs: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram log-perplexity — the top rung of
+    the LM-filter ladder (unigram → Jelinek-Mercer bigram → KN bigram):
+    absolute discounting with the CONTINUATION unigram as the backoff,
+    the smoothing that actually wins for n-gram LMs (Kneser & Ney 1995;
+    Chen & Goodman 1999 formulation):
+
+        p(w|prev) = (max(c(prev,w) - d, 0) + d·N1+(prev,·)·p_cont(w))
+                    / c(prev)
+        p_cont(w) = (N1+(·,w) + 0.5) / (N1+(·,·) + 0.5·V)
+
+    where N1+(prev,·) counts distinct continuations of prev, N1+(·,w)
+    counts distinct left-contexts of w, N1+(·,·) counts distinct bigram
+    types, and V is the vocabulary size. The 0.5/V Laplace pad on the
+    continuation keeps every probability strictly positive (a token that
+    only ever appears document-initial has N1+(·,w) = 0). Document-first
+    tokens (no context) score by p_cont alone.
+
+    Determinism ladder identical to ``bigram_logppl``: per-token -ln p
+    rounded to 9 dp, summed as DECIMAL(28,9), mean one double division
+    rounded to ``round_dp``.
+
+    Scale shape: one lag window per doc (state bounded per doc), then
+    hash joins keyed on the bigram/context/word — the model tables are
+    derived from ONE bigram-type count and are all map-side combinable;
+    scalars (bigram-type total, vocab size) ride as broadcast 1-row
+    aggs, never an eager count.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(_words(F.col(text_col))).alias("pos", "w")
+    ).withColumn(
+        "prev",
+        F.lag("w").over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    big = (
+        toks.where(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("cpw"))
+    )
+    prevtab = big.groupBy("prev").agg(
+        F.sum("cpw").alias("cprev"), F.count(F.lit(1)).alias("n1p_prev")
+    )
+    conttab = big.groupBy("w").agg(F.count(F.lit(1)).alias("n1l_w"))
+    n1_total = big.agg(F.count(F.lit(1)).cast("double").alias("_n1"))
+    vocab_n = toks.agg(
+        F.countDistinct("w").cast("double").alias("_v")
+    )
+
+    d = F.lit(float(discount))
+    p_cont = (F.coalesce(F.col("n1l_w"), F.lit(0)).cast("double") + F.lit(0.5)) / (
+        F.col("_n1") + F.lit(0.5) * F.col("_v")
+    )
+    p_big = (
+        F.greatest(F.coalesce(F.col("cpw"), F.lit(0)).cast("double") - d, F.lit(0.0))
+        + d * F.col("n1p_prev").cast("double") * p_cont
+    ) / F.col("cprev").cast("double")
+    p = F.when(F.col("prev").isNull(), p_cont).otherwise(p_big)
+
+    scored = (
+        toks.join(big, ["prev", "w"], "left")
+        .join(prevtab, "prev", "left")
+        .join(conttab, "w", "left")
+        .crossJoin(F.broadcast(n1_total))
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            F.round(-F.log(p), 9).cast("decimal(28,9)").alias("nlp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("nlp").cast("double") / F.count(F.lit(1)).cast("double"),
+                round_dp,
+            ).alias("mean_neg_logp"),
+        )
+        .select("doc_id", "n_tokens", "mean_neg_logp")
+    )

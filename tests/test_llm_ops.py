@@ -1581,3 +1581,37 @@ def test_wav_pitch_matches_sequential_reference_on_hash_payloads(spark):
         assert r.best_lag == best_lag
         assert r.ac_peak == (best_ac or 0)
         assert r.zero_crossings == (zc if n >= 2 else 0)
+
+
+def test_kneser_ney_prefers_predictable_text(spark):
+    import math
+
+    # predictable docs reuse the same bigrams; the gibberish doc's
+    # bigrams are all singletons => higher KN negative log-prob
+    rows = [
+        (0, "a b a b a b a b a b", "en", "s"),
+        (1, "a b a b a b a b a b", "en", "s"),
+        (2, "a b a b a b a b a b", "en", "s"),
+        (3, "q w e r t y u i o p", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r.mean_neg_logp for r in T.kneser_ney_logppl(docs).collect()}
+    assert got[0] == got[1] == got[2] < got[3]
+    assert all(v > 0 and math.isfinite(v) for v in got.values())
+
+
+def test_kneser_ney_no_bigrams_backs_off_to_uniform(spark):
+    import math
+
+    # single-token docs: no bigram model exists at all; every token
+    # scores by the padded continuation = exactly 1/V
+    docs = spark.createDataFrame(
+        [(0, "aa", "en", "s", 2), (1, "bb", "en", "s", 2), (2, "cc", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r.mean_neg_logp for r in T.kneser_ney_logppl(docs).collect()}
+    expect = round(math.log(3.0), 6)
+    assert all(abs(v - expect) < 1e-9 for v in got.values())
