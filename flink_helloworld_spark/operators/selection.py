@@ -200,3 +200,64 @@ def perplexity_buckets(
             .alias("ppl_bucket"),
         )
     )
+
+
+def fit_dsir_model(
+    docs: DataFrame,
+    target_source: str = "src0",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> list[int]:
+    """Fit the DSIR bucket model batch-side and return it as a dense
+    vector of ``N_BUCKETS`` nanolog-scaled integers (log_ratio × 1e9,
+    the DECIMAL(28,9) lattice ``dsir_weights`` sums on) — the
+    train-offline artifact the streaming gate embeds as plan constants.
+    The collect is the MODEL (≤ N_BUCKETS rows), never the corpus —
+    same driver-size contract as the classifier weights."""
+    toks = docs.select(
+        (F.col("source") == target_source).alias("is_target"),
+        F.explode(_words(F.col(text_col))).alias("w"),
+    ).withColumn("b", _bucket_expr(F.col("w")))
+    a = float(alpha)
+    pad = a * N_BUCKETS
+    tgt = {r["b"]: r["ct"] for r in
+           toks.where("is_target").groupBy("b").agg(
+               F.count(F.lit(1)).alias("ct")).collect()}
+    raw = {r["b"]: r["cr"] for r in
+           toks.where(~F.col("is_target")).groupBy("b").agg(
+               F.count(F.lit(1)).alias("cr")).collect()}
+    import math
+
+    tt, tr = float(sum(tgt.values())), float(sum(raw.values()))
+    out = []
+    for b in range(N_BUCKETS):
+        x = math.log((tgt.get(b, 0) + a) / (tt + pad)) - math.log(
+            (raw.get(b, 0) + a) / (tr + pad)
+        )
+        # round-half-away at 9dp onto the integer nanolog lattice
+        out.append(int(math.copysign(math.floor(abs(x) * 1e9 + 0.5), x)))
+    return out
+
+
+def attach_dsir_score(
+    df: DataFrame, model: list[int], text_col: str = "text"
+) -> DataFrame:
+    """Score rows against a fitted DSIR model with NO join and NO state:
+    the model rides as a 1024-long array literal (plan constants, like
+    the classifier weights), each token indexes it by md5 bucket, and
+    the per-doc sum runs on exact int64 nanologs — so the score equals
+    ``dsir_weights``'s DECIMAL ladder bit-for-bit regardless of token
+    order. Streaming-safe: pure codegen projection, usable as a
+    stateless gate before any stateful operator."""
+    if len(model) != N_BUCKETS:
+        raise ValueError(f"model must have {N_BUCKETS} entries")
+    arr = F.array(*[F.lit(int(v)).cast("long") for v in model])
+    ws = _words(F.col(text_col))
+    scaled = F.aggregate(
+        F.transform(ws, lambda w: F.element_at(arr, (_bucket_expr(w) + 1).cast("int"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn(
+        "dsir_logw", F.round(scaled.cast("double") / F.lit(1e9), 6)
+    )

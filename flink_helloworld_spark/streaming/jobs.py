@@ -280,6 +280,8 @@ def streaming_pretrain_front(
     delay: str = "10 minutes",
     classifier_weights: list[float] | None = None,
     classifier_threshold: float = 0.5,
+    dsir_model: list[int] | None = None,
+    dsir_threshold: float = 0.0,
 ) -> DataFrame:
     """The full streaming pretrain front-end as ONE query, composing the
     round-3 surface: Gopher rule gate (stateless codegen projection) →
@@ -295,6 +297,14 @@ def streaming_pretrain_front(
     train-offline/score-online stage: σ(w·x) as plan constants in the
     same stateless gate, dropping rows under ``classifier_threshold``
     before any state is paid for them.
+
+    ``dsir_model`` (fit batch-side by ``selection.fit_dsir_model``)
+    adds the DSIR relevance gate the same way: the 1024-bucket nanolog
+    model rides as an array literal, each arriving doc's importance
+    log-weight is an exact int64 fold over its tokens (bit-identical to
+    batch ``dsir_weights``), and rows under ``dsir_threshold`` drop in
+    the same stateless projection — target-irrelevant documents never
+    reach the dedup/cap state either.
 
     Returns the flagged stream (doc_id, source, domain_rank, kept);
     callers route kept=true to the lake sink and the rest to an audit
@@ -323,6 +333,14 @@ def streaming_pretrain_front(
             attach_quality_score(gated, classifier_weights, text_col)
             .where(F.col("quality_score") >= classifier_threshold)
             .drop("quality_score")
+        )
+    if dsir_model is not None:
+        from flink_helloworld_spark.operators.selection import attach_dsir_score
+
+        gated = (
+            attach_dsir_score(gated, dsir_model, text_col)
+            .where(F.col("dsir_logw") >= dsir_threshold)
+            .drop("dsir_logw")
         )
     deduped = (
         gated.withWatermark(time_col, delay)

@@ -491,3 +491,72 @@ def test_streaming_filter_funnel_matches_batch_recompute(spark):
     }
     assert final == expect
     assert all(v[1] == len(all_rows) for v in final.values())
+
+
+def test_streaming_dsir_gate_matches_batch_weights(spark):
+    """Fit-offline/score-online for DSIR: the 1024-bucket nanolog model
+    fit batch-side becomes an array literal in the streaming gate, and
+    the exact int64 token fold reproduces batch ``dsir_weights`` scores
+    bit-for-bit; a threshold between the two docs' scores drops the
+    off-target one before any state is paid."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+
+    from flink_helloworld_spark.operators.selection import (
+        attach_dsir_score,
+        dsir_weights,
+        fit_dsir_model,
+    )
+    from flink_helloworld_spark.streaming.jobs import streaming_pretrain_front
+    from flink_helloworld_spark.streaming.replay import run_available_now
+
+    target = "alpha beta gamma alpha beta gamma alpha beta"
+    onlike = "alpha gamma beta alpha beta gamma gamma alpha"
+    offlike = "zork quux blarg mumble frotz gnusto rezrov zork"
+    corpus = spark.createDataFrame(
+        [(0, target, "en", "src0", 1), (1, target + " x", "en", "src0", 1),
+         (2, onlike, "en", "src1", 1), (3, offlike, "en", "src1", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    model = fit_dsir_model(corpus, target_source="src0")
+
+    # exact parity: plan-constant fold == batch decimal ladder
+    raw = corpus.where("source <> 'src0'")
+    batch = {r.doc_id: r.logw for r in dsir_weights(corpus).collect()}
+    attached = {
+        r.doc_id: r.dsir_logw
+        for r in attach_dsir_score(raw, model).collect()
+    }
+    assert attached == batch
+    assert batch[2] > batch[3]
+
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [2, 3],
+            "source": ["a", "a"],
+            "text": [onlike, offlike],
+            "event_time": [base, base + pd.Timedelta(seconds=1)],
+        }
+    )
+    pdf["event_time"] = pd.to_datetime(pdf["event_time"]).astype("datetime64[us]")
+    workdir = tempfile.mkdtemp(prefix="dsir-gate-")
+    p = os.path.join(workdir, "f000.parquet")
+    pdf.to_parquet(p, index=False)
+    os.utime(p, (_time.time() - 60, _time.time() - 60))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, source string, text string, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    thr = (batch[2] + batch[3]) / 2
+    out = streaming_pretrain_front(
+        stream, domain_cap=5, dsir_model=model, dsir_threshold=thr
+    )
+    rows = {r.doc_id: r for r in run_available_now(out, "dsir_gate")}
+    assert set(rows) == {2}  # the off-target doc never reached state
