@@ -886,6 +886,16 @@ def _q_kneser_ney_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.kneser_ney_logppl(load_tables(spark, sf_dir).documents)
 
 
+def _q_multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL *compressed*-audio decode: genuine RIFF/WAVE mu-law payloads
+    # (format code 7) built JVM-side, expanded by the published G.711
+    # formula in pure Python (stdlib wave refuses non-PCM, so the RIFF
+    # walk is manual); rms over the EXPANDED linear samples; the
+    # expansion is pinned bit-exact against audioop for all 256 bytes
+    media = MM.attach_mulaw_binary(load_tables(spark, sf_dir).documents)
+    return MM.decode_mulaw_features(media)
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR (Xie et al. 2023) importance log-weights: hashed-unigram
     # bucket model (1024 rows, broadcast) fit on target-vs-raw, one
@@ -2080,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # again next round so every query keeps accumulating fresh
         # official rows.
         # round-5 late additions (brand new => front of the gate):
+        "multimodal_mulaw_decode": _q_multimodal_mulaw_decode,
         "kneser_ney_logppl": _q_kneser_ney_logppl,
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
@@ -4253,6 +4264,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tokens,
                    round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6) AS mean_neg_logp
             FROM scored GROUP BY doc_id
+        """,
+        "multimodal_mulaw_decode": """
+            WITH p AS (
+              SELECT doc_id,
+                CASE length(text) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+                length(text) % 250 + 1 AS nf,
+                text
+              FROM documents),
+            st AS (
+              SELECT doc_id, rate, nf,
+                substr(repeat(md5(text), CAST(nf * 2 // 32 + 1 AS INT)),
+                       1, nf * 2) AS stream
+              FROM p),
+            idx AS (SELECT doc_id, rate, nf, stream,
+                           unnest(range(1, nf + 1)) AS i FROM st),
+            sb AS (
+              SELECT doc_id, rate, nf,
+                     255 - ('0x' || substr(stream, (i - 1) * 2 + 1, 2))::BIGINT AS u
+              FROM idx),
+            sv AS (
+              -- G.711 expansion: t = ((mantissa<<3)+132) << exponent;
+              -- v = 132-t if sign else t-132
+              SELECT doc_id, rate, nf,
+                CASE WHEN u >= 128
+                     THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+                     ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132
+                END AS v
+              FROM sb),
+            agg AS (SELECT doc_id, rate, nf, sum(v * v) AS sum_sq
+                    FROM sv GROUP BY doc_id, rate, nf)
+            SELECT doc_id,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(nf AS INT) AS n_frames,
+                   CAST(nf * 1000 // rate AS INT) AS duration_ms,
+                   CAST(floor(sqrt(sum_sq::DOUBLE / nf)) AS INT) AS rms_q,
+                   TRUE AS decode_ok
+            FROM agg
         """,
         "kneser_ney_logppl": f"""
             WITH wsx AS (SELECT doc_id, {_WS} AS ws FROM documents),

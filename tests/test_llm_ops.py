@@ -1615,3 +1615,50 @@ def test_kneser_ney_no_bigrams_backs_off_to_uniform(spark):
     got = {r.doc_id: r.mean_neg_logp for r in T.kneser_ney_logppl(docs).collect()}
     expect = round(math.log(3.0), 6)
     assert all(abs(v - expect) < 1e-9 for v in got.values())
+
+
+def test_mulaw_expansion_matches_audioop_for_all_bytes(spark):
+    # the published G.711 formula vs CPython's C implementation:
+    # bit-exact for the full byte range
+    import audioop
+    import struct
+
+    from flink_helloworld_spark.operators.multimodal import mulaw_expand
+
+    for b in range(256):
+        (want,) = struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))
+        assert mulaw_expand(b) == want
+
+
+def test_mulaw_decode_real_payloads_and_corruption(spark):
+    from flink_helloworld_spark.operators.multimodal import (
+        _decode_mulaw,
+        attach_mulaw_binary,
+        decode_mulaw_features,
+        mulaw_expand,
+    )
+
+    docs = _docs(spark, ["hello world one", "a", "longer text with more words here"])
+    media = attach_mulaw_binary(docs)
+    got = {r.doc_id: r for r in decode_mulaw_features(media).collect()}
+    # sequential reference over the same payloads
+    import math
+
+    for row in media.collect():
+        payload = bytes(row.payload)
+        r = got[row.doc_id]
+        assert r.decode_ok
+        ref = _decode_mulaw(payload)
+        assert (r.sample_rate, r.n_frames, r.duration_ms, r.rms_q) == ref
+        # cross-check rms against a direct expansion of the data chunk
+        data = payload[44:]
+        assert len(data) == r.n_frames
+        ss = sum(mulaw_expand(b) ** 2 for b in data)
+        assert r.rms_q == int(math.floor(math.sqrt(ss / len(data))))
+    # corruption contract: truncated data chunk and non-RIFF both refuse
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"RIFFxxxxWAVE")), (10, bytearray(b"zzzz"))],
+        "doc_id long, payload binary",
+    )
+    got_bad = {r.doc_id: r.decode_ok for r in decode_mulaw_features(bad).collect()}
+    assert got_bad == {9: False, 10: False}
