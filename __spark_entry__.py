@@ -886,6 +886,28 @@ def _q_kneser_ney_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.kneser_ney_logppl(load_tables(spark, sf_dir).documents)
 
 
+def _q_selection_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the data-SELECTION capstone: ppl-tail drop ∩ above-median DSIR
+    # relevance → deterministic epoch shuffle; the manifest a trainer
+    # consumes (chooses-and-orders, beside pretrain_prep's cleans)
+    from flink_helloworld_spark.operators.selection import selection_pipeline
+
+    return selection_pipeline(load_tables(spark, sf_dir).documents)
+
+
+def _q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Efraimidis-Spirakis A-ES: k docs per source, weight-proportional
+    # to n_chars, md5-deterministic keys — the per-domain sampler a
+    # mixture recipe actually executes with
+    from flink_helloworld_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    return weighted_reservoir_sample(
+        load_tables(spark, sf_dir).documents, "source", "n_chars", "doc_id", k=5
+    )
+
+
 def _q_multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL *compressed*-audio decode: genuine RIFF/WAVE mu-law payloads
     # (format code 7) built JVM-side, expanded by the published G.711
@@ -2077,19 +2099,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering contract: the driver's correctness gate checks only
         # the FIRST 50 entries. Round-5 rotation (staleness from the
-        # union of CORRECTNESS_r01-r04): the 14 brand-new queries first
-        # (boilerplate_scrub, filter_funnel, winnowing_fingerprint,
-        # embedding_audit, multimodal_wav_decode,
-        # similarity_ann_recall{,_sampled}, dedup_ngram_jaccard_capped,
-        # dedup_cluster_prune, dedup_clusters_twostar,
-        # contamination_report, shard_manifest, mixture_plan,
-        # similarity_sq_topk),
-        # then the queries whose newest official row is round 2;
-        # round-3/4-checked queries rotate to the back (locally
-        # re-verified via tools/check_oracle.py before ship). Rotate
-        # again next round so every query keeps accumulating fresh
-        # official rows.
+        # union of CORRECTNESS_r01-r04): all 22 queries with NO official
+        # row yet come first (the round-5 additions), then 28 of the 34
+        # whose newest official row is round 2; the 6 remaining r2-stale
+        # (chunk_documents, dedup_containment, multimodal_audio,
+        # skew_report, table_profile, text_diversity) plus the
+        # r3/r4-checked back of the registry were ALL re-verified
+        # locally this round via tools/check_oracle.py (0 failures /
+        # 149+new checked). Rotate again next round: those 6 go first,
+        # then newest-row-r3 queries.
         # round-5 late additions (brand new => front of the gate):
+        "selection_prep": _q_selection_prep,
+        "weighted_reservoir": _q_weighted_reservoir,
         "multimodal_mulaw_decode": _q_multimodal_mulaw_decode,
         "kneser_ney_logppl": _q_kneser_ney_logppl,
         "dsir_weights": _q_dsir_weights,
@@ -4264,6 +4285,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tokens,
                    round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6) AS mean_neg_logp
             FROM scored GROUP BY doc_id
+        """,
+        "selection_prep": f"""
+            WITH toks AS (
+              SELECT doc_id, (source = 'src0') AS is_target,
+                     ('0x' || substr(md5('dsir' || unnest({_WS})), 1, 15))::BIGINT
+                       % 1024 AS b
+              FROM documents),
+            tgt AS (SELECT b, count(*) AS ct FROM toks WHERE is_target GROUP BY b),
+            rawc AS (SELECT b, count(*) AS cr FROM toks WHERE NOT is_target GROUP BY b),
+            tt AS (SELECT count(*)::DOUBLE AS t FROM toks WHERE is_target),
+            tr AS (SELECT count(*)::DOUBLE AS t FROM toks WHERE NOT is_target),
+            model AS (
+              SELECT coalesce(tgt.b, rawc.b) AS b,
+                round(ln((coalesce(ct, 0)::DOUBLE + 0.5) / ((SELECT t FROM tt) + 512.0))
+                    - ln((coalesce(cr, 0)::DOUBLE + 0.5) / ((SELECT t FROM tr) + 512.0)),
+                    9)::DECIMAL(28,9) AS log_ratio
+              FROM tgt FULL OUTER JOIN rawc ON tgt.b = rawc.b),
+            w AS (
+              SELECT doc_id, round(sum(log_ratio)::DOUBLE, 6) AS logw
+              FROM toks JOIN model USING (b)
+              WHERE NOT is_target
+              GROUP BY doc_id),
+            cut AS (SELECT round(quantile_cont(logw, 0.5), 9) AS c FROM w),
+            words AS (
+              SELECT doc_id, unnest({_WS}) AS w FROM documents),
+            total AS (SELECT count(*)::DOUBLE AS t FROM words),
+            vocab AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+            scoredw AS (
+              SELECT doc_id,
+                     round(-ln(cnt::DOUBLE / (SELECT t FROM total)), 9)::DECIMAL(28,9)
+                       AS nlp
+              FROM words JOIN vocab USING (w)),
+            ppl AS (
+              SELECT doc_id, round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6)
+                       AS mean_neg_logp
+              FROM scoredw GROUP BY doc_id),
+            langd AS (
+              SELECT p.doc_id, d.lang, p.mean_neg_logp
+              FROM ppl p JOIN documents d USING (doc_id)),
+            cuts AS (
+              SELECT lang,
+                     round(quantile_cont(mean_neg_logp, 1.0 / 3.0), 9) AS t_head,
+                     round(quantile_cont(mean_neg_logp, 2.0 / 3.0), 9) AS t_middle
+              FROM langd GROUP BY lang),
+            bucketed AS (
+              SELECT doc_id, lang,
+                CASE WHEN mean_neg_logp <= t_head THEN 'head'
+                     WHEN mean_neg_logp <= t_middle THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+              FROM langd JOIN cuts USING (lang)),
+            kept AS (
+              SELECT bk.doc_id, bk.lang, bk.ppl_bucket, w.logw
+              FROM bucketed bk JOIN w USING (doc_id)
+              WHERE bk.ppl_bucket <> 'tail'
+                AND w.logw >= (SELECT c FROM cut)),
+            keyed AS (
+              SELECT doc_id, lang, ppl_bucket, logw,
+                     md5('epoch0:' || doc_id) AS key,
+                     CAST(('0x' || substr(md5('epoch0:' || doc_id), 1, 15))::BIGINT
+                          % 16 AS INT) AS shard_id
+              FROM kept),
+            pos AS (
+              SELECT doc_id, lang, ppl_bucket, logw, shard_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY shard_id ORDER BY key, doc_id) - 1 AS INT)
+                       AS shard_pos
+              FROM keyed)
+            SELECT doc_id, lang, ppl_bucket, logw, shard_id, shard_pos,
+                   CAST(shard_pos AS BIGINT) * 16 + shard_id AS global_pos
+            FROM pos
+        """,
+        "weighted_reservoir": """
+            WITH keyed AS (
+              SELECT doc_id, source, n_chars,
+                round(-ln(((('0x' || substr(md5('wres' || doc_id), 1, 15))::BIGINT
+                            ::DOUBLE) + 0.5) / 1152921504606846976.0)
+                      / n_chars::DOUBLE, 9) AS res_key
+              FROM documents
+              WHERE n_chars::DOUBLE > 0),
+            ranked AS (
+              SELECT doc_id, source, n_chars, res_key,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY res_key, doc_id) AS INT)
+                       AS res_rank
+              FROM keyed)
+            SELECT * FROM ranked WHERE res_rank <= 5
         """,
         "multimodal_mulaw_decode": """
             WITH p AS (

@@ -240,3 +240,52 @@ def mixture_plan(
         achieved.alias("achieved_tokens"),
         (target - achieved).alias("deficit_tokens"),
     )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int = 5,
+    salt: str = "wres",
+) -> DataFrame:
+    """Weighted reservoir sampling without replacement, k per stratum —
+    Efraimidis & Spirakis (2006) A-ES: each row draws key = -ln(u)/w
+    with u from md5(id), and the k SMALLEST keys per stratum win; that
+    is exactly a weight-proportional sample, reproducible across runs,
+    engines and partitionings (the distributed/streaming-safe form of
+    "pick k docs per domain proportional to token count").
+
+    Scale shape: one codegen key projection + one rank window per
+    stratum. The window shuffles by stratum; a single mega-stratum
+    makes one fat sort partition — at that point split the stratum by a
+    salt prefix, take per-split top-k, re-rank the k·splits survivors
+    (same two-phase trick as salted_sum). Keys round to 9 dp; rank ties
+    break on the id, so the sample is total-order deterministic.
+
+    Rows with weight <= 0 or NULL are excluded (they can never be
+    sampled under weight-proportional semantics).
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(16**15))
+    w = F.col(weight_col).cast("double")
+    keyed = df.where(w > 0).withColumn(
+        "res_key", F.round(-F.log(u) / w, 9)
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy("res_key", id_col)
+    )
+    return (
+        keyed.withColumn("res_rank", rank)
+        .where(F.col("res_rank") <= k)
+        .select(id_col, strata_col, weight_col, "res_key", "res_rank")
+    )

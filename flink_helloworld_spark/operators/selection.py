@@ -261,3 +261,61 @@ def attach_dsir_score(
     return df.withColumn(
         "dsir_logw", F.round(scaled.cast("double") / F.lit(1e9), 6)
     )
+
+
+def selection_pipeline(
+    docs: DataFrame,
+    target_source: str = "src0",
+    logw_quantile: float = 0.5,
+    seed: str = "epoch0",
+    n_shards: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """The data-SELECTION capstone, one declarative plan: CCNet
+    perplexity gate (drop the tail tercile per language) ∩ DSIR
+    relevance gate (keep docs at or above the corpus's
+    ``logw_quantile`` importance weight — self-calibrating, no
+    corpus-dependent magic threshold) → deterministic epoch shuffle of
+    the survivors. Output is the per-document training manifest
+    (doc_id, lang, ppl_bucket, logw, shard_id, shard_pos, global_pos)
+    a trainer consumes directly — the selection analogue of
+    ``pretrain_prep`` (which cleans; this one chooses and orders).
+
+    Scale shape: the union of its parts — word-keyed shuffles for the
+    LM scores, a broadcast 1024-row DSIR model, tiny broadcast cuts,
+    the logw cut as a broadcast 1-row exact-percentile agg (swap
+    approx_percentile at 100 TB, same contract), one inner join on
+    doc_id, one shard exchange for the epoch order. Target-source
+    documents are not scored (DSIR never selects from the target set)
+    and so never reach the shuffle.
+    """
+    from flink_helloworld_spark.operators.layout import training_order
+
+    weights = dsir_weights(docs, target_source, text_col)
+    cut = weights.agg(
+        F.round(
+            F.expr(f"percentile(logw, {logw_quantile!r}D)"), 9
+        ).alias("_logw_cut")
+    )
+    kept = (
+        perplexity_buckets(docs, text_col)
+        .where(F.col("ppl_bucket") != "tail")
+        .join(
+            weights.crossJoin(F.broadcast(cut)).where(
+                F.col("logw") >= F.col("_logw_cut")
+            ),
+            "doc_id",
+        )
+    )
+    order = training_order(
+        kept.select("doc_id"), seed=seed, n_shards=n_shards
+    )
+    return kept.join(order, "doc_id").select(
+        "doc_id",
+        "lang",
+        "ppl_bucket",
+        "logw",
+        "shard_id",
+        "shard_pos",
+        "global_pos",
+    )

@@ -1662,3 +1662,82 @@ def test_mulaw_decode_real_payloads_and_corruption(spark):
     )
     got_bad = {r.doc_id: r.decode_ok for r in decode_mulaw_features(bad).collect()}
     assert got_bad == {9: False, 10: False}
+
+
+def test_weighted_reservoir_matches_sequential_reference(spark):
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from flink_helloworld_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    rows = [
+        (i, ["d0", "d1", "d2"][i % 3], [0, 1, 5, 100, 7][i % 5]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        (r.doc_id): (r.source, r.res_rank)
+        for r in weighted_reservoir_sample(
+            df, "source", "n_chars", "doc_id", k=3
+        ).collect()
+    }
+    # sequential A-ES with the same md5 keys
+    keys = defaultdict(list)
+    for i, s, w in rows:
+        if w <= 0:
+            continue
+        h = float(int(hashlib.md5(f"wres{i}".encode()).hexdigest()[:15], 16))
+        u = (h + 0.5) / float(16**15)
+        key = -math.log(u) / w
+        key = math.floor(abs(key) * 1e9 + 0.5) / 1e9
+        keys[s].append((key, i))
+    expect = {}
+    for s, ks in keys.items():
+        for rank, (_, i) in enumerate(sorted(ks), start=1):
+            if rank <= 3:
+                expect[i] = (s, rank)
+    assert got == expect
+
+
+def test_selection_pipeline_manifest_contract(spark):
+    from collections import defaultdict
+
+    from flink_helloworld_spark.operators.selection import (
+        dsir_weights,
+        perplexity_buckets,
+        selection_pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["alpha", "beta", "gamma", "delta"][j % 4]
+                         for j in range(i % 11 + 2)),
+             ["en", "de"][i % 2], ["src0", "src1", "src2"][i % 3], 1)
+            for i in range(60)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = selection_pipeline(docs, n_shards=4).collect()
+    assert out  # the composed gates keep someone
+    buckets = {r.doc_id: r.ppl_bucket for r in perplexity_buckets(docs).collect()}
+    weights = {r.doc_id: r.logw for r in dsir_weights(docs).collect()}
+    import statistics
+
+    med = sorted(weights.values())[:]
+    # survivors: never target-source, never tail, always >= median cut
+    got_ids = {r.doc_id for r in out}
+    assert got_ids <= set(weights)  # raw pool only
+    for r in out:
+        assert r.ppl_bucket != "tail"
+        assert buckets[r.doc_id] == r.ppl_bucket
+        assert r.logw == weights[r.doc_id]
+    assert min(r.logw for r in out) >= statistics.median(weights.values()) - 1e-9
+    # manifest positions: dense per shard, globally unique
+    per = defaultdict(list)
+    for r in out:
+        per[r.shard_id].append(r.shard_pos)
+    for poss in per.values():
+        assert sorted(poss) == list(range(len(poss)))
+    assert len({r.global_pos for r in out}) == len(out)
