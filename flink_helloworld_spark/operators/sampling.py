@@ -242,6 +242,23 @@ def mixture_plan(
     )
 
 
+def reservoir_key(id_col: str, weight_col: str, salt: str = "wres") -> Column:
+    """The ONE definition of the A-ES exponential-race key (shared by
+    the batch sampler and its streaming twin, whose contract is a
+    bit-identical final reservoir): key = round(-ln(u)/w, 9) with
+    u = (md5-60bit + 0.5) / 2^60 — computed as a Spark column so every
+    consumer scores with the exact same doubles."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(16**15))
+    return F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+
+
 def weighted_reservoir_sample(
     df: DataFrame,
     strata_col: str,
@@ -269,17 +286,9 @@ def weighted_reservoir_sample(
     """
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("double")
-    u = (h + F.lit(0.5)) / F.lit(float(16**15))
     w = F.col(weight_col).cast("double")
     keyed = df.where(w > 0).withColumn(
-        "res_key", F.round(-F.log(u) / w, 9)
+        "res_key", reservoir_key(id_col, weight_col, salt)
     )
     rank = F.row_number().over(
         Window.partitionBy(strata_col).orderBy("res_key", id_col)

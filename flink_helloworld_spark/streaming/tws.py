@@ -29,6 +29,7 @@ from pyspark.sql.streaming.stateful_processor import (
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -547,6 +548,129 @@ def streaming_domain_cap(
     return src.groupBy("source").transformWithStateInPandas(
         DomainCapProcessor(cap),
         outputStructType=DOMAIN_CAP_OUTPUT,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming weighted reservoir: A-ES in its native habitat
+# --------------------------------------------------------------------------
+
+RESERVOIR_OUTPUT = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("weight", LongType()),
+        StructField("res_key", DoubleType()),
+        StructField("res_rank", IntegerType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_RES_ROW_STATE = StructType(
+    [
+        StructField("res_key", DoubleType()),
+        StructField("doc_id", LongType()),
+        StructField("weight", LongType()),
+    ]
+)
+
+
+class WeightedReservoirProcessor(StatefulProcessor):
+    """Streaming twin of ``sampling.weighted_reservoir_sample`` —
+    Efraimidis-Spirakis reservoir sampling in the setting it was
+    INVENTED for (an unbounded stream you see once). Because each row's
+    exponential-race key is content-derived (computed upstream by the
+    SHARED ``sampling.reservoir_key`` column expression), the final
+    reservoir after any arrival order / batch split is BIT-IDENTICAL to
+    the batch operator over the same rows — unlike the arrival-order
+    domain cap, this twin's contract is full batch parity.
+
+    State per stratum: a ListState of at most k (res_key, doc_id,
+    weight) rows + one n_seen counter — O(k) per domain, never
+    corpus-proportional. Each batch re-emits the stratum's CURRENT
+    reservoir stamped with n_seen, so consumers take the max-n_seen
+    emission per stratum as the live sample.
+    """
+
+    def __init__(self, k: int) -> None:
+        self._k = k
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._res = handle.getListState("res", _RES_ROW_STATE)
+        self._n = handle.getValueState("n", _COUNT_STATE)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        cur: list[tuple[float, int, int]] = [
+            (r[0], r[1], r[2]) for r in self._res.get()
+        ]
+        (n,) = self._n.get() if self._n.exists() else (0,)
+        batch = _concat_chunks(rows)
+        changed = False
+        if batch is not None and len(batch):
+            for rec in batch.to_dict("records"):
+                n += 1
+                cur.append(
+                    (
+                        float(rec["res_key"]),
+                        int(rec["doc_id"]),
+                        int(rec["weight"]),
+                    )
+                )
+                changed = True
+            # k smallest (key, doc_id) survive — same total order as the
+            # batch rank window
+            cur.sort(key=lambda t: (t[0], t[1]))
+            cur = cur[: self._k]
+        if changed:
+            self._res.clear()
+            self._res.appendList(cur)
+            self._n.update((n,))
+        out = [
+            {
+                "source": key[0],
+                "doc_id": d,
+                "weight": w,
+                "res_key": rk,
+                "res_rank": i + 1,
+                "n_seen": n,
+            }
+            for i, (rk, d, w) in enumerate(cur)
+        ]
+        yield pd.DataFrame(out, columns=[f.name for f in RESERVOIR_OUTPUT.fields])
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_weighted_reservoir(
+    stream: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    salt: str = "wres",
+) -> DataFrame:
+    """Per-stratum A-ES weighted reservoir over an unbounded stream;
+    rows with weight <= 0 are excluded (never sampleable), keys come
+    from the SHARED batch column expression so parity is bit-exact."""
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.sampling import reservoir_key
+
+    w = F.col(weight_col).cast("double")
+    src = stream.where(w > 0).select(
+        F.col(strata_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.col(weight_col).cast("long").alias("weight"),
+        reservoir_key(id_col, weight_col, salt).alias("res_key"),
+    )
+    return src.groupBy("source").transformWithStateInPandas(
+        WeightedReservoirProcessor(k),
+        outputStructType=RESERVOIR_OUTPUT,
         outputMode="append",
         timeMode="none",
     )

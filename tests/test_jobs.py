@@ -560,3 +560,63 @@ def test_streaming_dsir_gate_matches_batch_weights(spark):
     )
     rows = {r.doc_id: r for r in run_available_now(out, "dsir_gate")}
     assert set(rows) == {2}  # the off-target doc never reached state
+
+
+def test_streaming_weighted_reservoir_matches_batch_any_order(spark):
+    """A-ES keys are content-derived, so the streaming reservoir after
+    ANY batch split/arrival order equals the batch sampler over the same
+    rows bit-for-bit (keys, membership, and ranks). Zero-weight rows
+    never enter; n_seen counts only sampleable arrivals."""
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+    from flink_helloworld_spark.streaming.tws import (
+        streaming_weighted_reservoir,
+    )
+
+    rows = [
+        (i, ["d0", "d1"][i % 2], [0, 3, 50, 7, 1][i % 5]) for i in range(36)
+    ]
+    # adversarial arrival order: reversed, split unevenly across batches
+    arrival = list(reversed(rows))
+    batches = [arrival[:5], arrival[5:9], arrival[9:30], arrival[30:]]
+    workdir = tempfile.mkdtemp(prefix="res-stream-")
+    t0 = time.time() - 30
+    for i, b in enumerate(batches):
+        path = os.path.join(workdir, f"b{i:02d}.parquet")
+        pd.DataFrame(b, columns=["doc_id", "source", "weight"]).to_parquet(
+            path, index=False
+        )
+        os.utime(path, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, weight long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(workdir)
+    )
+    out = run_available_now(
+        streaming_weighted_reservoir(stream, k=4),
+        "res_stream",
+    )
+    latest = {}
+    for r in out:  # max-n_seen emission per stratum is the live sample
+        if r.source not in latest or r.n_seen > latest[r.source][0]:
+            latest[r.source] = (r.n_seen, {})
+        if r.n_seen == latest[r.source][0]:
+            latest[r.source][1][r.res_rank] = (r.doc_id, r.res_key, r.weight)
+    batch_df = spark.createDataFrame(rows, "doc_id long, source string, weight long")
+    expect = {}
+    for r in weighted_reservoir_sample(
+        batch_df, "source", "weight", "doc_id", k=4
+    ).collect():
+        expect.setdefault(r.source, {})[r.res_rank] = (
+            r.doc_id, r.res_key, r.weight
+        )
+    assert {s: d for s, (_, d) in latest.items()} == expect
+    n_sampleable = sum(1 for _, _, w in rows if w > 0)
+    assert sum(n for n, _ in latest.values()) == n_sampleable

@@ -533,3 +533,36 @@ def test_selection_ops_plan_contracts(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_round5_late_ops_plan_contracts(spark, sf_dir):
+    """KN LM / reservoir / selection capstone: model tables broadcast,
+    windows partition on bounded keys, no Python in the hot paths."""
+    from flink_helloworld_spark.operators import text as T
+    from flink_helloworld_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+    from flink_helloworld_spark.operators.selection import selection_pipeline
+
+    docs = load_tables(spark, sf_dir).documents
+
+    # kneser_ney_logppl: scalars (bigram-type total, vocab size) ride as
+    # broadcast 1-row aggs — never an eager count; no Python
+    plan = explain_str(T.kneser_ney_logppl(docs), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+    # weighted_reservoir: one codegen key projection + the per-stratum
+    # rank — exactly ONE corpus exchange (by stratum), no global sort
+    plan = explain_str(
+        weighted_reservoir_sample(docs, "source", "n_chars", "doc_id"), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+    # selection_prep: the DSIR model and both threshold tables join via
+    # broadcast; no Python anywhere in the composed plan
+    plan = explain_str(selection_pipeline(docs), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
