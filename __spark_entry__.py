@@ -886,6 +886,15 @@ def _q_kneser_ney_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.kneser_ney_logppl(load_tables(spark, sf_dir).documents)
 
 
+def _q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TextRank: PageRank power iteration over the word co-occurrence
+    # graph — the graph rung of the iterative-trainer family; 4 rounds,
+    # chained-CTE oracle replays every iteration
+    from flink_helloworld_spark.operators.ranking import textrank_scores
+
+    return textrank_scores(load_tables(spark, sf_dir).documents)
+
+
 def _q_selection_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the data-SELECTION capstone: ppl-tail drop ∩ above-median DSIR
     # relevance → deterministic epoch shuffle; the manifest a trainer
@@ -2109,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 149+new checked). Rotate again next round: those 6 go first,
         # then newest-row-r3 queries.
         # round-5 late additions (brand new => front of the gate):
+        "textrank": _q_textrank,
         "selection_prep": _q_selection_prep,
         "weighted_reservoir": _q_weighted_reservoir,
         "multimodal_mulaw_decode": _q_multimodal_mulaw_decode,
@@ -3202,6 +3212,54 @@ _GOPHER_R_CTE = rf"""
               FROM m)"""
 
 
+def _textrank_sql(n_iters: int = 4) -> str:
+    """Chained-CTE replay of every TextRank power iteration (the
+    BPE/k-means/GD oracle pattern extended to graphs): per-edge
+    contributions rounded to 9 dp and summed as DECIMAL, next PR rounded
+    to 9 dp. (1.0 - 0.85) is written as the SUBTRACTION, not 0.15 — the
+    engine embeds Python's 1.0-0.85 double, which is not the 0.15
+    literal."""
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""
+            c{i} AS (
+              SELECT e.dst AS word,
+                     sum(round(0.85 * (e.cnt::DOUBLE / e.wd::DOUBLE) * p.pr,
+                               9)::DECIMAL(28,9)) AS s
+              FROM edges e JOIN pr{i - 1} p ON p.word = e.src
+              GROUP BY e.dst),
+            pr{i} AS (
+              SELECT n.word,
+                     round((1.0 - 0.85) + coalesce(s::DOUBLE, 0.0), 9) AS pr
+              FROM nodes n LEFT JOIN c{i} USING (word))""")
+    return f"""
+            WITH wsx AS (SELECT doc_id, {_WS} AS ws FROM documents),
+            toks AS (
+              SELECT doc_id, unnest(ws) AS w,
+                     unnest(range(1, len(ws) + 1)) AS pos
+              FROM wsx),
+            seq AS (
+              SELECT doc_id, pos, w,
+                     lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM toks),
+            und AS (
+              SELECT least(prev, w) AS a, greatest(prev, w) AS b,
+                     count(*) AS cnt
+              FROM seq WHERE prev IS NOT NULL AND prev <> w
+              GROUP BY 1, 2),
+            edges0 AS (
+              SELECT a AS src, b AS dst, cnt FROM und
+              UNION ALL SELECT b AS src, a AS dst, cnt FROM und),
+            wdeg AS (SELECT src, sum(cnt) AS wd FROM edges0 GROUP BY src),
+            edges AS (SELECT e.src, e.dst, e.cnt, d.wd
+                      FROM edges0 e JOIN wdeg d USING (src)),
+            nodes AS (SELECT DISTINCT w AS word FROM seq),
+            pr0 AS (SELECT word, 1.0::DOUBLE AS pr FROM nodes),
+            {",".join(iters)}
+            SELECT word, round(pr, 6) AS textrank FROM pr{n_iters}
+        """
+
+
 def _filter_funnel_sql() -> str:
     """Ablation-funnel oracle: one aggregate over the shared rule CTE,
     then a 6-way UNION ALL (one row per rule, same fixed order as
@@ -4286,6 +4344,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6) AS mean_neg_logp
             FROM scored GROUP BY doc_id
         """,
+        "textrank": _textrank_sql(),
         "selection_prep": f"""
             WITH toks AS (
               SELECT doc_id, (source = 'src0') AS is_target,

@@ -207,3 +207,85 @@ def inverted_index(
         ).alias("postings"),
     )
     return postings.orderBy(F.col("df").desc(), "term").limit(top_terms)
+
+
+def textrank_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    damping: float = 0.85,
+    n_iters: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004) keyword scoring: PageRank power
+    iteration over the corpus-wide word co-occurrence graph (undirected,
+    adjacent-token edges, edge weight = co-occurrence count), the
+    graph-based rung of the keyword ladder above ``tfidf_top_terms``.
+    Extends the iterative-trainer family (BPE / k-means / GD classifier)
+    to graph algorithms: fixed ``n_iters`` power-iteration rounds, each
+    one hash join + one aggregation, all replayed by a chained-CTE
+    DuckDB oracle.
+
+    Update rule (TextRank's, constant teleport — not 1/N):
+        PR(v) = (1-d) + d · Σ_{u ∈ adj(v)} (w_uv / W_u) · PR(u)
+    with W_u the weighted degree of u. Words with no neighbours
+    (single-token documents) keep PR = 1-d.
+
+    Determinism ladder: per-edge contribution rounded to 9 dp, summed as
+    DECIMAL(28,9) (order-independent), next PR rounded to 9 dp; final
+    score one rounding to ``round_dp``.
+
+    Scale shape: edges come from one lag window per doc (state bounded
+    per doc) + one pair-keyed count agg; every iteration is a hash join
+    of the V-row rank table against the E-row edge table (both keyed on
+    the word — co-partitioned after the first shuffle) and a dst-keyed
+    agg. Nothing driver-side, no per-iteration collect; the rank table
+    lives distributed (unlike the k-means centroid sync, V is unbounded).
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        "doc_id", F.posexplode(_words(F.col(text_col))).alias("pos", "w")
+    ).withColumn(
+        "prev", F.lag("w").over(W.partitionBy("doc_id").orderBy("pos"))
+    )
+    pairs = toks.where(
+        F.col("prev").isNotNull() & (F.col("prev") != F.col("w"))
+    ).select(
+        F.least("prev", "w").alias("a"), F.greatest("prev", "w").alias("b")
+    )
+    und = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "cnt"
+    ).unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "cnt"))
+    wdeg = edges.groupBy("src").agg(F.sum("cnt").alias("wd"))
+    edges = edges.join(wdeg, "src")
+
+    nodes = toks.select(F.col("w").alias("word")).distinct()
+    d = float(damping)
+    pr = nodes.withColumn("pr", F.lit(1.0))
+    for _ in range(n_iters):
+        contrib = (
+            edges.join(pr.withColumnRenamed("word", "src"), "src")
+            .select(
+                F.col("dst").alias("word"),
+                F.round(
+                    F.lit(d)
+                    * (F.col("cnt").cast("double") / F.col("wd").cast("double"))
+                    * F.col("pr"),
+                    9,
+                )
+                .cast("decimal(28,9)")
+                .alias("term"),
+            )
+            .groupBy("word")
+            .agg(F.sum("term").alias("s"))
+        )
+        pr = nodes.join(contrib, "word", "left").select(
+            "word",
+            F.round(
+                F.lit(1.0 - d)
+                + F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                9,
+            ).alias("pr"),
+        )
+    return pr.select("word", F.round("pr", round_dp).alias("textrank"))

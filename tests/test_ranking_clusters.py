@@ -390,3 +390,78 @@ def test_twostar_raises_rather_than_emitting_unconverged_state(spark):
     out = D.duplicate_clusters_twostar(chain).collect()
     assert all(r.cluster_id == 0 and r.cluster_size == 51 for r in out)
     assert len(out) == 51
+
+
+def test_textrank_hub_outranks_leaves_and_isolates(spark):
+    from flink_helloworld_spark.operators.ranking import textrank_scores
+
+    # star graph: "hub" co-occurs with every leaf; leaves only with hub.
+    # "lone" appears in a single-token doc => no edges => PR = 1-d
+    docs = spark.createDataFrame(
+        [
+            (0, "hub aa hub bb hub cc hub dd", "en", "s", 1),
+            (1, "hub ee hub ff", "en", "s", 1),
+            (2, "lone", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.word: r.textrank for r in textrank_scores(docs).collect()}
+    leaves = [got[w] for w in ["aa", "bb", "cc", "dd", "ee", "ff"]]
+    assert got["hub"] > max(leaves)
+    assert abs(got["lone"] - round(1.0 - 0.85, 6)) < 1e-9
+    # leaves split into the two docs' weights but all are strictly
+    # positive and below the hub
+    assert all(v > 0 for v in leaves)
+
+
+def test_textrank_matches_sequential_power_iteration(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from flink_helloworld_spark.operators.ranking import textrank_scores
+
+    texts = [
+        "aa bb cc aa bb",
+        "cc dd ee ff aa",
+        "ff gg aa cc cc dd",
+        "hh",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", 1) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # sequential reference with the same rounding ladder
+    und = defaultdict(int)
+    nodes = set()
+    for t in texts:
+        ws = t.split()
+        nodes.update(ws)
+        for p, w in zip(ws, ws[1:]):
+            if p != w:
+                und[(min(p, w), max(p, w))] += 1
+    edges = defaultdict(list)
+    wdeg = defaultdict(int)
+    for (a, b), c in und.items():
+        edges[a].append((b, c))
+        edges[b].append((a, c))
+        wdeg[a] += c
+        wdeg[b] += c
+
+    import math
+
+    def r9(x):
+        return math.copysign(math.floor(abs(x) * 1e9 + 0.5) / 1e9, x)
+
+    pr = {w: 1.0 for w in nodes}
+    for _ in range(4):
+        incoming = defaultdict(int)  # exact decimal sum as scaled int
+        for u, outs in edges.items():
+            for v, c in outs:
+                incoming[v] += int(r9(0.85 * (c / wdeg[u]) * pr[u]) * 1e9 + (
+                    0.5 if r9(0.85 * (c / wdeg[u]) * pr[u]) >= 0 else -0.5))
+        pr = {
+            w: r9((1.0 - 0.85) + incoming.get(w, 0) / 1e9) for w in nodes
+        }
+    expect = {w: round(v, 6) for w, v in pr.items()}
+    got = {r.word: r.textrank for r in textrank_scores(docs).collect()}
+    assert got == expect
