@@ -886,6 +886,12 @@ def _q_kneser_ney_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.kneser_ney_logppl(load_tables(spark, sf_dir).documents)
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cohort analytics: first-activity-day cohorts x distinct-active-day
+    # offsets — two co-partitioned user-keyed aggs + one tiny cohort agg
+    return R.cohort_retention(load_tables(spark, sf_dir).events)
+
+
 def _q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TextRank: PageRank power iteration over the word co-occurrence
     # graph — the graph rung of the iterative-trainer family; 4 rounds,
@@ -2118,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 149+new checked). Rotate again next round: those 6 go first,
         # then newest-row-r3 queries.
         # round-5 late additions (brand new => front of the gate):
+        "cohort_retention": _q_cohort_retention,
         "textrank": _q_textrank,
         "selection_prep": _q_selection_prep,
         "weighted_reservoir": _q_weighted_reservoir,
@@ -4343,6 +4350,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tokens,
                    round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6) AS mean_neg_logp
             FROM scored GROUP BY doc_id
+        """,
+        "cohort_retention": """
+            WITH firsts AS (
+              SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+              FROM events GROUP BY user_id),
+            days AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+            joined AS (
+              SELECT f.cohort_day,
+                     date_diff('day', f.cohort_day, d.day) AS day_offset,
+                     d.user_id
+              FROM days d JOIN firsts f USING (user_id)),
+            sizes AS (
+              SELECT cohort_day, count(*) AS cohort_size
+              FROM firsts GROUP BY cohort_day),
+            mat AS (
+              SELECT cohort_day, day_offset, count(*) AS active_users
+              FROM joined GROUP BY cohort_day, day_offset)
+            SELECT strftime(m.cohort_day, '%Y-%m-%d') AS cohort_day,
+                   CAST(m.day_offset AS INT) AS day_offset,
+                   m.active_users, s.cohort_size,
+                   round(m.active_users::DOUBLE / s.cohort_size::DOUBLE, 6)
+                     AS retention
+            FROM mat m JOIN sizes s USING (cohort_day)
         """,
         "textrank": _textrank_sql(),
         "selection_prep": f"""

@@ -261,3 +261,50 @@ def apply_changelog(
         .where((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
         .drop("_rn", op_col)
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    tracked by distinct-active-day offset — the classic product-
+    analytics rollup (and, for a training pipeline, the freshness view
+    of a crawl: how much of each ingest cohort is still emitting).
+
+    Scale shape: two user-keyed aggregations (first day; distinct active
+    days — both map-side combinable and co-partitioned after one
+    shuffle), then one cohort-keyed agg whose cardinality is
+    days × offsets — tiny. The distinct-day projection dedups BEFORE
+    the join, so the join carries at most one row per (user, day).
+
+    Output: (cohort_day, day_offset, active_users, cohort_size,
+    retention) with retention = active/size rounded to 6 dp.
+    """
+    firsts = events.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    joined = days.join(firsts, "user_id").select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("day_offset"),
+        "user_id",
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    mat = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    # cohort_day as ISO string: engine-portable (DATE objects surface
+    # differently across Arrow/DuckDB result readers)
+    return mat.join(sizes, "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "active_users",
+        "cohort_size",
+        F.round(
+            F.col("active_users").cast("double")
+            / F.col("cohort_size").cast("double"),
+            6,
+        ).alias("retention"),
+    )

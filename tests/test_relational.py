@@ -136,3 +136,33 @@ def test_apply_changelog_tombstones_and_reinserts(spark):
     )
     out = {r.k: r.v for r in apply_changelog(changes, "k", "seq").collect()}
     assert out == {1: "b", 3: "z"}  # k2 stays deleted, k3 resurrected
+
+
+def test_cohort_retention_matrix(spark):
+    from datetime import datetime
+
+    from flink_helloworld_spark.operators.relational import cohort_retention
+
+    def ts(d, h=0):
+        return datetime(2024, 1, d, h)
+
+    # u1,u2 start day 1; u1 returns day 2 and 3, u2 only day 3.
+    # u3 starts day 2, never returns.
+    rows = [
+        (1, ts(1), 1, "a", 1.0), (2, ts(1, 5), 2, "a", 1.0),
+        (3, ts(2), 1, "a", 1.0), (4, ts(3), 1, "a", 1.0),
+        (5, ts(3), 2, "a", 1.0), (6, ts(2), 3, "a", 1.0),
+        (7, ts(1, 9), 1, "a", 1.0),  # same-day repeat: no double count
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        (r.cohort_day, r.day_offset): (r.active_users, r.cohort_size, r.retention)
+        for r in cohort_retention(ev).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-01", 2)] == (2, 2, 1.0)
+    assert got[("2024-01-02", 0)] == (1, 1, 1.0)
+    assert len(got) == 4
