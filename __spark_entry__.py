@@ -886,6 +886,25 @@ def _q_kneser_ney_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.kneser_ney_logppl(load_tables(spark, sf_dir).documents)
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ingest-version audit: deterministic old/new split of the corpus
+    # (doc_id%7==1 added, ==2 removed, ==3 changed) through ONE
+    # hash-keyed full outer join — text never travels
+    from flink_helloworld_spark.operators.dedup import snapshot_diff
+
+    docs = load_tables(spark, sf_dir).documents
+    old = docs.where("doc_id % 7 <> 1")
+    new = docs.where("doc_id % 7 <> 2").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cohort analytics: first-activity-day cohorts x distinct-active-day
     # offsets — two co-partitioned user-keyed aggs + one tiny cohort agg
@@ -2124,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 149+new checked). Rotate again next round: those 6 go first,
         # then newest-row-r3 queries.
         # round-5 late additions (brand new => front of the gate):
+        "snapshot_diff": _q_snapshot_diff,
         "cohort_retention": _q_cohort_retention,
         "textrank": _q_textrank,
         "selection_prep": _q_selection_prep,
@@ -4350,6 +4370,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tokens,
                    round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6) AS mean_neg_logp
             FROM scored GROUP BY doc_id
+        """,
+        "snapshot_diff": """
+            WITH o AS (
+              SELECT doc_id AS id, md5(text) AS old_hash
+              FROM documents WHERE doc_id % 7 <> 1),
+            n AS (
+              SELECT doc_id AS id,
+                     md5(CASE WHEN doc_id % 7 = 3 THEN text || ' v2'
+                              ELSE text END) AS new_hash
+              FROM documents WHERE doc_id % 7 <> 2)
+            SELECT coalesce(o.id, n.id) AS doc_id, old_hash, new_hash,
+              CASE WHEN old_hash IS NULL THEN 'added'
+                   WHEN new_hash IS NULL THEN 'removed'
+                   WHEN old_hash = new_hash THEN 'unchanged'
+                   ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON o.id = n.id
         """,
         "cohort_retention": """
             WITH firsts AS (

@@ -1409,3 +1409,38 @@ def boilerplate_scrub(
             F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — the audit view between two ingest
+    versions: per document id, ``added`` (only in new), ``removed``
+    (only in old), ``changed`` (content hash differs) or ``unchanged``.
+    A re-crawl pipeline runs this before re-paying dedup/selection for
+    documents that didn't move; the output feeds `dedup_incremental`'s
+    only-new-work contract.
+
+    Scale shape: ONE full outer join keyed on the id (both sides
+    pre-hashed to a 32-byte md5 so the join never carries text), one
+    status projection. No windows, no driver state.
+    """
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("old_hash")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("new_hash")
+    )
+    return o.join(n, "id", "full_outer").select(
+        F.col("id").alias(id_col),
+        "old_hash",
+        "new_hash",
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

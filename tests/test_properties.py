@@ -281,3 +281,34 @@ def test_training_order_is_deterministic_permutation_any_corpus(spark, docs):
         rows.sort()
         assert [p for p, _, _ in rows] == list(range(len(rows)))
         assert [k for _, k, _ in rows] == sorted(k for _, k, _ in rows)
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    q=st.sampled_from([1.0 / 3.0, 0.5, 2.0 / 3.0, 0.9]),
+)
+@_settings
+def test_exact_percentile_matches_duckdb_quantile_cont(spark, vals, q):
+    """The ppl_buckets / selection_prep oracles assume Spark's exact
+    `percentile` and DuckDB's `quantile_cont` interpolate IDENTICALLY
+    (both: lower + (higher-lower)·frac at position (n-1)·q over the
+    sorted values). Pin that for arbitrary doubles and the quantiles the
+    engine actually uses — if either engine changed its rule, every
+    bucket-cut oracle would silently start hash-drifting."""
+    import duckdb
+
+    # 6dp-rounded inputs, as the engine feeds percentile 6dp scores
+    vals = [round(v, 6) for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(F.expr(f"percentile(x, {q!r}D)").alias("p")).collect()[0].p
+    want = duckdb.sql(
+        "SELECT quantile_cont(x, ?) FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+        params=[q, vals],
+    ).fetchone()[0]
+    assert got == want or abs(got - want) == 0.0
