@@ -886,6 +886,17 @@ def _q_kneser_ney_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.kneser_ney_logppl(load_tables(spark, sf_dir).documents)
 
 
+def _q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # third blocking family beside hash-banding and set-collapse:
+    # multi-pass sorted neighborhood over the simhash order (256 uniform
+    # blocks per pass, bounded windows — no global sort, never N²)
+    from flink_helloworld_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(load_tables(spark, sf_dir).documents)
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ingest-version audit: deterministic old/new split of the corpus
     # (doc_id%7==1 added, ==2 removed, ==3 changed) through ONE
@@ -2143,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 149+new checked). Rotate again next round: those 6 go first,
         # then newest-row-r3 queries.
         # round-5 late additions (brand new => front of the gate):
+        "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
         "snapshot_diff": _q_snapshot_diff,
         "cohort_retention": _q_cohort_retention,
         "textrank": _q_textrank,
@@ -3287,6 +3299,45 @@ def _textrank_sql(n_iters: int = 4) -> str:
         """
 
 
+def _snm_sql(window: int = 4, max_hamming: int = 10) -> str:
+    """Multi-pass sorted-neighborhood oracle: both passes' lead windows
+    over the simhash CTE, unioned, hamming-filtered, min-deduped."""
+    leads = ",\n                ".join(
+        f"lead(doc_id, {o}) OVER w AS n{o}_id, "
+        f"lead(simhash, {o}) OVER w AS n{o}_sh"
+        for o in range(1, window)
+    )
+    unions = "\n              UNION ALL ".join(
+        f"SELECT least(doc_id, n{o}_id) AS doc_a, "
+        f"greatest(doc_id, n{o}_id) AS doc_b, "
+        f"CAST(bit_count(xor(simhash, n{o}_sh)) AS INT) AS hamming "
+        f"FROM led WHERE n{o}_id IS NOT NULL"
+        for o in range(1, window)
+    )
+    return f"""
+            WITH sh AS ({_simhash_sql()}),
+            passes AS (
+              SELECT 0 AS p, doc_id, simhash, simhash AS k FROM sh
+              UNION ALL
+              SELECT 1 AS p, doc_id, simhash,
+                     (simhash % 65536) * 65536 + simhash // 65536 AS k
+              FROM sh),
+            keyed AS (
+              SELECT p, doc_id, simhash, k,
+                     CAST(k // 16777216 AS INT) AS blk
+              FROM passes),
+            led AS (
+              SELECT p, doc_id, simhash, blk,
+                {leads}
+              FROM keyed
+              WINDOW w AS (PARTITION BY p, blk ORDER BY k, doc_id)),
+            pairs AS ({unions})
+            SELECT doc_a, doc_b, min(hamming) AS hamming
+            FROM pairs WHERE hamming <= {max_hamming}
+            GROUP BY doc_a, doc_b
+        """
+
+
 def _filter_funnel_sql() -> str:
     """Ablation-funnel oracle: one aggregate over the shared rule CTE,
     then a 6-way UNION ALL (one row per rule, same fixed order as
@@ -4371,6 +4422,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6) AS mean_neg_logp
             FROM scored GROUP BY doc_id
         """,
+        "dedup_sorted_neighborhood": _snm_sql(),
         "snapshot_diff": """
             WITH o AS (
               SELECT doc_id AS id, md5(text) AS old_hash

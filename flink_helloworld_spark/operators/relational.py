@@ -268,6 +268,10 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     tracked by distinct-active-day offset — the classic product-
     analytics rollup (and, for a training pipeline, the freshness view
     of a crawl: how much of each ingest cohort is still emitting).
+    Complements the weekly `retention_cohorts` registry query (raw
+    distinct-user counts): this is the DAY-granularity RATE view, with
+    the cohort-size join and active/size normalization a dashboard
+    plots directly.
 
     Scale shape: two user-keyed aggregations (first day; distinct active
     days — both map-side combinable and co-partitioned after one

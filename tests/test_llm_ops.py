@@ -1741,3 +1741,32 @@ def test_selection_pipeline_manifest_contract(spark):
     for poss in per.values():
         assert sorted(poss) == list(range(len(poss)))
     assert len({r.global_pos for r in out}) == len(out)
+
+
+def test_sorted_neighborhood_finds_near_dups_skips_far(spark):
+    from flink_helloworld_spark.operators.dedup import (
+        simhash,
+        sorted_neighborhood_pairs,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = _docs(
+        spark,
+        [
+            base,
+            base + " kilo",  # near-dup of 0
+            base,            # exact dup of 0 (same simhash)
+            "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll " * 3,
+        ],
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in sorted_neighborhood_pairs(docs, max_hamming=10).collect()
+    }
+    # identical simhashes sort adjacent: the exact dup pair is guaranteed
+    assert got.get((0, 2)) == 0
+    assert (0, 1) in got or (1, 2) in got  # near-dup caught in-window
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    far = bin(sh[0] ^ sh[3]).count("1")
+    if far > 10:  # the dissimilar doc never pairs with the base family
+        assert (0, 3) not in got and (1, 3) not in got and (2, 3) not in got
