@@ -566,3 +566,34 @@ def test_round5_late_ops_plan_contracts(spark, sf_dir):
     plan = explain_str(selection_pipeline(docs), "simple")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_diff_snm_textrank_plan_contracts(spark, sf_dir):
+    from flink_helloworld_spark.operators import dedup as DD
+    from flink_helloworld_spark.operators.ranking import textrank_scores
+
+    docs = load_tables(spark, sf_dir).documents
+
+    # snapshot_diff: ONE join, keyed on the id; text never reaches the
+    # exchange (only 32-byte hashes travel)
+    diff = DD.snapshot_diff(docs, docs.selectExpr("doc_id", "upper(text) AS text"))
+    plan = explain_str(diff, "simple")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)  # hashes shuffle, text doesn't
+
+    # sorted_neighborhood: windows partition on the 256-block key —
+    # never an empty-partition global window (which Spark plans as a
+    # single-task sort)
+    plan = explain_str(DD.sorted_neighborhood_pairs(docs), "simple")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+
+    # textrank: no Python, no driver round-trips — the 4 iterations are
+    # ONE composed plan (joins/aggs only)
+    plan = explain_str(textrank_scores(docs), "simple")
+    assert "BatchEvalPython" not in plan
