@@ -953,6 +953,16 @@ def _q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL video-container decode: genuine RIFF/AVI payloads built
+    # JVM-side (full avih + strl/strh/strf header tree per the public
+    # spec, uncompressed DIB frames), walked by a pure-Python RIFF
+    # parser; frame bytes summed as the integrity stat — video joins
+    # the decode-real families, only perceptual codecs stay gated
+    media = MM.attach_avi_binary(load_tables(spark, sf_dir).documents)
+    return MM.decode_avi_features(media)
+
+
 def _q_multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL *compressed*-audio decode: genuine RIFF/WAVE mu-law payloads
     # (format code 7) built JVM-side, expanded by the published G.711
@@ -2160,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": _q_textrank,
         "selection_prep": _q_selection_prep,
         "weighted_reservoir": _q_weighted_reservoir,
+        "multimodal_avi_decode": _q_multimodal_avi_decode,
         "multimodal_mulaw_decode": _q_multimodal_mulaw_decode,
         "kneser_ney_logppl": _q_kneser_ney_logppl,
         "dsir_weights": _q_dsir_weights,
@@ -4549,6 +4560,37 @@ def oracle_sql() -> dict[str, str]:
                        AS res_rank
               FROM keyed)
             SELECT * FROM ranked WHERE res_rank <= 5
+        """,
+        "multimodal_avi_decode": """
+            WITH p AS (
+              SELECT doc_id,
+                4 + (length(text) % 2) * 4 AS w,
+                2 + length(text) % 3 AS h,
+                1 + length(text) % 5 AS nf,
+                CASE length(text) % 4 WHEN 0 THEN 33333 WHEN 1 THEN 40000
+                     WHEN 2 THEN 16667 ELSE 20000 END AS usec,
+                text
+              FROM documents),
+            d AS (SELECT doc_id, w, h, nf, usec, w * h * 3 AS fsize, text
+                  FROM p),
+            st AS (
+              SELECT doc_id, w, h, nf, usec, fsize,
+                substr(repeat(md5(text),
+                              CAST(nf * fsize * 2 // 32 + 1 AS INT)),
+                       1, nf * fsize * 2) AS stream
+              FROM d),
+            b AS (SELECT doc_id, w, h, nf, usec, stream,
+                         unnest(range(1, nf * fsize + 1)) AS i FROM st),
+            sv AS (
+              SELECT doc_id, w, h, nf, usec,
+                     ('0x' || substr(stream, (i - 1) * 2 + 1, 2))::BIGINT AS v
+              FROM b)
+            SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(nf AS INT) AS n_frames,
+                   CAST(usec AS INT) AS usec_per_frame,
+                   CAST(sum(v) AS BIGINT) AS sum_bytes,
+                   TRUE AS decode_ok
+            FROM sv GROUP BY doc_id, w, h, nf, usec
         """,
         "multimodal_mulaw_decode": """
             WITH p AS (

@@ -1062,3 +1062,264 @@ def decode_mulaw_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         decode, MULAW_FEATURES_SCHEMA
     )
+
+
+# --- AVI (RIFF container): decode-REAL video -------------------------------
+# Video joins the decode-real families the same way audio did: genuine
+# RIFF/AVI payloads built JVM-side — full hdrl (avih + strl/strh/strf)
+# and movi structure per the public AVI spec, uncompressed 24-bit DIB
+# frames — walked by a pure-Python RIFF parser. Only PERCEPTUAL video
+# codecs (h264 etc.) remain library-gated; the container format itself
+# is decode-real end-to-end.
+
+AVI_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("usec_per_frame", IntegerType()),
+        StructField("sum_bytes", LongType()),
+        StructField("decode_ok", BooleanType()),
+    ]
+)
+
+_AVI_USEC = (33333, 40000, 16667, 20000)  # ~30/25/60/50 fps
+
+
+def attach_avi_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize GENUINE RIFF/AVI payloads from document text,
+    entirely JVM-side: width 4 or 8 (rows of 24-bit pixels stay 4-byte
+    aligned), height 2-4, 1-5 uncompressed '00db' DIB frames whose
+    bytes come off the repeated md5 hex stream; frame timing from a
+    4-entry usec table. The full header tree (avih + strl with
+    strh/strf) is emitted per the spec so any AVI reader accepts the
+    file — same construction-replay oracle contract as WAV/mu-law."""
+
+    def be_hex(col, width_chars: int):
+        return F.lpad(F.hex(col), width_chars, "0")
+
+    def le32_hex(col):
+        be = be_hex(col, 8)
+        return F.concat(
+            F.substring(be, 7, 2),
+            F.substring(be, 5, 2),
+            F.substring(be, 3, 2),
+            F.substring(be, 1, 2),
+        )
+
+    def le32_const(v: int) -> str:
+        return bytes([v & 255, (v >> 8) & 255, (v >> 16) & 255, (v >> 24) & 255]).hex()
+
+    n = F.length(F.col(text_col))
+    base = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_text"),
+        (F.lit(4) + (n % 2) * 4).cast("int").alias("_w"),
+        (F.lit(2) + n % 3).cast("int").alias("_h"),
+        (F.lit(1) + n % 5).cast("int").alias("_nf"),
+        F.element_at(
+            F.array(*[F.lit(u) for u in _AVI_USEC]), (n % 4 + 1).cast("int")
+        ).alias("_usec"),
+    ).withColumn("_fsize", (F.col("_w") * F.col("_h") * 3).cast("int"))
+    hex_chars = F.col("_nf") * F.col("_fsize") * 2
+    stream = base.withColumn(
+        "_stream",
+        F.substring(
+            F.call_function(
+                "repeat",
+                F.md5(F.col("_text")),
+                (F.floor(hex_chars / 32) + 1).cast("int"),
+            ),
+            F.lit(1),
+            hex_chars,
+        ),
+    )
+    # movi body: per frame '00db' + LE32(fsize) + frame bytes
+    movi_frames = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.col("_nf")),
+            lambda i: F.concat(
+                F.lit("30306462"),  # '00db'
+                le32_hex(F.col("_fsize")),
+                F.substring(
+                    F.col("_stream"),
+                    (i - 1) * F.col("_fsize") * 2 + 1,
+                    F.col("_fsize") * 2,
+                ),
+            ),
+        ),
+        "",
+    )
+    z = le32_const(0)
+    # avih: usec, maxbps, padding, flags, totalframes, initial, streams=1,
+    # sugbuf=fsize, w, h, 4 reserved
+    avih = F.concat(
+        F.lit("61766968"),  # 'avih'
+        F.lit(le32_const(56)),
+        le32_hex(F.col("_usec")),
+        F.lit(z + z + z),
+        le32_hex(F.col("_nf")),
+        F.lit(z),
+        F.lit(le32_const(1)),
+        le32_hex(F.col("_fsize")),
+        le32_hex(F.col("_w")),
+        le32_hex(F.col("_h")),
+        F.lit(z * 4),
+    )
+    # strh: 'vids' 'DIB ' flags prio/lang initial scale=usec rate=1e6
+    # start length=nf sugbuf=fsize quality=0 samplesize=0 rcFrame(w,h LE16)
+    def le16_hex(col):
+        be = be_hex(col, 4)
+        return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+    strh = F.concat(
+        F.lit("73747268"),  # 'strh'
+        F.lit(le32_const(56)),
+        F.lit("76696473"),  # 'vids'
+        F.lit("44494220"),  # 'DIB '
+        F.lit(z + z + z),  # flags, prio+lang, initialframes
+        le32_hex(F.col("_usec")),  # dwScale
+        F.lit(le32_const(1_000_000)),  # dwRate
+        F.lit(z),  # dwStart
+        le32_hex(F.col("_nf")),  # dwLength
+        le32_hex(F.col("_fsize")),  # dwSuggestedBufferSize
+        F.lit(z + z),  # quality, samplesize
+        F.lit("00000000"),  # rcFrame left/top
+        le16_hex(F.col("_w")),
+        le16_hex(F.col("_h")),
+    )
+    # strf: BITMAPINFOHEADER(40): size w h planes=1 bits=24 comp=0
+    # sizeimage=fsize xppm yppm clrused clrimp
+    strf = F.concat(
+        F.lit("73747266"),  # 'strf'
+        F.lit(le32_const(40)),
+        F.lit(le32_const(40)),
+        le32_hex(F.col("_w")),
+        le32_hex(F.col("_h")),
+        F.lit("0100" + "1800"),  # planes=1, bits=24 (LE16 pair)
+        F.lit(z),  # compression BI_RGB
+        le32_hex(F.col("_fsize")),
+        F.lit(z * 4),
+    )
+    strl = F.concat(
+        F.lit("4C495354"),  # 'LIST'
+        F.lit(le32_const(4 + 64 + 48)),  # 'strl' + strh(8+56) + strf(8+40)
+        F.lit("7374726C"),  # 'strl'
+        strh,
+        strf,
+    )
+    hdrl = F.concat(
+        F.lit("4C495354"),
+        F.lit(le32_const(4 + 64 + 8 + 116)),  # 'hdrl' + avih(8+56) + strl LIST(8+116)
+        F.lit("6864726C"),  # 'hdrl'
+        avih,
+        strl,
+    )
+    movi_size = F.lit(4) + F.col("_nf") * (F.lit(8) + F.col("_fsize"))
+    movi = F.concat(
+        F.lit("4C495354"),
+        le32_hex(movi_size),
+        F.lit("6D6F7669"),  # 'movi'
+        movi_frames,
+    )
+    riff_size = F.lit(4 + 8 + 192 + 8) + movi_size
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"),  # 'RIFF'
+            le32_hex(riff_size),
+            F.lit("41564920"),  # 'AVI '
+            hdrl,
+            movi,
+        )
+    )
+    return stream.select(
+        "doc_id",
+        F.lit("video/x-msvideo").alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("int").alias("size_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+def _decode_avi(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """Pure-Python RIFF/AVI walk: validate the RIFF('AVI ') signature,
+    read avih out of the hdrl LIST, then iterate the movi LIST's
+    '00db'/'00dc' frame chunks summing the raw frame bytes. Returns
+    (width, height, n_frames_found, usec_per_frame, sum_bytes) or None
+    for corrupt containers (bad magic, truncated chunk, missing hdrl/
+    movi, or frame count disagreeing with avih)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if riff_size + 8 > len(payload):
+        return None
+    pos = 12
+    avih = None
+    frames = []
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            return None
+        if cid == b"LIST" and len(body) >= 4:
+            kind = body[:4]
+            if kind == b"hdrl":
+                # avih must be the first child chunk
+                if len(body) < 12 or body[4:8] != b"avih":
+                    return None
+                (alen,) = struct.unpack("<I", body[8:12])
+                if alen < 56 or len(body) < 12 + 56:
+                    return None
+                a = struct.unpack("<14I", body[12 : 12 + 56])
+                avih = {
+                    "usec": a[0],
+                    "total_frames": a[4],
+                    "width": a[8],
+                    "height": a[9],
+                }
+            elif kind == b"movi":
+                q = 4
+                while q + 8 <= len(body):
+                    fid = body[q : q + 4]
+                    (flen,) = struct.unpack("<I", body[q + 4 : q + 8])
+                    fbody = body[q + 8 : q + 8 + flen]
+                    if len(fbody) != flen:
+                        return None
+                    if fid in (b"00db", b"00dc"):
+                        frames.append(fbody)
+                    q += 8 + flen + (flen & 1)
+        pos += 8 + clen + (clen & 1)
+    if avih is None or not frames or len(frames) != avih["total_frames"]:
+        return None
+    sum_bytes = 0
+    for f in frames:
+        sum_bytes += sum(f)
+    return (avih["width"], avih["height"], len(frames), avih["usec"], sum_bytes)
+
+
+def decode_avi_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL AVI decode stage: partition-preserving
+    ``mapInPandas``; corrupt payloads yield ``decode_ok = false``."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_decode_avi(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [r[0] if r else 0 for r in rows],
+                    "height": [r[1] if r else 0 for r in rows],
+                    "n_frames": [r[2] if r else 0 for r in rows],
+                    "usec_per_frame": [r[3] if r else 0 for r in rows],
+                    "sum_bytes": [r[4] if r else 0 for r in rows],
+                    "decode_ok": [r is not None for r in rows],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, AVI_FEATURES_SCHEMA
+    )

@@ -1770,3 +1770,45 @@ def test_sorted_neighborhood_finds_near_dups_skips_far(spark):
     far = bin(sh[0] ^ sh[3]).count("1")
     if far > 10:  # the dissimilar doc never pairs with the base family
         assert (0, 3) not in got and (1, 3) not in got and (2, 3) not in got
+
+
+def test_avi_decode_real_container_and_corruption(spark):
+    import struct
+
+    from flink_helloworld_spark.operators.multimodal import (
+        _decode_avi,
+        attach_avi_binary,
+        decode_avi_features,
+    )
+
+    docs = _docs(spark, ["the quick brown fox", "ab", "some longer words in here now"])
+    media = attach_avi_binary(docs)
+    got = {r.doc_id: r for r in decode_avi_features(media).collect()}
+    for row in media.collect():
+        payload = bytes(row.payload)
+        r = got[row.doc_id]
+        assert r.decode_ok
+        # structural spec checks on the REAL container
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+        (riff_size,) = struct.unpack("<I", payload[4:8])
+        assert riff_size + 8 == len(payload)  # sizes internally consistent
+        assert payload[12:16] == b"LIST" and payload[20:24] == b"hdrl"
+        assert b"movi" in payload and b"00db" in payload
+        assert b"strh" in payload and b"strf" in payload and b"vids" in payload
+        # sequential reference agrees
+        assert _decode_avi(payload) == (
+            r.width, r.height, r.n_frames, r.usec_per_frame, r.sum_bytes
+        )
+        # frame payload really is w*h*3 per frame
+        (alen,) = struct.unpack("<I", payload[28:32])
+        assert alen == 56
+        # mutate the frame-count field: header/movi disagreement refuses
+        bad = bytearray(payload)
+        bad[32 + 16 : 32 + 20] = struct.pack("<I", 99)
+        assert _decode_avi(bytes(bad)) is None
+    bad_rows = spark.createDataFrame(
+        [(8, bytearray(b"RIFF\x00\x00\x00\x00WAVE")), (9, bytearray(b"nope"))],
+        "doc_id long, payload binary",
+    )
+    got_bad = {r.doc_id: r.decode_ok for r in decode_avi_features(bad_rows).collect()}
+    assert got_bad == {8: False, 9: False}
