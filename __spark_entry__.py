@@ -999,6 +999,14 @@ def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(load_tables(spark, sf_dir).documents)
 
 
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # curriculum epoch order: easy->hard by discrete quality bands,
+    # training_order's reproducible shuffle within each stage
+    from flink_helloworld_spark.operators import layout as L
+
+    return L.curriculum_order(load_tables(spark, sf_dir).documents)
+
+
 def _q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic epoch shuffle: md5(seed:id) order within md5 shards,
     # round-robin global positions — reproducible global shuffle with no
@@ -2177,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "ppl_buckets": _q_ppl_buckets,
         "training_order": _q_training_order,
+        "curriculum_order": _q_curriculum_order,
         "multimodal_wav_pitch": _q_multimodal_wav_pitch,
         "boilerplate_scrub": _q_boilerplate_scrub,
         "filter_funnel": _q_filter_funnel,
@@ -4747,6 +4756,44 @@ def oracle_sql() -> dict[str, str]:
                    WHEN mean_neg_logp <= t_middle THEN 'middle'
                    ELSE 'tail' END AS ppl_bucket
             FROM langd JOIN cuts USING (lang)
+        """,
+        "curriculum_order": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                len({_WS}) AS n_words,
+                length(text) AS n_chars,
+                len(list_filter({_WS},
+                  w -> list_contains(['the','and','of','to','a'], w))) AS stop_hits,
+                len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                ((CASE WHEN (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) >= 3.0
+                        AND (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) <= 10.0
+                       THEN 4 ELSE 0 END)
+                 + (CASE WHEN stop_hits::DOUBLE / nullif(n_words::DOUBLE, 0.0) > 0.0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN n_punct::DOUBLE / nullif(n_chars::DOUBLE, 0.0) < 0.2 THEN 2 ELSE 0 END)
+                )::DOUBLE / 10.0 AS score
+              FROM t),
+            staged AS (
+              SELECT doc_id,
+                CASE WHEN score >= 0.8 THEN 0
+                     WHEN score >= 0.4 THEN 1 ELSE 2 END AS stage
+              FROM q),
+            keyed AS (
+              SELECT doc_id, stage, md5('curr0:' || doc_id) AS key,
+                     CAST(('0x' || substr(md5('curr0:' || doc_id), 1, 15))::BIGINT
+                          % 16 AS INT) AS shard_id
+              FROM staged),
+            pos AS (
+              SELECT doc_id, stage, shard_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY shard_id ORDER BY stage, key, doc_id) - 1
+                       AS INT) AS shard_pos
+              FROM keyed)
+            SELECT doc_id, stage, shard_id, shard_pos,
+                   CAST(shard_pos AS BIGINT) * 16 + shard_id AS global_pos
+            FROM pos
         """,
         "training_order": """
             WITH keyed AS (

@@ -183,3 +183,57 @@ def shard_manifest(
             F.bit_xor("_fp").alias("fingerprint"),
         )
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    seed: str = "curr0",
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum epoch ordering (Bengio et al. 2009, applied to LLM
+    pretraining data): documents stream easy→hard — high-quality stage
+    first — with ``training_order``'s reproducible pseudo-random shuffle
+    WITHIN each stage. Stage comes from the discrete quality-score bands
+    (≥0.8 → 0, ≥0.4 → 1, else 2), so the cut needs no percentile
+    machinery and is trivially engine-portable.
+
+    Same scale shape as ``training_order`` (one hash exchange, per-shard
+    external sorts, round-robin global contract); the only addition is
+    the quality projection, which is pure codegen.
+
+    Output: (doc_id, stage, shard_id, shard_pos, global_pos); consuming
+    shards round-robin by global_pos yields stage-0 docs (shuffled)
+    first, then stage-1, then stage-2 — stage boundaries blur only by
+    the (md5-uniform, so O(√(N/S))) per-shard stage-count imbalance.
+    """
+    from pyspark.sql import Window
+
+    from flink_helloworld_spark.functions import md5_prefix_long
+    from flink_helloworld_spark.operators.text import quality_score
+
+    q = quality_score(docs, text_col).select(
+        id_col,
+        F.when(F.col("quality_score") >= 0.8, F.lit(0))
+        .when(F.col("quality_score") >= 0.4, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("stage"),
+    )
+    salted = F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    keyed = q.select(
+        F.col(id_col).alias("doc_id"),
+        "stage",
+        F.md5(salted).alias("_key"),
+        (md5_prefix_long(salted) % n_shards).cast("int").alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("stage", "_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "stage",
+        "shard_id",
+        (F.row_number().over(w) - 1).alias("shard_pos"),
+    ).withColumn(
+        "global_pos",
+        F.col("shard_pos").cast("long") * n_shards + F.col("shard_id"),
+    )

@@ -1812,3 +1812,33 @@ def test_avi_decode_real_container_and_corruption(spark):
     )
     got_bad = {r.doc_id: r.decode_ok for r in decode_avi_features(bad_rows).collect()}
     assert got_bad == {8: False, 9: False}
+
+
+def test_curriculum_order_stages_before_shuffle(spark):
+    from collections import defaultdict
+
+    from flink_helloworld_spark.operators import layout as L
+    from flink_helloworld_spark.operators.text import quality_score
+
+    good = "the cat and the dog sat on a mat to rest for a while today"
+    bad = "#### //// @@@@ %%%% ^^^^ &&&& |||| ~~~~ ```` ::::"
+    docs = spark.createDataFrame(
+        [(i, good if i % 2 == 0 else bad, "en", "s", 1) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = L.curriculum_order(docs, n_shards=4).collect()
+    assert len(out) == 40
+    scores = {r.doc_id: r.quality_score for r in quality_score(docs).collect()}
+    per = defaultdict(list)
+    for r in out:
+        # stage respects the discrete band of the doc's own score
+        s = scores[r.doc_id]
+        assert r.stage == (0 if s >= 0.8 else 1 if s >= 0.4 else 2)
+        per[r.shard_id].append((r.shard_pos, r.stage))
+    # within every shard: positions dense AND stages non-decreasing
+    for rows in per.values():
+        rows.sort()
+        assert [p for p, _ in rows] == list(range(len(rows)))
+        stages = [s for _, s in rows]
+        assert stages == sorted(stages)
+    assert len({r.global_pos for r in out}) == 40
