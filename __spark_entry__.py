@@ -897,6 +897,24 @@ def _q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(load_tables(spark, sf_dir).documents)
 
 
+def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # snapshot-over-snapshot vocabulary movers: same deterministic
+    # old/new split as snapshot_diff, smoothed log-ratio top-50
+    from flink_helloworld_spark.operators.text import vocab_drift
+
+    docs = load_tables(spark, sf_dir).documents
+    old = docs.where("doc_id % 7 <> 1")
+    new = docs.where("doc_id % 7 <> 2").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return vocab_drift(old, new)
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ingest-version audit: deterministic old/new split of the corpus
     # (doc_id%7==1 added, ==2 removed, ==3 changed) through ONE
@@ -961,6 +979,14 @@ def _q_multimodal_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the decode-real families, only perceptual codecs stay gated
     media = MM.attach_avi_binary(load_tables(spark, sf_dir).documents)
     return MM.decode_avi_features(media)
+
+
+def _q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL frame sampling: every 2nd movi chunk of the genuine AVI
+    # container, per-frame size + byte-sum stats — the 1->N decode-real
+    # upgrade of the byte-stride frame_sample model
+    media = MM.attach_avi_binary(load_tables(spark, sf_dir).documents)
+    return MM.sample_avi_frames(media, every=2)
 
 
 def _q_multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2173,12 +2199,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then newest-row-r3 queries.
         # round-5 late additions (brand new => front of the gate):
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
+        "vocab_drift": _q_vocab_drift,
         "snapshot_diff": _q_snapshot_diff,
         "cohort_retention": _q_cohort_retention,
         "textrank": _q_textrank,
         "selection_prep": _q_selection_prep,
         "weighted_reservoir": _q_weighted_reservoir,
         "multimodal_avi_decode": _q_multimodal_avi_decode,
+        "multimodal_avi_frames": _q_multimodal_avi_frames,
         "multimodal_mulaw_decode": _q_multimodal_mulaw_decode,
         "kneser_ney_logppl": _q_kneser_ney_logppl,
         "dsir_weights": _q_dsir_weights,
@@ -4443,6 +4471,36 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
         """,
         "dedup_sorted_neighborhood": _snm_sql(),
+        "vocab_drift": f"""
+            WITH oldd AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 1),
+            newd AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 3 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 2),
+            ow AS (SELECT unnest({_WS}) AS w FROM oldd),
+            nw AS (SELECT unnest({_WS}) AS w FROM newd),
+            oc AS (SELECT w, count(*) AS c_old FROM ow GROUP BY w),
+            nc AS (SELECT w, count(*) AS c_new FROM nw GROUP BY w),
+            t_old AS (SELECT sum(c_old)::DOUBLE AS t FROM oc),
+            t_new AS (SELECT sum(c_new)::DOUBLE AS t FROM nc),
+            joined AS (
+              SELECT coalesce(oc.w, nc.w) AS term,
+                     coalesce(c_old, 0) AS c_old,
+                     coalesce(c_new, 0) AS c_new,
+                     round(ln(
+                       ((coalesce(c_new, 0)::DOUBLE + 0.5)
+                        / ((SELECT t FROM t_new) + 0.5))
+                       / ((coalesce(c_old, 0)::DOUBLE + 0.5)
+                          / ((SELECT t FROM t_old) + 0.5))
+                     ), 6) AS log_ratio
+              FROM oc FULL OUTER JOIN nc ON oc.w = nc.w)
+            SELECT term, c_old, c_new, log_ratio
+            FROM joined
+            ORDER BY abs(log_ratio) DESC, term
+            LIMIT 50
+        """,
         "snapshot_diff": """
             WITH o AS (
               SELECT doc_id AS id, md5(text) AS old_hash
@@ -4569,6 +4627,36 @@ def oracle_sql() -> dict[str, str]:
                        AS res_rank
               FROM keyed)
             SELECT * FROM ranked WHERE res_rank <= 5
+        """,
+        "multimodal_avi_frames": """
+            WITH p AS (
+              SELECT doc_id,
+                4 + (length(text) % 2) * 4 AS w,
+                2 + length(text) % 3 AS h,
+                1 + length(text) % 5 AS nf,
+                text
+              FROM documents),
+            d AS (SELECT doc_id, nf, w * h * 3 AS fsize, text FROM p),
+            st AS (
+              SELECT doc_id, nf, fsize,
+                substr(repeat(md5(text),
+                              CAST(nf * fsize * 2 // 32 + 1 AS INT)),
+                       1, nf * fsize * 2) AS stream
+              FROM d),
+            fr AS (SELECT doc_id, fsize, stream,
+                          unnest(range(0, nf)) AS f FROM st),
+            sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+            b AS (SELECT doc_id, f, fsize, stream,
+                         unnest(range(1, fsize + 1)) AS j FROM sampled),
+            sv AS (
+              SELECT doc_id, f, fsize,
+                ('0x' || substr(stream, (f * fsize + j - 1) * 2 + 1, 2))::BIGINT
+                  AS v
+              FROM b)
+            SELECT doc_id, CAST(f AS INT) AS frame_idx,
+                   CAST(fsize AS INT) AS frame_bytes,
+                   CAST(sum(v) AS BIGINT) AS frame_sum
+            FROM sv GROUP BY doc_id, f, fsize
         """,
         "multimodal_avi_decode": """
             WITH p AS (

@@ -1323,3 +1323,67 @@ def decode_avi_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         decode, AVI_FEATURES_SCHEMA
     )
+
+
+AVI_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", IntegerType()),
+        StructField("frame_sum", LongType()),
+    ]
+)
+
+
+def sample_avi_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL frame sampling over the RIFF/AVI container (the decode-real
+    upgrade of ``sample_frames``' byte-stride model): walk the movi
+    chunks, keep every ``every``-th frame, emit per-frame size and
+    byte-sum stats — one output row per sampled frame, the 1→N shape a
+    vision-preprocessing stage feeds from. Corrupt payloads contribute
+    no rows (the total-pipeline contract is decode_ok-gated upstream).
+
+    Partition-preserving ``mapInPandas``; cost is row-linear in payload
+    bytes, no shuffle."""
+    import struct
+
+    def walk(payload: bytes):
+        if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            return
+        pos = 12
+        idx = 0
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + clen]
+            if len(body) != clen:
+                return
+            if cid == b"LIST" and body[:4] == b"movi":
+                q = 4
+                while q + 8 <= len(body):
+                    fid = body[q : q + 4]
+                    (flen,) = struct.unpack("<I", body[q + 4 : q + 8])
+                    fbody = body[q + 8 : q + 8 + flen]
+                    if len(fbody) != flen:
+                        return
+                    if fid in (b"00db", b"00dc"):
+                        if idx % every == 0:
+                            yield idx, flen, sum(fbody)
+                        idx += 1
+                    q += 8 + flen + (flen & 1)
+            pos += 8 + clen + (clen & 1)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_sum": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, flen, fsum in walk(bytes(p)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(flen)
+                    out["frame_sum"].append(fsum)
+            yield pd.DataFrame(out, columns=list(AVI_FRAME_SCHEMA.names))
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, AVI_FRAME_SCHEMA
+    )

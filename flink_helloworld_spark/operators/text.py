@@ -758,3 +758,60 @@ def kneser_ney_logppl(
         )
         .select("doc_id", "n_tokens", "mean_neg_logp")
     )
+
+
+def vocab_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Vocabulary drift report between two corpus snapshots: per term,
+    smoothed relative-frequency log-ratio new-vs-old, keeping the k
+    largest absolute movers — the monitoring view a crawl operator
+    checks before a new snapshot enters training (topic shifts, spam
+    bursts, scraper regressions all surface as vocabulary movers).
+
+    log_ratio = ln( ((c_new+α)/(T_new+α)) / ((c_old+α)/(T_old+α)) ),
+    rounded to 6 dp; ties rank by term so the top-k cut is total-order
+    deterministic.
+
+    Scale shape: two wordcount aggs (map-side combinable) + ONE full
+    outer join keyed on the term + TakeOrderedAndProject — the top-k
+    never globally sorts the vocabulary. Corpus totals ride as broadcast
+    1-row aggs.
+    """
+    oc = old.select(F.explode(_words(F.col(text_col))).alias("w")).groupBy(
+        "w"
+    ).agg(F.count(F.lit(1)).alias("c_old"))
+    nc = new.select(F.explode(_words(F.col(text_col))).alias("w")).groupBy(
+        "w"
+    ).agg(F.count(F.lit(1)).alias("c_new"))
+    t_old = oc.agg(F.sum("c_old").cast("double").alias("t_old"))
+    t_new = nc.agg(F.sum("c_new").cast("double").alias("t_new"))
+    a = F.lit(float(alpha))
+    joined = (
+        oc.join(nc, "w", "full_outer")
+        .crossJoin(F.broadcast(t_old))
+        .crossJoin(F.broadcast(t_new))
+        .select(
+            F.col("w").alias("term"),
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+            F.round(
+                F.log(
+                    ((F.coalesce("c_new", F.lit(0)).cast("double") + a)
+                     / (F.col("t_new") + a))
+                    / ((F.coalesce("c_old", F.lit(0)).cast("double") + a)
+                       / (F.col("t_old") + a))
+                ),
+                6,
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        joined.orderBy(F.abs(F.col("log_ratio")).desc(), F.col("term"))
+        .limit(k)
+        .select("term", "c_old", "c_new", "log_ratio")
+    )

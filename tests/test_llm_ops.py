@@ -1842,3 +1842,32 @@ def test_curriculum_order_stages_before_shuffle(spark):
         stages = [s for _, s in rows]
         assert stages == sorted(stages)
     assert len({r.global_pos for r in out}) == 40
+
+
+def test_avi_frame_sampling_matches_container_walk(spark):
+    from flink_helloworld_spark.operators.multimodal import (
+        attach_avi_binary,
+        sample_avi_frames,
+    )
+
+    docs = _docs(spark, ["five frames of text here yes!", "ab", "abc"])
+    media = attach_avi_binary(docs)
+    got = {}
+    for r in sample_avi_frames(media, every=2).collect():
+        got.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_bytes, r.frame_sum))
+    import hashlib
+
+    for i, t in enumerate(["five frames of text here yes!", "ab", "abc"]):
+        n = len(t)
+        w, h, nf = 4 + (n % 2) * 4, 2 + n % 3, 1 + n % 5
+        fsize = w * h * 3
+        stream = (hashlib.md5(t.encode()).hexdigest() * (nf * fsize * 2 // 32 + 1))[
+            : nf * fsize * 2
+        ]
+        raw = bytes.fromhex(stream)
+        expect = [
+            (f, fsize, sum(raw[f * fsize : (f + 1) * fsize]))
+            for f in range(nf)
+            if f % 2 == 0
+        ]
+        assert sorted(got[i]) == expect
