@@ -897,6 +897,15 @@ def _q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(load_tables(spark, sf_dir).documents)
 
 
+def _q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the end-to-end closing capstone: raw corpus -> pretrain_prep
+    # survivors -> replay-verifiable shard manifest, ONE query — the
+    # artifact the whole pipeline exists to produce
+    from flink_helloworld_spark.operators.dedup import corpus_to_manifest
+
+    return corpus_to_manifest(load_tables(spark, sf_dir).documents)
+
+
 def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshot-over-snapshot vocabulary movers: same deterministic
     # old/new split as snapshot_diff, smoothed log-ratio top-50
@@ -2188,17 +2197,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering contract: the driver's correctness gate checks only
         # the FIRST 50 entries. Round-5 rotation (staleness from the
-        # union of CORRECTNESS_r01-r04): all 22 queries with NO official
-        # row yet come first (the round-5 additions), then 28 of the 34
-        # whose newest official row is round 2; the 6 remaining r2-stale
-        # (chunk_documents, dedup_containment, multimodal_audio,
-        # skew_report, table_profile, text_diversity) plus the
-        # r3/r4-checked back of the registry were ALL re-verified
-        # locally this round via tools/check_oracle.py (0 failures /
-        # 149+new checked). Rotate again next round: those 6 go first,
-        # then newest-row-r3 queries.
+        # union of CORRECTNESS_r01-r04): all 32 queries with NO official
+        # row yet come first (the round-5 additions), then 18 of the 34
+        # whose newest official row is round 2; the 16 remaining
+        # r2-stale plus the r3/r4-checked back of the registry were ALL
+        # re-verified locally this round via tools/check_oracle.py
+        # (0 failures across the full registry at sf0.01; all round-5
+        # additions also green at sf0.001). Rotate again next round:
+        # the leftover r2-stale go first, then newest-row-r3 queries.
         # round-5 late additions (brand new => front of the gate):
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
+        "corpus_manifest": _q_corpus_manifest,
         "vocab_drift": _q_vocab_drift,
         "snapshot_diff": _q_snapshot_diff,
         "cohort_retention": _q_cohort_retention,
@@ -3950,6 +3959,46 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY metric
         """,
         "pq_codes": _pq_sql(),
+        "corpus_manifest": f"""
+            WITH cleaned AS ({_CORPUS_CLEAN_SQL}),
+            corpus AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN cleaned c ON d.doc_id = c.doc_id
+              WHERE d.doc_id % 20 <> 0),
+            bws AS (SELECT doc_id, {_WS} AS ws FROM documents
+                    WHERE doc_id % 20 = 0),
+            bsh AS (SELECT list_distinct(list_transform(
+                      range(1, greatest(len(ws) - 5 + 2, 1)),
+                      i -> array_to_string(ws[i:i+4], ' '))) AS sh
+                    FROM bws WHERE len(ws) >= 5),
+            bench AS (SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM bsh)),
+            cws AS (SELECT doc_id, {_WS} AS ws FROM corpus),
+            csh AS (SELECT doc_id, list_distinct(list_transform(
+                      range(1, greatest(len(ws) - 5 + 2, 1)),
+                      i -> array_to_string(ws[i:i+4], ' '))) AS sh
+                    FROM cws WHERE len(ws) >= 5),
+            contaminated AS (
+              SELECT DISTINCT cg.doc_id
+              FROM (SELECT doc_id, unnest(sh) AS g FROM csh) cg
+              JOIN bench USING (g)),
+            keep AS (
+              SELECT c.doc_id, c.text FROM corpus c
+              LEFT JOIN contaminated x ON c.doc_id = x.doc_id
+              WHERE x.doc_id IS NULL),
+            t AS (SELECT
+              CAST(('0x' || substr(md5('shard:' || doc_id::VARCHAR),
+                                   1, 15))::BIGINT % 16 AS INT) AS shard_id,
+              doc_id,
+              len({_WS}) AS tok,
+              ('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
+                              1, 15))::BIGINT AS fp
+            FROM keep)
+            SELECT shard_id, count(*) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS total_tokens,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id,
+                   bit_xor(fp) AS fingerprint
+            FROM t GROUP BY shard_id
+        """,
         "pretrain_prep": f"""
             WITH cleaned AS ({_CORPUS_CLEAN_SQL}),
             corpus AS (

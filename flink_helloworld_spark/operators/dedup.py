@@ -386,6 +386,34 @@ def pretrain_prep_plan(
     return pack_sequences(toks, "doc_id", "n_tokens", capacity=capacity, shards=shards)
 
 
+def corpus_to_manifest(
+    docs: DataFrame,
+    shards: int = 16,
+    quality_min: float = 0.5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The END-TO-END closing capstone: raw corpus → pretrain_prep's
+    survivor set (quality filter → exact dedup → minhash near-dup →
+    eval decontamination, the fused single-tokenization plan) →
+    ``shard_manifest`` over the survivors — ONE query from crawl to the
+    replay-verifiable manifest a trainer's data loader mounts. This is
+    the artifact the whole pipeline exists to produce; a second engine
+    (or the streaming twin fed the same survivors) reproduces it
+    fingerprint-for-fingerprint.
+
+    Scale shape: pretrain_prep's (one tokenization pass, broadcast
+    decontamination probe) + one semi join back to the text and the
+    manifest's single ``shards``-group hash agg.
+    """
+    from flink_helloworld_spark.operators.layout import shard_manifest
+
+    packed = pretrain_prep_plan(
+        docs, quality_min=quality_min, jaccard_threshold=jaccard_threshold
+    )
+    kept = docs.join(packed.select("doc_id"), "doc_id", "left_semi")
+    return shard_manifest(kept, shards=shards)
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

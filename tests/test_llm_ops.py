@@ -1871,3 +1871,33 @@ def test_avi_frame_sampling_matches_container_walk(spark):
             if f % 2 == 0
         ]
         assert sorted(got[i]) == expect
+
+
+def test_corpus_manifest_covers_exactly_the_pretrain_survivors(spark):
+    from flink_helloworld_spark.operators.dedup import (
+        corpus_to_manifest,
+        pretrain_prep_plan,
+    )
+
+    # distinct docs (no shared 5-gram run: an {i} breaks every 4 words),
+    # so the %20==0 benchmark split contaminates nothing
+    def mk(i):
+        return (f"the cat {i} and a dog {i} sat on mat {i} to rest today")
+
+    rows = [(i, mk(i)) for i in range(30)]
+    rows += [(101 + i, mk(1 + i)) for i in range(4)]  # exact dups drop
+    rows += [(201, "#### //// @@@@ %%%%")]  # quality-filtered out
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    packed = pretrain_prep_plan(docs)
+    kept = {r.doc_id: r.n_tokens for r in packed.collect()}
+    man = corpus_to_manifest(docs).collect()
+    assert sum(r.n_docs for r in man) == len(kept)
+    assert sum(r.total_tokens for r in man) == sum(kept.values())
+    ids = set(kept)
+    assert min(r.min_id for r in man) == min(ids)
+    assert max(r.max_id for r in man) == max(ids)
+    assert 201 not in ids and all(i not in ids for i in range(101, 105))
+    assert 0 not in ids and 20 not in ids  # benchmark docs never packed
