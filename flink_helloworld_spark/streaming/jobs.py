@@ -528,3 +528,37 @@ def streaming_filter_funnel_job(
     return contrib.groupBy("stage", "rule").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_corpus_manifest_job(
+    stream: DataFrame,
+    shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The streaming twin of ``dedup.corpus_to_manifest``'s closing
+    chain, ONE query with TWO chained transformWithState operators
+    across the re-key seam (content_hash → shard_id) — the
+    capstone_single_query topology trick. Stateless Gopher-core gate →
+    first-arrival content dedup → incremental per-shard manifest; the
+    manifest after any batch sequence equals the batch
+    ``layout.shard_manifest`` over the gate+dedup survivors
+    bit-for-bit (t: test_jobs).
+
+    Document TEXT never leaves its scan partition: the manifest inputs
+    (shard_id, tok, fp) are computed in the stateless projection before
+    either shuffle, so both stateful exchanges carry four integers per
+    doc. State: one long per distinct content + five longs per shard —
+    pair the dedup state with TTL where the re-ingest horizon allows.
+
+    (An applyInPandasWithState manifest downstream of a dedup operator
+    is NOT used here: two stateful operators only compose reliably on
+    the transformWithState API — the dedup+apply form silently loses
+    late batches to watermark holds.)"""
+    from flink_helloworld_spark.streaming.tws import (
+        streaming_corpus_manifest_tws,
+    )
+
+    return streaming_corpus_manifest_tws(
+        stream, shards=shards, text_col=text_col, id_col=id_col
+    )

@@ -674,3 +674,177 @@ def streaming_weighted_reservoir(
         outputMode="append",
         timeMode="none",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming corpus→manifest: gate → dedup → manifest as chained TWS stages
+# --------------------------------------------------------------------------
+
+MANIFEST_OUTPUT = StructType(
+    [
+        StructField("shard_id", IntegerType()),
+        StructField("n_docs", LongType()),
+        StructField("total_tokens", LongType()),
+        StructField("min_id", LongType()),
+        StructField("max_id", LongType()),
+        StructField("fingerprint", LongType()),
+    ]
+)
+
+_SEEN_STATE = StructType([StructField("seen", LongType())])
+
+_DEDUP_PASS = StructType(
+    [
+        StructField("shard_id", IntegerType()),
+        StructField("doc_id", LongType()),
+        StructField("tok", LongType()),
+        StructField("fp", LongType()),
+    ]
+)
+
+_MANIFEST_STATE = StructType(
+    [
+        StructField("n_docs", LongType()),
+        StructField("total_tokens", LongType()),
+        StructField("min_id", LongType()),
+        StructField("max_id", LongType()),
+        StructField("fingerprint", LongType()),
+    ]
+)
+
+
+class ContentDedupProcessor(StatefulProcessor):
+    """First-arrival exact dedup keyed on the content hash: one long of
+    ValueState per distinct content ever seen (the watermarkless TWS
+    form — pair with TTL where the horizon is bounded). Within a batch,
+    ties break on doc_id, so replay is deterministic."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState("seen", _SEEN_STATE)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch = _concat_chunks(rows)
+        out = []
+        if not self._seen.exists() and batch is not None and len(batch):
+            rec = (
+                batch.sort_values("doc_id").iloc[0].to_dict()
+            )
+            out.append(
+                {
+                    "shard_id": int(rec["shard_id"]),
+                    "doc_id": int(rec["doc_id"]),
+                    "tok": int(rec["tok"]),
+                    "fp": int(rec["fp"]),
+                }
+            )
+            self._seen.update((1,))
+        yield pd.DataFrame(out, columns=[f.name for f in _DEDUP_PASS.fields])
+
+    def close(self) -> None:
+        pass
+
+
+class ManifestProcessor(StatefulProcessor):
+    """Incremental per-shard manifest on typed state: five scalars per
+    shard (adds, min/max, XOR — all associative+commutative), re-emitted
+    whenever the shard is touched; after any batch sequence the values
+    equal the batch ``layout.shard_manifest`` over everything kept."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._m = handle.getValueState("m", _MANIFEST_STATE)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n, tok, lo, hi, fp = (
+            self._m.get() if self._m.exists() else (0, 0, None, None, 0)
+        )
+        batch = _concat_chunks(rows)
+        if batch is not None and len(batch):
+            for rec in batch.to_dict("records"):
+                n += 1
+                tok += int(rec["tok"])
+                d = int(rec["doc_id"])
+                lo = d if lo is None else min(lo, d)
+                hi = d if hi is None else max(hi, d)
+                fp ^= int(rec["fp"])
+            self._m.update((n, tok, lo, hi, fp))
+        yield pd.DataFrame(
+            [
+                {
+                    "shard_id": key[0],
+                    "n_docs": n,
+                    "total_tokens": tok,
+                    "min_id": lo,
+                    "max_id": hi,
+                    "fingerprint": fp,
+                }
+            ],
+            columns=[f.name for f in MANIFEST_OUTPUT.fields],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_corpus_manifest_tws(
+    stream: DataFrame,
+    shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The streaming twin of ``dedup.corpus_to_manifest``'s closing
+    chain as ONE query with TWO chained transformWithState operators
+    across the re-key seam (content_hash → shard_id), the same topology
+    trick as ``capstone_single_query``: stateless Gopher-core gate →
+    first-arrival content dedup → incremental shard manifest.
+
+    Scale contract: the manifest inputs (shard_id, tok, fp) are computed
+    in the stateless projection BEFORE any shuffle, so document TEXT
+    never leaves its scan partition — both stateful exchanges carry four
+    integers per doc. State: one long per distinct content + five longs
+    per shard."""
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.functions import md5_prefix_long
+    from flink_helloworld_spark.operators.text import _words
+
+    ws = _words(F.col(text_col))
+    n_words = F.size(ws)
+    n_chars = F.length(text_col)
+    mean_wlen = (n_chars - (n_words - 1)).cast("double") / F.nullif(
+        n_words.cast("double"), F.lit(0.0)
+    )
+    gated = stream.where(
+        (n_words >= 5) & (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+    )
+    tagged = gated.select(
+        F.md5(F.col(text_col)).alias("content_hash"),
+        (
+            md5_prefix_long(
+                F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
+            )
+            % shards
+        )
+        .cast("int")
+        .alias("shard_id"),
+        F.col(id_col).alias("doc_id"),
+        F.size(_words(F.col(text_col))).cast("long").alias("tok"),
+        md5_prefix_long(
+            F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(text_col))
+        ).alias("fp"),
+    )
+    deduped = tagged.groupBy("content_hash").transformWithStateInPandas(
+        ContentDedupProcessor(),
+        outputStructType=_DEDUP_PASS,
+        outputMode="append",
+        timeMode="none",
+    )
+    return deduped.groupBy("shard_id").transformWithStateInPandas(
+        ManifestProcessor(),
+        outputStructType=MANIFEST_OUTPUT,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -620,3 +620,60 @@ def test_streaming_weighted_reservoir_matches_batch_any_order(spark):
     assert {s: d for s, (_, d) in latest.items()} == expect
     n_sampleable = sum(1 for _, _, w in rows if w > 0)
     assert sum(n for n, _ in latest.values()) == n_sampleable
+
+
+def test_streaming_corpus_manifest_matches_batch_survivor_manifest(spark):
+    """Gate → watermark dedup → incremental manifest composed as ONE
+    query: the final per-shard manifest equals the batch shard_manifest
+    over the batch-computed survivors (gate + first-arrival exact dedup
+    — arrival order is arranged so first-arrival == min doc_id, the
+    batch rule)."""
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.operators.layout import shard_manifest
+    from flink_helloworld_spark.streaming.jobs import (
+        streaming_corpus_manifest_job,
+    )
+
+    # mean word length must sit in the Gopher band [3, 10]
+    good = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = []
+    for i in range(40):
+        rows.append((i, f"{good} variant{i}"))
+    rows.append((50, rows[3][1]))  # dup arrives after the original
+    rows.append((51, "####"))  # gate-dropped
+    workdir = tempfile.mkdtemp(prefix="cm-stream-")
+    t0 = time.time() - 30
+    batches = [rows[:15], rows[15:30], rows[30:]]
+    for i, b in enumerate(batches):
+        pdf = pd.DataFrame(b, columns=["doc_id", "text"])
+        path = os.path.join(workdir, f"b{i:02d}.parquet")
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(workdir)
+    )
+    out = run_available_now(
+        streaming_corpus_manifest_job(stream, shards=4),
+        "cm_stream",
+    )
+    final = {}
+    for r in out:
+        final[r.shard_id] = (
+            r.n_docs, r.total_tokens, r.min_id, r.max_id, r.fingerprint
+        )
+    # batch survivors: gate (>=5 words, mean len in band) + min-id dedup
+    survivors = [(i, t) for i, t in rows if i not in (50, 51)]
+    batch_df = spark.createDataFrame(survivors, "doc_id long, text string")
+    expect = {
+        r.shard_id: (r.n_docs, r.total_tokens, r.min_id, r.max_id, r.fingerprint)
+        for r in shard_manifest(batch_df, shards=4).collect()
+    }
+    assert final == expect
+    assert sum(v[0] for v in final.values()) == 40
