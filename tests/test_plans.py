@@ -597,3 +597,17 @@ def test_diff_snm_textrank_plan_contracts(spark, sf_dir):
     # ONE composed plan (joins/aggs only)
     plan = explain_str(textrank_scores(docs), "simple")
     assert "BatchEvalPython" not in plan
+
+
+def test_corpus_manifest_broadcast_probe_no_python(spark, sf_dir):
+    """The end-to-end capstone keeps pretrain_prep's plan guarantees
+    through the manifest join: decontamination probe broadcast, no
+    Python stage, and the final agg has map-side partials."""
+    from flink_helloworld_spark.operators.dedup import corpus_to_manifest
+
+    plan = explain_str(
+        corpus_to_manifest(load_tables(spark, sf_dir).documents), "simple"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
