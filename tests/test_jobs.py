@@ -677,3 +677,76 @@ def test_streaming_corpus_manifest_matches_batch_survivor_manifest(spark):
     }
     assert final == expect
     assert sum(v[0] for v in final.values()) == 40
+
+
+def test_streaming_corpus_manifest_recovers_both_states_from_checkpoint(spark):
+    """Checkpoint recovery across TWO chained transformWithState
+    operators: a restart resumes BOTH the content-dedup state (a dup of
+    a run-1 doc arriving in run 2 must be suppressed) and the manifest
+    counters (totals continue, never reset)."""
+    import time as _time
+
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.operators.layout import shard_manifest
+    from flink_helloworld_spark.streaming.jobs import (
+        streaming_corpus_manifest_job,
+    )
+
+    good = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    workdir = tempfile.mkdtemp(prefix="cmrec-in-")
+    out_dir = tempfile.mkdtemp(prefix="cmrec-out-")
+    ck = tempfile.mkdtemp(prefix="cmrec-ck-")
+
+    def put(name, rows):
+        p = os.path.join(workdir, name)
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(p, index=False)
+        os.utime(p, (_time.time(), _time.time()))
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            workdir
+        )
+        q = (
+            streaming_corpus_manifest_job(stream, shards=4)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+        q.awaitTermination(30)
+        rows = spark.read.parquet(out_dir).collect()
+        final = {}
+        for r in rows:  # freshest emission per shard = max n_docs
+            if r.shard_id not in final or r.n_docs > final[r.shard_id][0]:
+                final[r.shard_id] = (
+                    r.n_docs, r.total_tokens, r.min_id, r.max_id, r.fingerprint
+                )
+        return final
+
+    rows1 = [(i, f"{good} variant{i}") for i in range(20)]
+    put("b0.parquet", rows1)
+    first = run_once()
+    assert sum(v[0] for v in first.values()) == 20
+
+    # run 2: 10 new docs + a CROSS-RUN duplicate of doc 7's content
+    rows2 = [(100 + i, f"{good} variant{100 + i}") for i in range(10)]
+    rows2.append((999, rows1[7][1]))
+    put("b1.parquet", rows2)
+    second = run_once()
+    survivors = rows1 + rows2[:-1]  # the cross-run dup never lands
+    batch_df = spark.createDataFrame(survivors, "doc_id long, text string")
+    expect = {
+        r.shard_id: (r.n_docs, r.total_tokens, r.min_id, r.max_id, r.fingerprint)
+        for r in shard_manifest(batch_df, shards=4).collect()
+    }
+    assert second == expect
+    assert sum(v[0] for v in second.values()) == 30
