@@ -897,6 +897,14 @@ def _q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(load_tables(spark, sf_dir).documents)
 
 
+def _q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the threshold-tuning view: 2^3 agreement matrix of the three cheap
+    # gates (Gopher rules, ppl-tail, DSIR-median) over the raw pool
+    from flink_helloworld_spark.operators.selection import filter_agreement
+
+    return filter_agreement(load_tables(spark, sf_dir).documents)
+
+
 def _q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the end-to-end closing capstone: raw corpus -> pretrain_prep
     # survivors -> replay-verifiable shard manifest, ONE query — the
@@ -2207,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the leftover r2-stale go first, then newest-row-r3 queries.
         # round-5 late additions (brand new => front of the gate):
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
+        "filter_agreement": _q_filter_agreement,
         "corpus_manifest": _q_corpus_manifest,
         "vocab_drift": _q_vocab_drift,
         "snapshot_diff": _q_snapshot_diff,
@@ -3959,6 +3968,66 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY metric
         """,
         "pq_codes": _pq_sql(),
+        "filter_agreement": f"""
+            {_GOPHER_R_CTE},
+            gop AS (
+              SELECT doc_id,
+                (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+                 AND rule_ellipsis_lines AND rule_alpha_words AND rule_stopwords)
+                AS passes_gopher
+              FROM r),
+            words AS (
+              SELECT doc_id, unnest({_WS}) AS w FROM documents),
+            total AS (SELECT count(*)::DOUBLE AS t FROM words),
+            vocab AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+            scoredw AS (
+              SELECT doc_id,
+                     round(-ln(cnt::DOUBLE / (SELECT t FROM total)), 9)::DECIMAL(28,9)
+                       AS nlp
+              FROM words JOIN vocab USING (w)),
+            ppl AS (
+              SELECT doc_id, round(sum(nlp)::DOUBLE / count(*)::DOUBLE, 6)
+                       AS mean_neg_logp
+              FROM scoredw GROUP BY doc_id),
+            langd AS (
+              SELECT p.doc_id, d.lang, p.mean_neg_logp
+              FROM ppl p JOIN documents d USING (doc_id)),
+            cuts AS (
+              SELECT lang,
+                     round(quantile_cont(mean_neg_logp, 1.0 / 3.0), 9) AS t_head,
+                     round(quantile_cont(mean_neg_logp, 2.0 / 3.0), 9) AS t_middle
+              FROM langd GROUP BY lang),
+            pplp AS (
+              SELECT doc_id, mean_neg_logp <= t_middle AS passes_ppl
+              FROM langd JOIN cuts USING (lang)),
+            toks AS (
+              SELECT doc_id, (source = 'src0') AS is_target,
+                     ('0x' || substr(md5('dsir' || unnest({_WS})), 1, 15))::BIGINT
+                       % 1024 AS b
+              FROM documents),
+            tgt AS (SELECT b, count(*) AS ct FROM toks WHERE is_target GROUP BY b),
+            rawc AS (SELECT b, count(*) AS cr FROM toks WHERE NOT is_target GROUP BY b),
+            tt AS (SELECT count(*)::DOUBLE AS t FROM toks WHERE is_target),
+            tr AS (SELECT count(*)::DOUBLE AS t FROM toks WHERE NOT is_target),
+            model AS (
+              SELECT coalesce(tgt.b, rawc.b) AS b,
+                round(ln((coalesce(ct, 0)::DOUBLE + 0.5) / ((SELECT t FROM tt) + 512.0))
+                    - ln((coalesce(cr, 0)::DOUBLE + 0.5) / ((SELECT t FROM tr) + 512.0)),
+                    9)::DECIMAL(28,9) AS log_ratio
+              FROM tgt FULL OUTER JOIN rawc ON tgt.b = rawc.b),
+            w AS (
+              SELECT doc_id, round(sum(log_ratio)::DOUBLE, 6) AS logw
+              FROM toks JOIN model USING (b)
+              WHERE NOT is_target
+              GROUP BY doc_id),
+            cut AS (SELECT round(quantile_cont(logw, 0.5), 9) AS c FROM w),
+            dsirp AS (
+              SELECT doc_id, logw >= (SELECT c FROM cut) AS passes_dsir FROM w)
+            SELECT passes_gopher, passes_ppl, passes_dsir,
+                   count(*) AS n_docs
+            FROM gop JOIN pplp USING (doc_id) JOIN dsirp USING (doc_id)
+            GROUP BY 1, 2, 3
+        """,
         "corpus_manifest": f"""
             WITH cleaned AS ({_CORPUS_CLEAN_SQL}),
             corpus AS (

@@ -319,3 +319,39 @@ def selection_pipeline(
         "shard_pos",
         "global_pos",
     )
+
+
+def filter_agreement(
+    docs: DataFrame,
+    target_source: str = "src0",
+    text_col: str = "text",
+) -> DataFrame:
+    """Filter-agreement matrix: every raw-pool document is scored by the
+    three cheap gates — Gopher rules (pass/fail), CCNet perplexity
+    bucket (tail = fail), DSIR relevance (below-median = fail) — and the
+    2³ agreement cells are counted. This is the view a pipeline owner
+    tunes thresholds against: high-disagreement cells are where a
+    different gate order (or a human look) changes the corpus, and the
+    all-fail/all-pass cells say how much the gates are redundant.
+
+    Scale shape: the three scorers' shapes (codegen projection;
+    word-keyed shuffles; broadcast bucket model) joined on doc_id, then
+    ONE 8-group aggregation — the matrix itself is metadata-sized.
+    """
+    from flink_helloworld_spark.operators.text import gopher_rules
+
+    gop = gopher_rules(docs, text_col).select("doc_id", "passes_gopher")
+    ppl = perplexity_buckets(docs, text_col).select(
+        "doc_id", (F.col("ppl_bucket") != "tail").alias("passes_ppl")
+    )
+    w = dsir_weights(docs, target_source, text_col)
+    cut = w.agg(F.round(F.expr("percentile(logw, 0.5D)"), 9).alias("_c"))
+    dsir = w.crossJoin(F.broadcast(cut)).select(
+        "doc_id", (F.col("logw") >= F.col("_c")).alias("passes_dsir")
+    )
+    return (
+        gop.join(ppl, "doc_id")
+        .join(dsir, "doc_id")
+        .groupBy("passes_gopher", "passes_ppl", "passes_dsir")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
