@@ -216,6 +216,10 @@ def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(load_tables(spark, sf_dir).documents)
 
 
+def _q_dedup_lsh_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_first_arrival(load_tables(spark, sf_dir).documents)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(load_tables(spark, sf_dir).documents)
 
@@ -2214,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # additions also green at sf0.001). Rotate again next round:
         # the leftover r2-stale go first, then newest-row-r3 queries.
         # round-5 late additions (brand new => front of the gate):
+        "dedup_lsh_commit": _q_dedup_lsh_commit,
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
         "filter_agreement": _q_filter_agreement,
         "corpus_manifest": _q_corpus_manifest,
@@ -3623,6 +3628,25 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             JOIN sh sa ON doc_a = sa.doc_id
             JOIN sh sb ON doc_b = sb.doc_id
+        """,
+        "dedup_lsh_commit": f"""
+            WITH {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()},
+            firsts AS (
+              SELECT band_id, band_key, min(doc_id) AS first_doc
+              FROM buckets GROUP BY 1, 2),
+            verdict AS (
+              SELECT b.doc_id,
+                CAST(count(*) AS INT) AS n_bands,
+                CAST(sum(CASE WHEN b.doc_id = f.first_doc THEN 1 ELSE 0 END) AS INT)
+                  AS n_first
+              FROM buckets b
+              JOIN firsts f ON b.band_id = f.band_id AND b.band_key = f.band_key
+              GROUP BY b.doc_id)
+            SELECT d.doc_id,
+              coalesce(v.n_bands, 0) AS n_bands,
+              coalesce(v.n_first, 0) AS n_first,
+              coalesce(v.n_bands, 0) = coalesce(v.n_first, 0) AS kept
+            FROM documents d LEFT JOIN verdict v ON d.doc_id = v.doc_id
         """,
         "dedup_simhash": _simhash_sql(),
         "dedup_ngram_jaccard": f"""

@@ -246,6 +246,58 @@ def minhash_dedup_pairs(
     )
 
 
+def lsh_first_arrival(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """First-arrival LSH commit dedup: a doc is KEPT iff it is the
+    earliest arrival (minimum doc_id) on EVERY one of its band buckets.
+
+    This is the single-pass, verification-free near-dup gate: every
+    arrival claims its buckets, and a later doc colliding with ANY
+    earlier claim is dropped. Unlike `minhash_dedup_pairs` it never
+    materializes pairs — the decision is two hash aggregations over the
+    (doc, bucket) incidence table — which makes it the formulation with
+    an exact incremental/streaming twin (`streaming/tws.py:
+    streaming_lsh_dedup`): per-bucket state is ONE long (the first
+    claimant), independent of how many docs ever hashed there.
+
+    Output: (doc_id, n_bands, n_first, kept) for every input doc. Docs
+    too short to shingle have no buckets and pass trivially (n_bands=0).
+
+    Scale shape: buckets is |docs|×bands rows of (long, int, md5) — text
+    never shuffles; firsts is a map-side-combinable min per bucket; the
+    verdict is one more agg keyed by doc. Reference semantics anchor:
+    the dedup stage of the pretrain pipeline (BASELINE.json north-star),
+    single-pass variant of StateTest.java's keyed first-wins state.
+    """
+    buckets = minhash_lsh_buckets(docs, text_col, num_hashes, bands, shingle_n)
+    firsts = buckets.groupBy("band_id", "band_key").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    verdict = (
+        buckets.join(firsts, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bands"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("int"))
+            .cast("int")
+            .alias("n_first"),
+        )
+    )
+    return docs.select("doc_id").join(verdict, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bands", F.lit(0)).alias("n_bands"),
+        F.coalesce("n_first", F.lit(0)).alias("n_first"),
+        (F.coalesce("n_bands", F.lit(0)) == F.coalesce("n_first", F.lit(0))).alias(
+            "kept"
+        ),
+    )
+
+
 # --- end-to-end corpus cleaning ---------------------------------------------
 
 

@@ -252,7 +252,9 @@ def streaming_ingest_job(
     watermark window; the sink partitions by ingest date so downstream
     batch jobs (corpus_clean's LSH stage, packing) prune to fresh
     partitions. This is the streaming complement of `pretrain_prep` —
-    heavy near-dup/LSH work stays in scheduled batch over the lake.
+    PAIR-VERIFIED near-dup work stays in scheduled batch over the lake;
+    the single-pass first-arrival LSH contract runs fully streaming via
+    `tws.streaming_lsh_dedup` (one long of state per claimed bucket).
     """
     from flink_helloworld_spark.operators.dedup import _words
 

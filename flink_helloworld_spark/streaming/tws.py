@@ -848,3 +848,185 @@ def streaming_corpus_manifest_tws(
         outputMode="append",
         timeMode="none",
     )
+
+
+# --- streaming LSH near-dup gate --------------------------------------------
+
+_LSH_CLAIM_STATE = StructType([StructField("first_doc", LongType())])
+_LSH_CLAIM_OUT = StructType(
+    [StructField("doc_id", LongType()), StructField("is_first", BooleanType())]
+)
+_LSH_VERDICT_STATE = StructType(
+    [StructField("n_seen", IntegerType()), StructField("n_first", IntegerType())]
+)
+LSH_VERDICT_OUTPUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bands", IntegerType()),
+        StructField("n_first", IntegerType()),
+        StructField("kept", BooleanType()),
+    ]
+)
+
+
+class BucketClaimProcessor(StatefulProcessor):
+    """Per-LSH-bucket first-claim state: ONE long per bucket ever touched
+    (the earliest claimant), independent of how many docs hash there.
+    Emits (doc_id, is_first) per arrival. In-order contract: with doc_id
+    monotone in arrival order (the batch twin's rule), the running min
+    equals the true first arrival; the min() form also keeps replayed /
+    reordered batches convergent to the batch `dedup.lsh_first_arrival`
+    verdict."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._first = handle.getValueState("first", _LSH_CLAIM_STATE)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch = _concat_chunks(rows)
+        if batch is None or not len(batch):
+            yield pd.DataFrame(columns=[f.name for f in _LSH_CLAIM_OUT.fields])
+            return
+        first = self._first.get()[0] if self._first.exists() else None
+        m = int(batch["doc_id"].min())
+        first = m if first is None else min(first, m)
+        self._first.update((first,))
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "is_first": batch["doc_id"].astype("int64") == first,
+            }
+        )
+        yield out[[f.name for f in _LSH_CLAIM_OUT.fields]]
+
+    def close(self) -> None:
+        pass
+
+
+class DocVerdictProcessor(StatefulProcessor):
+    """Collects the per-band first-claim votes back on the doc key and
+    emits ONE verdict row once all `bands` votes are in (they travel in
+    the same micro-batch — one input row fans out to `bands` claim rows
+    — so state here is transient; the accumulator only persists if a
+    future engine splits a doc's claim rows across batches)."""
+
+    def __init__(self, bands: int) -> None:
+        self._bands = bands
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._acc = handle.getValueState("acc", _LSH_VERDICT_STATE)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n_seen, n_first = self._acc.get() if self._acc.exists() else (0, 0)
+        batch = _concat_chunks(rows)
+        if batch is not None and len(batch):
+            n_seen += int(len(batch))
+            n_first += int(batch["is_first"].sum())
+        cols = [f.name for f in LSH_VERDICT_OUTPUT.fields]
+        if n_seen >= self._bands:
+            self._acc.clear()
+            yield pd.DataFrame(
+                [
+                    {
+                        "doc_id": int(key[0]),
+                        "n_bands": n_seen,
+                        "n_first": n_first,
+                        "kept": n_seen == n_first,
+                    }
+                ],
+                columns=cols,
+            )
+        else:
+            self._acc.update((n_seen, n_first))
+            yield pd.DataFrame(columns=cols)
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_lsh_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup gate — the streaming twin of
+    ``dedup.lsh_first_arrival``, as ONE query with TWO chained
+    transformWithState operators across the re-key seam (band bucket →
+    doc), the `streaming_corpus_manifest_tws` topology.
+
+    A doc is kept iff it is the first arrival on EVERY one of its band
+    buckets; all arrivals claim their buckets. After any in-order batch
+    sequence the emitted verdicts are doc-for-doc identical to the batch
+    operator over the union of batches (t: test_streaming).
+
+    Scale contract: signatures and band keys are computed in the
+    STATELESS projection before any shuffle — document text never leaves
+    its scan partition; both stateful exchanges carry (long, int, md5) /
+    (long, bool) rows. State: one long per distinct bucket ever claimed
+    (pair with TTL where the dedup horizon is bounded), transient
+    per-doc accumulators. Near-dup/LSH was previously documented as
+    batch-only (streaming/jobs.py); this closes that gap for the
+    single-pass first-arrival contract — pair-verified Jaccard dedup
+    (`minhash_dedup_pairs`) stays batch.
+    """
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signature_from_hashes,
+        shingle_base_hash,
+        shingles_from_words,
+    )
+    from flink_helloworld_spark.operators.text import _words
+
+    rows_per = num_hashes // bands
+    docs = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        _words(F.col(text_col)).alias("ws"),
+    )
+    short = docs.where(F.size("ws") < shingle_n).select(
+        "doc_id",
+        F.lit(0).cast("int").alias("n_bands"),
+        F.lit(0).cast("int").alias("n_first"),
+        F.lit(True).alias("kept"),
+    )
+    hm = docs.where(F.size("ws") >= shingle_n).select(
+        "doc_id",
+        F.transform(
+            shingles_from_words(F.col("ws"), shingle_n), shingle_base_hash
+        ).alias("hm"),
+    )
+    sig = hm.select(
+        "doc_id", minhash_signature_from_hashes(F.col("hm"), num_hashes).alias("sig")
+    )
+    keys = lsh_band_keys(F.col("sig"), bands, rows_per)
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).cast("int").alias("band_id"), k.alias("band_key"))
+                    for b, k in enumerate(keys)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    claims = buckets.groupBy("band_id", "band_key").transformWithStateInPandas(
+        BucketClaimProcessor(),
+        outputStructType=_LSH_CLAIM_OUT,
+        outputMode="append",
+        timeMode="none",
+    )
+    verdicts = claims.groupBy("doc_id").transformWithStateInPandas(
+        DocVerdictProcessor(bands),
+        outputStructType=LSH_VERDICT_OUTPUT,
+        outputMode="append",
+        timeMode="none",
+    )
+    return verdicts.unionByName(short)

@@ -639,3 +639,67 @@ def test_streaming_domain_cap_first_arrived_kept(spark):
     assert [rows[i].kept for i in (1, 2, 4, 6)] == [True, True, False, False]
     assert [rows[i].domain_rank for i in (3, 5)] == [1, 2]
     assert rows[3].kept and rows[5].kept
+
+
+def test_streaming_lsh_dedup_matches_batch(spark):
+    """Streaming MinHash-LSH first-arrival gate: two chained TWS
+    operators (bucket-claim -> doc-verdict) across the re-key seam;
+    after in-order batches the verdicts are doc-for-doc identical to
+    batch `dedup.lsh_first_arrival`, with bucket state surviving the
+    micro-batch boundary (the cross-batch duplicate is dropped)."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.operators.dedup import lsh_first_arrival
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import streaming_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")
+    frames = [
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base, "tiny doc"],  # 2 = in-batch exact dup
+            }
+        ),
+        pd.DataFrame(
+            {
+                "doc_id": [4, 5],
+                "text": [base, near],  # 4 = CROSS-batch dup; 5 = near dup
+            }
+        ),
+    ]
+    workdir = tempfile.mkdtemp(prefix="lshdedup-")
+    t0 = _time.time() - 60
+    for i, pdf in enumerate(frames):
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    out = streaming_lsh_dedup(stream)
+    got = {
+        r.doc_id: (r.n_bands, r.n_first, r.kept)
+        for r in run_available_now(out, "lshdedup_out")
+    }
+    all_docs = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    want = {
+        r.doc_id: (r.n_bands, r.n_first, r.kept)
+        for r in lsh_first_arrival(all_docs).collect()
+    }
+    assert got == want
+    assert got[1][2] and not got[2][2]  # first copy kept, in-batch dup dropped
+    assert not got[4][2]  # cross-batch dup: bucket state persisted
+    assert got[3] == (0, 0, True)  # shingle-less doc passes trivially
