@@ -694,6 +694,16 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup snapshot ingest: same 80/20 split as dedup_incremental,
+    # but classification is LSH-candidates + verified Jaccard >= 0.5
+    docs = load_tables(spark, sf_dir).documents
+    return D.incremental_near_dedup(
+        docs.where(F.col("doc_id") % 10 < 8),
+        docs.where(F.col("doc_id") % 10 >= 8),
+    )
+
+
 def _q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Flink CEP parity: signup followedBy purchase within 7 days, with
     # notFollowedBy(error) between them — one window pass, no NFA
@@ -2219,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the leftover r2-stale go first, then newest-row-r3 queries.
         # round-5 late additions (brand new => front of the gate):
         "dedup_lsh_commit": _q_dedup_lsh_commit,
+        "dedup_incremental_near": _q_dedup_incremental_near,
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
         "filter_agreement": _q_filter_agreement,
         "corpus_manifest": _q_corpus_manifest,
@@ -2407,17 +2418,17 @@ _WS = "list_filter(string_split(text, ' '), w -> w <> '')"
 _NUM_HASHES, _BANDS, _ROWS = 12, 4, 3
 
 
-def _shingle_ctes(n: int = 3, source: str = "documents") -> str:
+def _shingle_ctes(n: int = 3, source: str = "documents", suffix: str = "") -> str:
     return f"""
-      ws AS (SELECT doc_id, {_WS} AS ws FROM {source}),
-      sh AS (SELECT doc_id,
+      ws{suffix} AS (SELECT doc_id, {_WS} AS ws FROM {source}),
+      sh{suffix} AS (SELECT doc_id,
         list_distinct(list_transform(
           range(1, greatest(len(ws) - {n} + 2, 1)),
           i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS sh
-        FROM ws WHERE len(ws) >= {n})"""
+        FROM ws{suffix} WHERE len(ws) >= {n})"""
 
 
-def _sig_cte() -> str:
+def _sig_cte(suffix: str = "") -> str:
     from flink_helloworld_spark.operators.dedup import MINHASH_P, MINHASH_PARAMS
 
     base = f"(('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P})"
@@ -2425,19 +2436,21 @@ def _sig_cte() -> str:
         f"list_min(list_transform(sh, s -> ({base} * {a} + {b}) % {MINHASH_P})) AS sig{i}"
         for i, (a, b) in enumerate(MINHASH_PARAMS[:_NUM_HASHES])
     )
-    return f"sig AS (SELECT doc_id, {exprs} FROM sh WHERE len(sh) > 0)"
+    return (
+        f"sig{suffix} AS (SELECT doc_id, {exprs} FROM sh{suffix} WHERE len(sh) > 0)"
+    )
 
 
-def _buckets_cte() -> str:
+def _buckets_cte(suffix: str = "") -> str:
     selects = []
     for b in range(_BANDS):
         parts = " || '|' || ".join(
             f"sig{b * _ROWS + r}::VARCHAR" for r in range(_ROWS)
         )
         selects.append(
-            f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sig"
+            f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sig{suffix}"
         )
-    return "buckets AS (" + " UNION ALL ".join(selects) + ")"
+    return f"buckets{suffix} AS (" + " UNION ALL ".join(selects) + ")"
 
 
 _CORPUS_CLEAN_SQL = f"""
@@ -4185,6 +4198,49 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_type, 'p99', min(bin) * 5.0
             FROM cum WHERE cum_cnt * 100 >= total * 99 GROUP BY event_type
+        """,
+        "dedup_incremental_near": f"""
+            WITH
+            ex AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+            inc AS (SELECT * FROM documents WHERE doc_id % 10 >= 8),
+            {_shingle_ctes(source="ex", suffix="_e").lstrip()},
+            {_sig_cte(suffix="_e")}, {_buckets_cte(suffix="_e")},
+            {_shingle_ctes(source="inc", suffix="_i").lstrip()},
+            {_sig_cte(suffix="_i")}, {_buckets_cte(suffix="_i")},
+            cand_c AS (
+              SELECT DISTINCT i.doc_id AS inc_id, e.doc_id AS ex_id
+              FROM buckets_i i JOIN buckets_e e
+                ON i.band_id = e.band_id AND i.band_key = e.band_key),
+            dup_c AS (
+              SELECT DISTINCT inc_id AS doc_id
+              FROM cand_c
+              JOIN sh_i si ON cand_c.inc_id = si.doc_id
+              JOIN sh_e se ON cand_c.ex_id = se.doc_id
+              WHERE len(list_intersect(si.sh, se.sh))::DOUBLE
+                / nullif((len(si.sh) + len(se.sh)
+                          - len(list_intersect(si.sh, se.sh)))::DOUBLE, 0.0)
+                >= 0.5),
+            cand_b AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM buckets_i x JOIN buckets_i y
+                ON x.band_id = y.band_id AND x.band_key = y.band_key
+               AND x.doc_id < y.doc_id),
+            dup_b AS (
+              SELECT DISTINCT doc_b AS doc_id
+              FROM cand_b
+              JOIN sh_i sa ON cand_b.doc_a = sa.doc_id
+              JOIN sh_i sb ON cand_b.doc_b = sb.doc_id
+              WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / nullif((len(sa.sh) + len(sb.sh)
+                          - len(list_intersect(sa.sh, sb.sh)))::DOUBLE, 0.0)
+                >= 0.5)
+            SELECT i.doc_id,
+              CASE WHEN dc.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
+                   WHEN db.doc_id IS NOT NULL THEN 'near_dup_in_batch'
+                   ELSE 'new' END AS status
+            FROM inc i
+            LEFT JOIN dup_c dc ON i.doc_id = dc.doc_id
+            LEFT JOIN dup_b db ON i.doc_id = db.doc_id
         """,
         "dedup_incremental": """
             WITH ex AS (

@@ -977,6 +977,85 @@ def incremental_dedup(
     )
 
 
+def incremental_near_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Snapshot-ingest NEAR-dup classification — the near-duplicate
+    upgrade of `incremental_dedup`: each incoming doc is classified
+    against the already-ingested corpus AND its own drop using the same
+    LSH-candidates + exact-Jaccard-verify contract as
+    `minhash_dedup_pairs`.
+
+    Returns (doc_id, status) per incoming doc with status in
+    {'new', 'near_dup_of_corpus', 'near_dup_in_batch'}:
+    'near_dup_of_corpus' = verified Jaccard >= threshold vs ANY corpus
+    doc sharing a band bucket; else 'near_dup_in_batch' = verified vs
+    ANY smaller-id doc in the same drop (first arrival stays 'new' —
+    same precedence rule as the exact operator).
+
+    Scale shape: the corpus side reduces to its (doc_id, bucket)
+    incidence + shingle sets — exactly the persistent LSH index a
+    continuously-growing corpus maintains across drops; each drop joins
+    its own (small) bucket table against the index on the bucket key,
+    never corpus x drop. Verification touches candidate pairs only.
+    """
+    sh_ex = share(shingle_table(existing, text_col, shingle_n))
+    sh_in = share(shingle_table(incoming, text_col, shingle_n))
+    b_ex = _buckets_from_shingles(sh_ex, num_hashes, bands)
+    b_in = _buckets_from_shingles(sh_in, num_hashes, bands)
+    cand_c = (
+        b_in.alias("i")
+        .join(b_ex.alias("e"), ["band_id", "band_key"])
+        .select(F.col("i.doc_id").alias("inc_id"), F.col("e.doc_id").alias("ex_id"))
+        .distinct()
+    )
+    dup_c = (
+        cand_c.join(sh_in.alias("si"), F.col("inc_id") == F.col("si.doc_id"))
+        .join(sh_ex.alias("se"), F.col("ex_id") == F.col("se.doc_id"))
+        .where(jaccard(F.col("si.sh"), F.col("se.sh")) >= threshold)
+        .select(F.col("inc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_dup_corpus", F.lit(True))
+    )
+    cand_b = (
+        b_in.alias("x")
+        .join(
+            b_in.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    dup_b = (
+        cand_b.join(sh_in.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh_in.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jaccard(F.col("sa.sh"), F.col("sb.sh")) >= threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_dup_batch", F.lit(True))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(dup_c, "doc_id", "left")
+        .join(dup_b, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_dup_corpus").isNotNull(), F.lit("near_dup_of_corpus"))
+            .when(F.col("_dup_batch").isNotNull(), F.lit("near_dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",

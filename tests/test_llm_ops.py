@@ -401,6 +401,47 @@ def test_incremental_dedup_classification(spark):
     assert out == {10: "dup_of_corpus", 11: "new", 12: "dup_in_batch", 13: "new"}
 
 
+def test_incremental_near_dedup_classification(spark):
+    from flink_helloworld_spark.operators.dedup import incremental_near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near_corpus = base.replace("today", "tonight")  # high-Jaccard variant
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated corpus text about spark engines")],
+        "doc_id long, text string",
+    )
+    other = "distributed query planning over columnar parquet data at scale works"
+    incoming = spark.createDataFrame(
+        [
+            (10, near_corpus),                      # near-dup of corpus doc 1
+            (11, other),                            # new (first arrival)
+            (12, other.replace("works", "well")),   # near-dup of 11 in batch
+            (13, "short"),                          # shingle-less -> new
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.status
+        for r in incremental_near_dedup(existing, incoming).collect()
+    }
+    assert out == {
+        10: "near_dup_of_corpus",
+        11: "new",
+        12: "near_dup_in_batch",
+        13: "new",
+    }
+    # precedence: a doc that is near-dup of BOTH corpus and batch
+    # classifies as corpus (same rule as the exact operator)
+    inc2 = spark.createDataFrame(
+        [(20, near_corpus), (21, base)], "doc_id long, text string"
+    )
+    out2 = {
+        r.doc_id: r.status
+        for r in incremental_near_dedup(existing, inc2).collect()
+    }
+    assert out2 == {20: "near_dup_of_corpus", 21: "near_dup_of_corpus"}
+
+
 def test_pq_assign_nearest_codebook_entry(spark):
     from flink_helloworld_spark.operators.similarity import pq_assign
 
