@@ -268,6 +268,16 @@ def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temperature-scaled mixture: share per source ~ tokens**0.7 — the
+    # multilingual up-sampling rule computed from the corpus itself
+    from flink_helloworld_spark.operators.sampling import mixture_temperature
+
+    return mixture_temperature(
+        load_tables(spark, sf_dir).documents, alpha=0.7, budget_tokens=30_000
+    )
+
+
 def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write-side closing step: deterministic md5 sharding + per-shard
     # manifest (docs, tokens, id range, XOR content fingerprint)
@@ -2230,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 late additions (brand new => front of the gate):
         "dedup_lsh_commit": _q_dedup_lsh_commit,
         "dedup_incremental_near": _q_dedup_incremental_near,
+        "mixture_temperature": _q_mixture_temperature,
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
         "filter_agreement": _q_filter_agreement,
         "corpus_manifest": _q_corpus_manifest,
@@ -4393,6 +4404,30 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN absorbed a ON d.doc_id = a.cluster_id
             WHERE d.doc_id NOT IN (
               SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+        """,
+        "mixture_temperature": f"""
+            WITH t AS (SELECT source,
+                CAST(sum(len({_WS})) AS BIGINT) AS available_tokens
+              FROM documents GROUP BY source),
+            p AS (SELECT source, available_tokens,
+                round(pow(available_tokens::DOUBLE, 0.7), 9)::DECIMAL(28,9)
+                  AS pw
+              FROM t),
+            tot AS (SELECT sum(pw) AS pw_total FROM p),
+            s AS (SELECT source, available_tokens,
+                round(pw::DOUBLE / pw_total::DOUBLE, 9) AS mix_share
+              FROM p CROSS JOIN tot),
+            g AS (SELECT source, available_tokens, mix_share,
+                round(mix_share * 30000.0, 9) AS target_tokens
+              FROM s)
+            SELECT source, available_tokens, mix_share, target_tokens,
+                   CASE WHEN available_tokens > 0
+                        THEN least(1.0, target_tokens
+                                        / available_tokens::DOUBLE)
+                        ELSE 0.0 END AS sample_rate,
+                   least(target_tokens, available_tokens::DOUBLE)
+                     AS achieved_tokens
+            FROM g
         """,
         "mixture_plan": f"""
             WITH t AS (SELECT source,

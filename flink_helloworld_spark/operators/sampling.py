@@ -242,6 +242,70 @@ def mixture_plan(
     )
 
 
+def mixture_temperature(
+    docs: DataFrame,
+    alpha: float,
+    budget_tokens: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture planning: target share per source
+    ∝ available_tokens**alpha (alpha=1 → natural proportions, alpha→0 →
+    uniform) — the multilingual/multi-domain up-sampling rule (mBERT /
+    XLM / mT5 exponential smoothing), computed FROM the corpus instead
+    of hand-written into a `mixture_plan` weights dict.
+
+    Output per source: available_tokens, mix_share, target_tokens,
+    sample_rate = min(1, target/available), achieved_tokens. Feed
+    sample_rate to `deterministic_sample` per source to materialize.
+
+    Determinism contract: pow() results round to 9 dp before the share
+    division (the engine-portable float ladder, same as the LM scorers);
+    the share denominator is an exact DECIMAL sum riding as a broadcast
+    1-row agg crossJoin — one map-side-combinable pass over the corpus,
+    a |sources|-row plan after it, driver never sees documents.
+    """
+    from flink_helloworld_spark.operators.text import _words
+
+    per_source = (
+        docs.select(
+            F.col(strata_col),
+            F.size(_words(F.col(text_col))).cast("long").alias("_tok"),
+        )
+        .groupBy(strata_col)
+        .agg(F.sum("_tok").alias("available_tokens"))
+    )
+    pw = F.round(
+        F.pow(F.col("available_tokens").cast("double"), F.lit(float(alpha))), 9
+    )
+    weighted = per_source.select(
+        strata_col,
+        "available_tokens",
+        pw.cast("decimal(28,9)").alias("_pw"),
+    )
+    total = weighted.agg(F.sum("_pw").alias("_pw_total"))
+    share = F.round(
+        F.col("_pw").cast("double") / F.col("_pw_total").cast("double"), 9
+    )
+    with_share = weighted.crossJoin(F.broadcast(total)).select(
+        strata_col, "available_tokens", share.alias("mix_share")
+    )
+    target = F.round(F.col("mix_share") * F.lit(float(budget_tokens)), 9)
+    rate = F.when(
+        F.col("available_tokens") > 0,
+        F.least(F.lit(1.0), target / F.col("available_tokens").cast("double")),
+    ).otherwise(F.lit(0.0))
+    achieved = F.least(target, F.col("available_tokens").cast("double"))
+    return with_share.select(
+        strata_col,
+        "available_tokens",
+        "mix_share",
+        target.alias("target_tokens"),
+        rate.alias("sample_rate"),
+        achieved.alias("achieved_tokens"),
+    )
+
+
 def reservoir_key(id_col: str, weight_col: str, salt: str = "wres") -> Column:
     """The ONE definition of the A-ES exponential-race key (shared by
     the batch sampler and its streaming twin, whose contract is a

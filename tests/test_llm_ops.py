@@ -1942,3 +1942,29 @@ def test_corpus_manifest_covers_exactly_the_pretrain_survivors(spark):
     assert max(r.max_id for r in man) == max(ids)
     assert 201 not in ids and all(i not in ids for i in range(101, 105))
     assert 0 not in ids and 20 not in ids  # benchmark docs never packed
+
+
+def test_mixture_temperature_upsamples_small_sources(spark):
+    from flink_helloworld_spark.operators.sampling import mixture_temperature
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (20 if i % 10 else 2), "big" if i % 10 else "small")
+         for i in range(100)],
+        "doc_id long, text string, source string",
+    ).withColumn("text", F.rtrim("text"))
+    nat = {r.source: r for r in
+           mixture_temperature(docs, 1.0, 1000, "source").collect()}
+    cool = {r.source: r for r in
+            mixture_temperature(docs, 0.3, 1000, "source").collect()}
+    # alpha=1 reproduces natural proportions
+    tot = sum(r.available_tokens for r in nat.values())
+    for r in nat.values():
+        assert abs(r.mix_share - r.available_tokens / tot) < 1e-6
+    # shares always sum to 1
+    assert abs(sum(r.mix_share for r in cool.values()) - 1.0) < 1e-6
+    # cooling the temperature moves share from the big source to the small
+    assert cool["small"].mix_share > nat["small"].mix_share
+    assert cool["big"].mix_share < nat["big"].mix_share
+    # rate caps at 1.0 even when the target exceeds availability
+    rates = mixture_temperature(docs, 0.3, 10_000_000, "source").collect()
+    assert all(r.sample_rate == 1.0 for r in rates)
