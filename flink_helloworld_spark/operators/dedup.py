@@ -274,7 +274,12 @@ def lsh_first_arrival(
     the dedup stage of the pretrain pipeline (BASELINE.json north-star),
     single-pass variant of StateTest.java's keyed first-wins state.
     """
-    buckets = minhash_lsh_buckets(docs, text_col, num_hashes, bands, shingle_n)
+    # share(): the bucket incidence feeds BOTH the per-bucket min and the
+    # verdict join — without it the shingle+signature pipeline (the
+    # expensive md5 pass) runs once per branch
+    buckets = share(
+        minhash_lsh_buckets(docs, text_col, num_hashes, bands, shingle_n)
+    )
     firsts = buckets.groupBy("band_id", "band_key").agg(
         F.min("doc_id").alias("first_doc")
     )

@@ -695,3 +695,104 @@ def test_streaming_manifest_equals_batch_for_random_docs_and_splits(spark):
             assert final == expect, f"seed {seed}"
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _py_lsh_verdicts(
+    docs: list[tuple[int, str]], num_hashes: int = 12, bands: int = 4, n: int = 3
+) -> dict[int, tuple[int, int, bool]]:
+    """Independent pure-Python model of the whole LSH first-arrival
+    pipeline (shingle -> md5 base hash -> affine minima -> band keys ->
+    first-on-every-bucket), mirroring dedup.py's portable-arithmetic
+    contract without any Spark/DuckDB machinery."""
+    import hashlib
+
+    from flink_helloworld_spark.operators.dedup import MINHASH_P, MINHASH_PARAMS
+
+    rows_per = num_hashes // bands
+    doc_buckets: dict[int, list[tuple[int, str]]] = {}
+    for doc_id, text in docs:
+        ws = [w for w in text.split(" ") if w != ""]
+        sh = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)} if len(ws) >= n else set()
+        if not sh:
+            doc_buckets[doc_id] = []
+            continue
+        hm = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+            for s in sh
+        ]
+        sig = [
+            min((h * a + b) % MINHASH_P for h in hm)
+            for a, b in MINHASH_PARAMS[:num_hashes]
+        ]
+        doc_buckets[doc_id] = [
+            (
+                b,
+                hashlib.md5(
+                    "|".join(
+                        str(sig[b * rows_per + r]) for r in range(rows_per)
+                    ).encode()
+                ).hexdigest(),
+            )
+            for b in range(bands)
+        ]
+    first: dict[tuple[int, str], int] = {}
+    for doc_id, bks in doc_buckets.items():
+        for bk in bks:
+            if bk not in first or doc_id < first[bk]:
+                first[bk] = doc_id
+    out = {}
+    for doc_id, bks in doc_buckets.items():
+        n_first = sum(1 for bk in bks if first[bk] == doc_id)
+        out[doc_id] = (len(bks), n_first, len(bks) == n_first)
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_streaming_lsh_dedup_matches_python_model(spark, seed):
+    """Random corpora (verbatim copies, one-word mutations, shingle-less
+    shorts) through the TWO-stage streaming LSH gate in ordered random
+    micro-batch slices: every verdict must equal the independent
+    pure-Python pipeline model — and hence the batch operator, whose
+    oracle pins the same rule in DuckDB."""
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.tws import streaming_lsh_dedup
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs: list[tuple[int, str]] = []
+    for doc_id in range(70):
+        r = rng.random()
+        if docs and r < 0.25:
+            text = rng.choice(docs)[1]  # verbatim copy
+        elif docs and r < 0.40:
+            base_ws = rng.choice(docs)[1].split(" ")
+            if base_ws:
+                base_ws[rng.randrange(len(base_ws))] = rng.choice(vocab)
+            text = " ".join(base_ws)  # one-word mutation
+        elif r < 0.50:
+            text = " ".join(rng.choices(vocab, k=rng.randint(0, 2)))  # short
+        else:
+            text = " ".join(rng.choices(vocab, k=rng.randint(3, 10)))
+        docs.append((doc_id, text))
+
+    want = _py_lsh_verdicts(docs)
+
+    # ordered slices (in-order contract: doc_id monotone in arrival)
+    cuts = sorted(rng.sample(range(1, len(docs)), 5))
+    batches = [
+        [{"doc_id": d, "text": t} for d, t in docs[a:b]]
+        for a, b in zip([0] + cuts, cuts + [len(docs)])
+    ]
+    workdir = tempfile.mkdtemp(prefix=f"lsh-prop-{seed}-")
+    _write_files(batches, workdir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    rows = run_available_now(streaming_lsh_dedup(stream), f"lsh_prop_{seed}")
+    got = {r.doc_id: (r.n_bands, r.n_first, r.kept) for r in rows}
+    assert got == want
