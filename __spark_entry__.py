@@ -268,6 +268,54 @@ def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top principal direction by 3 fixed power iterations; projections
+    # hash-exact via the chained-CTE iteration replay (see _pca_sql)
+    from flink_helloworld_spark.operators.clustering import pca_power_scores
+
+    return pca_power_scores(load_tables(spark, sf_dir).embeddings)
+
+
+def _r9(expr: str) -> str:
+    # floor-form half-away 9-dp rounding — the identical IEEE op
+    # sequence the engine runs (clustering.pca_power_scores docstring:
+    # round()/F.round disagree on exact .5 decimal ties)
+    return f"(sign({expr}) * floor(abs({expr}) * 1e9 + 0.5) / 1e9)"
+
+
+def _pca_sql(n_iter: int = 3, dim: int = 64) -> str:
+    head = f"""
+        WITH v AS (SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS emb
+                   FROM embeddings),
+        idx AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+        ex AS (SELECT vec_id, pos, emb[pos] AS val FROM v CROSS JOIN idx),
+        mu AS (SELECT pos, {_r9(f'''sum({_r9("val")}::DECIMAL(28,9))::DOUBLE
+                 / greatest((SELECT count(*) FROM v), 1)''')} AS m
+               FROM ex GROUP BY pos),
+        c AS (SELECT vec_id, pos, {_r9("val - m")} AS cv
+              FROM ex JOIN mu USING (pos)),
+        w0 AS (SELECT pos, 0.125::DOUBLE AS vj FROM idx)"""
+    blocks = []
+    for t in range(1, n_iter + 1):
+        blocks.append(f""",
+        s{t} AS (SELECT vec_id,
+                   {_r9(f"sum({_r9('cv * vj')}::DECIMAL(28,9))::DOUBLE")} AS s
+                 FROM c JOIN w{t - 1} USING (pos) GROUP BY vec_id),
+        u{t} AS (SELECT pos,
+                   {_r9(f"sum({_r9('cv * s')}::DECIMAL(28,9))::DOUBLE")} AS u
+                 FROM c JOIN s{t} USING (vec_id) GROUP BY pos),
+        n{t} AS (SELECT {_r9(f"sqrt(sum({_r9('u * u')}::DECIMAL(28,9))::DOUBLE)")}
+                   AS nrm FROM u{t}),
+        w{t} AS (SELECT pos, {_r9("u / nrm")} AS vj FROM u{t} CROSS JOIN n{t})"""
+        )
+    tail = f"""
+        SELECT c.vec_id,
+               {_r9(f"sum({_r9('cv * vj')}::DECIMAL(28,9))::DOUBLE")} AS pc1
+        FROM c JOIN w{n_iter} USING (pos) GROUP BY c.vec_id"""
+    return head + "".join(blocks) + tail
+
+
 def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # temperature-scaled mixture: share per source ~ tokens**0.7 — the
     # multilingual up-sampling rule computed from the corpus itself
@@ -2241,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_commit": _q_dedup_lsh_commit,
         "dedup_incremental_near": _q_dedup_incremental_near,
         "mixture_temperature": _q_mixture_temperature,
+        "embedding_pca": _q_embedding_pca,
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
         "filter_agreement": _q_filter_agreement,
         "corpus_manifest": _q_corpus_manifest,
@@ -4558,6 +4607,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_ivfpq_topk": _ivfpq_sql(),
         "embedding_kmeans": _kmeans_sql(),
+        "embedding_pca": _pca_sql(),
         "span_coverage": """
             WITH t AS (SELECT doc_id,
                          list_filter(string_split(text, ' '), x -> x <> '') AS ws

@@ -246,3 +246,115 @@ def semantic_dedup(
         )
 
     return v.groupBy("cluster_id").applyInPandas(per_cluster, schema)
+
+
+# --- power-iteration PCA -----------------------------------------------------
+
+
+def pca_power_scores(
+    emb: DataFrame,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-principal-direction PCA scores by DISTRIBUTED power iteration
+    — the dimensionality-reduction stage an embedding pipeline runs
+    before whitening / visualization / drift checks. Returns
+    ``(vec_id, pc1)``: each vector's projection onto the first principal
+    direction of the mean-centered corpus after ``n_iter`` fixed
+    matvec+normalize steps from the uniform start v0 = 0.125·1.
+
+    The covariance matrix is never materialized: each step is
+    v ← normalize(Cv) computed as the two matvecs s = Xc·v (per-row dot)
+    and u = Xcᵀ·s (per-dimension agg) over the centered exploded table —
+    both DECIMAL(28,9) sums of 9-dp-rounded products, so every partial
+    is map-side combinable and partitioning-independent (the classifier
+    gradient contract). Driver traffic is ``dim`` numbers per iteration
+    (the kmeans centroid-sync shape); normalize runs driver-side with
+    the same half-away 9-dp ladder, so the next iteration's v enters
+    both engines bit-identical. The DuckDB oracle replays every
+    iteration as chained CTEs.
+
+    Rounding rule: every 9-dp step uses the FLOOR-form half-away
+    ``sign(x)·floor(|x|·1e9 + 0.5)/1e9`` (``_r9`` here, the same SQL in
+    the oracle, ``_round9`` on the driver) rather than F.round/round().
+    F.round routes through BigDecimal's decimal-string HALF_UP while
+    DuckDB rounds in scaled float math — on the exact .5 decimal ties
+    this pipeline hits constantly (cv·0.125 products have 12-dp decimal
+    values ending in 500), the two disagree by 1e-9 and the drift
+    compounds through iterations. The floor form runs the identical
+    IEEE op sequence in both engines, so ties break identically by
+    construction (measured: 76/500 s-values diverged under F.round,
+    0 under the floor form).
+
+    Scale shape: the exploded table is N·dim (long, int, double) rows —
+    text/vector payloads never shuffle twice; one localCheckpoint lets
+    the 2·n_iter+1 passes reuse the centering instead of re-reading the
+    scan. A zero-variance corpus (norm 0) stops iterating and scores 0.
+    """
+    from flink_helloworld_spark.operators.classifier import _round9
+
+    def _r9(c):
+        # floor-form half-away 9-dp rounding (see docstring)
+        return F.signum(c) * F.floor(F.abs(c) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    v = emb.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pvec"))
+    n_rows = v.count()
+    ex = v.select(
+        "_pid", F.posexplode("_pvec").alias("pos", "_raw")
+    ).select("_pid", "pos", F.col("_raw").cast("double").alias("val"))
+    mu = ex.groupBy("pos").agg(
+        _r9(
+            F.sum(_r9(F.col("val")).cast("decimal(28,9)")).cast("double")
+            / F.lit(float(max(n_rows, 1)))
+        ).alias("m")
+    )
+    centered = ex.join(F.broadcast(mu), "pos").select(
+        "_pid", "pos", _r9(F.col("val") - F.col("m")).alias("cv")
+    )
+    centered = centered.localCheckpoint()
+
+    def vj_expr(w: list[float]):
+        return F.element_at(F.array(*[F.lit(x) for x in w]), F.col("pos") + 1)
+
+    def dot_scores(w: list[float]) -> DataFrame:
+        return centered.groupBy("_pid").agg(
+            _r9(
+                F.sum(
+                    _r9(F.col("cv") * vj_expr(w)).cast("decimal(28,9)")
+                ).cast("double")
+            ).alias("s")
+        )
+
+    w = [0.125] * dim
+    for _ in range(n_iter):
+        s = dot_scores(w)
+        u_rows = (
+            centered.join(s, "_pid")
+            .groupBy("pos")
+            .agg(
+                _r9(
+                    F.sum(
+                        _r9(F.col("cv") * F.col("s")).cast("decimal(28,9)")
+                    ).cast("double")
+                ).alias("u")
+            )
+            .collect()  # dim numbers per iteration, like Lloyd centroids
+        )
+        u = [0.0] * dim
+        for r in u_rows:
+            u[r["pos"]] = float(r["u"])
+        # exact decimal sum of the 9-dp-rounded squares (mirrors the
+        # oracle's sum(round(u*u,9)::DECIMAL) -> ::DOUBLE -> sqrt ladder)
+        from decimal import Decimal
+
+        nrm2 = sum((Decimal(repr(_round9(x * x))) for x in u), Decimal(0))
+        import math
+
+        nrm = _round9(math.sqrt(float(nrm2)))
+        if nrm == 0.0:
+            break
+        w = [_round9(x / nrm) for x in u]
+
+    return dot_scores(w).select(F.col("_pid").alias(id_col), F.col("s").alias("pc1"))

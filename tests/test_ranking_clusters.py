@@ -465,3 +465,32 @@ def test_textrank_matches_sequential_power_iteration(spark):
     expect = {w: round(v, 6) for w, v in pr.items()}
     got = {r.word: r.textrank for r in textrank_scores(docs).collect()}
     assert got == expect
+
+
+def test_pca_power_scores_recover_planted_direction(spark):
+    """Power-iteration PCA on a corpus with a planted dominant
+    direction: scores must match numpy's exact top-eigenvector
+    projection up to sign (|corr| > 0.999), and the planted coefficient
+    ordering must survive."""
+    import numpy as np
+
+    from flink_helloworld_spark.operators.clustering import pca_power_scores
+
+    rng = np.random.default_rng(7)
+    d = rng.standard_normal(64)
+    d /= np.linalg.norm(d)
+    coef = rng.standard_normal(200) * 5.0           # dominant component
+    noise = rng.standard_normal((200, 64)) * 0.1
+    x = coef[:, None] * d[None, :] + noise
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.pc1 for r in pca_power_scores(emb).collect()}
+    xc = x.astype(np.float64)
+    xc = xc - xc.mean(axis=0)
+    _, _, vt = np.linalg.svd(xc, full_matrices=False)
+    ref = xc @ vt[0]
+    g = np.array([got[i] for i in range(200)])
+    corr = np.corrcoef(g, ref)[0, 1]
+    assert abs(corr) > 0.999
