@@ -268,6 +268,10 @@ def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.char_entropy(load_tables(spark, sf_dir).documents)
+
+
 def _q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top principal direction by 3 fixed power iterations; projections
     # hash-exact via the chained-CTE iteration replay (see _pca_sql)
@@ -2290,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_near": _q_dedup_incremental_near,
         "mixture_temperature": _q_mixture_temperature,
         "embedding_pca": _q_embedding_pca,
+        "char_entropy": _q_char_entropy,
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
         "filter_agreement": _q_filter_agreement,
         "corpus_manifest": _q_corpus_manifest,
@@ -3764,6 +3769,24 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
               CAST(length(text) AS INT) AS n_chars_measured
             FROM documents
+        """,
+        "char_entropy": """
+            WITH ex AS (
+              SELECT doc_id, ch FROM (
+                SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents) WHERE ch <> ''),
+            cnt AS (SELECT doc_id, ch, count(*) AS c FROM ex GROUP BY doc_id, ch),
+            n AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id),
+            terms AS (
+              SELECT cnt.doc_id, n.n,
+                sum(round(-(c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE), 9)
+                    ::DECIMAL(28,9))::DOUBLE AS ent
+              FROM cnt JOIN n ON cnt.doc_id = n.doc_id
+              GROUP BY cnt.doc_id, n.n)
+            SELECT d.doc_id,
+                   coalesce(CAST(t.n AS INT), 0) AS n_chars_seen,
+                   coalesce(t.ent, 0.0) AS char_entropy
+            FROM documents d LEFT JOIN terms t ON d.doc_id = t.doc_id
         """,
         "text_quality": rf"""
             WITH t AS (

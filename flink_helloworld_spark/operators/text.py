@@ -815,3 +815,41 @@ def vocab_drift(
         .limit(k)
         .select("term", "c_old", "c_new", "log_ratio")
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon character entropy per document (nats) — the
+    compressibility-proxy quality signal: gibberish/binary spill scores
+    high, keyboard-mash and repeated-char padding score low, natural
+    text sits in a narrow band (the filter rule CCNet/Gopher pipelines
+    apply via compression ratio; character entropy is its
+    deterministic, codec-free stand-in).
+
+    Output: (doc_id, n_chars_seen, char_entropy); empty docs score 0.0.
+    Entropy terms -p·ln(p) round to 9 dp and sum as DECIMAL(28,9) (the
+    engine's portable float-aggregation ladder), so the value is
+    hash-exact cross-engine. Two hash aggregations keyed by
+    (doc_id, char) then doc_id — row-linear, no driver traffic.
+    """
+    # Spark split("", "") yields [""] where DuckDB yields [] — drop the
+    # empty-string pseudo-char so both engines see the same alphabet
+    ex = docs.select(
+        "doc_id", F.explode(F.split(text_col, "")).alias("ch")
+    ).where(F.col("ch") != "")
+    cnt = ex.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n_df = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = (
+        cnt.join(n_df, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum(F.round(-p * F.log(p), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("ent"),
+        )
+    )
+    return docs.select("doc_id").join(terms, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n").cast("int"), F.lit(0)).alias("n_chars_seen"),
+        F.coalesce("ent", F.lit(0.0)).alias("char_entropy"),
+    )

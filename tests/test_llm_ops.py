@@ -1968,3 +1968,23 @@ def test_mixture_temperature_upsamples_small_sources(spark):
     # rate caps at 1.0 even when the target exceeds availability
     rates = mixture_temperature(docs, 0.3, 10_000_000, "source").collect()
     assert all(r.sample_rate == 1.0 for r in rates)
+
+
+def test_char_entropy_orders_texts_by_diversity(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaa"),            # single char -> 0 nats
+            (2, "abababababababab"),            # two chars -> ln 2
+            (3, "the quick brown fox jumps"),   # natural text -> higher
+            (4, ""),                            # empty -> 0, 0 chars
+        ],
+        "doc_id long, text string",
+    )
+    import math
+
+    out = {r.doc_id: r for r in T.char_entropy(docs).collect()}
+    assert out[1].char_entropy == 0.0
+    assert abs(out[2].char_entropy - math.log(2)) < 1e-8
+    assert out[3].char_entropy > out[2].char_entropy > out[1].char_entropy
+    assert out[4] .n_chars_seen == 0 and out[4].char_entropy == 0.0
+    assert out[1].n_chars_seen == 16
