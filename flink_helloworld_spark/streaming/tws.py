@@ -872,11 +872,16 @@ LSH_VERDICT_OUTPUT = StructType(
 class BucketClaimProcessor(StatefulProcessor):
     """Per-LSH-bucket first-claim state: ONE long per bucket ever touched
     (the earliest claimant), independent of how many docs hash there.
-    Emits (doc_id, is_first) per arrival. In-order contract: with doc_id
-    monotone in arrival order (the batch twin's rule), the running min
-    equals the true first arrival; the min() form also keeps replayed /
-    reordered batches convergent to the batch `dedup.lsh_first_arrival`
-    verdict."""
+    Emits (doc_id, is_first[, carry...]) per arrival. In-order contract:
+    with doc_id monotone in arrival order (the batch twin's rule), the
+    running min equals the true first arrival; the min() form also keeps
+    replayed / reordered batches convergent to the batch
+    `dedup.lsh_first_arrival` verdict."""
+
+    def __init__(self, out_fields: list[str] | None = None) -> None:
+        self._out_fields = out_fields or [
+            f.name for f in _LSH_CLAIM_OUT.fields
+        ]
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._first = handle.getValueState("first", _LSH_CLAIM_STATE)
@@ -886,7 +891,7 @@ class BucketClaimProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         batch = _concat_chunks(rows)
         if batch is None or not len(batch):
-            yield pd.DataFrame(columns=[f.name for f in _LSH_CLAIM_OUT.fields])
+            yield pd.DataFrame(columns=self._out_fields)
             return
         first = self._first.get()[0] if self._first.exists() else None
         m = int(batch["doc_id"].min())
@@ -898,7 +903,9 @@ class BucketClaimProcessor(StatefulProcessor):
                 "is_first": batch["doc_id"].astype("int64") == first,
             }
         )
-        yield out[[f.name for f in _LSH_CLAIM_OUT.fields]]
+        for c in self._out_fields[2:]:
+            out[c] = batch[c].values
+        yield out[self._out_fields]
 
     def close(self) -> None:
         pass
@@ -909,10 +916,15 @@ class DocVerdictProcessor(StatefulProcessor):
     emits ONE verdict row once all `bands` votes are in (they travel in
     the same micro-batch — one input row fans out to `bands` claim rows
     — so state here is transient; the accumulator only persists if a
-    future engine splits a doc's claim rows across batches)."""
+    future engine splits a doc's claim rows across batches). Carry
+    columns (identical on every claim row of a doc) pass through from
+    the first row seen."""
 
-    def __init__(self, bands: int) -> None:
+    def __init__(self, bands: int, out_fields: list[str] | None = None) -> None:
         self._bands = bands
+        self._out_fields = out_fields or [
+            f.name for f in LSH_VERDICT_OUTPUT.fields
+        ]
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._acc = handle.getValueState("acc", _LSH_VERDICT_STATE)
@@ -922,10 +934,11 @@ class DocVerdictProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         n_seen, n_first = self._acc.get() if self._acc.exists() else (0, 0)
         batch = _concat_chunks(rows)
+        carry: dict = {}
         if batch is not None and len(batch):
             n_seen += int(len(batch))
             n_first += int(batch["is_first"].sum())
-        cols = [f.name for f in LSH_VERDICT_OUTPUT.fields]
+            carry = {c: batch[c].iloc[0] for c in self._out_fields[4:]}
         if n_seen >= self._bands:
             self._acc.clear()
             yield pd.DataFrame(
@@ -935,13 +948,14 @@ class DocVerdictProcessor(StatefulProcessor):
                         "n_bands": n_seen,
                         "n_first": n_first,
                         "kept": n_seen == n_first,
+                        **carry,
                     }
                 ],
-                columns=cols,
+                columns=self._out_fields,
             )
         else:
             self._acc.update((n_seen, n_first))
-            yield pd.DataFrame(columns=cols)
+            yield pd.DataFrame(columns=self._out_fields)
 
     def close(self) -> None:
         pass
@@ -954,6 +968,7 @@ def streaming_lsh_dedup(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-dup gate — the streaming twin of
     ``dedup.lsh_first_arrival``, as ONE query with TWO chained
@@ -985,25 +1000,35 @@ def streaming_lsh_dedup(
     )
     from flink_helloworld_spark.operators.text import _words
 
+    carry = carry_cols or []
+    carry_fields = [StructField(c, stream.schema[c].dataType) for c in carry]
+    claim_out = StructType(list(_LSH_CLAIM_OUT.fields) + carry_fields)
+    verdict_out = StructType(list(LSH_VERDICT_OUTPUT.fields) + carry_fields)
+
     rows_per = num_hashes // bands
     docs = stream.select(
         F.col(id_col).cast("long").alias("doc_id"),
         _words(F.col(text_col)).alias("ws"),
+        *carry,
     )
     short = docs.where(F.size("ws") < shingle_n).select(
         "doc_id",
         F.lit(0).cast("int").alias("n_bands"),
         F.lit(0).cast("int").alias("n_first"),
         F.lit(True).alias("kept"),
+        *carry,
     )
     hm = docs.where(F.size("ws") >= shingle_n).select(
         "doc_id",
         F.transform(
             shingles_from_words(F.col("ws"), shingle_n), shingle_base_hash
         ).alias("hm"),
+        *carry,
     )
     sig = hm.select(
-        "doc_id", minhash_signature_from_hashes(F.col("hm"), num_hashes).alias("sig")
+        "doc_id",
+        minhash_signature_from_hashes(F.col("hm"), num_hashes).alias("sig"),
+        *carry,
     )
     keys = lsh_band_keys(F.col("sig"), bands, rows_per)
     buckets = sig.select(
@@ -1016,17 +1041,77 @@ def streaming_lsh_dedup(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+        *carry,
+    ).select(
+        "doc_id",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+        *carry,
+    )
     claims = buckets.groupBy("band_id", "band_key").transformWithStateInPandas(
-        BucketClaimProcessor(),
-        outputStructType=_LSH_CLAIM_OUT,
+        BucketClaimProcessor([f.name for f in claim_out.fields]),
+        outputStructType=claim_out,
         outputMode="append",
         timeMode="none",
     )
     verdicts = claims.groupBy("doc_id").transformWithStateInPandas(
-        DocVerdictProcessor(bands),
-        outputStructType=LSH_VERDICT_OUTPUT,
+        DocVerdictProcessor(bands, [f.name for f in verdict_out.fields]),
+        outputStructType=verdict_out,
         outputMode="append",
         timeMode="none",
     )
     return verdicts.unionByName(short)
+
+
+def streaming_near_dedup_front(
+    stream: DataFrame,
+    cap: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The NEAR-DUP streaming pretrain front: Gopher-core quality gate →
+    LSH first-arrival near-dup gate → per-domain arrival cap, composed
+    as ONE streaming query with THREE chained transformWithState
+    operators across two re-key seams (band bucket → doc → domain).
+    `streaming_pretrain_front` dedups exact content within a watermark;
+    this form catches near-duplicates with unbounded horizon at one long
+    of state per claimed bucket — the missing streaming stage that
+    previously required a scheduled batch pass over the lake.
+
+    Emits (doc_id, source, domain_rank, kept) for every doc that passes
+    the gate AND the near-dup gate; the stateless quality gate runs
+    FIRST so stateful operators only pay state for survivable docs.
+    Output is doc-for-doc the sequential composition of the three batch
+    rules under the in-order contract (t: test_streaming_properties).
+    """
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.text import _words
+
+    ws = _words(F.col(text_col))
+    n_words = F.size(ws)
+    mean_wlen = (F.length(text_col) - (n_words - 1)).cast("double") / F.nullif(
+        n_words.cast("double"), F.lit(0.0)
+    )
+    gated = stream.where(
+        (n_words >= 5) & (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+    )
+    verdicts = streaming_lsh_dedup(
+        gated,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        carry_cols=[domain_col],
+    )
+    survivors = verdicts.where(F.col("kept")).select(
+        "doc_id", F.col(domain_col), F.col("doc_id").alias("seq")
+    )
+    return streaming_domain_cap(
+        survivors, cap=cap, domain_col=domain_col, id_col="doc_id", seq_col="seq"
+    )

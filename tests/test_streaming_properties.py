@@ -796,3 +796,73 @@ def test_streaming_lsh_dedup_matches_python_model(spark, seed):
     rows = run_available_now(streaming_lsh_dedup(stream), f"lsh_prop_{seed}")
     got = {r.doc_id: (r.n_bands, r.n_first, r.kept) for r in rows}
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [101])
+def test_streaming_near_dedup_front_matches_sequential_model(spark, seed):
+    """The composed gate -> LSH near-dup -> domain-cap front (THREE
+    chained TWS operators, two re-key seams, ONE query) on a random
+    multi-domain corpus in random ordered micro-batch slices: output
+    must match the sequential composition of the three batch rules."""
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.tws import streaming_near_dedup_front
+
+    rng = random.Random(seed)
+    vocab = [f"word{i}" for i in range(10)]  # len 5-6: mean_wlen in band
+    domains = ["a", "b", "c"]
+    docs: list[dict] = []
+    for doc_id in range(60):
+        r = rng.random()
+        if docs and r < 0.3:
+            text = rng.choice(docs)["text"]  # duplicate
+        elif r < 0.4:
+            text = " ".join(rng.choices(vocab, k=rng.randint(0, 3)))  # gate-fail
+        elif r < 0.5:
+            text = "x " * 30  # mean_wlen 1.97 -> gate-fail
+        else:
+            text = " ".join(rng.choices(vocab, k=rng.randint(5, 12)))
+        docs.append(
+            {"doc_id": doc_id, "text": text.rstrip(), "source": rng.choice(domains)}
+        )
+
+    # sequential model of the composed rules
+    def words(t):
+        return [w for w in t.split(" ") if w != ""]
+
+    def gate(t):
+        ws = words(t)
+        if len(ws) < 5:
+            return False
+        mw = (len(t) - (len(ws) - 1)) / len(ws)
+        return 3.0 <= mw <= 10.0
+
+    gated = [d for d in docs if gate(d["text"])]
+    lsh = _py_lsh_verdicts([(d["doc_id"], d["text"]) for d in gated])
+    counts: dict[str, int] = {}
+    expect = {}
+    for d in gated:
+        if not lsh[d["doc_id"]][2]:
+            continue
+        counts[d["source"]] = counts.get(d["source"], 0) + 1
+        expect[d["doc_id"]] = (
+            d["source"], counts[d["source"]], counts[d["source"]] <= 2
+        )
+
+    cuts = sorted(rng.sample(range(1, len(docs)), 4))
+    batches = [docs[a:b] for a, b in zip([0] + cuts, cuts + [len(docs)])]
+    workdir = tempfile.mkdtemp(prefix=f"nddf-{seed}-")
+    _write_files(batches, workdir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    out = streaming_near_dedup_front(stream, cap=2)
+    got = {
+        r.doc_id: (r.source, r.domain_rank, r.kept)
+        for r in run_available_now(out, f"nddf_{seed}")
+    }
+    assert got == expect
