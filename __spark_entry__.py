@@ -268,6 +268,11 @@ def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_near_dedup_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch twin of the 3-stage streaming ingest front (cap=50/domain)
+    return D.near_dedup_front(load_tables(spark, sf_dir).documents)
+
+
 def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.char_entropy(load_tables(spark, sf_dir).documents)
 
@@ -2295,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_temperature": _q_mixture_temperature,
         "embedding_pca": _q_embedding_pca,
         "char_entropy": _q_char_entropy,
+        "near_dedup_front": _q_near_dedup_front,
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
         "filter_agreement": _q_filter_agreement,
         "corpus_manifest": _q_corpus_manifest,
@@ -3725,6 +3731,37 @@ def oracle_sql() -> dict[str, str]:
               coalesce(v.n_first, 0) AS n_first,
               coalesce(v.n_bands, 0) = coalesce(v.n_first, 0) AS kept
             FROM documents d LEFT JOIN verdict v ON d.doc_id = v.doc_id
+        """,
+        "near_dedup_front": f"""
+            WITH gd AS (
+              SELECT doc_id, text, source FROM (
+                SELECT doc_id, text, source,
+                  len({_WS}) AS nw,
+                  (length(text) - (len({_WS}) - 1))::DOUBLE
+                    / nullif(len({_WS})::DOUBLE, 0.0) AS mw
+                FROM documents)
+              WHERE nw >= 5 AND mw >= 3.0 AND mw <= 10.0),
+            {_shingle_ctes(source="gd").lstrip()}, {_sig_cte()}, {_buckets_cte()},
+            firsts AS (
+              SELECT band_id, band_key, min(doc_id) AS first_doc
+              FROM buckets GROUP BY 1, 2),
+            verdict AS (
+              SELECT b.doc_id, count(*) AS n_bands,
+                sum(CASE WHEN b.doc_id = f.first_doc THEN 1 ELSE 0 END) AS n_first
+              FROM buckets b
+              JOIN firsts f ON b.band_id = f.band_id AND b.band_key = f.band_key
+              GROUP BY b.doc_id),
+            keptd AS (
+              SELECT g.doc_id, g.source
+              FROM gd g LEFT JOIN verdict v ON g.doc_id = v.doc_id
+              WHERE coalesce(v.n_bands, 0) = coalesce(v.n_first, 0)),
+            ranked AS (
+              SELECT doc_id, source,
+                CAST(row_number() OVER (
+                  PARTITION BY source ORDER BY doc_id) AS INT) AS domain_rank
+              FROM keptd)
+            SELECT doc_id, source, domain_rank, domain_rank <= 50 AS kept
+            FROM ranked
         """,
         "dedup_simhash": _simhash_sql(),
         "dedup_ngram_jaccard": f"""

@@ -303,6 +303,50 @@ def lsh_first_arrival(
     )
 
 
+def near_dedup_front(
+    docs: DataFrame,
+    cap: int = 50,
+    text_col: str = "text",
+    domain_col: str = "source",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Batch twin of ``streaming/tws.py:streaming_near_dedup_front`` —
+    the composed ingest front as ONE declarative plan: Gopher-core
+    quality gate → LSH first-arrival commit dedup → per-domain
+    arrival-order cap (arrival = doc_id, the same in-order contract the
+    streaming form runs under). Output (doc_id, source, domain_rank,
+    kept) for every doc surviving gate + near-dup gate.
+
+    Each stage is the exact batch rule the streaming query applies
+    incrementally, so this is both the backfill form (rebuild the gated
+    corpus from the lake) and the replay verifier for the streaming
+    front's state. One window per domain; the LSH stage is the pair-free
+    two-agg shape of `lsh_first_arrival`.
+    """
+    from pyspark.sql import Window
+
+    ws = _words(F.col(text_col))
+    n_words = F.size(ws)
+    mean_wlen = (F.length(text_col) - (n_words - 1)).cast("double") / F.nullif(
+        n_words.cast("double"), F.lit(0.0)
+    )
+    gated = docs.where((n_words >= 5) & (mean_wlen >= 3.0) & (mean_wlen <= 10.0))
+    verdicts = lsh_first_arrival(
+        gated, text_col, num_hashes, bands, shingle_n
+    ).where(F.col("kept"))
+    survivors = gated.select("doc_id", domain_col).join(
+        verdicts.select("doc_id"), "doc_id"
+    )
+    w = Window.partitionBy(domain_col).orderBy("doc_id")
+    return survivors.select(
+        "doc_id",
+        F.col(domain_col).alias("source"),
+        F.row_number().over(w).cast("int").alias("domain_rank"),
+    ).withColumn("kept", F.col("domain_rank") <= cap)
+
+
 # --- end-to-end corpus cleaning ---------------------------------------------
 
 
