@@ -611,3 +611,40 @@ def test_corpus_manifest_broadcast_probe_no_python(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_ingest_gate_ops_plan_contracts(spark, sf_dir):
+    """Plan contracts for the round-5 continuation ops: the LSH commit
+    gate and ingest front shuffle hashed incidence rows (never text),
+    mixture_temperature's share denominator rides as a broadcast 1-row
+    crossJoin, and none of them run a Python stage."""
+    from flink_helloworld_spark.operators import sampling as SA
+
+    docs = load_tables(spark, sf_dir).documents
+
+    # lsh_first_arrival: the exchanges carry (doc_id, band_id, band_key)
+    # — document text is consumed by the hash projection before any
+    # shuffle, and no pair join / Python stage exists
+    plan = explain_str(D.lsh_first_arrival(docs), "formatted")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+
+    for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in args
+
+    # near_dedup_front: same guarantee through the composed plan; the
+    # domain cap is ONE window (single rank per domain)
+    plan = explain_str(D.near_dedup_front(docs), "formatted")
+    assert "BatchEvalPython" not in plan
+    for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in args
+
+    # mixture_temperature: the pw total is a broadcast 1-row agg, not an
+    # eager collect; one hash exchange (the per-source token agg) with
+    # map-side partials
+    plan = explain_str(
+        SA.mixture_temperature(docs, alpha=0.7, budget_tokens=30_000), "simple"
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
