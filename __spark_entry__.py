@@ -1271,6 +1271,19 @@ def _q_bpe_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+def _q_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distinct-word segmentations under the corpus-trained merges — the
+    # tokenizer-debug view bpe_encode aggregates away
+    from flink_helloworld_spark.operators.bpe import bpe_segmentation, bpe_train
+
+    docs = load_tables(spark, sf_dir).documents
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(docs, n_merges=8).orderBy("step").collect()
+    ]
+    return bpe_segmentation(docs, merges)
+
+
 def _q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_binary(load_tables(spark, sf_dir).documents)
     return (
@@ -2301,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": _q_embedding_pca,
         "char_entropy": _q_char_entropy,
         "near_dedup_front": _q_near_dedup_front,
+        "bpe_segmentation": _q_bpe_segmentation,
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
         "filter_agreement": _q_filter_agreement,
         "corpus_manifest": _q_corpus_manifest,
@@ -3118,6 +3132,34 @@ def _bpe_fertility_sql(n_merges: int = 8) -> str:
                CAST(sum(length(wl.w)) AS INT) AS n_chars
         FROM fert_wl wl LEFT JOIN fert_enc{n_merges} e ON wl.w = e.w
         GROUP BY wl.doc_id
+    """
+
+
+def _bpe_segmentation_sql(n_merges: int = 8) -> str:
+    """bpe.bpe_segmentation oracle: the fertility chain's distinct-word
+    encode, surfaced as (w, n_tokens, segmentation) instead of being
+    aggregated into per-doc counts."""
+    parts = ["""seg_enc0 AS (SELECT w, syms FROM bpe_vocab0_words)"""]
+    for r in range(n_merges):
+        parts.append(
+            f"""seg_enc{r + 1} AS (
+            SELECT e.w, CASE WHEN b.n >= 2
+                   THEN {_bpe_merge_fold('e.syms', 'b.l', 'b.r')}
+                   ELSE e.syms END AS syms
+            FROM seg_enc{r} e CROSS JOIN bpe_best{r} b)"""
+        )
+    return f"""
+        WITH {_bpe_ctes(n_merges)},
+        bpe_vocab0_words AS (
+           SELECT w, list_transform(range(1, length(w)::INT + 1),
+                                    i -> substr(w, i::INT, 1)) AS syms
+           FROM (SELECT DISTINCT w FROM (
+                   SELECT unnest(string_split(text, ' ')) AS w FROM documents))
+           WHERE w <> ''),
+        {",".join(parts)}
+        SELECT w, CAST(len(syms) AS INT) AS n_tokens,
+               array_to_string(syms, ' ') AS segmentation
+        FROM seg_enc{n_merges}
     """
 
 
@@ -5384,6 +5426,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train_merges": _bpe_train_sql(8),
         "bpe_token_fertility": _bpe_fertility_sql(8),
+        "bpe_segmentation": _bpe_segmentation_sql(8),
         "classifier_train": _classifier_train_sql(3, 0.5),
         "classifier_score": _classifier_score_sql(3, 0.5),
         "domain_cap": """

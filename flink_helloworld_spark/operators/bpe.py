@@ -157,3 +157,35 @@ def bpe_encode(
             F.sum("_nc").cast("int").alias("n_chars"),
         )
     )
+
+
+def bpe_segmentation(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """The tokenizer-debug view: every DISTINCT corpus word with its
+    segmentation under a learned merge list — (w, n_tokens,
+    segmentation) with tokens space-joined in order. This is the table a
+    tokenizer review actually reads (which words stay whole, where
+    merges split morphemes); `bpe_encode` aggregates it away into
+    per-doc counts.
+
+    Scale shape: the interpreted merge folds run once per distinct word
+    (vocab-sized, not corpus-sized); one distinct exchange on the word.
+    """
+    from flink_helloworld_spark.functions import words_of
+
+    syms = _chars(F.col("w"))
+    for left, right in merges:
+        syms = _merge_fold(syms, left, right)
+    vocab = (
+        docs.select(F.explode(words_of(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    return vocab.select(
+        "w",
+        F.size(syms).cast("int").alias("n_tokens"),
+        F.concat_ws(" ", syms).alias("segmentation"),
+    )

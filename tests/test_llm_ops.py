@@ -1988,3 +1988,21 @@ def test_char_entropy_orders_texts_by_diversity(spark):
     assert out[3].char_entropy > out[2].char_entropy > out[1].char_entropy
     assert out[4] .n_chars_seen == 0 and out[4].char_entropy == 0.0
     assert out[1].n_chars_seen == 16
+
+
+def test_bpe_segmentation_applies_merges_in_order(spark):
+    from flink_helloworld_spark.operators.bpe import bpe_segmentation
+
+    docs = spark.createDataFrame(
+        [(1, "ab cab b"), (2, "abab ab")], "doc_id long, text string"
+    )
+    out = {
+        r.w: (r.n_tokens, r.segmentation)
+        for r in bpe_segmentation(docs, [("a", "b"), ("ab", "ab")]).collect()
+    }
+    assert out == {
+        "ab": (1, "ab"),
+        "cab": (2, "c ab"),
+        "b": (1, "b"),
+        "abab": (1, "abab"),
+    }
