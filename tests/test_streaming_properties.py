@@ -866,3 +866,55 @@ def test_streaming_near_dedup_front_matches_sequential_model(spark, seed):
         for r in run_available_now(out, f"nddf_{seed}")
     }
     assert got == expect
+
+
+def test_lsh_gate_bucket_state_resumes_from_checkpoint(spark):
+    """LSH-gate durability across the TWO chained TWS operators: run
+    batch 1 with a checkpoint, stop, append batch 2 containing a
+    duplicate of a batch-1 doc, restart from the checkpoint — the
+    restored bucket-claim state must drop the cross-restart duplicate,
+    and run-1 verdicts must not re-emit."""
+    import os
+
+    import pandas as pd
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.tws import streaming_lsh_dedup
+
+    workdir = tempfile.mkdtemp(prefix="lsh-resume-in-")
+    out_dir = tempfile.mkdtemp(prefix="lsh-resume-out-")
+    ck = tempfile.mkdtemp(prefix="lsh-resume-ck-")
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+
+    def put(i, rows):
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(p, index=False)
+        os.utime(p, (_time.time() - 60 + i, _time.time() - 60 + i))
+
+    def run_once():
+        raw = spark.readStream.schema("doc_id long, text string").parquet(workdir)
+        q = (
+            streaming_lsh_dedup(raw)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+        q.awaitTermination(30)
+        return sorted(
+            (r.doc_id, r.kept) for r in spark.read.parquet(out_dir).collect()
+        )
+
+    put(0, [(1, base), (2, "unrelated streaming engine words entirely")])
+    assert run_once() == [(1, True), (2, True)]
+    put(1, [(3, base), (4, "completely fresh document text here")])
+    # doc 3 duplicates doc 1 ACROSS the restart: only the restored
+    # bucket state can know that; run-1 rows appear exactly once
+    assert run_once() == [(1, True), (2, True), (3, False), (4, True)]
