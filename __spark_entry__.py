@@ -325,6 +325,34 @@ def _pca_sql(n_iter: int = 3, dim: int = 64) -> str:
     return head + "".join(blocks) + tail
 
 
+def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # upper-triangle covariance of the embedding table — the ANALYZE
+    # pass before PCA/whitening; same floor-form decimal ladder
+    from flink_helloworld_spark.operators.clustering import embedding_covariance
+
+    return embedding_covariance(load_tables(spark, sf_dir).embeddings)
+
+
+def _cov_sql(dim: int = 64) -> str:
+    return f"""
+        WITH v AS (SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS emb
+                   FROM embeddings),
+        idx AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+        ex AS (SELECT vec_id, pos, emb[pos] AS val FROM v CROSS JOIN idx),
+        mu AS (SELECT pos, {_r9(f'''sum({_r9("val")}::DECIMAL(28,9))::DOUBLE
+                 / greatest((SELECT count(*) FROM v), 1)''')} AS m
+               FROM ex GROUP BY pos),
+        c AS (SELECT vec_id, pos, {_r9("val - m")} AS cv
+              FROM ex JOIN mu USING (pos))
+        SELECT CAST(a.pos - 1 AS INT) AS pos_a, CAST(b.pos - 1 AS INT) AS pos_b,
+               {_r9(f'''sum({_r9("a.cv * b.cv")}::DECIMAL(28,9))::DOUBLE
+                 / greatest((SELECT count(*) FROM v), 1)''')} AS cov
+        FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        GROUP BY a.pos, b.pos
+    """
+
+
 def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # temperature-scaled mixture: share per source ~ tokens**0.7 — the
     # multilingual up-sampling rule computed from the corpus itself
@@ -2315,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "near_dedup_front": _q_near_dedup_front,
         "bpe_segmentation": _q_bpe_segmentation,
+        "embedding_covariance": _q_embedding_covariance,
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
         "filter_agreement": _q_filter_agreement,
         "corpus_manifest": _q_corpus_manifest,
@@ -4710,6 +4739,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivfpq_topk": _ivfpq_sql(),
         "embedding_kmeans": _kmeans_sql(),
         "embedding_pca": _pca_sql(),
+        "embedding_covariance": _cov_sql(),
         "span_coverage": """
             WITH t AS (SELECT doc_id,
                          list_filter(string_split(text, ' '), x -> x <> '') AS ws

@@ -251,6 +251,72 @@ def semantic_dedup(
 # --- power-iteration PCA -----------------------------------------------------
 
 
+def _r9(c):
+    """Floor-form half-away 9-dp rounding: the identical IEEE op
+    sequence in engine and oracle (see pca_power_scores docstring for
+    why F.round/round() can't be trusted on exact .5 decimal ties)."""
+    return F.signum(c) * F.floor(F.abs(c) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+
+def _centered_exploded(emb: DataFrame, id_col: str, vec_col: str):
+    """(_pid, pos, cv): the mean-centered exploded embedding table under
+    the floor-form 9-dp ladder — shared by PCA and covariance."""
+    v = emb.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pvec"))
+    n_rows = v.count()
+    ex = v.select("_pid", F.posexplode("_pvec").alias("pos", "_raw")).select(
+        "_pid", "pos", F.col("_raw").cast("double").alias("val")
+    )
+    mu = ex.groupBy("pos").agg(
+        _r9(
+            F.sum(_r9(F.col("val")).cast("decimal(28,9)")).cast("double")
+            / F.lit(float(max(n_rows, 1)))
+        ).alias("m")
+    )
+    centered = ex.join(F.broadcast(mu), "pos").select(
+        "_pid", "pos", _r9(F.col("val") - F.col("m")).alias("cv")
+    )
+    return centered, n_rows
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding table —
+    (pos_a, pos_b, cov) for pos_a ≤ pos_b — the ANALYZE pass before
+    PCA / whitening / feature-correlation pruning.
+
+    Expressed as the relational outer product: the centered exploded
+    table self-joins on the vector id (each vector contributes its
+    dim·(dim+1)/2 upper-triangle products), and the per-cell sums are
+    DECIMAL(28,9) of 9-dp-rounded products — map-side combinable, the
+    same floor-form ladder as `pca_power_scores`, hash-exact vs the
+    DuckDB mirror. Output is dim²/2 rows regardless of N.
+    """
+    centered, n_rows = _centered_exploded(emb, id_col, vec_col)
+    a = centered.alias("a")
+    b = centered.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._pid") == F.col("b._pid"))
+            & (F.col("a.pos") <= F.col("b.pos")),
+        )
+        .groupBy(
+            F.col("a.pos").alias("pos_a"), F.col("b.pos").alias("pos_b")
+        )
+        .agg(
+            _r9(
+                F.sum(
+                    _r9(F.col("a.cv") * F.col("b.cv")).cast("decimal(28,9)")
+                ).cast("double")
+                / F.lit(float(max(n_rows, 1)))
+            ).alias("cov")
+        )
+    )
+
+
 def pca_power_scores(
     emb: DataFrame,
     n_iter: int = 3,
@@ -295,24 +361,7 @@ def pca_power_scores(
     """
     from flink_helloworld_spark.operators.classifier import _round9
 
-    def _r9(c):
-        # floor-form half-away 9-dp rounding (see docstring)
-        return F.signum(c) * F.floor(F.abs(c) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
-
-    v = emb.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pvec"))
-    n_rows = v.count()
-    ex = v.select(
-        "_pid", F.posexplode("_pvec").alias("pos", "_raw")
-    ).select("_pid", "pos", F.col("_raw").cast("double").alias("val"))
-    mu = ex.groupBy("pos").agg(
-        _r9(
-            F.sum(_r9(F.col("val")).cast("decimal(28,9)")).cast("double")
-            / F.lit(float(max(n_rows, 1)))
-        ).alias("m")
-    )
-    centered = ex.join(F.broadcast(mu), "pos").select(
-        "_pid", "pos", _r9(F.col("val") - F.col("m")).alias("cv")
-    )
+    centered, _ = _centered_exploded(emb, id_col, vec_col)
     centered = centered.localCheckpoint()
 
     def vj_expr(w: list[float]):

@@ -494,3 +494,25 @@ def test_pca_power_scores_recover_planted_direction(spark):
     g = np.array([got[i] for i in range(200)])
     corr = np.corrcoef(g, ref)[0, 1]
     assert abs(corr) > 0.999
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Relational outer-product covariance equals numpy's biased
+    covariance matrix to 9-dp-ladder tolerance, diagonal = variances."""
+    import numpy as np
+
+    from flink_helloworld_spark.operators.clustering import embedding_covariance
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((100, 64))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.pos_a, r.pos_b): r.cov for r in embedding_covariance(emb).collect()}
+    assert len(got) == 64 * 65 // 2
+    xd = x.astype(np.float32).astype(np.float64)  # engine sees float32
+    ref = np.cov(xd, rowvar=False, bias=True)
+    for (a, b), cv in got.items():
+        assert a <= b
+        assert abs(cv - ref[a, b]) < 1e-6
