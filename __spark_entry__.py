@@ -216,6 +216,10 @@ def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(load_tables(spark, sf_dir).documents)
 
 
+def _q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_estimate_audit(load_tables(spark, sf_dir).documents)
+
+
 def _q_dedup_lsh_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_first_arrival(load_tables(spark, sf_dir).documents)
 
@@ -2344,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_front": _q_near_dedup_front,
         "bpe_segmentation": _q_bpe_segmentation,
         "embedding_covariance": _q_embedding_covariance,
+        "minhash_estimate_audit": _q_minhash_estimate_audit,
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
         "filter_agreement": _q_filter_agreement,
         "corpus_manifest": _q_corpus_manifest,
@@ -3767,6 +3772,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_buckets": f"""
             WITH {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()}
             SELECT doc_id, band_id, band_key FROM buckets
+        """,
+        "minhash_estimate_audit": f"""
+            WITH {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()},
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM buckets x JOIN buckets y
+                ON x.band_id = y.band_id AND x.band_key = y.band_key
+               AND x.doc_id < y.doc_id)
+            SELECT doc_a, doc_b,
+              round(({" + ".join(f"(CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES))})::DOUBLE
+                / {float(_NUM_HASHES)}, 9) AS est_jaccard,
+              len(list_intersect(ha.sh, hb.sh))::DOUBLE
+                / nullif((len(ha.sh) + len(hb.sh)
+                          - len(list_intersect(ha.sh, hb.sh)))::DOUBLE, 0.0)
+                AS jaccard,
+              round(abs(est_jaccard - jaccard), 9) AS abs_err
+            FROM cand
+            JOIN sig a ON doc_a = a.doc_id
+            JOIN sig b ON doc_b = b.doc_id
+            JOIN sh ha ON doc_a = ha.doc_id
+            JOIN sh hb ON doc_b = hb.doc_id
         """,
         "dedup_minhash_pairs": f"""
             WITH {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()},

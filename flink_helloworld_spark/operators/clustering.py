@@ -282,17 +282,27 @@ def embedding_covariance(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding table —
     (pos_a, pos_b, cov) for pos_a ≤ pos_b — the ANALYZE pass before
     PCA / whitening / feature-correlation pruning.
 
-    Expressed as the relational outer product: the centered exploded
-    table self-joins on the vector id (each vector contributes its
-    dim·(dim+1)/2 upper-triangle products), and the per-cell sums are
-    DECIMAL(28,9) of 9-dp-rounded products — map-side combinable, the
-    same floor-form ladder as `pca_power_scores`, hash-exact vs the
-    DuckDB mirror. Output is dim²/2 rows regardless of N.
+    Relational outer product: the centered exploded table self-joins on
+    the vector id (each vector contributes its dim·(dim+1)/2
+    upper-triangle products) and the per-cell sums are DECIMAL(28,9) of
+    9-dp-rounded products — map-side combinable, the same floor-form
+    ladder as `pca_power_scores`, hash-exact vs the DuckDB mirror.
+    Output is dim²/2 rows regardless of N; the only N-sized exchange is
+    the narrow (id, pos, cv) incidence for the join, linear and
+    AQE-splittable.
+
+    Shape note (measured at sf0.1 / 10×): this codegen join+agg runs
+    3.5 s / 8.9×; an array-world variant building the 2080 products per
+    row inside nested ``transform`` lambdas avoided the join shuffle but
+    ran 8.9 s / 5.5× — higher-order-function lambdas are interpreted,
+    the same 49×-lesson `similarity.py` documents, and the CPU loss
+    dwarfs the shuffle saved. Keep the join.
     """
     centered, n_rows = _centered_exploded(emb, id_col, vec_col)
     a = centered.alias("a")

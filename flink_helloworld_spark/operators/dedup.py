@@ -246,6 +246,82 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_estimate_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Estimator-quality audit for the minhash family — the quality
+    number beside the family's speed numbers (the ANN recall harness's
+    counterpart for dedup): per LSH candidate pair, the MinHash
+    ESTIMATE of Jaccard (fraction of agreeing signature positions)
+    against the exact shingle-set Jaccard, with the absolute error.
+    This is the view a 100 TB user tunes num_hashes/bands against:
+    banding recall comes from the S-curve, estimate variance from k.
+
+    Output: (doc_a, doc_b, est_jaccard, jaccard, abs_err), candidates
+    only (same bucket join as `minhash_dedup_pairs` — never N²).
+    """
+    sh = share(shingle_table(docs, text_col, shingle_n))
+    hm_df = sh.select(
+        "doc_id", F.transform(F.col("sh"), shingle_base_hash).alias("hm")
+    )
+    sig_df = share(
+        hm_df.select(
+            "doc_id",
+            minhash_signature_from_hashes(F.col("hm"), num_hashes).alias("sig"),
+        )
+    )
+    rows = num_hashes // bands
+    keys = lsh_band_keys(F.col("sig"), bands, rows)
+    buckets = sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), k.alias("band_key"))
+                    for b, k in enumerate(keys)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda p, q: p == q),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.join(sig_df.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig_df.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .join(sh.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+        .join(sh.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 9).alias("est_jaccard"),
+            jaccard(F.col("ha.sh"), F.col("hb.sh")).alias("jaccard"),
+        )
+        .withColumn("abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 9))
+    )
+
+
 def lsh_first_arrival(
     docs: DataFrame,
     text_col: str = "text",
