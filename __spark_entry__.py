@@ -357,6 +357,35 @@ def _cov_sql(dim: int = 64) -> str:
     """
 
 
+def _q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-dim z-scores under the same floor-form ladder as PCA/cov
+    from flink_helloworld_spark.operators.clustering import embedding_standardize
+
+    return embedding_standardize(load_tables(spark, sf_dir).embeddings)
+
+
+def _std_sql(dim: int = 64) -> str:
+    return f"""
+        WITH v AS (SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS emb
+                   FROM embeddings),
+        idx AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+        ex AS (SELECT vec_id, pos, emb[pos] AS val FROM v CROSS JOIN idx),
+        mu AS (SELECT pos, {_r9(f'''sum({_r9("val")}::DECIMAL(28,9))::DOUBLE
+                 / greatest((SELECT count(*) FROM v), 1)''')} AS m
+               FROM ex GROUP BY pos),
+        c AS (SELECT vec_id, pos, {_r9("val - m")} AS cv
+              FROM ex JOIN mu USING (pos)),
+        st AS (SELECT pos, {_r9(f'''sum({_r9("cv * cv")}::DECIMAL(28,9))::DOUBLE
+                 / greatest((SELECT count(*) FROM v), 1)''')} AS var
+               FROM c GROUP BY pos),
+        sd AS (SELECT pos, {_r9("sqrt(var)")} AS sd FROM st)
+        SELECT c.vec_id, CAST(c.pos - 1 AS INT) AS pos,
+               CASE WHEN sd.sd > 0 THEN {_r9("c.cv / sd.sd")} ELSE 0.0 END AS z
+        FROM c JOIN sd ON c.pos = sd.pos
+    """
+
+
 def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # temperature-scaled mixture: share per source ~ tokens**0.7 — the
     # multilingual up-sampling rule computed from the corpus itself
@@ -2349,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segmentation": _q_bpe_segmentation,
         "embedding_covariance": _q_embedding_covariance,
         "minhash_estimate_audit": _q_minhash_estimate_audit,
+        "embedding_standardize": _q_embedding_standardize,
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
         "filter_agreement": _q_filter_agreement,
         "corpus_manifest": _q_corpus_manifest,
@@ -4766,6 +4796,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": _kmeans_sql(),
         "embedding_pca": _pca_sql(),
         "embedding_covariance": _cov_sql(),
+        "embedding_standardize": _std_sql(),
         "span_coverage": """
             WITH t AS (SELECT doc_id,
                          list_filter(string_split(text, ' '), x -> x <> '') AS ws

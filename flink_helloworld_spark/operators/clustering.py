@@ -327,6 +327,43 @@ def embedding_covariance(
     )
 
 
+def embedding_standardize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension z-scores of the embedding table — (vec_id, pos, z)
+    with z = (x − μ_pos)/σ_pos — the standardization pass before
+    distance-based ops when dimensions carry different scales
+    (σ from the biased variance, matching `embedding_covariance`'s
+    diagonal). Zero-variance dimensions standardize to 0.0 rather than
+    NULL/inf (a constant column carries no signal).
+
+    Same floor-form 9-dp ladder as the rest of the embedding-prep
+    family; μ/σ are a 64-row broadcast, the z projection is shuffle-free
+    over the exploded table. Output is exploded (one row per dimension)
+    so the contract stays hash-comparable across engines.
+    """
+    centered, n_rows = _centered_exploded(emb, id_col, vec_col)
+    stats = centered.groupBy("pos").agg(
+        _r9(
+            F.sum(_r9(F.col("cv") * F.col("cv")).cast("decimal(28,9)"))
+            .cast("double")
+            / F.lit(float(max(n_rows, 1)))
+        ).alias("var")
+    )
+    sd = _r9(F.sqrt(F.col("var")))
+    z = F.when(sd > 0, _r9(F.col("cv") / sd)).otherwise(F.lit(0.0))
+    return (
+        centered.join(F.broadcast(stats), "pos")
+        .select(
+            F.col("_pid").alias(id_col),
+            "pos",
+            z.alias("z"),
+        )
+    )
+
+
 def pca_power_scores(
     emb: DataFrame,
     n_iter: int = 3,

@@ -516,3 +516,30 @@ def test_embedding_covariance_matches_numpy(spark):
     for (a, b), cv in got.items():
         assert a <= b
         assert abs(cv - ref[a, b]) < 1e-6
+
+
+def test_embedding_standardize_zero_mean_unit_var(spark):
+    """z-scores have ~0 mean and ~1 variance per dimension; a constant
+    dimension standardizes to 0.0 instead of NULL/inf."""
+    import numpy as np
+
+    from flink_helloworld_spark.operators.clustering import embedding_standardize
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((80, 64)) * 3.0 + 2.0
+    x[:, 7] = 4.25  # constant dimension
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = embedding_standardize(emb).collect()
+    assert len(rows) == 80 * 64
+    by_pos: dict[int, list[float]] = {}
+    for r in rows:
+        by_pos.setdefault(r.pos, []).append(r.z)
+    assert all(v == 0.0 for v in by_pos[7])
+    for pos, zs in by_pos.items():
+        if pos == 7:
+            continue
+        assert abs(float(np.mean(zs))) < 1e-6
+        assert abs(float(np.var(zs)) - 1.0) < 1e-4
