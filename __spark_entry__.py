@@ -2360,14 +2360,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering contract: the driver's correctness gate checks only
         # the FIRST 50 entries. Round-5 rotation (staleness from the
-        # union of CORRECTNESS_r01-r04): all 32 queries with NO official
-        # row yet come first (the round-5 additions), then 18 of the 34
-        # whose newest official row is round 2; the 16 remaining
-        # r2-stale plus the r3/r4-checked back of the registry were ALL
-        # re-verified locally this round via tools/check_oracle.py
-        # (0 failures across the full registry at sf0.01; all round-5
-        # additions also green at sf0.001). Rotate again next round:
-        # the leftover r2-stale go first, then newest-row-r3 queries.
+        # union of CORRECTNESS_r01-r04): queries with NO official row
+        # yet come first (the round-5 additions — 42 by end of round,
+        # the 10 newest leading), then the stalest r2-checked queries
+        # fill the remaining gate slots; everything pushed out of the
+        # gate by late additions was re-verified locally this round via
+        # tools/check_oracle.py (0 failures across the full registry at
+        # sf0.01 — latest sweep 174/174 plus per-query green runs for
+        # the 4 added after it; all round-5 additions also green at
+        # sf0.001). Rotate again next round: any round-5 additions
+        # without an official row go first, then newest-row-r2/r3.
         # round-5 late additions (brand new => front of the gate):
         "dedup_lsh_commit": _q_dedup_lsh_commit,
         "dedup_incremental_near": _q_dedup_incremental_near,
