@@ -878,13 +878,26 @@ class BucketClaimProcessor(StatefulProcessor):
     replayed / reordered batches convergent to the batch
     `dedup.lsh_first_arrival` verdict."""
 
-    def __init__(self, out_fields: list[str] | None = None) -> None:
+    def __init__(
+        self,
+        out_fields: list[str] | None = None,
+        ttl_ms: int | None = None,
+    ) -> None:
         self._out_fields = out_fields or [
             f.name for f in _LSH_CLAIM_OUT.fields
         ]
+        self._ttl_ms = ttl_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._first = handle.getValueState("first", _LSH_CLAIM_STATE)
+        # TTL bounds the dedup horizon: an expired bucket claim forgets
+        # its first arrival, so a later near-dup is admitted again —
+        # the state-size/recall dial an unbounded 100 TB ingest turns
+        if self._ttl_ms is not None:
+            self._first = handle.getValueState(
+                "first", _LSH_CLAIM_STATE, self._ttl_ms
+            )
+        else:
+            self._first = handle.getValueState("first", _LSH_CLAIM_STATE)
 
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
@@ -969,6 +982,7 @@ def streaming_lsh_dedup(
     bands: int = 4,
     shingle_n: int = 3,
     carry_cols: list[str] | None = None,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-dup gate — the streaming twin of
     ``dedup.lsh_first_arrival``, as ONE query with TWO chained
@@ -983,9 +997,12 @@ def streaming_lsh_dedup(
     Scale contract: signatures and band keys are computed in the
     STATELESS projection before any shuffle — document text never leaves
     its scan partition; both stateful exchanges carry (long, int, md5) /
-    (long, bool) rows. State: one long per distinct bucket ever claimed
-    (pair with TTL where the dedup horizon is bounded), transient
-    per-doc accumulators. Near-dup/LSH was previously documented as
+    (long, bool) rows. State: one long per distinct bucket ever claimed,
+    transient per-doc accumulators. ``state_ttl_ms`` bounds the dedup
+    horizon for a truly unbounded ingest: expired bucket claims forget
+    their first arrival (the state-size/recall dial) — setting it flips
+    the claim stage to processingTime mode, the only mode TTL states
+    are assignable under. Near-dup/LSH was previously documented as
     batch-only (streaming/jobs.py); this closes that gap for the
     single-pass first-arrival contract — pair-verified Jaccard dedup
     (`minhash_dedup_pairs`) stays batch.
@@ -1049,10 +1066,11 @@ def streaming_lsh_dedup(
         *carry,
     )
     claims = buckets.groupBy("band_id", "band_key").transformWithStateInPandas(
-        BucketClaimProcessor([f.name for f in claim_out.fields]),
+        BucketClaimProcessor([f.name for f in claim_out.fields], state_ttl_ms),
         outputStructType=claim_out,
         outputMode="append",
-        timeMode="none",
+        # TTL states are only assignable under a time mode
+        timeMode="none" if state_ttl_ms is None else "processingTime",
     )
     verdicts = claims.groupBy("doc_id").transformWithStateInPandas(
         DocVerdictProcessor(bands, [f.name for f in verdict_out.fields]),

@@ -918,3 +918,58 @@ def test_lsh_gate_bucket_state_resumes_from_checkpoint(spark):
     # doc 3 duplicates doc 1 ACROSS the restart: only the restored
     # bucket state can know that; run-1 rows appear exactly once
     assert run_once() == [(1, True), (2, True), (3, False), (4, True)]
+
+
+def test_lsh_gate_state_ttl_bounds_the_dedup_horizon(spark):
+    """`state_ttl_ms` on the LSH gate: an EXPIRED bucket claim forgets
+    its first arrival, so the same near-dup text is admitted again after
+    the horizon — the state-size/recall dial of an unbounded ingest.
+    Contrast run A (tiny TTL + wall sleep: duplicate re-admitted) with
+    run B (generous TTL: behaves exactly like the unbounded gate and
+    drops the duplicate)."""
+    import os
+
+    import pandas as pd
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.tws import streaming_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+
+    def put(workdir, i, rows):
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(p, index=False)
+        os.utime(p, (_time.time() - 60 + i, _time.time() - 60 + i))
+
+    def run_once(workdir, ck, out_dir, ttl_ms):
+        raw = spark.readStream.schema("doc_id long, text string").parquet(workdir)
+        q = (
+            streaming_lsh_dedup(raw, state_ttl_ms=ttl_ms)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+        return sorted(
+            (r.doc_id, r.kept) for r in spark.read.parquet(out_dir).collect()
+        )
+
+    for ttl_ms, sleep_s, dup_kept in ((1_000, 3.0, True), (3_600_000, 0.0, False)):
+        workdir = tempfile.mkdtemp(prefix="lsh-ttl-in-")
+        out_dir = tempfile.mkdtemp(prefix="lsh-ttl-out-")
+        ck = tempfile.mkdtemp(prefix="lsh-ttl-ck-")
+        put(workdir, 0, [(1, base)])
+        assert run_once(workdir, ck, out_dir, ttl_ms) == [(1, True)]
+        if sleep_s:
+            _time.sleep(sleep_s)  # let the 1s TTL lapse between runs
+        put(workdir, 1, [(2, base)])
+        got = run_once(workdir, ck, out_dir, ttl_ms)
+        assert got == [(1, True), (2, dup_kept)], (ttl_ms, got)
