@@ -275,6 +275,98 @@ def test_ivf_topk_structure_and_determinism(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def _ids_only_emb(spark, n=200):
+    # planted_embeddings derives vectors purely from vec_id — the
+    # embedding payload is irrelevant, so a bare id table suffices
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+    )
+
+
+def test_planted_embeddings_structure_and_determinism(spark):
+    """The planted mixture must be (a) deterministic, (b) strongly
+    clusterable: within-cluster cosine far above cross-cluster — the
+    property that makes ANN recall measurable at all."""
+    import math
+
+    emb = _ids_only_emb(spark, 64)
+    rows = S.planted_embeddings(emb).collect()
+    again = S.planted_embeddings(emb).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_id = {r.vec_id: (r.cluster_id, r.embedding) for r in rows}
+    assert all(cl == vid % 16 for vid, (cl, _) in by_id.items())
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    within, cross = [], []
+    ids = sorted(by_id)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                c = cos(by_id[i][1], by_id[j][1])
+                (within if by_id[i][0] == by_id[j][0] else cross).append(c)
+    assert min(within) > 0.8  # same planted center, +/-0.3 noise
+    assert max(cross) < 0.7  # 64-dim random centers are near-orthogonal
+    assert sum(within) / len(within) - sum(cross) / len(cross) > 0.5
+
+
+def test_ann_recall_curve_fused_arms_match_standalone(spark):
+    """The fused sweep's probe-rank / XOR-prefix filters must reproduce
+    the standalone operators bit-for-bit — this is the claim that lets
+    one shared candidate table price all knobs."""
+    emb = _ids_only_emb(spark, 160)
+    planted = S.planted_embeddings(emb).select("vec_id", "embedding")
+    curve = {
+        (r.variant, r.knob): r
+        for r in S.ann_recall_curve(emb, k=5, n_probes=(1, 2), lsh_planes=(4, 6)).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_exact_sharded(planted, k=5).collect()
+    }
+    for n_probe in (1, 2):
+        stand = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_cosine_topk(planted, k=5, n_probe=n_probe).collect()
+        }
+        row = curve[("ivf", n_probe)]
+        assert row.n_ann == len(stand)
+        assert row.n_hits == len(stand & exact)
+        assert row.n_exact == len(exact)
+    for planes in (4, 6):
+        stand = {
+            (r.query_id, r.neighbor_id)
+            for r in S.lsh_cosine_topk(planted, k=5, planes=planes).collect()
+        }
+        row = curve[("lsh", planes)]
+        assert row.n_ann == len(stand)
+        assert row.n_hits == len(stand & exact)
+
+
+def test_ann_recall_curve_rises_on_structured_data(spark):
+    """On planted (clusterable) data the curve must be informative:
+    IVF recall non-decreasing in n_probe and near-perfect at the
+    deepest probe; LSH recall non-increasing in planes. A flat curve
+    means the index ignores its knob."""
+    emb = _ids_only_emb(spark, 200)
+    rows = S.ann_recall_curve(
+        emb, k=5, n_probes=(1, 2, 4, 8), lsh_planes=(4, 6, 8)
+    ).collect()
+    ivf = {r.knob: r.recall for r in rows if r.variant == "ivf"}
+    lsh = {r.knob: r.recall for r in rows if r.variant == "lsh"}
+    assert ivf[1] <= ivf[2] <= ivf[4] <= ivf[8]
+    assert ivf[8] > 0.95
+    assert ivf[8] - ivf[1] > 0.01  # the knob must actually move recall
+    assert lsh[4] >= lsh[6] >= lsh[8]  # fewer planes = bigger buckets
+
+
 def test_sharded_vectorized_topk_matches_lsh(spark, sf_dir):
     """The sharded BLAS kernel scores the same candidate set as
     lsh_cosine_topk; neighbor rankings must agree everywhere except
@@ -1658,17 +1750,55 @@ def test_kneser_ney_no_bigrams_backs_off_to_uniform(spark):
     assert all(abs(v - expect) < 1e-9 for v in got.values())
 
 
-def test_mulaw_expansion_matches_audioop_for_all_bytes(spark):
-    # the published G.711 formula vs CPython's C implementation:
-    # bit-exact for the full byte range
-    import audioop
-    import struct
+# The full published G.711 mu-law expansion table (ITU-T G.711, table
+# 2a): expected linear PCM16 for every code byte 0..255. Inlined as
+# literals (generated once from CPython's audioop.ulaw2lin, which was
+# removed in Python 3.13) so the ground truth survives interpreter
+# upgrades — the mapping itself is a fixed published standard.
+_G711_EXPANSION = [
+    -32124, -31100, -30076, -29052, -28028, -27004, -25980, -24956,
+    -23932, -22908, -21884, -20860, -19836, -18812, -17788, -16764,
+    -15996, -15484, -14972, -14460, -13948, -13436, -12924, -12412,
+    -11900, -11388, -10876, -10364, -9852, -9340, -8828, -8316,
+    -7932, -7676, -7420, -7164, -6908, -6652, -6396, -6140,
+    -5884, -5628, -5372, -5116, -4860, -4604, -4348, -4092,
+    -3900, -3772, -3644, -3516, -3388, -3260, -3132, -3004,
+    -2876, -2748, -2620, -2492, -2364, -2236, -2108, -1980,
+    -1884, -1820, -1756, -1692, -1628, -1564, -1500, -1436,
+    -1372, -1308, -1244, -1180, -1116, -1052, -988, -924,
+    -876, -844, -812, -780, -748, -716, -684, -652,
+    -620, -588, -556, -524, -492, -460, -428, -396,
+    -372, -356, -340, -324, -308, -292, -276, -260,
+    -244, -228, -212, -196, -180, -164, -148, -132,
+    -120, -112, -104, -96, -88, -80, -72, -64,
+    -56, -48, -40, -32, -24, -16, -8, 0,
+    32124, 31100, 30076, 29052, 28028, 27004, 25980, 24956,
+    23932, 22908, 21884, 20860, 19836, 18812, 17788, 16764,
+    15996, 15484, 14972, 14460, 13948, 13436, 12924, 12412,
+    11900, 11388, 10876, 10364, 9852, 9340, 8828, 8316,
+    7932, 7676, 7420, 7164, 6908, 6652, 6396, 6140,
+    5884, 5628, 5372, 5116, 4860, 4604, 4348, 4092,
+    3900, 3772, 3644, 3516, 3388, 3260, 3132, 3004,
+    2876, 2748, 2620, 2492, 2364, 2236, 2108, 1980,
+    1884, 1820, 1756, 1692, 1628, 1564, 1500, 1436,
+    1372, 1308, 1244, 1180, 1116, 1052, 988, 924,
+    876, 844, 812, 780, 748, 716, 684, 652,
+    620, 588, 556, 524, 492, 460, 428, 396,
+    372, 356, 340, 324, 308, 292, 276, 260,
+    244, 228, 212, 196, 180, 164, 148, 132,
+    120, 112, 104, 96, 88, 80, 72, 64,
+    56, 48, 40, 32, 24, 16, 8, 0,
+]
 
+
+def test_mulaw_expansion_matches_published_table_for_all_bytes(spark):
+    # the published G.711 formula vs the inlined standard table:
+    # bit-exact for the full byte range
     from flink_helloworld_spark.operators.multimodal import mulaw_expand
 
+    assert len(_G711_EXPANSION) == 256
     for b in range(256):
-        (want,) = struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))
-        assert mulaw_expand(b) == want
+        assert mulaw_expand(b) == _G711_EXPANSION[b]
 
 
 def test_mulaw_decode_real_payloads_and_corruption(spark):
