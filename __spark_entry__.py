@@ -933,6 +933,15 @@ def _q_similarity_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-space first-arrival admission gate: kept iff lowest-id
+    # arrival in the vector's hyperplane bucket — the batch twin of
+    # streaming/tws.py:streaming_embedding_dedup (parity test-pinned)
+    return S.embedding_first_arrival(
+        load_tables(spark, sf_dir).embeddings, planes=8
+    )
+
+
 def _q_similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int8 scalar quantization (FAISS SQ8): per-dim min/max codes, 4x
     # memory cut; asymmetric top-k (full-precision query sample vs the
@@ -2385,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new queries first, then oldest-official-row-first.
         # --- gate slots (first 50): new r6 queries, then r2, then r3 ---
         "similarity_recall_curve": _q_similarity_recall_curve,
+        "dedup_embedding_gate": _q_dedup_embedding_gate,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -4896,6 +4906,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "similarity_ivf_topk": _ivf_sql(),
         "similarity_recall_curve": _recall_curve_sql(sample_mod=2),
+        "dedup_embedding_gate": f"""
+            WITH b AS (SELECT vec_id, {_lsh_bucket_sql(8)} AS bucket
+                       FROM embeddings)
+            SELECT vec_id, bucket,
+                   vec_id = min(vec_id) OVER (PARTITION BY bucket) AS kept
+            FROM b
+        """,
         "similarity_ivfpq_topk": _ivfpq_sql(),
         "embedding_kmeans": _kmeans_sql(),
         "embedding_pca": _pca_sql(),

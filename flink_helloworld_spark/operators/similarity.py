@@ -454,6 +454,42 @@ def embedding_near_dup_pairs(
     return v.groupBy("bucket").applyInPandas(per_bucket, schema)
 
 
+def embedding_first_arrival(
+    emb: DataFrame,
+    planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space first-arrival dedup gate — the batch twin of
+    ``streaming/tws.py:streaming_embedding_dedup`` and the vector-side
+    analog of the text gate ``dedup.lsh_first_arrival``: a vector is
+    kept iff it is the lowest-id arrival in its hyperplane bucket
+    (cosine-similar vectors agree on most sign bits, so near-dups
+    collide; ``planes`` is the recall/precision dial — see the
+    similarity_recall_curve measurements).
+
+    Returns ``(vec_id, bucket, kept)`` for EVERY input vector — a
+    drop-in admission verdict for an embedding ingest.
+
+    Scale shape: one projection (the bucket is pure column arithmetic),
+    one bucket-keyed min — a single map-side-combinable hash aggregate;
+    nothing quadratic, nothing Python. The streaming twin holds one
+    long of state per bucket ever claimed."""
+    from pyspark.sql import Window
+
+    b = emb.select(
+        F.col(id_col),
+        hyperplane_bucket(F.col(vec_col), planes, dims).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket")
+    return b.select(
+        id_col,
+        "bucket",
+        (F.col(id_col) == F.min(id_col).over(w)).alias("kept"),
+    )
+
+
 _TARGET_CELL = 64
 
 

@@ -1081,6 +1081,60 @@ def streaming_lsh_dedup(
     return verdicts.unionByName(short)
 
 
+def streaming_embedding_dedup(
+    stream: DataFrame,
+    planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Embedding-space streaming dedup gate — the vector-side twin of
+    ``streaming_lsh_dedup`` and the streaming form of
+    ``similarity.embedding_first_arrival``: a vector is admitted iff it
+    is the first arrival in its hyperplane bucket (cosine-similar
+    vectors agree on most sign bits, so near-dups collide; ``planes``
+    is the recall dial, measured on planted data by
+    similarity_recall_curve).
+
+    ONE transformWithState operator — the hyperplane bucket is a single
+    key per vector (unlike MinHash bands), so there is no re-key seam
+    and no verdict stage. Emits ``(vec_id, bucket, kept)`` per arrival.
+
+    Scale contract: the bucket is computed in the STATELESS projection,
+    so the embedding array never crosses the exchange — the stateful
+    shuffle carries (long, long) rows. State: one long per bucket ever
+    claimed (≤ 2^planes entries — bounded by construction, no TTL
+    required; ``state_ttl_ms`` still composes for horizon semantics
+    consistent with the text gate)."""
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.similarity import hyperplane_bucket
+
+    out = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("is_first", BooleanType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+    b = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        hyperplane_bucket(F.col(vec_col), planes, dims).alias("bucket"),
+    )
+    claims = b.groupBy("bucket").transformWithStateInPandas(
+        BucketClaimProcessor([f.name for f in out.fields], state_ttl_ms),
+        outputStructType=out,
+        outputMode="append",
+        timeMode="none" if state_ttl_ms is None else "processingTime",
+    )
+    return claims.select(
+        F.col("doc_id").alias(id_col),
+        "bucket",
+        F.col("is_first").alias("kept"),
+    )
+
+
 def streaming_near_dedup_front(
     stream: DataFrame,
     cap: int,

@@ -868,6 +868,58 @@ def test_streaming_near_dedup_front_matches_sequential_model(spark, seed):
     assert got == expect
 
 
+def test_streaming_embedding_dedup_matches_batch_twin(spark):
+    """The embedding-space hyperplane gate: streamed over id-ordered
+    micro-batches it must admit exactly the vectors the batch twin
+    (similarity.embedding_first_arrival) keeps over the union — and on
+    planted clusterable vectors it must actually DROP colliders (a gate
+    that keeps everything tests nothing)."""
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.similarity import (
+        embedding_first_arrival,
+        planted_embeddings,
+    )
+    from flink_helloworld_spark.streaming.tws import streaming_embedding_dedup
+
+    ids = spark.range(96).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+    )
+    planted = planted_embeddings(ids).select("vec_id", "embedding")
+    expect = {
+        r.vec_id: (r.bucket, r.kept)
+        for r in embedding_first_arrival(planted, planes=8).collect()
+    }
+    assert sum(1 for b, k in expect.values() if k) < 96  # colliders exist
+
+    rows = sorted(
+        (
+            {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+            for r in planted.collect()
+        ),
+        key=lambda r: r["vec_id"],  # id-monotone arrival order
+    )
+    batches = [rows[0:32], rows[32:64], rows[64:96]]
+    workdir = tempfile.mkdtemp(prefix="embgate-")
+    _write_files(batches, workdir)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    out = streaming_embedding_dedup(stream, planes=8)
+    got = {
+        r.vec_id: (r.bucket, r.kept)
+        for r in run_available_now(out, "embgate")
+    }
+    assert got == expect
+
+
 def test_lsh_gate_bucket_state_resumes_from_checkpoint(spark):
     """LSH-gate durability across the TWO chained TWS operators: run
     batch 1 with a checkpoint, stop, append batch 2 containing a
@@ -973,3 +1025,76 @@ def test_lsh_gate_state_ttl_bounds_the_dedup_horizon(spark):
         put(workdir, 1, [(2, base)])
         got = run_once(workdir, ck, out_dir, ttl_ms)
         assert got == [(1, True), (2, dup_kept)], (ttl_ms, got)
+
+
+def test_lsh_gate_ttl_expiry_and_reclaim_survive_checkpoint_recovery(spark):
+    """The full TTL'd-claim lifecycle ACROSS restarts (VERDICT r5 item
+    5) — the exact path a long-running ingest hits weekly:
+
+      run 1: doc 1 claims its buckets (TTL'd ValueState, 1s TTL).
+      [TTL lapses while the query is DOWN]
+      run 2: doc 2 (same text) — restored-then-expired claims must
+             RE-ADMIT it, and the re-admission must write a FRESH claim
+             into the recovered state store (1h TTL this run).
+      run 3: doc 3 (same text, within the new TTL) — must be dropped as
+             a duplicate of doc 2's RE-CLAIM, and no earlier verdict
+             re-emits.
+
+    Pins that expiry, re-admission, and the re-claimed state all
+    compose with checkpoint recovery, not just within one run.
+
+    Why the TTL differs per run: a claim's expiration is stamped at
+    WRITE time, so re-opening the same checkpoint with a longer TTL
+    still sees run-1's claim as expired while giving run-2's re-claim a
+    horizon that comfortably outlives run-3's startup latency — the
+    deterministic way to sequence expiry and survival in one test
+    (fixed small TTLs race against query-startup wall-clock)."""
+    import os
+
+    import pandas as pd
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.tws import streaming_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    workdir = tempfile.mkdtemp(prefix="lsh-ttlre-in-")
+    out_dir = tempfile.mkdtemp(prefix="lsh-ttlre-out-")
+    ck = tempfile.mkdtemp(prefix="lsh-ttlre-ck-")
+
+    def put(i, rows):
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(p, index=False)
+        os.utime(p, (_time.time() - 60 + i, _time.time() - 60 + i))
+
+    def run_once(ttl_ms):
+        raw = spark.readStream.schema("doc_id long, text string").parquet(workdir)
+        q = (
+            streaming_lsh_dedup(raw, state_ttl_ms=ttl_ms)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+        return sorted(
+            (r.doc_id, r.kept) for r in spark.read.parquet(out_dir).collect()
+        )
+
+    put(0, [(1, base)])
+    assert run_once(ttl_ms=1_000) == [(1, True)]
+    _time.sleep(3.0)  # claim expires while the query is down
+    put(1, [(2, base)])
+    # expired claim forgets doc 1 => doc 2 re-admitted AND re-claims
+    assert run_once(ttl_ms=3_600_000) == [(1, True), (2, True)]
+    put(2, [(3, base)])
+    # doc 2's re-claim is live state in the recovered store: doc 3 (well
+    # inside the fresh TTL) must dedup against it across this restart
+    got = run_once(ttl_ms=3_600_000)
+    assert got == [(1, True), (2, True), (3, False)], got

@@ -18,8 +18,10 @@ import __spark_entry__ as entrymod  # noqa: E402
 from flink_helloworld_spark.operators.dedup import release_shared_caches  # noqa: E402
 from flink_helloworld_spark.session import build_session  # noqa: E402
 
-BASE = "/root/testdata/sf0.1"
-BIG = "/tmp/sf0.1-10x"
+import os
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BIG = os.environ.get("SPARK_GRAFT_BIG_DIR", "/tmp/sf0.1-10x")
 
 
 def run(fn, spark, sf_dir) -> float:

@@ -1,0 +1,131 @@
+"""Throughput + state-size measurement for the streaming TWS gates
+(VERDICT r5 item 4) — the numbers a 100 TB ingest capacity-plan needs.
+
+For each of the three transformWithState fronts (LSH first-arrival
+dedup, corpus->manifest, the composed 3-stage near-dup front) this
+stages the sf0.1 documents table (and its 10x duplicate-density
+replica) as multi-file parquet, runs the gate once with an
+availableNow trigger split into several micro-batches, and reports:
+
+- rows/s over trigger-execution time (startup excluded), i.e. the
+  sustained per-batch throughput the gate holds once warm;
+- state rows + state bytes from the state-store metrics of the FINAL
+  progress event (the steady-state footprint after the whole volume
+  has been claimed).
+
+Usage: python tools/measure_streaming.py [gate ...]
+(default: all three, 1x then 10x each)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyarrow.parquet as pq  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BIG = os.environ.get("SPARK_GRAFT_BIG_DIR", "/tmp/sf0.1-10x")
+N_FILES = 8  # staged file count; maxFilesPerTrigger=2 => 4 micro-batches
+
+
+def stage(src_dir: str, dst: str) -> int:
+    """Split documents.parquet into N_FILES row-slices with mtimes in
+    slice order (the file-source admission order contract)."""
+    t = pq.read_table(f"{src_dir}/documents.parquet").select(
+        ["doc_id", "text", "source"]
+    )
+    os.makedirs(dst, exist_ok=True)
+    n = t.num_rows
+    step = (n + N_FILES - 1) // N_FILES
+    now = time.time()
+    for i in range(N_FILES):
+        sl = t.slice(i * step, step)
+        p = os.path.join(dst, f"part{i:03d}.parquet")
+        pq.write_table(sl, p)
+        os.utime(p, (now - 600 + i, now - 600 + i))
+    return n
+
+
+def run_gate(spark, name: str, in_dir: str):
+    from flink_helloworld_spark.streaming.tws import (
+        streaming_corpus_manifest_tws,
+        streaming_lsh_dedup,
+        streaming_near_dedup_front,
+    )
+
+    raw = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(in_dir)
+    )
+    out = {
+        "lsh_dedup": lambda: streaming_lsh_dedup(raw),
+        "corpus_manifest": lambda: streaming_corpus_manifest_tws(raw),
+        "near_dedup_front": lambda: streaming_near_dedup_front(raw, cap=1000),
+    }[name]()
+    out_dir = tempfile.mkdtemp(prefix=f"ms-{name}-out-")
+    ck = tempfile.mkdtemp(prefix=f"ms-{name}-ck-")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+    rows_in = sum(p["numInputRows"] for p in progress)
+    exec_ms = sum(p["durationMs"].get("triggerExecution", 0) for p in progress)
+    # final non-empty state snapshot = steady-state footprint
+    state_rows = state_bytes = 0
+    for p in reversed(progress):
+        ops = p.get("stateOperators") or []
+        if ops:
+            state_rows = sum(o.get("numRowsTotal", 0) for o in ops)
+            state_bytes = sum(o.get("memoryUsedBytes", 0) for o in ops)
+            break
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return {
+        "rows_in": rows_in,
+        "exec_s": round(exec_ms / 1000.0, 2),
+        "rows_per_s": round(rows_in / max(exec_ms / 1000.0, 1e-9)),
+        "state_rows": state_rows,
+        "state_mib": round(state_bytes / (1024 * 1024), 1),
+        "n_batches": sum(1 for p in progress if p["numInputRows"] > 0),
+    }
+
+
+def main() -> None:
+    from flink_helloworld_spark.session import build_session
+
+    gates = sys.argv[1:] or ["lsh_dedup", "corpus_manifest", "near_dedup_front"]
+    spark = build_session(app_name="fhs-stream-measure")
+    for vol, src in (("1x", BASE), ("10x", BIG)):
+        if not os.path.exists(f"{src}/documents.parquet"):
+            print(f"[skip] {src} missing (build with tools/build_replica.py)")
+            continue
+        staged = tempfile.mkdtemp(prefix=f"ms-in-{vol}-")
+        n = stage(src, staged)
+        for g in gates:
+            r = run_gate(spark, g, staged)
+            print(
+                f"| {g} | {vol} ({n} docs) | {r['rows_per_s']}/s "
+                f"({r['exec_s']}s, {r['n_batches']} batches) | "
+                f"{r['state_rows']} | {r['state_mib']} MiB |",
+                flush=True,
+            )
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
