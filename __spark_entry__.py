@@ -3058,6 +3058,10 @@ def _recall_curve_sql(
             f" query_id, neighbor_id FROM ({ivf}) ivf_{n_probe}"
         )
     for planes in lsh_planes:
+        # round_dp=6: the curve's LSH arms score per-bucket via the BLAS
+        # kernel with the rounded-cosine ranking contract (the
+        # similarity_topk_vectorized oracle shape), not the interpreted
+        # unrounded lsh_cosine_topk expression
         lsh = _cosine_pairs_sql(
             "b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id",
             extra_cte=(
@@ -3065,6 +3069,7 @@ def _recall_curve_sql(
                 f"       b AS (SELECT vec_id, embedding,"
                 f" {_lsh_bucket_sql(planes)} AS bucket FROM planted)"
             ),
+            round_dp=6,
         )
         arms.append(
             f"SELECT 'lsh' AS variant, CAST({planes} AS INT) AS knob,"

@@ -152,10 +152,18 @@ def main() -> None:
         run_order = [q for q in run_order if q in only]
     import statistics
 
+    # soft deadline: if the multi-iteration sweep would overrun the
+    # driver's patience, degrade remaining queries to single-shot
+    # (median falls back to the one sample) instead of timing out the
+    # whole record
+    deadline = time.time() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_S", "1500")
+    )
     for name in run_order:
         runs: list[float] = []
         err = None
-        for _ in range(iters):
+        n_iters = iters if time.time() < deadline else 1
+        for _ in range(n_iters):
             t0 = time.time()
             try:
                 qs[name](spark, SF_DIR).write.mode("overwrite").format(

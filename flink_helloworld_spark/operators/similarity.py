@@ -1469,10 +1469,14 @@ def ann_recall_curve(
     # ---- fused LSH sweep: plane-p buckets are PREFIX-NESTED ----------
     # hyperplane_bucket's plane-p sign pattern depends only on (p, d),
     # so bucket_p(x) = bucket_P(x) % 2^p for any p <= P. Pairs are
-    # therefore computed ONCE from the coarsest (fewest-planes) bucket
-    # join — a superset of every arm — carrying bits XOR; arm p keeps
+    # therefore computed ONCE per coarsest (fewest-planes) bucket — a
+    # superset of every arm — carrying the sign-bit XOR; arm p keeps
     # the pairs whose low p sign bits all agree (xor % 2^p == 0).
-    # Cosine uses the exact expression lsh_cosine_topk ships.
+    # Scoring is the per-bucket BLAS kernel with the ROUNDED-cosine
+    # ranking contract of cosine_topk_vectorized_sharded (the measured
+    # 49x lesson: an interpreted zip_with cosine join over the coarse
+    # superset ran 50.9x at 10x volume; one matrix product per bucket
+    # is row-linear in candidates and oracle-exact by rounding).
     p_max, p_min = max(lsh_planes), min(lsh_planes)
     b = share(
         planted.select(
@@ -1481,24 +1485,30 @@ def ann_recall_curve(
             hyperplane_bucket(F.col(vec_col), p_max).alias("bits"),
         )
     )
+    lsh_schema = "query_id long, neighbor_id long, cosine double, xorb long"
+
+    def per_coarse_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        bits = pdf["bits"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = np.inf
+        mat_n = mat / norms[:, None]
+        sims = round_half_away(mat_n @ mat_n.T, round_dp)
+        qi, ci = np.nonzero(ids[:, None] != ids[None, :])
+        return pd.DataFrame(
+            {
+                "query_id": ids[qi],
+                "neighbor_id": ids[ci],
+                "cosine": sims[qi, ci],
+                "xorb": bits[qi] ^ bits[ci],
+            }
+        )
+
     lsh_pairs = share(
-        b.alias("q")
-        .join(
-            b.alias("c"),
-            (F.col("q.bits") % (1 << p_min) == F.col("c.bits") % (1 << p_min))
-            & (F.col("q.id") != F.col("c.id")),
-        )
-        .select(
-            F.col("q.id").alias("query_id"),
-            F.col("c.id").alias("neighbor_id"),
-            (
-                _dot(F.col("q.vec"), F.col("c.vec"))
-                / F.nullif(
-                    _norm(F.col("q.vec")) * _norm(F.col("c.vec")), F.lit(0.0)
-                )
-            ).alias("cosine"),
-            F.col("q.bits").bitwiseXOR(F.col("c.bits")).alias("xorb"),
-        )
+        b.withColumn("cb", F.col("bits") % (1 << p_min))
+        .groupBy("cb")
+        .applyInPandas(per_coarse_bucket, lsh_schema)
     )
     for planes in lsh_planes:
         t = topk_tag(

@@ -341,9 +341,14 @@ def test_ann_recall_curve_fused_arms_match_standalone(spark):
         assert row.n_hits == len(stand & exact)
         assert row.n_exact == len(exact)
     for planes in (4, 6):
+        # the curve's LSH arms carry the rounded-cosine BLAS ranking
+        # contract — the standalone twin is the vectorized sharded
+        # kernel (same candidate set as lsh_cosine_topk, rounded ranks)
         stand = {
             (r.query_id, r.neighbor_id)
-            for r in S.lsh_cosine_topk(planted, k=5, planes=planes).collect()
+            for r in S.cosine_topk_vectorized_sharded(
+                planted, k=5, planes=planes
+            ).collect()
         }
         row = curve[("lsh", planes)]
         assert row.n_ann == len(stand)
