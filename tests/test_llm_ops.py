@@ -275,6 +275,31 @@ def test_ivf_topk_structure_and_determinism(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_minhash_band_plan_scurve_properties(spark):
+    """The layout planner's S-curve arithmetic: exact duplicates are
+    caught with probability 1 under EVERY layout; with the hash budget
+    fixed, recall and wasted-verification rate are both monotone in the
+    band count (more, shorter bands = looser gate)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    docs = _docs(spark, [base, base, near, "totally unrelated words apple banana cherry date elderberry fig grape"])
+    rows = {(r.bands, r.rows_per_band): r for r in D.minhash_band_plan(docs).collect()}
+    assert set(rows) == {(1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1)}
+    by_bands = [rows[k] for k in sorted(rows)]  # ascending bands
+    for r in by_bands:
+        assert r.n_pairs == by_bands[0].n_pairs  # same audited pair set
+        assert 0.0 <= r.dup_recall <= 1.0
+    # the exact-dup pair (jaccard 1.0) keeps every layout's recall > 0;
+    # monotone: more bands => higher recall AND higher wasted rate
+    for a, b in zip(by_bands, by_bands[1:]):
+        assert b.dup_recall >= a.dup_recall - 1e-12
+        if a.nondup_catch_rate is not None and b.nondup_catch_rate is not None:
+            assert b.nondup_catch_rate >= a.nondup_catch_rate - 1e-12
+    # single-band single-row layout (b=1, r=12): recall = mean(j^12) of
+    # dup pairs; the exact-dup contributes exactly 1.0
+    assert rows[(12, 1)].dup_recall > 0.99  # 12 bands of 1 row ~ catches all
+
+
 def _ids_only_emb(spark, n=200):
     # planted_embeddings derives vectors purely from vec_id — the
     # embedding payload is irrelevant, so a bare id table suffices
