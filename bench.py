@@ -159,7 +159,29 @@ def main() -> None:
     deadline = time.time() + float(
         os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_S", "1500")
     )
-    for name in run_order:
+    # aging canary: one fixed cheap query re-timed every 30 positions.
+    # A long single-JVM sweep (181 queries x 3 iters) accumulates GC /
+    # code-cache / listener state that inflates LATE positions 2-3x vs
+    # a solo run (measured in round 6); the canary series separates
+    # "the session aged" from "this query regressed" when reading the
+    # regressions_vs_prev list.
+    canary: list[list[float]] = []
+
+    def tick_canary(pos: int) -> None:
+        t0 = time.time()
+        try:
+            qs["wordcount"](spark, SF_DIR).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            canary.append([pos, round(time.time() - t0, 3)])
+        except Exception:  # noqa: BLE001
+            pass
+        finally:
+            release_shared_caches()
+
+    for pos, name in enumerate(run_order):
+        if pos % 30 == 0:
+            tick_canary(pos)
         runs: list[float] = []
         err = None
         n_iters = iters if time.time() < deadline else 1
@@ -220,6 +242,7 @@ def main() -> None:
         "iters_per_query": iters,
         "failed": failed,
         "regressions_vs_prev": regressions,
+        "aging_canary": canary,  # [position, wordcount_sec] series
     }
     print(json.dumps(payload))
     # the driver's BENCH_r{N}.json captures only the stdout TAIL, which a
