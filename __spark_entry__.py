@@ -942,6 +942,26 @@ def _q_minhash_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_band_plan(load_tables(spark, sf_dir).documents)
 
 
+def _q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # soft dedup: weight = 1/|near-dup cluster| for EVERY doc (keep the
+    # duplicates, equalize their content's expected training mass)
+    from flink_helloworld_spark.operators import dedup as D
+
+    docs = load_tables(spark, sf_dir).documents
+    pairs = D.minhash_dedup_pairs(docs).where("is_dup")
+    return D.soft_dedup_weights(docs, pairs)
+
+
+def _q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # leakage-safe split: near-dup CLUSTERS (not docs) hash to
+    # train/holdout, so a near-copy can never straddle the boundary
+    from flink_helloworld_spark.operators import dedup as D
+
+    docs = load_tables(spark, sf_dir).documents
+    pairs = D.minhash_dedup_pairs(docs).where("is_dup")
+    return D.leakage_safe_split(docs, pairs)
+
+
 def _q_dedup_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-space first-arrival admission gate: kept iff lowest-id
     # arrival in the vector's hyperplane bucket — the batch twin of
@@ -2406,6 +2426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_recall_curve": _q_similarity_recall_curve,
         "dedup_embedding_gate": _q_dedup_embedding_gate,
         "minhash_band_plan": _q_minhash_band_plan,
+        "dedup_soft_weights": _q_dedup_soft_weights,
+        "split_by_cluster": _q_split_by_cluster,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -6207,6 +6229,29 @@ def oracle_sql() -> dict[str, str]:
     # recursive-CTE oracle is algorithm-independent, so both queries
     # share one definition (what's checked is the fixpoint, not the path)
     d["dedup_clusters_twostar"] = d["dedup_clusters"]
+    # soft weights / leakage-safe split: the cluster labels replay the
+    # dedup_clusters recursive-CTE oracle verbatim as a nested subquery;
+    # singletons fall back to their own doc_id via the left join
+    d["dedup_soft_weights"] = f"""
+        WITH cl AS (SELECT doc_id, cluster_id, cluster_size
+                    FROM ({d["dedup_clusters"]}) c)
+        SELECT d.doc_id,
+               coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+               CAST(coalesce(cl.cluster_size, 1) AS INT) AS cluster_size,
+               1.0 / coalesce(cl.cluster_size, 1)::DOUBLE AS weight
+        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+    """
+    d["split_by_cluster"] = f"""
+        WITH cl AS (SELECT doc_id, cluster_id
+                    FROM ({d["dedup_clusters"]}) c),
+        lab AS (
+          SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN ('0x' || substr(md5('split:' || cluster_id::VARCHAR), 1, 15))::BIGINT % 100 < 80
+                    THEN 'train' ELSE 'holdout' END AS split
+        FROM lab
+    """
     # recall@k composes the already-defined per-variant oracles: each
     # nests as a parenthesized WITH-subquery, so the ground truth and
     # every ANN variant replay EXACTLY the SQL their standalone rows are

@@ -322,6 +322,78 @@ def minhash_estimate_audit(
     )
 
 
+def soft_dedup_weights(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Soft deduplication — reweight instead of remove (the SlimPajama /
+    soft-dedup recipe surface): every document gets sampling weight
+    1 / |its near-dup cluster|, so duplicated CONTENT contributes the
+    same expected mass to training as unique content while no document
+    is discarded (hard pruning loses the duplicates' formatting/context
+    diversity; soft weights keep it at equalized frequency).
+
+    Input: the corpus + verified duplicate pairs (``minhash_dedup_pairs``
+    where is_dup). Output: (doc_id, cluster_id, cluster_size, weight)
+    for EVERY corpus row — singletons get their own cluster and weight
+    1.0, so Σ weight = number of distinct content clusters (test-pinned).
+
+    Scale shape: the CC label table is proportional to DUPLICATED docs
+    only; the full corpus is touched by one left join on doc_id —
+    text never moves. The weight feeds ``weighted_reservoir`` /
+    ``mixture_sample`` directly."""
+    labels = duplicate_clusters(pairs)
+    size = F.coalesce("cluster_size", F.lit(1)).cast("int")
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            size.alias("cluster_size"),
+            (F.lit(1.0) / size.cast("double")).alias("weight"),
+        )
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame, pairs: DataFrame, train_pct: int = 80
+) -> DataFrame:
+    """Leakage-safe train/holdout split: the unit of assignment is the
+    near-dup CLUSTER, not the document — a near-copy of a training doc
+    can never land in the holdout (the contamination mode a per-doc
+    hash split like ``split_holdout`` cannot prevent, and the reason
+    code-model evals dedup across the split boundary).
+
+    Deterministic: split = md5('split:' || cluster_id) % 100 <
+    train_pct, so re-runs, engines, and partitionings agree. Output:
+    (doc_id, cluster_id, split) for every corpus row; all members of a
+    cluster share the split by construction (test-pinned).
+
+    Scale shape: same as ``soft_dedup_weights`` — one doc_id-keyed left
+    join against the duplicated-docs-sized label table."""
+    labels = duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    cl = F.coalesce("cluster_id", F.col("doc_id"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), cl.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            cl.alias("cluster_id"),
+            F.when(h < train_pct, F.lit("train"))
+            .otherwise(F.lit("holdout"))
+            .alias("split"),
+        )
+    )
+
+
 def minhash_band_plan(
     docs: DataFrame,
     text_col: str = "text",

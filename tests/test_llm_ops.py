@@ -275,6 +275,40 @@ def test_ivf_topk_structure_and_determinism(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_soft_dedup_weights_equalize_content_mass(spark):
+    """Soft dedup: cluster members share weight 1/size, singletons keep
+    1.0, and total weight == number of distinct content clusters (the
+    equal-expected-mass invariant the reweighting exists for)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = _docs(spark, [base, base, base, "totally unrelated words apple banana cherry date elderberry fig grape"])
+    pairs = D.minhash_dedup_pairs(docs).where("is_dup")
+    got = {r.doc_id: r for r in D.soft_dedup_weights(docs, pairs).collect()}
+    assert len(got) == 4  # every corpus row comes back
+    trip = [got[i] for i in (0, 1, 2)]
+    assert {t.cluster_id for t in trip} == {0} and all(t.cluster_size == 3 for t in trip)
+    assert all(abs(t.weight - 1 / 3) < 1e-12 for t in trip)
+    assert got[3].cluster_size == 1 and got[3].weight == 1.0
+    assert abs(sum(r.weight for r in got.values()) - 2.0) < 1e-9  # 2 clusters
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """The split unit is the cluster: every member of a near-dup
+    cluster lands on the same side, deterministically."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base, base + " extra", "totally unrelated words apple banana cherry date elderberry fig grape"]
+    docs = _docs(spark, texts)
+    pairs = D.minhash_dedup_pairs(docs).where("is_dup")
+    rows = D.leakage_safe_split(docs, pairs).collect()
+    assert len(rows) == 4
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    for cid, splits in by_cluster.items():
+        assert len(splits) == 1, (cid, splits)  # no cluster straddles
+    again = D.leakage_safe_split(docs, pairs).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_minhash_band_plan_scurve_properties(spark):
     """The layout planner's S-curve arithmetic: exact duplicates are
     caught with probability 1 under EVERY layout; with the hash budget
