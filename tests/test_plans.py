@@ -648,3 +648,45 @@ def test_ingest_gate_ops_plan_contracts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "partial_sum" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_embedding_gate_single_exchange_no_python(spark, sf_dir):
+    """embedding_first_arrival: the bucket is pure column arithmetic and
+    the verdict is one bucket-keyed window — no Python stage, and the
+    embedding array never appears in an exchange key."""
+    import re
+
+    from flink_helloworld_spark.operators import similarity as S
+
+    df = S.embedding_first_arrival(load_tables(spark, sf_dir).embeddings)
+    plan = explain_str(df, "formatted")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in args
+
+
+def test_soft_weights_and_split_never_shuffle_text(spark, sf_dir):
+    """soft_dedup_weights / leakage_safe_split: the corpus is touched by
+    one doc_id-keyed left join against the label table — document text
+    must never be an exchange key (it is not even read: only doc_id)."""
+    import re
+
+    docs = load_tables(spark, sf_dir).documents
+    pairs = D.minhash_dedup_pairs(docs).where("is_dup")
+    for df in (
+        D.soft_dedup_weights(docs, pairs),
+        D.leakage_safe_split(docs, pairs),
+    ):
+        plan = explain_str(df, "formatted")
+        for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "text" not in args
+
+
+def test_band_plan_is_one_aggregate_over_bounded_arms(spark, sf_dir):
+    """minhash_band_plan: downstream of the audited pair table the plan
+    is a union of constant-width projections + ONE hash aggregate — the
+    S-curve chains stay in codegen (no Python)."""
+    df = D.minhash_band_plan(load_tables(spark, sf_dir).documents)
+    plan = explain_str(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
