@@ -312,3 +312,128 @@ def test_exact_percentile_matches_duckdb_quantile_cont(spark, vals, q):
         params=[q, vals],
     ).fetchone()[0]
     assert got == want or abs(got - want) == 0.0
+
+
+@st.composite
+def _dupish_corpus(draw):
+    """Corpora with injected near-dup structure: a few base sentences,
+    each replicated 1-4x, words long enough to shingle (n=3)."""
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    n_base = draw(st.integers(min_value=1, max_value=4))
+    docs, i = [], 0
+    for _ in range(n_base):
+        k = draw(st.integers(min_value=3, max_value=10))
+        text = " ".join(draw(st.sampled_from(vocab)) for _ in range(k))
+        for _ in range(draw(st.integers(min_value=1, max_value=4))):
+            docs.append((i, text))
+            i += 1
+    return docs
+
+
+def _docs_df(spark, docs):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@given(docs=_dupish_corpus())
+@_settings
+def test_soft_weights_conserve_cluster_mass_any_corpus(spark, docs):
+    """For ANY corpus: every doc comes back, weights are uniform within
+    a cluster and equal 1/size, and total weight == distinct clusters —
+    the equal-expected-mass invariant."""
+    from flink_helloworld_spark.operators import dedup as D
+
+    df = _docs_df(spark, docs)
+    pairs = D.minhash_dedup_pairs(df).where("is_dup")
+    out = D.soft_dedup_weights(df, pairs).collect()
+    assert sorted(r.doc_id for r in out) == sorted(i for i, _ in docs)
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rs in by_cluster.items():
+        assert all(r.cluster_size == len(rs) for r in rs), cid
+        assert all(abs(r.weight - 1.0 / len(rs)) < 1e-12 for r in rs), cid
+    assert abs(sum(r.weight for r in out) - len(by_cluster)) < 1e-9
+
+
+@given(docs=_dupish_corpus())
+@_settings
+def test_leakage_split_cluster_coherent_any_corpus(spark, docs):
+    """For ANY corpus: the split covers every doc, uses only the two
+    labels, and never cuts through a near-dup cluster; exact duplicates
+    therefore always land on the same side."""
+    from flink_helloworld_spark.operators import dedup as D
+
+    df = _docs_df(spark, docs)
+    pairs = D.minhash_dedup_pairs(df).where("is_dup")
+    out = D.leakage_safe_split(df, pairs).collect()
+    assert sorted(r.doc_id for r in out) == sorted(i for i, _ in docs)
+    assert {r.split for r in out} <= {"train", "holdout"}
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    by_text: dict = {}
+    split_of = {r.doc_id: r.split for r in out}
+    for i, t in docs:
+        by_text.setdefault(t, set()).add(split_of[i])
+    assert all(len(s) == 1 for s in by_text.values())
+
+
+@given(docs=_dupish_corpus())
+@_settings
+def test_band_plan_monotone_any_corpus(spark, docs):
+    """For ANY corpus: all layouts price the same audited pair set, and
+    both expected recall and wasted-verification rate are monotone
+    non-decreasing in the band count (the S-curve's defining shape)."""
+    from flink_helloworld_spark.operators import dedup as D
+
+    rows = sorted(
+        D.minhash_band_plan(_docs_df(spark, docs)).collect(),
+        key=lambda r: r.bands,
+    )
+    if not rows:  # corpora too short to shingle produce no pairs
+        return
+    assert len({r.n_pairs for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        if a.dup_recall is not None and b.dup_recall is not None:
+            assert b.dup_recall >= a.dup_recall - 1e-12
+        if a.nondup_catch_rate is not None and b.nondup_catch_rate is not None:
+            assert b.nondup_catch_rate >= a.nondup_catch_rate - 1e-12
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@_settings
+def test_embedding_gate_partitions_by_bucket_any_vectors(spark, vecs):
+    """For ANY vectors: exactly one keeper per occupied bucket — the
+    lowest id — and every vector gets a verdict."""
+    from flink_helloworld_spark.operators.similarity import (
+        embedding_first_arrival,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_first_arrival(df, planes=4, dims=8).collect()
+    assert len(out) == len(vecs)
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, rs in by_bucket.items():
+        keepers = [r for r in rs if r.kept]
+        assert len(keepers) == 1, bucket
+        assert keepers[0].vec_id == min(r.vec_id for r in rs)
