@@ -2419,9 +2419,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # After this round no query's newest official row is older than
         # r3. Everything rotated OUT of the gate was re-verified locally
         # this round via tools/check_oracle.py at sf0.01: the final
-        # round-6 sweep checked the FULL registry — 0 failures / 181 —
-        # after the 281-test pytest run (1 env skip). Rotate again next
-        # round: new queries first, then oldest-official-row-first.
+        # round-6 sweep checked the FULL registry — 0 failures / 183 —
+        # beside the full pytest run (291 passed, 1 env skip). Rotate
+        # again next round: new queries first, then
+        # oldest-official-row-first.
         # --- gate slots (first 50): new r6 queries, then r2, then r3 ---
         "similarity_recall_curve": _q_similarity_recall_curve,
         "dedup_embedding_gate": _q_dedup_embedding_gate,
