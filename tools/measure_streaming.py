@@ -35,12 +35,14 @@ BIG = os.environ.get("SPARK_GRAFT_BIG_DIR", "/tmp/sf0.1-10x")
 N_FILES = 8  # staged file count; maxFilesPerTrigger=2 => 4 micro-batches
 
 
-def stage(src_dir: str, dst: str) -> int:
-    """Split documents.parquet into N_FILES row-slices with mtimes in
+def stage(src_dir: str, dst: str, table: str = "documents") -> int:
+    """Split a source table into N_FILES row-slices with mtimes in
     slice order (the file-source admission order contract)."""
-    t = pq.read_table(f"{src_dir}/documents.parquet").select(
-        ["doc_id", "text", "source"]
-    )
+    cols = {
+        "documents": ["doc_id", "text", "source"],
+        "embeddings": ["vec_id", "embedding"],
+    }[table]
+    t = pq.read_table(f"{src_dir}/{table}.parquet").select(cols)
     os.makedirs(dst, exist_ok=True)
     n = t.num_rows
     step = (n + N_FILES - 1) // N_FILES
@@ -56,12 +58,18 @@ def stage(src_dir: str, dst: str) -> int:
 def run_gate(spark, name: str, in_dir: str):
     from flink_helloworld_spark.streaming.tws import (
         streaming_corpus_manifest_tws,
+        streaming_embedding_dedup,
         streaming_lsh_dedup,
         streaming_near_dedup_front,
     )
 
+    schema = (
+        "vec_id long, embedding array<float>"
+        if name == "embedding_dedup"
+        else "doc_id long, text string, source string"
+    )
     raw = (
-        spark.readStream.schema("doc_id long, text string, source string")
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2")
         .parquet(in_dir)
     )
@@ -69,6 +77,7 @@ def run_gate(spark, name: str, in_dir: str):
         "lsh_dedup": lambda: streaming_lsh_dedup(raw),
         "corpus_manifest": lambda: streaming_corpus_manifest_tws(raw),
         "near_dedup_front": lambda: streaming_near_dedup_front(raw, cap=1000),
+        "embedding_dedup": lambda: streaming_embedding_dedup(raw),
     }[name]()
     out_dir = tempfile.mkdtemp(prefix=f"ms-{name}-out-")
     ck = tempfile.mkdtemp(prefix=f"ms-{name}-ck-")
@@ -108,23 +117,29 @@ def run_gate(spark, name: str, in_dir: str):
 def main() -> None:
     from flink_helloworld_spark.session import build_session
 
-    gates = sys.argv[1:] or ["lsh_dedup", "corpus_manifest", "near_dedup_front"]
+    gates = sys.argv[1:] or [
+        "lsh_dedup",
+        "corpus_manifest",
+        "near_dedup_front",
+        "embedding_dedup",
+    ]
     spark = build_session(app_name="fhs-stream-measure")
     for vol, src in (("1x", BASE), ("10x", BIG)):
         if not os.path.exists(f"{src}/documents.parquet"):
             print(f"[skip] {src} missing (build with tools/build_replica.py)")
             continue
-        staged = tempfile.mkdtemp(prefix=f"ms-in-{vol}-")
-        n = stage(src, staged)
         for g in gates:
+            table = "embeddings" if g == "embedding_dedup" else "documents"
+            staged = tempfile.mkdtemp(prefix=f"ms-in-{vol}-{table}-")
+            n = stage(src, staged, table)
             r = run_gate(spark, g, staged)
             print(
-                f"| {g} | {vol} ({n} docs) | {r['rows_per_s']}/s "
+                f"| {g} | {vol} ({n} rows) | {r['rows_per_s']}/s "
                 f"({r['exec_s']}s, {r['n_batches']} batches) | "
                 f"{r['state_rows']} | {r['state_mib']} MiB |",
                 flush=True,
             )
-        shutil.rmtree(staged, ignore_errors=True)
+            shutil.rmtree(staged, ignore_errors=True)
 
 
 if __name__ == "__main__":
