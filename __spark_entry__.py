@@ -1211,6 +1211,17 @@ def _q_multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_mulaw_features(media)
 
 
+def _q_multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL *differential* compressed-audio decode: genuine RIFF/WAVE
+    # IMA-ADPCM payloads (format 0x11) built JVM-side, reconstructed by
+    # the published IMA step/index walk in pure Python — every 4-bit
+    # code depends on the (predictor, step-index) state of ALL previous
+    # samples, so the oracle replays the full walk as a recursive CTE;
+    # the nibble core is pinned bit-exact against audioop.adpcm2lin
+    media = MM.attach_adpcm_binary(load_tables(spark, sf_dir).documents)
+    return MM.decode_adpcm_features(media)
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR (Xie et al. 2023) importance log-weights: hashed-unigram
     # bucket model (1024 rows, broadcast) fit on target-vs-raw, one
@@ -2419,14 +2430,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # After this round no query's newest official row is older than
         # r3. Everything rotated OUT of the gate was re-verified locally
         # this round via tools/check_oracle.py at sf0.01: the final
-        # round-6 sweep checked the FULL registry — 0 failures / 183 —
-        # beside the full pytest run (291 passed, 1 env skip). Rotate
-        # again next round: new queries first, then
-        # oldest-official-row-first.
+        # round-6 full-registry sweep was green (0 failures / 183, then
+        # 0 / 184 re-checked after the late ADPCM addition) beside the
+        # full pytest run (291+ passed, 1 env skip). Rotate again next
+        # round: new queries first, then oldest-official-row-first.
         # --- gate slots (first 50): new r6 queries, then r2, then r3 ---
         "similarity_recall_curve": _q_similarity_recall_curve,
         "dedup_embedding_gate": _q_dedup_embedding_gate,
         "minhash_band_plan": _q_minhash_band_plan,
+        "multimodal_adpcm_decode": _q_multimodal_adpcm_decode,
         "dedup_soft_weights": _q_dedup_soft_weights,
         "split_by_cluster": _q_split_by_cluster,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -3002,6 +3014,63 @@ def _lsh_bucket_sql(planes: int = 8, dims: int = 64) -> str:
         )
         terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _adpcm_sql() -> str:
+    """Oracle for multimodal_adpcm_decode: the IMA reconstruction is a
+    STATEFUL walk (predictor + step index carry across samples), so the
+    replay is a recursive CTE advancing every document one sample per
+    iteration — the streaming-state analog of the chained-CTE iterative
+    trainers. Tables are the published IMA/DVI spec constants."""
+    from flink_helloworld_spark.operators.multimodal import (
+        ADPCM_INDEX,
+        ADPCM_STEPS,
+    )
+
+    steps = "[" + ", ".join(map(str, ADPCM_STEPS)) + "]"
+    idx = "[" + ", ".join(map(str, ADPCM_INDEX)) + "]"
+    return f"""
+        WITH RECURSIVE p AS (
+          SELECT doc_id,
+            CASE length(text) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+            length(text) % 250 + 1 AS nf,
+            text
+          FROM documents),
+        nib AS (
+          SELECT doc_id, i,
+                 ('0x' || substr(substr(repeat(md5(text),
+                    CAST(nf // 32 + 1 AS INT)), 1, nf), i, 1))::BIGINT AS nb
+          FROM (SELECT doc_id, nf, text, unnest(range(1, nf + 1)) AS i
+                FROM p)),
+        walk(doc_id, i, pred, idx, ss) AS (
+          SELECT doc_id, 0, 0, 0, CAST(0 AS BIGINT) FROM p
+          UNION ALL
+          SELECT doc_id, i, pred2, idx2, ss + pred2 * pred2 FROM (
+            SELECT s.doc_id, s.i,
+              greatest(-32768, least(32767,
+                s.pred + CASE WHEN s.nb >= 8 THEN -s.d ELSE s.d END)) AS pred2,
+              greatest(0, least(88,
+                s.idx + ({idx})[(s.nb % 8) + 1])) AS idx2,
+              s.ss AS ss
+            FROM (
+              SELECT w.doc_id, n.i, n.nb, w.pred, w.idx, w.ss,
+                (({steps})[w.idx + 1] // 8)
+                + (n.nb % 2) * (({steps})[w.idx + 1] // 4)
+                + ((n.nb // 2) % 2) * (({steps})[w.idx + 1] // 2)
+                + ((n.nb // 4) % 2) * ({steps})[w.idx + 1] AS d
+              FROM walk w JOIN nib n
+                ON n.doc_id = w.doc_id AND n.i = w.i + 1) s)),
+        fin AS (
+          SELECT w.doc_id, p.rate, p.nf, w.ss
+          FROM walk w JOIN p ON w.doc_id = p.doc_id AND w.i = p.nf)
+        SELECT doc_id, CAST(rate AS INT) AS sample_rate,
+               CAST(nf AS INT) AS n_frames,
+               CAST(nf * 1000 // rate AS INT) AS duration_ms,
+               CAST(floor(sqrt(ss::DOUBLE / nf)) AS INT) AS rms_q,
+               TRUE AS decode_ok
+        FROM fin
+    """
 
 
 def _band_plan_sql(num_hashes: int = 12, threshold: float = 0.5) -> str:
@@ -4998,6 +5067,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_topk": _ivf_sql(),
         "similarity_recall_curve": _recall_curve_sql(sample_mod=2),
         "minhash_band_plan": _band_plan_sql(),
+        "multimodal_adpcm_decode": _adpcm_sql(),
         "dedup_embedding_gate": f"""
             WITH b AS (SELECT vec_id, {_lsh_bucket_sql(8)} AS bucket
                        FROM embeddings)

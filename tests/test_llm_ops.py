@@ -1865,6 +1865,77 @@ def test_mulaw_expansion_matches_published_table_for_all_bytes(spark):
         assert mulaw_expand(b) == _G711_EXPANSION[b]
 
 
+# IMA/DVI ADPCM ground truth: expected int16 reconstructions for a
+# fixed nibble sequence, generated once from CPython's
+# audioop.adpcm2lin (removed in 3.13; same step/index tables and
+# reconstruction formula as the published IMA spec) with nibbles packed
+# high-first as that decoder consumes them.
+_ADPCM_NIBBLES = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+                  15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0,
+                  3, 7, 11, 15, 1, 14, 2, 13]
+_ADPCM_EXPECTED = [0, 1, 4, 8, 15, 27, 47, 88, 82, 66, 41, 10, -28, -84,
+                   -181, -380, -810, -1612, -2816, -4258, -5616, -6497,
+                   -6977, -7122, -5135, -1443, 4092, 10722, 16962, 21014,
+                   23223, 23892, 28152, 32767, 24462, 8282, 15219,
+                   -12110, 6511, -30731]
+
+
+def test_adpcm_core_matches_cpython_reference_vector(spark):
+    from flink_helloworld_spark.operators.multimodal import (
+        adpcm_decode_nibbles,
+    )
+
+    assert adpcm_decode_nibbles(_ADPCM_NIBBLES) == _ADPCM_EXPECTED
+    # clamping paths: sustained max-magnitude codes saturate at int16
+    # bounds instead of wrapping
+    heavy = adpcm_decode_nibbles([7] * 40 + [15] * 40)
+    assert max(heavy) == 32767 and min(heavy) >= -32768
+
+
+def test_adpcm_decode_real_payloads_and_corruption(spark):
+    import hashlib
+    import math
+
+    from flink_helloworld_spark.operators.multimodal import (
+        _decode_adpcm,
+        adpcm_decode_nibbles,
+        attach_adpcm_binary,
+        decode_adpcm_features,
+    )
+
+    texts = ["hello world one", "a", "x" * 251,
+             "longer text with more words here ok"]
+    docs = _docs(spark, texts)
+    media = attach_adpcm_binary(docs)
+    got = {r.doc_id: r for r in decode_adpcm_features(media).collect()}
+    rates = (8000, 16000, 22050, 44100)
+    for i, t in enumerate(texts):
+        nf = len(t) % 250 + 1
+        rate = rates[len(t) % 4]
+        stream = (hashlib.md5(t.encode()).hexdigest() * (nf // 32 + 1))[:nf]
+        samples = adpcm_decode_nibbles([int(c, 16) for c in stream])
+        rms = int(math.floor(math.sqrt(sum(v * v for v in samples) / nf)))
+        r = got[i]
+        assert r.decode_ok
+        assert (r.sample_rate, r.n_frames, r.duration_ms, r.rms_q) == (
+            rate, nf, nf * 1000 // rate, rms,
+        )
+    # sequential parity of the distributed path against _decode_adpcm
+    for row in media.collect():
+        r = got[row.doc_id]
+        ref = _decode_adpcm(bytes(row.payload))
+        assert (r.sample_rate, r.n_frames, r.duration_ms, r.rms_q) == ref
+    # corruption contract: truncated data chunk and non-RIFF both refuse
+    p = bytes(media.collect()[0].payload)
+    bad = spark.createDataFrame(
+        [(90, p[:30]), (91, b"not riff at all" * 3)],
+        "doc_id long, payload binary",
+    )
+    assert all(
+        not r.decode_ok for r in decode_adpcm_features(bad).collect()
+    )
+
+
 def test_mulaw_decode_real_payloads_and_corruption(spark):
     from flink_helloworld_spark.operators.multimodal import (
         _decode_mulaw,
