@@ -2432,7 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this round via tools/check_oracle.py at sf0.01: the final
         # round-6 full-registry sweep was green (0 failures / 183, then
         # 0 / 184 re-checked after the late ADPCM addition) beside the
-        # full pytest run (291+ passed, 1 env skip). Rotate again next
+        # full pytest run (293 passed, 1 env skip). Rotate again next
         # round: new queries first, then oldest-official-row-first.
         # --- gate slots (first 50): new r6 queries, then r2, then r3 ---
         "similarity_recall_curve": _q_similarity_recall_curve,
