@@ -919,6 +919,14 @@ def _q_similarity_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _q_similarity_ivfk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF with a Lloyd-refined coarse quantizer (the production index
+    # build): same probe/scan contract as similarity_ivf_topk, centroids
+    # from clustering.kmeans_centroids — measured recall gain at equal
+    # n_probe on the planted mixture (SCALE_NOTES r6)
+    return S.ivfk_cosine_topk(load_tables(spark, sf_dir).embeddings, k=5)
+
+
 def _q_similarity_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # knob-sweep recall/cost curve on PLANTED clusterable embeddings
     # (VERDICT r5 item 2): IVF n_probe 1/2/4/8 and LSH planes 4/6/8 vs
@@ -2430,8 +2438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # After this round no query's newest official row is older than
         # r3. Everything rotated OUT of the gate was re-verified locally
         # this round via tools/check_oracle.py at sf0.01: the final
-        # round-6 full-registry sweep was green (0 failures / 183, then
-        # 0 / 184 re-checked after the late ADPCM addition) beside the
+        # round-6 full-registry sweep was green (0 failures / 185 at the
+        # final registry size, re-run after every late addition) beside the
         # full pytest run (293 passed, 1 env skip). Rotate again next
         # round: new queries first, then oldest-official-row-first.
         # --- gate slots (first 50): new r6 queries, then r2, then r3 ---
@@ -2439,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_gate": _q_dedup_embedding_gate,
         "minhash_band_plan": _q_minhash_band_plan,
         "multimodal_adpcm_decode": _q_multimodal_adpcm_decode,
+        "similarity_ivfk_topk": _q_similarity_ivfk_topk,
         "dedup_soft_weights": _q_dedup_soft_weights,
         "split_by_cluster": _q_split_by_cluster,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -3125,23 +3134,11 @@ def _band_plan_sql(num_hashes: int = 12, threshold: float = 0.5) -> str:
     """
 
 
-def _ivf_sql(n_probe: int = 2, source: str = "embeddings", k: int = 5) -> str:
-    """Replicates similarity.ivf_cosine_topk: md5-rank centroid seeds,
-    auto cell count GREATEST(16, ⌈N/64⌉), rounded-cosine assignment with
-    id tiebreaks, n_probe nearest cells probed. Parameterized over the
-    source relation and n_probe so the recall-curve oracle sweeps the
-    SAME definition the standalone similarity_ivf_topk row is graded
-    on."""
-    return f"""
-            WITH v AS (SELECT vec_id AS id, embedding AS vec FROM {source}),
-            h AS (SELECT id, vec,
-                    ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS _h
-                  FROM v),
-            cent AS (
-              SELECT id AS centroid_id, vec AS cvec FROM (
-                SELECT *, row_number() OVER (ORDER BY _h, id) AS _rn FROM h)
-              WHERE _rn <= (SELECT GREATEST(16, CEIL(COUNT(*) / 64.0)::BIGINT) FROM v)),
-            scored AS (
+def _ivf_scoring_tail(n_probe: int = 2, k: int = 5) -> str:
+    """The probe + per-cell scoring CTE chain shared by every IVF
+    oracle (seed centroids and k-means-refined): expects ``v(id, vec)``
+    and ``cent(centroid_id, cvec)`` to be defined upstream."""
+    return f"""scored AS (
               SELECT v.id, v.vec, c.centroid_id,
                      round({_dot_sql("v.vec", "c.cvec")}
                        / nullif(sqrt({_dot_sql("v.vec", "v.vec")})
@@ -3167,6 +3164,38 @@ def _ivf_sql(n_probe: int = 2, source: str = "embeddings", k: int = 5) -> str:
               FROM pairs)
             WHERE rank <= {k}
         """
+
+
+def _ivfk_sql(n_probe: int = 2, n_iter: int = 2, k: int = 5) -> str:
+    """Replicates similarity.ivfk_cosine_topk: the embedding_kmeans
+    chained-CTE refinement (`_kmeans_ctes`, auto cell count as a scalar
+    subquery) supplies the centroid table; the probe/scan tail is the
+    flat-IVF oracle verbatim — both halves reuse SQL that already gates
+    a standalone query."""
+    k_expr = "(SELECT GREATEST(16, CEIL(COUNT(*) / 64.0)::BIGINT) FROM v)"
+    return f"""
+            WITH {_kmeans_ctes(k_expr, n_iter)},
+            cent AS (SELECT cid AS centroid_id, cvec FROM cent{n_iter}),
+            {_ivf_scoring_tail(n_probe, k)}"""
+
+
+def _ivf_sql(n_probe: int = 2, source: str = "embeddings", k: int = 5) -> str:
+    """Replicates similarity.ivf_cosine_topk: md5-rank centroid seeds,
+    auto cell count GREATEST(16, ⌈N/64⌉), rounded-cosine assignment with
+    id tiebreaks, n_probe nearest cells probed. Parameterized over the
+    source relation and n_probe so the recall-curve oracle sweeps the
+    SAME definition the standalone similarity_ivf_topk row is graded
+    on."""
+    return f"""
+            WITH v AS (SELECT vec_id AS id, embedding AS vec FROM {source}),
+            h AS (SELECT id, vec,
+                    ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS _h
+                  FROM v),
+            cent AS (
+              SELECT id AS centroid_id, vec AS cvec FROM (
+                SELECT *, row_number() OVER (ORDER BY _h, id) AS _rn FROM h)
+              WHERE _rn <= (SELECT GREATEST(16, CEIL(COUNT(*) / 64.0)::BIGINT) FROM v)),
+            {_ivf_scoring_tail(n_probe, k)}"""
 
 
 def _planted_cte(sample_mod: int | None = None) -> str:
@@ -5068,6 +5097,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_recall_curve": _recall_curve_sql(sample_mod=2),
         "minhash_band_plan": _band_plan_sql(),
         "multimodal_adpcm_decode": _adpcm_sql(),
+        "similarity_ivfk_topk": _ivfk_sql(),
         "dedup_embedding_gate": f"""
             WITH b AS (SELECT vec_id, {_lsh_bucket_sql(8)} AS bucket
                        FROM embeddings)

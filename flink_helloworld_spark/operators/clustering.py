@@ -122,6 +122,30 @@ def kmeans_assign(
     from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
 
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cent = kmeans_centroids(emb, k, n_iter, id_col=id_col, vec_col=vec_col)
+    return _kmeans_assign_blas(v, cent, k, with_dist=True).select(
+        F.col("id").alias(id_col),
+        F.col("cid").alias("cluster_id"),
+        "sq_dist",
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The Lloyd refinement loop of ``kmeans_assign``, factored so other
+    index builders (IVF's coarse quantizer) can consume the FINAL
+    centroid table ``(cid, cvec)`` directly. Seeds are the md5-rank
+    sample (seed 'km:'); each iteration is one BLAS assignment (packed-
+    min contract) + id-sorted sequential-fold means, exactly the
+    construction the chained-CTE oracle (`_kmeans_ctes`) replays."""
+    from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
+
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     cent = seed_topk(
         v.withColumn(
             "_h", md5_prefix_long(F.concat(F.lit("km:"), F.col("id").cast("string")))
@@ -129,14 +153,11 @@ def kmeans_assign(
         k,
     ).select((F.col("_rn") - 1).alias("cid"), F.col("vec").alias("cvec"))
 
-    def assign(cent_df: DataFrame) -> DataFrame:
+    for _ in range(n_iter):
         # BLAS step under the identical packed-min contract (collecting
         # the ≤k centroid rows is this iteration's sync point — Lloyd is
         # inherently iterative; the chained-CTE oracle replays the math)
-        return _kmeans_assign_blas(v, cent_df, k)
-
-    for _ in range(n_iter):
-        assigned = assign(cent)
+        assigned = _kmeans_assign_blas(v, cent, k)
         comp = assigned.select("cid", "id", F.posexplode("vec").alias("pos", "val"))
         means = (
             comp.groupBy("cid", "pos")
@@ -155,12 +176,7 @@ def kmeans_assign(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
             ).alias("cvec")
         )
-
-    return _kmeans_assign_blas(v, cent, k, with_dist=True).select(
-        F.col("id").alias(id_col),
-        F.col("cid").alias("cluster_id"),
-        "sq_dist",
-    )
+    return cent
 
 
 def _auto_clusters(emb: DataFrame) -> int:

@@ -624,6 +624,29 @@ def ivf_cosine_topk(
     cent = seed_topk(
         v.withColumn("_h", md5_prefix_long(F.col("id").cast("string"))), n_centroids
     ).select(F.col("id").alias("centroid_id"), F.col("vec").alias("cvec"))
+    return _ivf_scan(v, cent, k, n_probe, round_dp)
+
+
+def _ivf_scan(
+    v: DataFrame, cent: DataFrame, k: int, n_probe: int, round_dp: int = 6
+) -> DataFrame:
+    """The IVF probe + per-cell BLAS scan shared by every coarse
+    quantizer (md5-seed `ivf_cosine_topk`, k-means-refined
+    `ivfk_cosine_topk`): rounded-cosine assignment (`_assign_cells_blas`)
+    feeds both cell membership (_crn == 1) and probing (_crn <= n_probe),
+    persisted once; each cell scores as one Arrow/BLAS matrix product."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ._cache import share
+
     # assignment feeds BOTH roles of the per-cell scan — persist it once
     ranked = share(
         _assign_cells_blas(v, cent, n_probe, round_dp).join(v, on="id")
@@ -666,6 +689,44 @@ def ivf_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def ivfk_cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int | None = None,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with a LLOYD-REFINED coarse quantizer: identical probe/scan
+    contract to ``ivf_cosine_topk`` but the centroid table is the final
+    output of ``clustering.kmeans_centroids`` (the same seeds, then
+    ``n_iter`` Lloyd steps) instead of the raw md5-rank sample — the
+    production index-build: on clustered data, refined centroids drift
+    toward the cluster cores, so fewer boundary vectors flip cells and
+    recall rises at EQUAL n_probe. Measured on the planted mixture
+    (SCALE_NOTES r6): 0.733 → 0.748 @ n_probe=1 and 0.926 → 0.951 @
+    n_probe=2 with the default 2 Lloyd steps (plateaus ~0.757/0.953 by
+    8 steps — the remaining misses come from the cell-size rule putting
+    ~2.5 cells on every true cluster, which refinement cannot undo;
+    n_probe is the dial for those).
+
+    Oracle: `_kmeans_ctes` (the embedding_kmeans replay) feeds the IVF
+    scoring CTEs — both halves reuse oracles that already gate their
+    standalone queries. Scale shape: the refinement adds n_iter bounded
+    centroid collects (Lloyd's inherent sync points, dim-sized rows);
+    probe + scan are `_ivf_scan`, unchanged."""
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if n_centroids is None:
+        n_centroids = _auto_centroids(emb)
+    from flink_helloworld_spark.operators.clustering import kmeans_centroids
+
+    cent = kmeans_centroids(
+        emb, n_centroids, n_iter, id_col=id_col, vec_col=vec_col
+    ).select(F.col("cid").alias("centroid_id"), F.col("cvec"))
+    return _ivf_scan(v, cent, k, n_probe)
 
 
 def _pq_codes_dtab_blas(

@@ -414,6 +414,33 @@ def test_ann_recall_curve_fused_arms_match_standalone(spark):
         assert row.n_hits == len(stand & exact)
 
 
+def test_ivfk_refinement_buys_recall_on_planted_data(spark):
+    """The Lloyd-refined coarse quantizer must (a) keep the IVF output
+    contract (ranks contiguous, deterministic) and (b) beat-or-match
+    the raw md5-seed quantizer's recall at EQUAL n_probe on clustered
+    data — the reason a production index build refines at all."""
+    emb = _ids_only_emb(spark, 192)
+    planted = S.planted_embeddings(emb).select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_exact_sharded(planted, k=5).collect()
+    }
+    rows = S.ivfk_cosine_topk(planted, k=5, n_probe=2).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+    again = S.ivfk_cosine_topk(planted, k=5, n_probe=2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    ivfk = {(r.query_id, r.neighbor_id) for r in rows}
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_cosine_topk(planted, k=5, n_probe=2).collect()
+    }
+    assert len(ivfk & exact) >= len(ivf & exact)
+
+
 def test_ann_recall_curve_rises_on_structured_data(spark):
     """On planted (clusterable) data the curve must be informative:
     IVF recall non-decreasing in n_probe and near-perfect at the
