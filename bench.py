@@ -222,6 +222,10 @@ def main() -> None:
     if prev:
         for name, sec in timings.items():
             p = prev.get(name)
+            if isinstance(p, dict) and "err" in p:
+                # a previously-FAILED query's 'sec' is time-to-failure —
+                # meaningless as a regression baseline; skip it
+                continue
             p_med = (
                 p.get("median", p.get("sec")) if isinstance(p, dict) else p
             )

@@ -117,10 +117,6 @@ def kmeans_assign(
     that captures no points in some iteration simply disappears (both
     engines drop it in the group-by), exactly like textbook Lloyd.
     """
-    from pyspark.sql import Window
-
-    from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
-
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     cent = kmeans_centroids(emb, k, n_iter, id_col=id_col, vec_col=vec_col)
     return _kmeans_assign_blas(v, cent, k, with_dist=True).select(

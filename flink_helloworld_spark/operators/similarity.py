@@ -472,6 +472,11 @@ def embedding_first_arrival(
     Returns ``(vec_id, bucket, kept)`` for EVERY input vector — a
     drop-in admission verdict for an embedding ingest.
 
+    Twin-parity precondition: this batch form keeps the LOWEST id per
+    bucket; the streaming twin keeps the FIRST ARRIVAL — identical
+    verdicts only when ids are monotone in arrival order (the in-order
+    contract the parity tests replay).
+
     Scale shape: one projection (the bucket is pure column arithmetic),
     one bucket-keyed min — a single map-side-combinable hash aggregate;
     nothing quadratic, nothing Python. The streaming twin holds one

@@ -1101,6 +1101,14 @@ def streaming_embedding_dedup(
     key per vector (unlike MinHash bands), so there is no re-key seam
     and no verdict stage. Emits ``(vec_id, bucket, kept)`` per arrival.
 
+    Batch-parity precondition: this gate keeps the FIRST ARRIVAL per
+    bucket, while the batch twin keeps the LOWEST ``vec_id`` — the
+    pinned doc-for-doc parity therefore holds only when ids are
+    MONOTONE in arrival order (the in-order contract every streaming
+    gate here runs under, and what the parity tests replay). Under
+    out-of-order arrival the verdicts converge per-bucket to the
+    earliest-seen claimant, which may differ from the batch verdict.
+
     Scale contract: the bucket is computed in the STATELESS projection,
     so the embedding array never crosses the exchange — the stateful
     shuffle carries (long, long) rows. State: one long per bucket ever
