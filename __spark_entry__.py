@@ -979,6 +979,25 @@ def _q_dedup_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_embedding_gate_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # banded (OR-construction) embedding gate: kept iff lowest-id
+    # arrival on EVERY of 4 independent hyperplane bands — removes the
+    # single-band gate's 2^planes admission ceiling (VERDICT r6 item 1);
+    # streaming twin streaming_embedding_dedup_banded (parity-pinned)
+    return S.embedding_first_arrival_banded(
+        load_tables(spark, sf_dir).embeddings, planes=8, bands=4
+    )
+
+
+def _q_embedding_gate_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bands × planes recall / false-collision sweep for the banded gate
+    # on the planted 16-cluster mixture — fused over ONE incidence table
+    # (planes arms mask bucket bits, bands arms prefix the band list)
+    return S.embedding_gate_recall_curve(
+        load_tables(spark, sf_dir).embeddings, sample_mod=2
+    )
+
+
 def _q_similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int8 scalar quantization (FAISS SQ8): per-dim min/max codes, 4x
     # memory cut; asymmetric top-k (full-precision query sample vs the
@@ -2443,6 +2462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full pytest run (293 passed, 1 env skip). Rotate again next
         # round: new queries first, then oldest-official-row-first.
         # --- gate slots (first 50): new r6 queries, then r2, then r3 ---
+        "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
+        "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_recall_curve": _q_similarity_recall_curve,
         "dedup_embedding_gate": _q_dedup_embedding_gate,
         "minhash_band_plan": _q_minhash_band_plan,
@@ -3005,15 +3026,17 @@ def _waybill_gen_ctes(n: int) -> str:
         seq FROM seqs)"""
 
 
-def _lsh_bucket_sql(planes: int = 8, dims: int = 64) -> str:
+def _lsh_bucket_sql(planes: int = 8, dims: int = 64, seed: str = "") -> str:
     """Replicates similarity.hyperplane_bucket: ±1 sign patterns derived
-    from md5, projections summed index-ascending."""
+    from md5 of '{seed}p:d', projections summed index-ascending."""
     import hashlib
 
     terms = []
     for p in range(planes):
         signs = [
-            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            1.0
+            if int(hashlib.md5(f"{seed}{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
             for d in range(dims)
         ]
         arr = "[" + ", ".join(str(s) for s in signs) + "]"
@@ -3276,6 +3299,109 @@ def _recall_curve_sql(
         SELECT variant, knob, n_hits, n_ann, n_exact,
                n_hits::DOUBLE / nullif(n_exact::DOUBLE, 0.0) AS recall
         FROM hits CROSS JOIN tot
+    """
+
+
+def _band_incidence_sql(
+    planes: int, bands: int, source: str = "embeddings"
+) -> str:
+    """The (vec_id, band_id, bucket) incidence CTE body of
+    similarity.embedding_band_incidence: band b's hyperplane set is the
+    md5-rotated seed f'{b}~'."""
+    return "\n          UNION ALL\n          ".join(
+        f"SELECT vec_id, CAST({b} AS INT) AS band_id,"
+        f" {_lsh_bucket_sql(planes, seed=f'{b}~')} AS bucket FROM {source}"
+        for b in range(bands)
+    )
+
+
+def _banded_gate_sql(planes: int = 8, bands: int = 4) -> str:
+    """Oracle for dedup_embedding_gate_banded: per-(band, bucket) min
+    claim, kept iff first on EVERY band — the vector-side
+    lsh_first_arrival shape."""
+    return f"""
+        WITH inc AS MATERIALIZED (
+          {_band_incidence_sql(planes, bands)}),
+        f AS (SELECT band_id, bucket, min(vec_id) AS first_id
+              FROM inc GROUP BY band_id, bucket)
+        SELECT i.vec_id,
+               CAST(count(*) AS INT) AS n_bands,
+               CAST(sum(CASE WHEN i.vec_id = f.first_id THEN 1 ELSE 0 END)
+                    AS INT) AS n_first,
+               count(*) = sum(CASE WHEN i.vec_id = f.first_id
+                                   THEN 1 ELSE 0 END) AS kept
+        FROM inc i JOIN f USING (band_id, bucket)
+        GROUP BY i.vec_id
+    """
+
+
+def _gate_recall_curve_sql(
+    bands_sweep: tuple[int, ...] = (1, 2, 4, 8),
+    planes_sweep: tuple[int, ...] = (6, 8, 10),
+    n_clusters: int = 16,
+    sample_mod: int | None = None,
+) -> str:
+    """Oracle for embedding_gate_recall_curve: ONE incidence CTE at
+    (max bands, max planes); every planes arm masks the bucket to its
+    low bits, every bands arm restricts to band_id < k — the same fused
+    sweep as the Spark operator, replayed as plain SQL."""
+    max_b, max_p = max(bands_sweep), max(planes_sweep)
+    planted = _planted_cte(sample_mod)
+    inc = _band_incidence_sql(max_p, max_b, source="planted")
+    kb = ", ".join(f"({k})" for k in bands_sweep)
+    drop_case = " ".join(
+        f"WHEN {k} THEN drop_{k}" for k in bands_sweep
+    )
+    arms = []
+    for p in planes_sweep:
+        drops = ",\n                 ".join(
+            f"max(CASE WHEN band_id < {k} AND NOT is_first THEN 1 ELSE 0 END)"
+            f" AS drop_{k}"
+            for k in bands_sweep
+        )
+        arms.append(f"""
+          SELECT s.bands, CAST({p} AS INT) AS planes,
+                 count(*) AS n_vectors,
+                 CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true_dup,
+                 CAST(sum(CASE WHEN _di = 1 AND is_dup THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dropped_dup,
+                 CAST(sum(CASE WHEN _di = 1 AND NOT is_dup THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dropped_first
+          FROM (
+            SELECT pv.vec_id, t.is_dup, kb.bands,
+                   CASE kb.bands {drop_case} END AS _di
+            FROM (
+              SELECT vec_id,
+                 {drops}
+              FROM (SELECT vec_id, band_id,
+                      vec_id = min(vec_id) OVER (
+                        PARTITION BY band_id, bucket % {2 ** p}) AS is_first
+                    FROM inc)
+              GROUP BY vec_id) pv
+            JOIN truth t USING (vec_id)
+            CROSS JOIN (VALUES {kb}) AS kb(bands)
+          ) s
+          GROUP BY s.bands""")
+    body = "\n          UNION ALL\n          ".join(arms)
+    return f"""
+        WITH {planted},
+        truth AS (SELECT vec_id,
+                    vec_id > min(vec_id) OVER (
+                      PARTITION BY vec_id % {n_clusters}) AS is_dup
+                  FROM planted),
+        inc AS MATERIALIZED (
+          {inc}),
+        raw AS (
+          {body})
+        SELECT CAST(bands AS INT) AS bands, planes, n_vectors, n_true_dup,
+               n_dropped_dup, n_dropped_first,
+               n_dropped_dup::DOUBLE
+                 / nullif(n_true_dup::DOUBLE, 0.0) AS recall,
+               n_dropped_first::DOUBLE
+                 / nullif((n_vectors - n_true_dup)::DOUBLE, 0.0)
+                 AS false_collision_rate
+        FROM raw
     """
 
 
@@ -5098,6 +5224,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_plan": _band_plan_sql(),
         "multimodal_adpcm_decode": _adpcm_sql(),
         "similarity_ivfk_topk": _ivfk_sql(),
+        "dedup_embedding_gate_banded": _banded_gate_sql(planes=8, bands=4),
+        "embedding_gate_recall_curve": _gate_recall_curve_sql(sample_mod=2),
         "dedup_embedding_gate": f"""
             WITH b AS (SELECT vec_id, {_lsh_bucket_sql(8)} AS bucket
                        FROM embeddings)

@@ -214,28 +214,17 @@ def main() -> None:
         sum(t if isinstance(t, float) else t["sec"] for t in timings.values()),
         3,
     )
-    # regression flagging vs the previous round's committed local record
-    # (median-to-median once both sides carry medians; the r5 file holds
-    # one-shot values, which is the best available reference this once)
-    regressions: dict[str, list[float]] = {}
-    prev = _load_prev_local()
-    if prev:
-        for name, sec in timings.items():
-            p = prev.get(name)
-            if isinstance(p, dict) and "err" in p:
-                # a previously-FAILED query's 'sec' is time-to-failure —
-                # meaningless as a regression baseline; skip it
-                continue
-            p_med = (
-                p.get("median", p.get("sec")) if isinstance(p, dict) else p
-            )
-            if (
-                isinstance(sec, float)
-                and isinstance(p_med, (int, float))
-                and p_med > 0.2  # sub-200ms entries are pure noise
-                and sec / p_med > 1.3
-            ):
-                regressions[name] = [p_med, sec]
+    # regression flagging vs the previous round's committed local record,
+    # CANARY-NORMALIZED on both sides (VERDICT r6 item 2): raw medians
+    # flagged 17 false positives in round 6, all session aging. Both
+    # records carry their own canary series + run positions, so each
+    # side's median is deflated by its local aging factor before the
+    # 1.3x comparison. (r5's file holds one-shot values; r6+ records are
+    # medians, so every comparison from r7 on is median-to-median.)
+    positions = {name: i for i, name in enumerate(run_order)}
+    regressions = _flag_regressions(
+        timings, positions, canary, _load_prev_record()
+    )
     payload = {
         "metric": "headline_queries_total",
         "value": total,
@@ -284,9 +273,10 @@ def _next_round(here: str) -> int:
     return (max(rounds) + 1) if rounds else 0
 
 
-def _load_prev_local() -> dict:
-    """Per-query timings of the newest committed bench_local_r*.json:
-    {name: sec | {"median": ..}} — the regression reference."""
+def _load_prev_record() -> dict:
+    """The FULL newest committed bench_local_r*.json record — the
+    regression reference: per-query timings under 'detail'/'queries'
+    (each in run order) plus its own 'aging_canary' series."""
     import glob
     import re
 
@@ -303,8 +293,68 @@ def _load_prev_local() -> dict:
             rec = json.load(f)
     except (OSError, ValueError):
         return {}
-    det = rec.get("detail")
-    return det if isinstance(det, dict) else rec.get("queries", {})
+    return rec if isinstance(rec, dict) else {}
+
+
+def _canary_factor(pos: int, canary: list) -> float:
+    """Session-aging multiplier at run position ``pos``: the POST-WARMUP
+    canary tick nearest to pos, divided by the canary's steady-state
+    value (median of post-warmup ticks). The position-0 tick is excluded
+    twice over — it carries first-query codegen cost that applies to no
+    other query. Clamped at >= 1.0 so normalization can only EXCUSE
+    aging inflation, never mask a real regression; 1.0 when the series
+    is too short to establish a steady state."""
+    import statistics
+
+    ticks = [c for c in canary[1:] if isinstance(c, (list, tuple)) and len(c) == 2]
+    if len(ticks) < 2:
+        return 1.0
+    steady = statistics.median(c for _, c in ticks)
+    if steady <= 0:
+        return 1.0
+    nearest = min(ticks, key=lambda pc: abs(pc[0] - pos))
+    ratio = nearest[1] / steady
+    # dead-band: tick-to-tick jitter of a healthy session is a few
+    # percent; only a >=15% elevation is an AGING signal worth
+    # normalizing by (below that, normalize-by-noise would perturb
+    # every comparison)
+    return ratio if ratio >= 1.15 else 1.0
+
+
+def _flag_regressions(
+    timings: dict,
+    positions: dict,
+    canary: list,
+    prev_rec: dict,
+    threshold: float = 1.3,
+) -> dict:
+    """Canary-normalized regression list: {name: [prev_median, cur_median,
+    normalized_ratio]} for every query whose aging-deflated median exceeds
+    ``threshold`` x the previous record's aging-deflated median. Skips
+    queries whose previous entry was a failure (its 'sec' is
+    time-to-failure) and sub-200ms baselines (pure noise)."""
+    prev_det = prev_rec.get("detail")
+    if not isinstance(prev_det, dict):
+        prev_det = prev_rec.get("queries", {})
+    if not prev_det:
+        return {}
+    prev_canary = prev_rec.get("aging_canary") or []
+    prev_pos = {name: i for i, name in enumerate(prev_det)}
+    out: dict = {}
+    for name, sec in timings.items():
+        p = prev_det.get(name)
+        if isinstance(p, dict) and "err" in p:
+            continue
+        p_med = p.get("median", p.get("sec")) if isinstance(p, dict) else p
+        if not (isinstance(sec, float) and isinstance(p_med, (int, float))):
+            continue
+        if p_med <= 0.2:
+            continue
+        cur_n = sec / _canary_factor(positions.get(name, 0), canary)
+        prev_n = p_med / _canary_factor(prev_pos.get(name, 0), prev_canary)
+        if prev_n > 0 and cur_n / prev_n > threshold:
+            out[name] = [p_med, sec, round(cur_n / prev_n, 2)]
+    return out
 
 
 if __name__ == "__main__":

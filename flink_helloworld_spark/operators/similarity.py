@@ -361,26 +361,39 @@ def cosine_topk_vectorized_sharded(
     return v.groupBy("bucket").applyInPandas(per_bucket, schema)
 
 
-def hyperplane_bucket(vec: Column, planes: int = 8, dims: int = 64) -> Column:
+def hyperplane_bucket(
+    vec: Column, planes: int = 8, dims: int = 64, seed: str = ""
+) -> Column:
     """Random-hyperplane LSH bucket id for a vector.
 
     Plane p's component d is a deterministic ±1 derived from one md5 hex
-    char of ('p:d') — a reproducible signed random projection. Bucket id
-    = the `planes` sign bits packed into an int. Cosine-similar vectors
-    agree on most sign bits, so near neighbors collide.
+    char of ('{seed}p:d') — a reproducible signed random projection.
+    Bucket id = the `planes` sign bits packed into an int. Cosine-similar
+    vectors agree on most sign bits, so near neighbors collide.
+
+    ``seed`` rotates the whole plane set (the banded gate derives band
+    b's planes with seed ``f"{b}~"``); the default empty seed is the
+    original single-band plane family. Because plane p's signs depend
+    only on (seed, p, d) — not on ``planes`` — a bucket at fewer planes
+    is the same bucket masked to its low bits:
+    ``bucket(planes=q) == bucket(planes=p) % 2**q`` for q <= p, which is
+    what lets the recall sweep share one incidence table across arms.
     """
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        # ±1 pattern for this plane, one literal array per plane
+        # ±1 pattern for this plane, one literal array per plane —
+        # built as ONE expr string: a tree of 64 F.lit Columns costs
+        # ~64 py4j round-trips per plane, which dominated DataFrame
+        # BUILD time (4.9s for the 80-plane banded incidence)
         signs = [
-            1 if int(_md5_hexchar(f"{p}:{d}"), 16) % 2 == 0 else -1 for d in range(dims)
+            1 if int(_md5_hexchar(f"{seed}{p}:{d}"), 16) % 2 == 0 else -1
+            for d in range(dims)
         ]
+        arr = F.expr(
+            "array(" + ",".join(f"{float(s)!r}D" for s in signs) + ")"
+        )
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(s)) for s in signs]),
-                lambda x, s: x.cast("double") * s,
-            ),
+            F.zip_with(vec, arr, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -492,6 +505,266 @@ def embedding_first_arrival(
         id_col,
         "bucket",
         (F.col(id_col) == F.min(id_col).over(w)).alias("kept"),
+    )
+
+
+def embedding_band_incidence(
+    emb: DataFrame,
+    planes: int = 8,
+    bands: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The (vector, band, bucket) incidence table shared by the banded
+    gate and its recall sweep: band b's bucket is ``hyperplane_bucket``
+    under the md5-rotated seed ``f"{b}~"``, so the ``bands`` plane sets
+    are independent. All buckets are computed in ONE stateless
+    projection and the embedding array never survives it — the exploded
+    rows are (long, int, long)."""
+    return (
+        emb.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).cast("int").alias("band_id"),
+                            hyperplane_bucket(
+                                F.col(vec_col), planes, dims, seed=f"{b}~"
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(
+            id_col,
+            F.col("bb.band_id").alias("band_id"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+
+
+def embedding_first_arrival_banded(
+    emb: DataFrame,
+    planes: int = 8,
+    bands: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded (OR-construction) embedding ingest gate — the vector-side
+    analog of ``dedup.lsh_first_arrival`` and the fix for the
+    single-band gate's corpus-scale ceiling (VERDICT r6 item 1): one
+    8-plane band has 2^8 = 256 buckets TOTAL, so at most 256 vectors are
+    ever admitted and the false-collision rate approaches 1 on a diverse
+    corpus. Here each vector claims a bucket in ``bands`` INDEPENDENT
+    md5-rotated plane sets and is kept iff it is the lowest-id arrival
+    on EVERY band — i.e. dropped iff ANY band collides with an earlier
+    claim. Recall (true near-dups dropped) rises with ``bands`` at fixed
+    ``planes``, while each band's false-collision probability stays
+    ``planes``-controlled and a FALSE drop now needs the colliding pair
+    to agree on all ``planes`` sign bits in SOME band — measured on the
+    planted mixture by ``embedding_gate_recall_curve``.
+
+    The dials, honestly: admissions are still capped at 2^planes
+    (kept ⇒ first on band 0 ⇒ distinct band-0 buckets), so ``planes``
+    is the CAPACITY + precision dial and ``bands`` the recall dial —
+    the classic OR-of-AND S-curve. At corpus scale run planes 16–24
+    (2^20 ≈ 1M buckets/band, false-collision → 0), where a SINGLE
+    band's recall collapses (measured 0.468 at planes=20), and restore
+    it with bands (0.925 at 4 bands, 0.978 at 8 — SCALE_NOTES r7).
+    State stays ∝ bands × distinct-content claims: only CLAIMED buckets
+    hold a long, never 2^planes preallocated.
+
+    Output: ``(vec_id, n_bands, n_first, kept)`` for every input vector
+    (``n_bands`` is always ``bands`` — kept for schema parity with the
+    text gate, whose short-doc rows have fewer).
+
+    Twin-parity precondition: keeps the LOWEST id per (band, bucket);
+    the streaming twin (``streaming/tws.py:
+    streaming_embedding_dedup_banded``) keeps the FIRST ARRIVAL —
+    identical verdicts only under id-monotone arrival (the in-order
+    contract the parity tests replay).
+
+    Scale shape: ONE stateless projection computes all band buckets (the
+    embedding never leaves its scan partition); the exchange carries
+    |V|×bands (long, int, long) rows; firsts is a map-side-combinable
+    min per (band, bucket); the verdict is one more agg keyed by id.
+    Nothing quadratic, nothing Python. The streaming twin holds one long
+    of state per (band, bucket) ever claimed — state rows ≈ bands ×
+    distinct-content claims.
+
+    Reference semantics anchor: the keyed first-wins state pattern of
+    StateTest.java, composed per-band like the dedup stage of the
+    pretrain pipeline.
+    """
+    from flink_helloworld_spark.operators._cache import share
+
+    # share(): the incidence feeds BOTH the per-bucket min and the
+    # verdict join — without it the bands × planes projection runs twice
+    inc = share(
+        embedding_band_incidence(emb, planes, bands, dims, id_col, vec_col)
+    )
+    firsts = inc.groupBy("band_id", "bucket").agg(
+        F.min(id_col).alias("first_id")
+    )
+    return (
+        inc.join(firsts, ["band_id", "bucket"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bands"),
+            F.sum((F.col(id_col) == F.col("first_id")).cast("int"))
+            .cast("int")
+            .alias("n_first"),
+        )
+        .select(
+            id_col,
+            "n_bands",
+            "n_first",
+            (F.col("n_bands") == F.col("n_first")).alias("kept"),
+        )
+    )
+
+
+def embedding_gate_recall_curve(
+    emb: DataFrame,
+    bands_sweep: tuple[int, ...] = (1, 2, 4, 8),
+    planes_sweep: tuple[int, ...] = (6, 8, 10),
+    n_clusters: int = 16,
+    dims: int = 64,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall / false-collision sweep for the banded embedding gate on
+    the PLANTED 16-cluster mixture — one row per (bands, planes) arm.
+
+    Ground truth: a vector is a TRUE near-dup iff a lower-id vector
+    exists in its planted cluster (the ideal gate admits exactly one
+    vector per cluster). Per arm:
+      recall               = dropped true-dups / true-dups
+      false_collision_rate = dropped cluster-firsts / cluster-firsts
+    Recall must RISE with bands at fixed planes (OR-construction) and
+    false collisions must FALL as planes grow (longer AND within a
+    band) — a flat curve means the gate is broken, not that the data is
+    unclusterable (same contract as ``ann_recall_curve``).
+
+    FUSED sweep: because plane p's signs depend only on (band, p, d),
+    a bucket at q < p planes is the p-plane bucket masked to its low q
+    bits, and a bands=k arm uses the first k bands — so ONE incidence
+    table at (max bands, max planes) serves every arm. Per planes arm:
+    one map-side-combinable firsts agg + one stack-unpivoted verdict
+    agg; bands arms are column expressions, not passes. Sweep cost ≈
+    len(planes_sweep) aggregations over |V| × max(bands) long rows,
+    vs bands×planes full gate runs naively.
+
+    ``sample_mod`` is the 100 TB operating mode: the curve runs on the
+    deterministic corpus sample ``id % sample_mod == 0``, which keeps
+    the planted mixture's shape while shrinking every arm linearly.
+    """
+    from pyspark.sql import Window
+
+    from flink_helloworld_spark.operators._cache import share
+
+    if sample_mod is not None:
+        emb = emb.where(F.col(id_col) % sample_mod == 0)
+    planted = share(
+        planted_embeddings(
+            emb, n_clusters=n_clusters, dims=dims, id_col=id_col, vec_col=vec_col
+        )
+    )
+    max_b, max_p = max(bands_sweep), max(planes_sweep)
+    inc = share(
+        embedding_band_incidence(
+            planted, planes=max_p, bands=max_b, dims=dims,
+            id_col=id_col, vec_col=vec_col,
+        )
+    )
+    truth = planted.select(
+        F.col(id_col),
+        (
+            F.col(id_col)
+            > F.min(id_col).over(Window.partitionBy("cluster_id"))
+        ).alias("is_dup"),
+    )
+
+    # every planes arm is a bit-mask of the SAME bucket — union the
+    # masked arms BEFORE aggregating so the whole sweep is one 5-stage
+    # pipeline keyed by (planes, band, bucket) instead of a per-arm
+    # stage cascade (measured 7.3s → stage-count-bound on tiny data)
+    masked = None
+    for p in planes_sweep:
+        m = inc.select(
+            id_col,
+            F.lit(p).cast("int").alias("planes"),
+            "band_id",
+            (F.col("bucket") % (2 ** p)).alias("mb"),
+        )
+        masked = m if masked is None else masked.unionByName(m)
+    firsts = masked.groupBy("planes", "band_id", "mb").agg(
+        F.min(id_col).alias("first_id")
+    )
+    flags = masked.join(firsts, ["planes", "band_id", "mb"]).select(
+        id_col,
+        "planes",
+        "band_id",
+        (F.col(id_col) == F.col("first_id")).alias("is_first"),
+    )
+    # every bands arm from ONE per-(vector, planes) agg: dropped_k =
+    # any non-first band among the first k
+    per_vec = flags.groupBy(id_col, "planes").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("band_id") < k, (~F.col("is_first")).cast("int")
+                ).otherwise(F.lit(0))
+            ).alias(f"_drop_{k}")
+            for k in bands_sweep
+        ]
+    )
+    stacked = per_vec.join(truth, id_col).select(
+        "planes",
+        "is_dup",
+        F.expr(
+            f"stack({len(bands_sweep)}, "
+            + ", ".join(f"CAST({k} AS INT), _drop_{k}" for k in bands_sweep)
+            + ") AS (bands, _di)"
+        ),
+    )
+    return (
+        stacked.groupBy("bands", "planes")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_true_dup"),
+            F.sum(
+                (F.col("_di") == 1).cast("long") * F.col("is_dup").cast("long")
+            ).alias("n_dropped_dup"),
+            F.sum(
+                (F.col("_di") == 1).cast("long") * (~F.col("is_dup")).cast("long")
+            ).alias("n_dropped_first"),
+        )
+        .select(
+            "bands",
+            "planes",
+            "n_vectors",
+            "n_true_dup",
+            "n_dropped_dup",
+            "n_dropped_first",
+            (
+                F.col("n_dropped_dup").cast("double")
+                / F.nullif(F.col("n_true_dup").cast("double"), F.lit(0.0))
+            ).alias("recall"),
+            (
+                F.col("n_dropped_first").cast("double")
+                / F.nullif(
+                    (F.col("n_vectors") - F.col("n_true_dup")).cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("false_collision_rate"),
+        )
     )
 
 

@@ -1143,6 +1143,85 @@ def streaming_embedding_dedup(
     )
 
 
+def streaming_embedding_dedup_banded(
+    stream: DataFrame,
+    planes: int = 8,
+    bands: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming banded (OR-construction) embedding gate — the TWS twin
+    of ``similarity.embedding_first_arrival_banded`` and the vector-side
+    ``streaming_lsh_dedup``: each arrival claims a bucket in ``bands``
+    independent md5-rotated hyperplane sets and is admitted iff it is
+    the first claimant on EVERY band. This removes the single-band
+    gate's 2^planes admission ceiling (VERDICT r6 item 1): total
+    capacity is now per-band-bucket first-arrival, recall rises with
+    ``bands``, and a FALSE drop needs full sign agreement in some band.
+
+    Topology: the same two chained transformWithState operators across
+    the re-key seam as the text gate — (band, bucket) claims → per-doc
+    verdict — reusing ``BucketClaimProcessor`` / ``DocVerdictProcessor``
+    verbatim (the processors only see ``doc_id``).
+
+    Scale contract: all band buckets are computed in the STATELESS
+    projection, so the embedding never crosses an exchange — the claim
+    shuffle carries (long, int, long) rows, the verdict shuffle
+    (long, bool). State: one long per (band, bucket) ever claimed —
+    ≈ bands × distinct-content claims (measured in SCALE_NOTES) —
+    plus transient per-doc accumulators. Batch-parity precondition:
+    first-arrival vs the batch twin's lowest-id — identical only under
+    id-monotone arrival (the in-order contract the parity tests replay).
+    ``state_ttl_ms`` bounds the dedup horizon exactly as in
+    ``streaming_lsh_dedup``.
+    """
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.similarity import hyperplane_bucket
+
+    incidence = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band_id"),
+                        hyperplane_bucket(
+                            F.col(vec_col), planes, dims, seed=f"{b}~"
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    claims = incidence.groupBy("band_id", "bucket").transformWithStateInPandas(
+        BucketClaimProcessor(
+            [f.name for f in _LSH_CLAIM_OUT.fields], state_ttl_ms
+        ),
+        outputStructType=_LSH_CLAIM_OUT,
+        outputMode="append",
+        timeMode="none" if state_ttl_ms is None else "processingTime",
+    )
+    verdicts = claims.groupBy("doc_id").transformWithStateInPandas(
+        DocVerdictProcessor(
+            bands, [f.name for f in LSH_VERDICT_OUTPUT.fields]
+        ),
+        outputStructType=LSH_VERDICT_OUTPUT,
+        outputMode="append",
+        timeMode="none",
+    )
+    return verdicts.select(
+        F.col("doc_id").alias(id_col), "n_bands", "n_first", "kept"
+    )
+
+
 def streaming_near_dedup_front(
     stream: DataFrame,
     cap: int,

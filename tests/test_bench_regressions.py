@@ -1,0 +1,107 @@
+"""Canary-normalized regression flagging (VERDICT r6 item 2): the
+bench harness must separate "this query regressed" from "the single-JVM
+session aged" — round 6's raw-median comparison produced 17 false
+positives, every one proven to be session aging on solo re-measure.
+
+These tests drive the pure flagging function with synthetic records:
+a genuine 2x plan regression must be caught even when the canary is
+flat, and a query inflated ONLY by measured session aging must NOT be
+flagged once its canary tick explains the inflation. No Spark needed.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+_BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location("bench_mod", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _prev(queries: dict, canary: list) -> dict:
+    return {
+        "detail": {k: {"median": v} for k, v in queries.items()},
+        "aging_canary": canary,
+    }
+
+
+FLAT = [[0, 1.5], [30, 0.22], [60, 0.23], [90, 0.22], [120, 0.24]]
+
+
+def test_canary_factor_steady_session_is_identity(bench):
+    for pos in (0, 15, 45, 100, 130):
+        assert bench._canary_factor(pos, FLAT) == pytest.approx(1.0)
+
+
+def test_canary_factor_excludes_warmup_tick(bench):
+    # position-0 tick is 7x steady (first-query codegen); queries at
+    # early positions must NOT be deflated by it
+    assert bench._canary_factor(3, FLAT) == pytest.approx(1.0)
+
+
+def test_canary_factor_reads_local_aging(bench):
+    aged = [[0, 1.5], [30, 0.2], [60, 0.2], [90, 0.6], [120, 0.6]]
+    # steady = median(0.2, 0.2, 0.6, 0.6) = 0.4; late tick 0.6 => 1.5x
+    assert bench._canary_factor(95, aged) == pytest.approx(1.5)
+    # never deflates below 1.0 (early fast ticks can't MASK regressions)
+    assert bench._canary_factor(35, aged) == pytest.approx(1.0)
+
+
+def test_deliberate_regression_caught_despite_flat_canary(bench):
+    prev = _prev({"q_slow": 2.0, "q_ok": 1.0}, FLAT)
+    timings = {"q_slow": 4.1, "q_ok": 1.05}
+    positions = {"q_slow": 10, "q_ok": 40}
+    out = bench._flag_regressions(timings, positions, FLAT, prev)
+    assert set(out) == {"q_slow"}
+    assert out["q_slow"][0] == 2.0 and out["q_slow"][1] == 4.1
+    assert out["q_slow"][2] == pytest.approx(2.05, abs=0.01)
+
+
+def test_aging_inflation_not_flagged(bench):
+    # the round-6 false-positive shape: a late-position query inflated
+    # 2x, with the canary at its position inflated the same 2x — the
+    # normalized ratio is ~1.0 and must not be flagged
+    aged = [[0, 1.5], [30, 0.2], [60, 0.2], [90, 0.2], [150, 0.44]]
+    prev = _prev({"q_late": 2.0}, FLAT)
+    out = bench._flag_regressions({"q_late": 4.0}, {"q_late": 155}, aged, prev)
+    assert out == {}
+    # same raw inflation WITHOUT canary cover => flagged
+    out2 = bench._flag_regressions({"q_late": 4.0}, {"q_late": 155}, FLAT, prev)
+    assert set(out2) == {"q_late"}
+
+
+def test_prev_side_aging_also_normalized(bench):
+    # the previous record measured 4.0s under 2x aging; today's clean
+    # 2.2s is NOT a regression (normalized prev = 2.0)
+    prev_aged = [[0, 1.5], [30, 0.2], [60, 0.2], [150, 0.4]]
+    prev = _prev({"q": 4.0}, prev_aged)
+    prev["detail"]["q"]["median"] = 4.0
+    # place q late in the prev run order by padding earlier entries
+    det = {f"pad{i}": {"median": 0.1} for i in range(150)}
+    det["q"] = {"median": 4.0}
+    prev["detail"] = det
+    out = bench._flag_regressions({"q": 2.2}, {"q": 5}, FLAT, prev)
+    assert out == {}
+
+
+def test_failed_prev_entry_skipped(bench):
+    prev = _prev({"q": 1.0}, FLAT)
+    prev["detail"]["q"] = {"err": "boom", "sec": 0.5}
+    assert bench._flag_regressions({"q": 5.0}, {"q": 0}, FLAT, prev) == {}
+
+
+def test_noise_floor_and_missing_prev(bench):
+    prev = _prev({"tiny": 0.15}, FLAT)
+    # sub-200ms baseline is noise, never flagged
+    assert bench._flag_regressions({"tiny": 0.5}, {"tiny": 0}, FLAT, prev) == {}
+    assert bench._flag_regressions({"new_q": 9.9}, {"new_q": 0}, FLAT, prev) == {}
+    assert bench._flag_regressions({"q": 9.9}, {"q": 0}, FLAT, {}) == {}

@@ -665,6 +665,26 @@ def test_embedding_gate_single_exchange_no_python(spark, sf_dir):
         assert "embedding" not in args
 
 
+def test_banded_gate_no_python_embedding_stays_on_scan(spark, sf_dir):
+    """embedding_first_arrival_banded: every band bucket is computed in
+    the stateless scan-side projection — no Python stage anywhere, and
+    the embedding array never appears in an exchange key (only
+    (band_id, bucket) longs and vec_id shuffle)."""
+    import re
+
+    from flink_helloworld_spark.operators import similarity as S
+
+    df = S.embedding_first_arrival_banded(
+        load_tables(spark, sf_dir).embeddings, planes=8, bands=4
+    )
+    plan = explain_str(df, "formatted")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in args
+    # firsts must partial-aggregate map-side before the exchange
+    assert "partial_min" in plan
+
+
 def test_soft_weights_and_split_never_shuffle_text(spark, sf_dir):
     """soft_dedup_weights / leakage_safe_split: the corpus is touched by
     one doc_id-keyed left join against the label table — document text

@@ -437,3 +437,120 @@ def test_embedding_gate_partitions_by_bucket_any_vectors(spark, vecs):
         keepers = [r for r in rs if r.kept]
         assert len(keepers) == 1, bucket
         assert keepers[0].vec_id == min(r.vec_id for r in rs)
+
+
+def _expected_banded_verdicts(vecs, planes, bands, dims):
+    """First-principles replay of the banded gate: per-band hyperplane
+    buckets from the md5 seed contract (band b, plane p, dim d →
+    md5('{b}~{p}:{d}')), kept iff lowest id on EVERY band. Left-to-right
+    float summation matches Spark's aggregate() order."""
+    import hashlib
+
+    def sign(b, p, d):
+        h = hashlib.md5(f"{b}~{p}:{d}".encode()).hexdigest()[0]
+        return 1.0 if int(h, 16) % 2 == 0 else -1.0
+
+    def bucket(vec, b):
+        out = 0
+        for p in range(planes):
+            s = 0.0
+            for d in range(dims):
+                s += vec[d] * sign(b, p, d)
+            if s > 0:
+                out += 1 << p
+        return out
+
+    firsts: dict = {}
+    incid = []
+    for i, v in enumerate(vecs):
+        for b in range(bands):
+            key = (b, bucket(v, b))
+            incid.append((i, key))
+            if key not in firsts or i < firsts[key]:
+                firsts[key] = i
+    verdict = {}
+    for i, _ in enumerate(vecs):
+        nf = sum(1 for j, key in incid if j == i and firsts[key] == i)
+        verdict[i] = (bands, nf, nf == bands)
+    return verdict
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@_settings
+def test_banded_gate_matches_first_principles_any_vectors(spark, vecs):
+    """For ANY vectors: the banded gate's (n_bands, n_first, kept)
+    equals an independent pure-Python replay of the per-band
+    first-arrival contract, and a doc dropped at bands=k stays dropped
+    at bands=k+1 (OR-construction only ever drops MORE)."""
+    from flink_helloworld_spark.operators.similarity import (
+        embedding_first_arrival_banded,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    expect = _expected_banded_verdicts(vecs, planes=4, bands=3, dims=8)
+    out = {
+        r.vec_id: (r.n_bands, r.n_first, r.kept)
+        for r in embedding_first_arrival_banded(
+            df, planes=4, bands=3, dims=8
+        ).collect()
+    }
+    assert out == expect
+    kept2 = {
+        r.vec_id
+        for r in embedding_first_arrival_banded(
+            df, planes=4, bands=2, dims=8
+        ).collect()
+        if r.kept
+    }
+    assert {i for i, (_, _, k) in out.items() if k} <= kept2
+
+
+def test_gate_recall_curve_monotone_on_planted(spark):
+    """On the planted 16-cluster mixture the banded-gate sweep must show
+    its knobs working: recall non-decreasing with bands at fixed planes,
+    false-collision non-increasing with planes at fixed bands, and every
+    arm scores the full vector population."""
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.similarity import (
+        embedding_gate_recall_curve,
+    )
+
+    ids = spark.range(256).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+    )
+    rows = embedding_gate_recall_curve(
+        ids, bands_sweep=(1, 2, 4), planes_sweep=(6, 8)
+    ).collect()
+    assert len(rows) == 6
+    by_arm = {(r.bands, r.planes): r for r in rows}
+    for r in rows:
+        assert r.n_vectors == 256
+        assert r.n_true_dup == 256 - 16
+    for p in (6, 8):
+        assert (
+            by_arm[(1, p)].recall
+            <= by_arm[(2, p)].recall
+            <= by_arm[(4, p)].recall
+        )
+    for k in (1, 2, 4):
+        assert (
+            by_arm[(k, 8)].false_collision_rate
+            <= by_arm[(k, 6)].false_collision_rate
+        )
+    # the gate must actually gate: the widest arm catches most dups
+    assert by_arm[(4, 6)].recall > 0.9

@@ -920,6 +920,66 @@ def test_streaming_embedding_dedup_matches_batch_twin(spark):
     assert got == expect
 
 
+def test_streaming_embedding_dedup_banded_matches_batch_twin(spark):
+    """The banded (OR-construction) embedding gate: streamed over
+    id-ordered micro-batches it must emit exactly the batch twin's
+    (n_bands, n_first, kept) verdicts over the union — and the planted
+    colliders must include docs dropped by a LATER band than band 0
+    (otherwise the multi-band topology is untested)."""
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.similarity import (
+        embedding_first_arrival_banded,
+        planted_embeddings,
+    )
+    from flink_helloworld_spark.streaming.tws import (
+        streaming_embedding_dedup_banded,
+    )
+
+    ids = spark.range(96).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+    )
+    planted = planted_embeddings(ids).select("vec_id", "embedding")
+    expect = {
+        r.vec_id: (r.n_bands, r.n_first, r.kept)
+        for r in embedding_first_arrival_banded(
+            planted, planes=8, bands=3
+        ).collect()
+    }
+    dropped = {i for i, (_, _, k) in expect.items() if not k}
+    assert dropped  # colliders exist
+    # some doc must be first on band 0 yet dropped by a later band —
+    # i.e. 0 < n_first < n_bands for at least one doc
+    assert any(0 < nf < nb for nb, nf, k in expect.values() if not k)
+
+    rows = sorted(
+        (
+            {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+            for r in planted.collect()
+        ),
+        key=lambda r: r["vec_id"],  # id-monotone arrival order
+    )
+    batches = [rows[0:32], rows[32:64], rows[64:96]]
+    workdir = tempfile.mkdtemp(prefix="embgateband-")
+    _write_files(batches, workdir)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    out = streaming_embedding_dedup_banded(stream, planes=8, bands=3)
+    got = {
+        r.vec_id: (r.n_bands, r.n_first, r.kept)
+        for r in run_available_now(out, "embgateband")
+    }
+    assert got == expect
+
+
 def test_lsh_gate_bucket_state_resumes_from_checkpoint(spark):
     """LSH-gate durability across the TWO chained TWS operators: run
     batch 1 with a checkpoint, stop, append batch 2 containing a

@@ -59,13 +59,14 @@ def run_gate(spark, name: str, in_dir: str):
     from flink_helloworld_spark.streaming.tws import (
         streaming_corpus_manifest_tws,
         streaming_embedding_dedup,
+        streaming_embedding_dedup_banded,
         streaming_lsh_dedup,
         streaming_near_dedup_front,
     )
 
     schema = (
         "vec_id long, embedding array<float>"
-        if name == "embedding_dedup"
+        if name.startswith("embedding_dedup")
         else "doc_id long, text string, source string"
     )
     raw = (
@@ -78,6 +79,9 @@ def run_gate(spark, name: str, in_dir: str):
         "corpus_manifest": lambda: streaming_corpus_manifest_tws(raw),
         "near_dedup_front": lambda: streaming_near_dedup_front(raw, cap=1000),
         "embedding_dedup": lambda: streaming_embedding_dedup(raw),
+        "embedding_dedup_banded": lambda: streaming_embedding_dedup_banded(
+            raw, planes=8, bands=4
+        ),
     }[name]()
     out_dir = tempfile.mkdtemp(prefix=f"ms-{name}-out-")
     ck = tempfile.mkdtemp(prefix=f"ms-{name}-ck-")
@@ -122,6 +126,7 @@ def main() -> None:
         "corpus_manifest",
         "near_dedup_front",
         "embedding_dedup",
+        "embedding_dedup_banded",
     ]
     spark = build_session(app_name="fhs-stream-measure")
     for vol, src in (("1x", BASE), ("10x", BIG)):
@@ -129,7 +134,9 @@ def main() -> None:
             print(f"[skip] {src} missing (build with tools/build_replica.py)")
             continue
         for g in gates:
-            table = "embeddings" if g == "embedding_dedup" else "documents"
+            table = (
+                "embeddings" if g.startswith("embedding_dedup") else "documents"
+            )
             staged = tempfile.mkdtemp(prefix=f"ms-in-{vol}-{table}-")
             n = stage(src, staged, table)
             r = run_gate(spark, g, staged)
