@@ -322,7 +322,30 @@ def minhash_estimate_audit(
     )
 
 
-def soft_dedup_weights(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def _cc_labels(pairs: DataFrame, cc: str) -> DataFrame:
+    """Connected-components dispatch for the cluster-consuming operators
+    (VERDICT r6 item 4): both algorithms share the output contract
+    (doc_id, cluster_id = component min, cluster_size), so consumers —
+    and their oracles — are label-identical under either.
+
+    - ``minlabel`` (default): O(diameter) min-label propagation
+      (``duplicate_clusters``) — 2-3 rounds on real near-dup graphs,
+      whose components are shallow rewrites of one page.
+    - ``twostar``: alternating large-star/small-star contraction
+      (``duplicate_clusters_twostar``) — O(log n) rounds, the
+      adversarial-scale path for freak long chains (boilerplate rings,
+      templated mirrors) a 100 TB crawl can contain.
+    """
+    if cc == "twostar":
+        return duplicate_clusters_twostar(pairs)
+    if cc == "minlabel":
+        return duplicate_clusters(pairs)
+    raise ValueError(f"cc must be 'minlabel' or 'twostar', got {cc!r}")
+
+
+def soft_dedup_weights(
+    docs: DataFrame, pairs: DataFrame, cc: str = "minlabel"
+) -> DataFrame:
     """Soft deduplication — reweight instead of remove (the SlimPajama /
     soft-dedup recipe surface): every document gets sampling weight
     1 / |its near-dup cluster|, so duplicated CONTENT contributes the
@@ -338,8 +361,10 @@ def soft_dedup_weights(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     Scale shape: the CC label table is proportional to DUPLICATED docs
     only; the full corpus is touched by one left join on doc_id —
     text never moves. The weight feeds ``weighted_reservoir`` /
-    ``mixture_sample`` directly."""
-    labels = duplicate_clusters(pairs)
+    ``mixture_sample`` directly. ``cc`` picks the closure algorithm
+    (see ``_cc_labels``); labels — and therefore weights — are
+    identical under either (test-pinned on the 41-node chain)."""
+    labels = _cc_labels(pairs, cc)
     size = F.coalesce("cluster_size", F.lit(1)).cast("int")
     return (
         docs.select("doc_id")
@@ -354,7 +379,7 @@ def soft_dedup_weights(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def leakage_safe_split(
-    docs: DataFrame, pairs: DataFrame, train_pct: int = 80
+    docs: DataFrame, pairs: DataFrame, train_pct: int = 80, cc: str = "minlabel"
 ) -> DataFrame:
     """Leakage-safe train/holdout split: the unit of assignment is the
     near-dup CLUSTER, not the document — a near-copy of a training doc
@@ -368,8 +393,9 @@ def leakage_safe_split(
     cluster share the split by construction (test-pinned).
 
     Scale shape: same as ``soft_dedup_weights`` — one doc_id-keyed left
-    join against the duplicated-docs-sized label table."""
-    labels = duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    join against the duplicated-docs-sized label table, with the same
+    ``cc`` closure dispatch (labels identical under either)."""
+    labels = _cc_labels(pairs, cc).select("doc_id", "cluster_id")
     cl = F.coalesce("cluster_id", F.col("doc_id"))
     h = (
         F.conv(
@@ -1135,8 +1161,13 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     converges in 2-3 rounds; for adversarial long-chain graphs switch to
     alternating large-star/small-star (Kiveris et al., "Connected
     Components in MapReduce"), which contracts paths logarithmically with
-    the same per-round join shape. Each round is one shuffle on node id;
-    nothing is collected to the driver except the 1-row convergence count.
+    the same per-round join shape (``duplicate_clusters_twostar``, or
+    ``cc="twostar"`` on the consumers). Each round is one shuffle on node
+    id; nothing is collected to the driver except the 1-row convergence
+    count. If ``max_iters`` is exhausted before the fixpoint this RAISES
+    (same contract as two-star): an unconverged label table silently
+    under-merges clusters — wrong sizes, wrong survivors — which round
+    7's 41-node-chain consumer test caught against the old behavior.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -1151,6 +1182,7 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .select("node", F.least("node", "_m").alias("label"))
         .localCheckpoint(eager=False)
     )
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
@@ -1173,7 +1205,16 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         changed = stepped.where("_chg").count()
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iters} rounds "
+            "— an unconverged label table silently under-merges clusters; "
+            "raise max_iters, or use the O(log n) two-star closure "
+            "(duplicate_clusters_twostar / cc='twostar') for long-chain "
+            "graphs"
+        )
     from pyspark.sql import Window
 
     # size via window on the label key (one shuffle) — a size TABLE would
@@ -1572,7 +1613,9 @@ def repeated_span_coverage(
 # --- corpus rewrite: keep one doc per near-dup cluster ---------------------
 
 
-def cluster_prune(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def cluster_prune(
+    docs: DataFrame, pairs: DataFrame, cc: str = "minlabel"
+) -> DataFrame:
     """The corpus REWRITE that near-dup detection exists for: given the
     verified duplicate pairs, keep exactly one document per duplicate
     cluster (the minimum doc_id — the same canonical-survivor rule as
@@ -1587,9 +1630,11 @@ def cluster_prune(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     left anti/left join pair on doc_id (hash-partitioned, no text
     movement beyond the survivor projection). The transitive closure
     itself reuses ``duplicate_clusters`` (per-round shuffles on node
-    id, driver sees only 1-row convergence counts).
+    id, driver sees only 1-row convergence counts); ``cc="twostar"``
+    swaps in the O(log n) large-star/small-star closure for adversarial
+    chain topologies — survivors identical under either (test-pinned).
     """
-    clusters = duplicate_clusters(pairs)
+    clusters = _cc_labels(pairs, cc)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )

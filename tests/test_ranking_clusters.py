@@ -392,6 +392,66 @@ def test_twostar_raises_rather_than_emitting_unconverged_state(spark):
     assert len(out) == 51
 
 
+def test_cluster_consumers_label_identical_under_twostar(spark):
+    """VERDICT r6 item 4: the three cluster-consuming operators
+    (soft_dedup_weights, leakage_safe_split, cluster_prune) must produce
+    row-identical output under cc='twostar' and cc='minlabel' on a
+    chain + triangle + singleton mix, and the 41-node adversarial chain
+    must flow through all three consumers via cc='twostar' while
+    cc='minlabel' REFUSES to emit an unconverged label table at its
+    default round budget (the silent-under-merge bug this test caught)."""
+    import pytest
+
+    from flink_helloworld_spark.operators import dedup as D
+
+    # chain within min-label's default budget + a triangle
+    chain = [(i, i + 1) for i in range(100, 118)]
+    tri = [(1, 2), (2, 3), (1, 3)]
+    pairs = spark.createDataFrame(chain + tri, "doc_a long, doc_b long")
+    node_ids = sorted({u for e in chain + tri for u in e} | {500, 501})
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in node_ids], "doc_id long, text string"
+    )
+    consumers = (
+        lambda ps, ds, cc: D.soft_dedup_weights(ds, ps, cc=cc),
+        lambda ps, ds, cc: D.leakage_safe_split(ds, ps, cc=cc),
+        lambda ps, ds, cc: D.cluster_prune(ds, ps, cc=cc),
+    )
+    for op in consumers:
+        a = sorted(map(tuple, op(pairs, docs, "minlabel").collect()))
+        b = sorted(map(tuple, op(pairs, docs, "twostar").collect()))
+        assert a == b
+
+    # the 41-node adversarial chain: diameter > min-label's default
+    # budget — minlabel raises instead of silently under-merging;
+    # twostar converges in O(log n) rounds through every consumer
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "doc_a long, doc_b long"
+    )
+    ldocs = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(100, 141)] + [(500, "solo")],
+        "doc_id long, text string",
+    )
+    for op in consumers:
+        with pytest.raises(RuntimeError, match="did not converge"):
+            op(long_chain, ldocs, "minlabel").collect()
+        rows = op(long_chain, ldocs, "twostar").collect()
+        assert len(rows) > 0
+    surv = {
+        r.doc_id
+        for r in D.cluster_prune(ldocs, long_chain, cc="twostar").collect()
+    }
+    assert surv == {100, 500}
+    w = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in D.soft_dedup_weights(ldocs, long_chain, cc="twostar").collect()
+    }
+    assert all(w[i] == (100, 41) for i in range(100, 141))
+
+    with pytest.raises(ValueError, match="minlabel"):
+        D.soft_dedup_weights(docs, pairs, cc="bogus")
+
+
 def test_textrank_hub_outranks_leaves_and_isolates(spark):
     from flink_helloworld_spark.operators.ranking import textrank_scores
 
