@@ -1301,6 +1301,20 @@ def _q_similarity_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_ivf2k_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-level IVF with Lloyd-refined quantizers at BOTH levels
+    # (corpus -> cells, cells -> super-cells): the production
+    # extreme-scale index build — hierarchical collect-bound metadata
+    # plus refined cell boundaries at equal probes (SCALE_NOTES r7)
+    return S.ivf2k_cosine_topk(
+        load_tables(spark, sf_dir).embeddings,
+        k=5,
+        n_iter=2,
+        n_probe=2,
+        n_super_probe=2,
+    )
+
+
 def _q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-unigram mean -log p(word) per doc — the model-free CCNet
     # quality filter; decimal-exact mean so the oracle hash matches
@@ -2450,20 +2464,69 @@ def _q_product_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering contract: the driver's correctness gate checks only
-        # the FIRST 50 entries. Round-6 rotation (VERDICT r5 item 1,
-        # stalest-first): any NEW round-6 queries go at the very front,
-        # then the 28 queries whose newest official row is round 2,
-        # then round-3-checked queries (registry order) fill the gate.
-        # After this round no query's newest official row is older than
-        # r3. Everything rotated OUT of the gate was re-verified locally
-        # this round via tools/check_oracle.py at sf0.01: the final
-        # round-6 full-registry sweep was green (0 failures / 185 at the
-        # final registry size, re-run after every late addition) beside the
-        # full pytest run (293 passed, 1 env skip). Rotate again next
+        # the FIRST 50 entries — EXACTLY 50 are listed before the
+        # rotation marker below (ADVICE r6: the r6 block held 57, so 7
+        # rotated-in names silently fell outside the gate).
+        # Round-7 rotation (stalest-first): the 3 new r7 queries, then
+        # the 35 queries whose newest official row is round 3, then
+        # r4-checked queries in registry order fill the gate. After
+        # this round no query's newest official row is older than r4.
+        # Everything rotated OUT was re-verified locally this round via
+        # tools/check_oracle.py at sf0.01 (full-registry sweep, 0
+        # failures) beside the full pytest run. Rotate again next
         # round: new queries first, then oldest-official-row-first.
-        # --- gate slots (first 50): new r6 queries, then r2, then r3 ---
+        # --- gate slots (exactly 50): new r7, then r3, then r4 ---
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
+        "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
+        "bm25_search": _q_bm25_search,
+        "cep_pattern": _q_cep_pattern,
+        "changelog_materialize": _q_changelog_materialize,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "dedup_clusters": _q_dedup_clusters,
+        "distinct_users": _q_distinct_users,
+        "gapfill_locf": _q_gapfill_locf,
+        "hll_distinct_sketch": _q_hll_distinct_sketch,
+        "multimodal_ppm_decode": _q_multimodal_ppm_decode,
+        "rollup_counts": _q_rollup_counts,
+        "scd2_intervals": _q_scd2_intervals,
+        "sql_q10_returns": _q_sql_q10_returns,
+        "sql_q11_important_parts": _q_sql_q11_important_parts,
+        "sql_q12_late_lines": _q_sql_q12_late_lines,
+        "sql_q13_order_dist": _q_sql_q13_order_dist,
+        "sql_q14_promo": _q_sql_q14_promo,
+        "sql_q15_top_supplier": _q_sql_q15_top_supplier,
+        "sql_q16_supplier_cnt": _q_sql_q16_supplier_cnt,
+        "sql_q17_small_qty": _q_sql_q17_small_qty,
+        "sql_q18_large_orders": _q_sql_q18_large_orders,
+        "sql_q19_disjunct": _q_sql_q19_disjunct,
+        "sql_q20_dominant_supp": _q_sql_q20_dominant_supp,
+        "sql_q21_waiting_supp": _q_sql_q21_waiting_supp,
+        "sql_q22_idle_customers": _q_sql_q22_idle_customers,
+        "sql_q2_min_cost_supp": _q_sql_q2_min_cost_supp,
+        "sql_q3_shipping": _q_sql_q3_shipping,
+        "sql_q4_priority": _q_sql_q4_priority,
+        "sql_q6_forecast": _q_sql_q6_forecast,
+        "sql_q7_volume": _q_sql_q7_volume,
+        "sql_q8_market_share": _q_sql_q8_market_share,
+        "sql_q9_profit": _q_sql_q9_profit,
+        "term_postings": _q_term_postings,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "window_topn": _q_window_topn,
+        "zorder_layout": _q_zorder_layout,
+        "similarity_ivf2_topk": _q_similarity_ivf2_topk,
+        "unigram_logppl": _q_unigram_logppl,
+        "gopher_rules": _q_gopher_rules,
+        "domain_cap": _q_domain_cap,
+        "decontaminate_semantic": _q_decontaminate_semantic,
+        "similarity_topk_vectorized": _q_similarity_topk_vectorized,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "bpe_token_fertility": _q_bpe_token_fertility,
+        "multimodal_png_decode": _q_multimodal_png_decode,
+        "bigram_logppl": _q_bigram_logppl,
+        "classifier_train": _q_classifier_train,
+        "classifier_score": _q_classifier_score,
+        # --- rotated out this round (r4 tail, r5, r6 official rows) ---
         "similarity_recall_curve": _q_similarity_recall_curve,
         "dedup_embedding_gate": _q_dedup_embedding_gate,
         "minhash_band_plan": _q_minhash_band_plan,
@@ -2514,14 +2577,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": _q_percentiles,
         "cube_counts": _q_cube_counts,
         "salted_sum": _q_salted_sum,
-        "rollup_counts": _q_rollup_counts,
-        "distinct_users": _q_distinct_users,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "bm25_search": _q_bm25_search,
-        "dedup_clusters": _q_dedup_clusters,
-        "window_topn": _q_window_topn,
-        "scd2_intervals": _q_scd2_intervals,
-        # --- rotated out this round (r3 tail, r4, r5 official rows) ---
         "dedup_lsh_commit": _q_dedup_lsh_commit,
         "dedup_incremental_near": _q_dedup_incremental_near,
         "mixture_temperature": _q_mixture_temperature,
@@ -2572,18 +2627,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_buckets": _q_dedup_minhash_buckets,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
-        "similarity_ivf2_topk": _q_similarity_ivf2_topk,
-        "unigram_logppl": _q_unigram_logppl,
-        "gopher_rules": _q_gopher_rules,
-        "domain_cap": _q_domain_cap,
-        "decontaminate_semantic": _q_decontaminate_semantic,
-        "similarity_topk_vectorized": _q_similarity_topk_vectorized,
-        "bpe_train_merges": _q_bpe_train_merges,
-        "bpe_token_fertility": _q_bpe_token_fertility,
-        "multimodal_png_decode": _q_multimodal_png_decode,
-        "bigram_logppl": _q_bigram_logppl,
-        "classifier_train": _q_classifier_train,
-        "classifier_score": _q_classifier_score,
         "funnel_conversion": _q_funnel_conversion,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh_topk": _q_similarity_lsh_topk,
@@ -2622,34 +2665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_streams": _q_union_streams,
         "merge_last_non_null": _q_merge_last_non_null,
         "side_output_split": _q_side_output_split,
-        "hll_distinct_sketch": _q_hll_distinct_sketch,
-        "zorder_layout": _q_zorder_layout,
-        "term_postings": _q_term_postings,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "changelog_materialize": _q_changelog_materialize,
-        "sql_q3_shipping": _q_sql_q3_shipping,
-        "sql_q6_forecast": _q_sql_q6_forecast,
-        "sql_q7_volume": _q_sql_q7_volume,
-        "sql_q10_returns": _q_sql_q10_returns,
-        "sql_q14_promo": _q_sql_q14_promo,
-        "sql_q18_large_orders": _q_sql_q18_large_orders,
-        "sql_q19_disjunct": _q_sql_q19_disjunct,
-        "sql_q22_idle_customers": _q_sql_q22_idle_customers,
-        "sql_q8_market_share": _q_sql_q8_market_share,
-        "sql_q13_order_dist": _q_sql_q13_order_dist,
-        "sql_q15_top_supplier": _q_sql_q15_top_supplier,
-        "sql_q17_small_qty": _q_sql_q17_small_qty,
-        "sql_q2_min_cost_supp": _q_sql_q2_min_cost_supp,
-        "sql_q4_priority": _q_sql_q4_priority,
-        "sql_q9_profit": _q_sql_q9_profit,
-        "sql_q11_important_parts": _q_sql_q11_important_parts,
-        "sql_q12_late_lines": _q_sql_q12_late_lines,
-        "sql_q16_supplier_cnt": _q_sql_q16_supplier_cnt,
-        "sql_q20_dominant_supp": _q_sql_q20_dominant_supp,
-        "sql_q21_waiting_supp": _q_sql_q21_waiting_supp,
-        "multimodal_ppm_decode": _q_multimodal_ppm_decode,
-        "cep_pattern": _q_cep_pattern,
-        "gapfill_locf": _q_gapfill_locf,
     }
 
 
@@ -3200,6 +3215,87 @@ def _ivfk_sql(n_probe: int = 2, n_iter: int = 2, k: int = 5) -> str:
             WITH {_kmeans_ctes(k_expr, n_iter)},
             cent AS (SELECT cid AS centroid_id, cvec FROM cent{n_iter}),
             {_ivf_scoring_tail(n_probe, k)}"""
+
+
+def _ivf2k_sql(
+    n_probe: int = 2, n_super_probe: int = 2, n_iter: int = 2, k: int = 5
+) -> str:
+    """Replicates similarity.ivf2k_cosine_topk: a deterministic md5-rank
+    training sample (seed 'kmt:', max(2048, 8·C) rows — the FAISS
+    train-on-sample doctrine that keeps refinement off the scan's scale
+    path), then TWO chained `_kmeans_ctes` replays — sample → C cells
+    (auto C = max(16, ⌈N/64⌉)), refined centroid table → S = max(4,
+    ⌈√C⌉) super-cells — feeding the two-level scoring tail of the ivf2
+    oracle verbatim (centroid→super home, vector→super probes,
+    candidate cells, per-cell scan)."""
+    c_raw = "GREATEST(16, CEIL(COUNT(*) / 64.0)::BIGINT)"
+    c_expr = f"(SELECT {c_raw} FROM v)"
+    s_expr = (
+        "(SELECT GREATEST(4, CEIL(SQRT(GREATEST(16, CEIL(COUNT(*) / 64.0))))"
+        "::BIGINT) FROM v)"
+    )
+    t_expr = f"(SELECT GREATEST(2048, 8 * {c_raw}) FROM v)"
+    cells = _kmeans_ctes(
+        c_expr, n_iter, src="trainset", id_expr="id", vec_expr="vec",
+        prefix="c_",
+    )
+    supers = _kmeans_ctes(
+        s_expr,
+        n_iter,
+        src="cent",
+        id_expr="centroid_id",
+        vec_expr="cvec",
+        prefix="s_",
+    )
+    return f"""
+            WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+            trainset AS (
+              SELECT id, vec FROM (
+                SELECT id, vec, row_number() OVER (ORDER BY
+                    ('0x' || substr(md5('kmt:' || id::VARCHAR), 1, 15))::BIGINT,
+                    id) AS _rn
+                FROM v)
+              WHERE _rn <= {t_expr}),
+            {cells},
+            cent AS (SELECT cid AS centroid_id, cvec FROM c_cent{n_iter}),
+            {supers},
+            sup AS (SELECT cid AS super_id, cvec AS svec FROM s_cent{n_iter}),
+            cent_home AS (
+              SELECT centroid_id, cvec, super_id FROM (
+                SELECT c.centroid_id, c.cvec, s.super_id,
+                       row_number() OVER (
+                         PARTITION BY c.centroid_id
+                         ORDER BY round({_dot_sql("c.cvec", "s.svec")} / nullif(sqrt({_dot_sql("c.cvec", "c.cvec")}) * sqrt({_dot_sql("s.svec", "s.svec")}), 0.0), 6) DESC, s.super_id) AS _srn
+                FROM cent c CROSS JOIN sup s)
+              WHERE _srn = 1),
+            v_super AS (
+              SELECT id, vec, super_id FROM (
+                SELECT v.id, v.vec, s.super_id,
+                       row_number() OVER (
+                         PARTITION BY v.id
+                         ORDER BY round({_dot_sql("v.vec", "s.svec")} / nullif(sqrt({_dot_sql("v.vec", "v.vec")}) * sqrt({_dot_sql("s.svec", "s.svec")}), 0.0), 6) DESC, s.super_id) AS _srn
+                FROM v CROSS JOIN sup s)
+              WHERE _srn <= {n_super_probe}),
+            i2ranked AS (
+              SELECT id, vec, centroid_id, _crn FROM (
+                SELECT p.id, p.vec, c.centroid_id,
+                       row_number() OVER (
+                         PARTITION BY p.id
+                         ORDER BY round({_dot_sql("p.vec", "c.cvec")} / nullif(sqrt({_dot_sql("p.vec", "p.vec")}) * sqrt({_dot_sql("c.cvec", "c.cvec")}), 0.0), 6) DESC, c.centroid_id) AS _crn
+                FROM v_super p JOIN cent_home c USING (super_id))
+              WHERE _crn <= {n_probe}),
+            i2cells AS (SELECT id, vec, centroid_id FROM i2ranked WHERE _crn = 1),
+            i2pairs AS (
+              SELECT p.id AS query_id, c.id AS neighbor_id,
+                     round({_dot_sql("p.vec", "c.vec")} / nullif(sqrt({_dot_sql("p.vec", "p.vec")}) * sqrt({_dot_sql("c.vec", "c.vec")}), 0.0), 6) AS cosine
+              FROM i2ranked p JOIN i2cells c USING (centroid_id)
+              WHERE p.id <> c.id)
+            SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM i2pairs)
+            WHERE rank <= {k}
+        """
 
 
 def _ivf_sql(n_probe: int = 2, source: str = "embeddings", k: int = 5) -> str:
@@ -3796,59 +3892,69 @@ def _classifier_score_sql(n_iters: int = 3, lr: float = 0.5) -> str:
 
 
 def _kmeans_ctes(
-    k: int | str = 8, n_iter: int = 2, dims: int = 64
+    k: int | str = 8,
+    n_iter: int = 2,
+    dims: int = 64,
+    src: str = "embeddings",
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+    prefix: str = "",
 ) -> str:
     """CTE chain replicating clustering.kmeans_assign: md5-rank seeds
     (seed 'km:'), integer-packed argmin, id-sorted sequential-fold
-    means. Ends with cent{n_iter} holding the final centroids.
+    means. Ends with {prefix}cent{n_iter} holding the final centroids.
 
     ``k`` may be a SQL expression string (e.g. a scalar subquery) so the
     oracle can mirror the engine's auto-sized k = max(8, ⌈N/256⌉)
     instead of hardcoding the literal that happens to match at current
-    testdata sizes."""
+    testdata sizes. ``src``/``id_expr``/``vec_expr`` retarget the chain
+    at any upstream relation (the ivf2k oracle runs it TWICE: corpus →
+    cells, then cells → super-cells) and ``prefix`` namespaces the CTE
+    names so two chains coexist in one WITH."""
 
     def sqd(vec: str, cvec: str) -> str:
         d = f"({vec}[i]::DOUBLE - {cvec}[i]::DOUBLE)"
         return f"list_sum(list_transform(range(1, {dims + 1}), i -> {d} * {d}))"
 
+    p = prefix
     parts = [
-        "v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings)",
-        """hk AS (SELECT id, vec,
+        f"{p}v AS (SELECT {id_expr} AS id, {vec_expr} AS vec FROM {src})",
+        f"""{p}hk AS (SELECT id, vec,
              ('0x' || substr(md5('km:' || id::VARCHAR), 1, 15))::BIGINT AS _h
-           FROM v)""",
-        f"""cent0 AS (
+           FROM {p}v)""",
+        f"""{p}cent0 AS (
            SELECT row_number() OVER (ORDER BY _h, id) - 1 AS cid, vec AS cvec
-           FROM hk QUALIFY row_number() OVER (ORDER BY _h, id) <= {k})""",
+           FROM {p}hk QUALIFY row_number() OVER (ORDER BY _h, id) <= {k})""",
     ]
     for it in range(n_iter):
         parts.append(
-            f"""assign{it} AS (
+            f"""{p}assign{it} AS (
               SELECT id, CAST(_p % {k} AS INT) AS cid FROM (
                 SELECT v.id,
                        min(round({sqd('v.vec', 'c.cvec')} * 1000000.0)::BIGINT
                            * {k} + c.cid) AS _p
-                FROM v CROSS JOIN cent{it} c GROUP BY v.id))"""
+                FROM {p}v v CROSS JOIN {p}cent{it} c GROUP BY v.id))"""
         )
         parts.append(
-            f"""comp{it} AS (
+            f"""{p}comp{it} AS (
               SELECT a.cid, v.id, t.pos, v.vec[t.pos + 1]::DOUBLE AS val
-              FROM assign{it} a JOIN v ON a.id = v.id
+              FROM {p}assign{it} a JOIN {p}v v ON a.id = v.id
               CROSS JOIN generate_series(0, {dims - 1}) t(pos))"""
         )
         parts.append(
-            f"""means{it} AS (
+            f"""{p}means{it} AS (
               SELECT cid, pos,
                      list_sum(list_transform(
                        list_sort(list(struct_pack(id := id, val := val))),
                        s -> s.val)) / CAST(count(*) AS DOUBLE) AS m
-              FROM comp{it} GROUP BY cid, pos)"""
+              FROM {p}comp{it} GROUP BY cid, pos)"""
         )
         parts.append(
-            f"""cent{it + 1} AS (
+            f"""{p}cent{it + 1} AS (
               SELECT cid, list_transform(
                        list_sort(list(struct_pack(pos := pos, m := m))),
                        s -> s.m) AS cvec
-              FROM means{it} GROUP BY cid)"""
+              FROM {p}means{it} GROUP BY cid)"""
         )
     return ",\n        ".join(parts)
 
@@ -5225,6 +5331,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_adpcm_decode": _adpcm_sql(),
         "similarity_ivfk_topk": _ivfk_sql(),
         "dedup_embedding_gate_banded": _banded_gate_sql(planes=8, bands=4),
+        "similarity_ivf2k_topk": _ivf2k_sql(),
         "embedding_gate_recall_curve": _gate_recall_curve_sql(sample_mod=2),
         "dedup_embedding_gate": f"""
             WITH b AS (SELECT vec_id, {_lsh_bucket_sql(8)} AS bucket

@@ -1401,20 +1401,7 @@ def ivf2_cosine_topk(
     replays it exactly. Recall is the standard hierarchical trade: a
     vector only reaches cells inside its probed super-cells.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import Window
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
     from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
-
-    from ._cache import share
 
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if n_centroids is None:
@@ -1433,6 +1420,119 @@ def ivf2_cosine_topk(
         ),
         n_super,
     ).select(F.col("id").alias("centroid_id"), F.col("vec").alias("cvec"))
+    return _ivf2_scan(v, cent, sup, k, n_probe, n_super_probe, round_dp)
+
+
+def ivf2k_cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int | None = None,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    n_super_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-level IVF with LLOYD-REFINED quantizers at BOTH levels
+    (VERDICT r6 item 5): ``ivf2_cosine_topk``'s hierarchical shape —
+    only the ~√C-row super table is ever collected, the C-row centroid
+    table stays distributed — but cells come from
+    ``clustering.kmeans_centroids`` over the corpus and super-cells from
+    ``kmeans_centroids`` over the CENTROID table (each: md5-rank seeds
+    'km:', then ``n_iter`` Lloyd steps), instead of raw md5 samples.
+    The production extreme-scale index build: refinement drifts both
+    levels toward the data's cluster cores, so fewer boundary vectors
+    lose their true cell at equal (n_super_probe, n_probe) — measured
+    on the planted mixture in SCALE_NOTES r7.
+
+    TRAIN-ON-SAMPLE (the FAISS quantizer-training doctrine, and what
+    keeps the refinement off ivf2's scale path): Lloyd runs over a
+    deterministic md5-rank sample of ``max(train_floor, 8·C)`` corpus
+    rows (seed 'kmt:'), NOT the full corpus — a flat refinement pass
+    costs N·C distance work per iteration (the N²/64 swap point
+    ``_auto_centroids`` documents), which measured 2.7× at 10× volume
+    vs ivf2's 1.5×; the sampled pass costs 8C² ≪ N·C and is constant
+    once the floor binds. At test scale the sample covers the whole
+    table, so recall gains are those of full refinement; at corpus
+    scale ~8 training points per centroid is the standard
+    quality/cost point.
+
+    Probe/scan tail is ``_ivf2_scan``, byte-identical to ivf2's; the
+    refinement adds 2×n_iter bounded centroid collects (Lloyd's
+    inherent sync points — the super-level ones are √C-row). Oracle:
+    two chained `_kmeans_ctes` replays (sample → cells, cells → supers)
+    feeding the ivf2 scoring tail.
+    """
+    import math
+
+    from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
+    from flink_helloworld_spark.operators.clustering import kmeans_centroids
+
+    from ._cache import share
+
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if n_centroids is None:
+        n_centroids = _auto_centroids(emb)
+    n_super = max(4, math.ceil(math.sqrt(n_centroids)))
+    train_rows = max(2048, 8 * n_centroids)
+    # share(): every Lloyd iteration re-scans its input (seed collect +
+    # assignment), and the trainset is an orderBy+limit over the corpus
+    # — uncached it re-ran per iteration (profiled 3× at 10× volume)
+    trainset = share(
+        seed_topk(
+            v.withColumn(
+                "_h",
+                md5_prefix_long(
+                    F.concat(F.lit("kmt:"), F.col("id").cast("string"))
+                ),
+            ),
+            train_rows,
+        ).select("id", "vec")
+    )
+    # share(): the refined centroid table's lineage is a Lloyd pass over
+    # the sample; the scan consumes it from FOUR places (super-level
+    # kmeans collects, cent_home assignment, the member side, and sup's
+    # own lineage) — uncached it re-ran per consumer, 16.6s -> ~3s
+    cent = share(
+        kmeans_centroids(
+            trainset, n_centroids, n_iter, id_col="id", vec_col="vec"
+        ).select(F.col("cid").alias("centroid_id"), F.col("cvec"))
+    )
+    sup = share(
+        kmeans_centroids(
+            cent, n_super, n_iter, id_col="centroid_id", vec_col="cvec"
+        ).select(F.col("cid").alias("centroid_id"), F.col("cvec"))
+    )
+    return _ivf2_scan(v, cent, sup, k, n_probe, n_super_probe, round_dp)
+
+
+def _ivf2_scan(
+    v: DataFrame,
+    cent: DataFrame,
+    sup: DataFrame,
+    k: int,
+    n_probe: int,
+    n_super_probe: int,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Stages (2)-(5) of the two-level IVF, shared by every quantizer
+    build (md5-seed ``ivf2_cosine_topk``, Lloyd-refined
+    ``ivf2k_cosine_topk``): centroid→super home assignment, vector→super
+    probing (both BLAS against the broadcast ≤√C-row super table), the
+    super-cell-keyed grouped-BLAS candidate-cell stage, and the per-cell
+    scan. ``cent`` stays distributed throughout."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ._cache import share
 
     # (2) centroid → its one super-cell; (3) vector → n_super_probe cells.
     # Both score against the SAME broadcast super matrix.

@@ -441,6 +441,40 @@ def test_ivfk_refinement_buys_recall_on_planted_data(spark):
     assert len(ivfk & exact) >= len(ivf & exact)
 
 
+def test_ivf2k_refinement_buys_recall_on_planted_data(spark):
+    """The two-level index with Lloyd-refined quantizers at both levels
+    must (a) keep the IVF output contract (contiguous ranks,
+    deterministic reruns) and (b) beat-or-match the md5-seed two-level
+    index's recall at EQUAL (n_super_probe, n_probe) on clustered data
+    — VERDICT r6 item 5's acceptance bar."""
+    emb = _ids_only_emb(spark, 192)
+    planted = S.planted_embeddings(emb).select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_exact_sharded(planted, k=5).collect()
+    }
+    rows = S.ivf2k_cosine_topk(
+        planted, k=5, n_probe=2, n_super_probe=2
+    ).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+    again = S.ivf2k_cosine_topk(
+        planted, k=5, n_probe=2, n_super_probe=2
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    ivf2k = {(r.query_id, r.neighbor_id) for r in rows}
+    ivf2 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf2_cosine_topk(
+            planted, k=5, n_probe=2, n_super_probe=2
+        ).collect()
+    }
+    assert len(ivf2k & exact) >= len(ivf2 & exact)
+
+
 def test_ann_recall_curve_rises_on_structured_data(spark):
     """On planted (clusterable) data the curve must be informative:
     IVF recall non-decreasing in n_probe and near-perfect at the

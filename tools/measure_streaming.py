@@ -55,7 +55,12 @@ def stage(src_dir: str, dst: str, table: str = "documents") -> int:
     return n
 
 
-def run_gate(spark, name: str, in_dir: str):
+def run_gate(spark, name: str, in_dir: str, rows_per_trigger: int | None = None):
+    """Run one gate over the staged files. When ``rows_per_trigger`` is
+    given, the stateful partition count is AUTO-SIZED by the sqrt
+    capacity rule (streaming.apply_stateful_partitions) before the
+    query's first start — the conf is pinned at the first checkpoint,
+    which is fresh here."""
     from flink_helloworld_spark.streaming.tws import (
         streaming_corpus_manifest_tws,
         streaming_embedding_dedup,
@@ -69,6 +74,11 @@ def run_gate(spark, name: str, in_dir: str):
         if name.startswith("embedding_dedup")
         else "doc_id long, text string, source string"
     )
+    auto_n = None
+    if rows_per_trigger is not None:
+        from flink_helloworld_spark.streaming import apply_stateful_partitions
+
+        auto_n = apply_stateful_partitions(spark, rows_per_trigger, cap=32)
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2")
@@ -115,13 +125,17 @@ def run_gate(spark, name: str, in_dir: str):
         "state_rows": state_rows,
         "state_mib": round(state_bytes / (1024 * 1024), 1),
         "n_batches": sum(1 for p in progress if p["numInputRows"] > 0),
+        "partitions": auto_n,
     }
 
 
 def main() -> None:
     from flink_helloworld_spark.session import build_session
 
-    gates = sys.argv[1:] or [
+    args = sys.argv[1:]
+    auto = "--auto" in args  # sqrt-rule partition auto-sizing per run
+    args = [a for a in args if a != "--auto"]
+    gates = args or [
         "lsh_dedup",
         "corpus_manifest",
         "near_dedup_front",
@@ -139,11 +153,13 @@ def main() -> None:
             )
             staged = tempfile.mkdtemp(prefix=f"ms-in-{vol}-{table}-")
             n = stage(src, staged, table)
-            r = run_gate(spark, g, staged)
+            rpt = (n + 3) // 4 if auto else None  # 8 files, 2/trigger
+            r = run_gate(spark, g, staged, rows_per_trigger=rpt)
+            pcol = f" | auto n={r['partitions']}" if auto else ""
             print(
                 f"| {g} | {vol} ({n} rows) | {r['rows_per_s']}/s "
                 f"({r['exec_s']}s, {r['n_batches']} batches) | "
-                f"{r['state_rows']} | {r['state_mib']} MiB |",
+                f"{r['state_rows']} | {r['state_mib']} MiB{pcol} |",
                 flush=True,
             )
             shutil.rmtree(staged, ignore_errors=True)
