@@ -6602,6 +6602,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'ivf2' AS variant, query_id, neighbor_id
             FROM ({d["similarity_ivf2_topk"]}) v2
           UNION ALL
+          SELECT 'ivf2k' AS variant, query_id, neighbor_id
+            FROM ({d["similarity_ivf2k_topk"]}) v2k
+          UNION ALL
           SELECT 'ivfpq' AS variant, query_id, neighbor_id
             FROM ({d["similarity_ivfpq_topk"]}) v3
           UNION ALL
@@ -6629,6 +6632,9 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'ivf2' AS variant, query_id, neighbor_id
             FROM ({d["similarity_ivf2_topk"]}) v2 WHERE query_id % 10 = 0
+          UNION ALL
+          SELECT 'ivf2k' AS variant, query_id, neighbor_id
+            FROM ({d["similarity_ivf2k_topk"]}) v2k WHERE query_id % 10 = 0
           UNION ALL
           SELECT 'ivfpq' AS variant, query_id, neighbor_id
             FROM ({d["similarity_ivfpq_topk"]}) v3 WHERE query_id % 10 = 0

@@ -1688,6 +1688,9 @@ def ann_recall_at_k(
         "ivf2": ivf2_cosine_topk(
             emb, k=k, n_probe=2, n_super_probe=2, id_col=id_col, vec_col=vec_col
         ),
+        "ivf2k": ivf2k_cosine_topk(
+            emb, k=k, n_probe=2, n_super_probe=2, id_col=id_col, vec_col=vec_col
+        ),
         "ivfpq": ivfpq_topk(
             emb, k=k, n_probe=2, m=4, ksub=16, rerank=16,
             id_col=id_col, vec_col=vec_col,
