@@ -329,10 +329,16 @@ def _flag_regressions(
     threshold: float = 1.3,
 ) -> dict:
     """Canary-normalized regression list: {name: [prev_median, cur_median,
-    normalized_ratio]} for every query whose aging-deflated median exceeds
-    ``threshold`` x the previous record's aging-deflated median. Skips
-    queries whose previous entry was a failure (its 'sec' is
-    time-to-failure) and sub-200ms baselines (pure noise)."""
+    normalized_ratio]}. A query is flagged only when BOTH the raw
+    median ratio AND the aging-normalized ratio exceed ``threshold`` —
+    normalization can only CLEAR a raw flag (the r6 failure mode it
+    exists for: late-session inflation), never create one (the first
+    r7 run proved the naive symmetric form manufactures regressions
+    whenever the PREVIOUS record's nearby canary tick was elevated —
+    early ticks carry residual warmup, and deflating prev by them made
+    queries that got FASTER look 1.5x slower). Skips queries whose
+    previous entry was a failure (its 'sec' is time-to-failure) and
+    sub-200ms baselines (pure noise)."""
     prev_det = prev_rec.get("detail")
     if not isinstance(prev_det, dict):
         prev_det = prev_rec.get("queries", {})
@@ -340,6 +346,17 @@ def _flag_regressions(
         return {}
     prev_canary = prev_rec.get("aging_canary") or []
     prev_pos = {name: i for i, name in enumerate(prev_det)}
+    # cross-round MACHINE drift: the canary is the same fixed query, so
+    # the ratio of steady levels measures how much slower this round's
+    # environment is than last round's (shared box — other tenants,
+    # thermal state). Clamped at >= 1.0: a faster machine must never
+    # hide a real regression, only a slower one may excuse inflation.
+    cur_steady, prev_steady = _canary_steady(canary), _canary_steady(prev_canary)
+    machine = (
+        max(1.0, cur_steady / prev_steady)
+        if cur_steady > 0 and prev_steady > 0
+        else 1.0
+    )
     out: dict = {}
     for name, sec in timings.items():
         p = prev_det.get(name)
@@ -350,11 +367,32 @@ def _flag_regressions(
             continue
         if p_med <= 0.2:
             continue
+        raw = sec / p_med
+        if raw <= threshold:
+            continue
         cur_n = sec / _canary_factor(positions.get(name, 0), canary)
         prev_n = p_med / _canary_factor(prev_pos.get(name, 0), prev_canary)
-        if prev_n > 0 and cur_n / prev_n > threshold:
-            out[name] = [p_med, sec, round(cur_n / prev_n, 2)]
+        norm = cur_n / prev_n if prev_n > 0 else raw
+        # flag-clearing direction ONLY: the effective ratio is the
+        # smaller of raw and within-run-normalized, deflated by the
+        # cross-round machine factor — an elevated prev-side tick or a
+        # faster prev machine can never inflate a flag
+        eff = min(raw, norm) / machine
+        if eff > threshold:
+            out[name] = [p_med, sec, round(eff, 2)]
     return out
+
+
+def _canary_steady(canary: list) -> float:
+    """Steady-state canary level: median of post-warmup ticks (the same
+    series `_canary_factor` normalizes within-run positions by); 0.0
+    when the series is too short."""
+    import statistics
+
+    ticks = [c for c in canary[1:] if isinstance(c, (list, tuple)) and len(c) == 2]
+    if len(ticks) < 2:
+        return 0.0
+    return float(statistics.median(c for _, c in ticks))
 
 
 if __name__ == "__main__":

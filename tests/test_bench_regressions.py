@@ -99,6 +99,52 @@ def test_failed_prev_entry_skipped(bench):
     assert bench._flag_regressions({"q": 5.0}, {"q": 0}, FLAT, prev) == {}
 
 
+def test_elevated_prev_tick_cannot_manufacture_regressions(bench):
+    # the REAL r7 failure shape: the previous record's position-30 tick
+    # carries residual warmup (0.47 vs 0.22 steady), so symmetric
+    # normalization deflated prev 2x and flagged ~40 queries that had
+    # gotten FASTER. Normalization must only CLEAR raw flags.
+    prev_canary = [[0, 1.56], [30, 0.47], [60, 0.248], [90, 0.221],
+                   [120, 0.238], [150, 0.216], [180, 0.237]]
+    cur_canary = [[0, 1.787], [30, 0.344], [60, 0.311], [90, 0.278],
+                  [120, 0.275], [150, 0.259], [180, 0.258]]
+    prev = _prev({"wordcount": 0.459, "pricing_summary": 1.63}, prev_canary)
+    out = bench._flag_regressions(
+        {"wordcount": 0.424, "pricing_summary": 1.628},
+        {"wordcount": 0, "pricing_summary": 1},
+        cur_canary,
+        prev,
+    )
+    assert out == {}
+    # and a genuine 2x regression at the same early position IS caught
+    out2 = bench._flag_regressions(
+        {"wordcount": 0.95}, {"wordcount": 0}, cur_canary, prev
+    )
+    assert set(out2) == {"wordcount"}
+
+
+def test_machine_drift_clears_global_inflation_but_not_real_regressions(bench):
+    # whole-box drift: this round's canary steady level is 1.2x last
+    # round's (shared machine got slower) — a query inflated ~1.35x is
+    # machine drift, a query inflated 2x is real
+    prev_canary = [[0, 1.5], [30, 0.20], [60, 0.20], [90, 0.20], [120, 0.20]]
+    cur_canary = [[0, 1.8], [30, 0.24], [60, 0.24], [90, 0.24], [120, 0.24]]
+    prev = _prev({"drifted": 2.0, "regressed": 2.0}, prev_canary)
+    out = bench._flag_regressions(
+        {"drifted": 2.7, "regressed": 4.0},
+        {"drifted": 10, "regressed": 40},
+        cur_canary,
+        prev,
+    )
+    assert set(out) == {"regressed"}
+    # a FASTER machine must never hide a real regression (clamp at 1.0)
+    out2 = bench._flag_regressions(
+        {"regressed": 4.0}, {"regressed": 40}, prev_canary,
+        _prev({"regressed": 2.0}, cur_canary),
+    )
+    assert set(out2) == {"regressed"}
+
+
 def test_suggest_stateful_partitions_sqrt_law():
     """The auto-sizer must reproduce BOTH round-6 hand-found optima —
     ~8 partitions at 1,250 input rows/trigger and ~32 at 12,500 — which
