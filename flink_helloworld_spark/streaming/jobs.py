@@ -25,10 +25,22 @@ def waybill_etl_job(
     sink_path: str,
     checkpoint_dir: str,
     rows_per_second: int = 100,
+    rows_per_trigger: int | None = None,
 ):
     """Generator → enrich → keyed upsert: the HelloWorldFlink main ETL
     reshaped Spark-first. Returns (sink, StreamingQuery) — caller stops
-    the query; the sink is queryable parquet keyed by waybill_code."""
+    the query; the sink is queryable parquet keyed by waybill_code.
+
+    ``rows_per_trigger``: expected input rows per micro-batch — when
+    given, the stateful partition count is auto-sized by the sqrt
+    capacity law (``_util.suggest_stateful_partitions``) before the
+    first start pins it at the checkpoint."""
+    if rows_per_trigger is not None:
+        from flink_helloworld_spark.streaming._util import (
+            apply_stateful_partitions,
+        )
+
+        apply_stateful_partitions(spark, rows_per_trigger)
     stream = waybill_c_stream(spark, rows_per_second)
     enriched = stream.select(
         "waybill_code",
@@ -70,6 +82,7 @@ def streaming_window_topn_job(
     size: str = "1 day",
     n: int = 3,
     delay: str = "10 minutes",
+    rows_per_trigger: int | None = None,
 ):
     """Continuous Window Top-N (Flink SQL's streaming Top-N): per
     tumbling window, maintain the top-``n`` keys by count as events
@@ -86,8 +99,16 @@ def streaming_window_topn_job(
     only ever get overwritten (counts are monotone), never orphaned.
 
     Returns (agg_sink, topn_sink, query); topn_sink's parquet is the
-    live Top-N table.
+    live Top-N table. ``rows_per_trigger``: expected input rows per
+    micro-batch — when given, the stateful partition count is
+    auto-sized by the sqrt capacity law before the first start pins it.
     """
+    if rows_per_trigger is not None:
+        from flink_helloworld_spark.streaming._util import (
+            apply_stateful_partitions,
+        )
+
+        apply_stateful_partitions(stream.sparkSession, rows_per_trigger)
     agg = (
         stream.withWatermark(time_col, delay)
         .groupBy(F.window(time_col, size).alias("w"), key_col)
@@ -240,6 +261,7 @@ def streaming_ingest_job(
     text_col: str = "text",
     min_words: int = 3,
     delay: str = "10 minutes",
+    rows_per_trigger: int | None = None,
 ):
     """Streaming corpus ingest: the pretrain-prep front half as one
     continuous query — cheap per-row quality gate (word count + non-empty
@@ -258,6 +280,15 @@ def streaming_ingest_job(
     """
     from flink_helloworld_spark.operators.dedup import _words
 
+    # rows_per_trigger: expected input rows per micro-batch — auto-size
+    # the stateful partition count by the sqrt capacity law before the
+    # caller's first .start() pins it at the checkpoint
+    if rows_per_trigger is not None:
+        from flink_helloworld_spark.streaming._util import (
+            apply_stateful_partitions,
+        )
+
+        apply_stateful_partitions(stream.sparkSession, rows_per_trigger)
     # min_words >= 1 already implies non-blank (the word split drops
     # empty tokens), so the single predicate is the whole quality gate
     filtered = stream.where(F.size(_words(F.col(text_col))) >= min_words)

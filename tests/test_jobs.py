@@ -750,3 +750,34 @@ def test_streaming_corpus_manifest_recovers_both_states_from_checkpoint(spark):
     }
     assert second == expect
     assert sum(v[0] for v in second.values()) == 30
+
+
+def test_job_builders_auto_size_stateful_partitions(spark):
+    """rows_per_trigger wires the sqrt capacity law into the job
+    builders: the shuffle-partition conf (the only binding knob for a
+    stateful operator's partitioning, pinned at the first checkpoint)
+    must be set to the suggested count before the caller's .start()."""
+    import tempfile
+
+    from flink_helloworld_spark.streaming._util import (
+        suggest_stateful_partitions,
+    )
+    from flink_helloworld_spark.streaming.jobs import streaming_ingest_job
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        workdir = tempfile.mkdtemp(prefix="autosz-in-")
+        stream = spark.readStream.schema(
+            "doc_id long, text string, event_time timestamp"
+        ).parquet(workdir)
+        streaming_ingest_job(
+            stream,
+            tempfile.mkdtemp(prefix="autosz-out-"),
+            tempfile.mkdtemp(prefix="autosz-ck-"),
+            rows_per_trigger=12500,
+        )
+        expect = suggest_stateful_partitions(12500)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(expect)
+        assert expect == 25  # sqrt(12500 * 0.05), the measured 10x winner
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -1158,3 +1158,71 @@ def test_lsh_gate_ttl_expiry_and_reclaim_survive_checkpoint_recovery(spark):
     # inside the fresh TTL) must dedup against it across this restart
     got = run_once(ttl_ms=3_600_000)
     assert got == [(1, True), (2, True), (3, False)], got
+
+
+def test_banded_gate_ttl_expiry_and_reclaim_survive_checkpoint_recovery(spark):
+    """The same TTL'd-claim lifecycle across restarts for the BANDED
+    embedding gate: a vector's claims live in ``bands`` independent
+    (band, bucket) keys, and the expire → re-admit → re-claim → re-dedup
+    sequence must hold for ALL of them together (a single surviving
+    band claim would wrongly drop the re-admission; a single expired one
+    wrongly admits the later duplicate)."""
+    import os
+
+    import pandas as pd
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.tws import (
+        streaming_embedding_dedup_banded,
+    )
+
+    vec = [round(0.1 * (d % 7) - 0.3, 2) for d in range(16)]
+    workdir = tempfile.mkdtemp(prefix="embband-ttlre-in-")
+    out_dir = tempfile.mkdtemp(prefix="embband-ttlre-out-")
+    ck = tempfile.mkdtemp(prefix="embband-ttlre-ck-")
+
+    def put(i, rows):
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
+            p, index=False
+        )
+        os.utime(p, (_time.time() - 60 + i, _time.time() - 60 + i))
+
+    def run_once(ttl_ms):
+        raw = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(workdir)
+        q = (
+            streaming_embedding_dedup_banded(
+                raw, planes=4, bands=3, dims=16, state_ttl_ms=ttl_ms
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+        return sorted(
+            (r.vec_id, r.n_first, r.kept)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    put(0, [(1, vec)])
+    assert run_once(ttl_ms=1_000) == [(1, 3, True)]
+    _time.sleep(3.0)  # ALL band claims expire while the query is down
+    put(1, [(2, vec)])
+    # every band's expired claim forgets vec 1 => vec 2 re-admitted on
+    # ALL bands (n_first == bands) and re-claims each bucket
+    assert run_once(ttl_ms=3_600_000) == [(1, 3, True), (2, 3, True)]
+    put(2, [(3, vec)])
+    # vec 2's re-claims are live in the recovered store on EVERY band:
+    # the identical vec 3 must lose all three firsts across this restart
+    got = run_once(ttl_ms=3_600_000)
+    assert got == [(1, 3, True), (2, 3, True), (3, 0, False)], got
