@@ -998,6 +998,17 @@ def _q_embedding_gate_recall_curve(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_dedup_embedding_gate_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # verified banded gate: a bucket collision drops only after an exact
+    # rounded-cosine check against the bucket OWNER — zero false drops
+    # at the state-lean planes=8 setting (one cosine per collision,
+    # nothing quadratic)
+    return S.embedding_first_arrival_verified(
+        load_tables(spark, sf_dir).embeddings,
+        threshold=0.9, planes=8, bands=4,
+    )
+
+
 def _q_similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int8 scalar quantization (FAISS SQ8): per-dim min/max codes, 4x
     # memory cut; asymmetric top-k (full-precision query sample vs the
@@ -2467,7 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the FIRST 50 entries — EXACTLY 50 are listed before the
         # rotation marker below (ADVICE r6: the r6 block held 57, so 7
         # rotated-in names silently fell outside the gate).
-        # Round-7 rotation (stalest-first): the 3 new r7 queries, then
+        # Round-7 rotation (stalest-first): the 4 new r7 queries, then
         # the 35 queries whose newest official row is round 3, then
         # r4-checked queries in registry order fill the gate. After
         # this round no query's newest official row is older than r4.
@@ -2475,10 +2486,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracle.py at sf0.01 (full-registry sweep, 0
         # failures) beside the full pytest run. Rotate again next
         # round: new queries first, then oldest-official-row-first.
-        # --- gate slots (exactly 50): new r7, then r3, then r4 ---
+        # --- gate slots (exactly 50): 4 new r7, the 35 r3, 11 r4 ---
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
+        "dedup_embedding_gate_verified": _q_dedup_embedding_gate_verified,
         "bm25_search": _q_bm25_search,
         "cep_pattern": _q_cep_pattern,
         "changelog_materialize": _q_changelog_materialize,
@@ -2525,8 +2537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode": _q_multimodal_png_decode,
         "bigram_logppl": _q_bigram_logppl,
         "classifier_train": _q_classifier_train,
-        "classifier_score": _q_classifier_score,
         # --- rotated out this round (r4 tail, r5, r6 official rows) ---
+        "classifier_score": _q_classifier_score,
         "similarity_recall_curve": _q_similarity_recall_curve,
         "dedup_embedding_gate": _q_dedup_embedding_gate,
         "minhash_band_plan": _q_minhash_band_plan,
@@ -3428,6 +3440,42 @@ def _banded_gate_sql(planes: int = 8, bands: int = 4) -> str:
                                    THEN 1 ELSE 0 END) AS kept
         FROM inc i JOIN f USING (band_id, bucket)
         GROUP BY i.vec_id
+    """
+
+
+def _verified_gate_sql(
+    threshold: float = 0.9, planes: int = 8, bands: int = 4
+) -> str:
+    """Oracle for dedup_embedding_gate_verified: banded incidence +
+    per-(band, bucket) owner, then one rounded cosine per COLLIDING row
+    against the owner's vector; kept iff no collision verifies."""
+    cos = (
+        f"round({_dot_sql('v.embedding', 'o.embedding')}"
+        f" / nullif(sqrt({_dot_sql('v.embedding', 'v.embedding')})"
+        f" * sqrt({_dot_sql('o.embedding', 'o.embedding')}), 0.0), 6)"
+    )
+    return f"""
+        WITH inc AS MATERIALIZED (
+          {_band_incidence_sql(planes, bands)}),
+        f AS (SELECT band_id, bucket, min(vec_id) AS owner_id
+              FROM inc GROUP BY band_id, bucket),
+        col AS (SELECT i.vec_id, i.band_id, f.owner_id
+                FROM inc i JOIN f USING (band_id, bucket)
+                WHERE i.vec_id <> f.owner_id),
+        ver AS (
+          SELECT c.vec_id,
+                 CAST(count(*) AS INT) AS n_collisions,
+                 CAST(sum(CASE WHEN {cos} >= {threshold!r} THEN 1 ELSE 0 END)
+                      AS INT) AS n_verified
+          FROM col c
+          JOIN embeddings v ON c.vec_id = v.vec_id
+          JOIN embeddings o ON c.owner_id = o.vec_id
+          GROUP BY c.vec_id)
+        SELECT e.vec_id,
+               coalesce(ver.n_collisions, 0) AS n_collisions,
+               coalesce(ver.n_verified, 0) AS n_verified,
+               coalesce(ver.n_verified, 0) = 0 AS kept
+        FROM embeddings e LEFT JOIN ver ON e.vec_id = ver.vec_id
     """
 
 
@@ -5332,6 +5380,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivfk_topk": _ivfk_sql(),
         "dedup_embedding_gate_banded": _banded_gate_sql(planes=8, bands=4),
         "similarity_ivf2k_topk": _ivf2k_sql(),
+        "dedup_embedding_gate_verified": _verified_gate_sql(
+            threshold=0.9, planes=8, bands=4
+        ),
         "embedding_gate_recall_curve": _gate_recall_curve_sql(sample_mod=2),
         "dedup_embedding_gate": f"""
             WITH b AS (SELECT vec_id, {_lsh_bucket_sql(8)} AS bucket

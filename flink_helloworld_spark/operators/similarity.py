@@ -629,6 +629,92 @@ def embedding_first_arrival_banded(
     )
 
 
+def embedding_first_arrival_verified(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 8,
+    bands: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """VERIFIED banded embedding gate: a bucket collision only drops a
+    vector after an exact cosine check against the bucket's OWNER (the
+    lowest-id claimant) — kept iff NO band collision verifies at
+    cosine ≥ ``threshold``.
+
+    The operating point this buys: the unverified banded gate needs
+    planes 16–24 for near-zero false collisions (2^20 buckets/band of
+    state spread); verification gets zero false drops at planes=8
+    (256 buckets/band — the state-LEAN setting) because a hash
+    collision alone no longer decides. The trade is the verification
+    work (one rounded cosine per collision) and the greedy-owner
+    contract: a vector is checked against its bucket's owner ONLY — a
+    near-dup pair that never shares a bucket with either one as owner
+    can slip, which is the same banding-recall trade the unverified
+    gate has (recall still rises with ``bands``).
+
+    Output: ``(vec_id, n_collisions, n_verified, kept)`` per vector —
+    collisions = bands whose bucket has a lower-id owner, verified =
+    those whose owner cosine ≥ threshold, kept = (n_verified == 0).
+
+    Scale shape: the incidence/firsts aggs are the banded gate's; the
+    verification join touches only COLLIDING rows (≤ |V|×bands) and
+    fetches exactly two vectors per collision through id-keyed joins —
+    no pair blowup beyond the collision count, nothing quadratic.
+    Cosines round to ``round_dp`` (the engine's oracle-parity
+    contract). A streaming twin would need the owner VECTOR in bucket
+    state (64 doubles/bucket instead of one long) — a documented
+    state-size trade left to the unverified TWS gates.
+    """
+    from flink_helloworld_spark.operators._cache import share
+
+    inc = share(
+        embedding_band_incidence(emb, planes, bands, dims, id_col, vec_col)
+    )
+    firsts = inc.groupBy("band_id", "bucket").agg(
+        F.min(id_col).alias("owner_id")
+    )
+    collisions = (
+        inc.join(firsts, ["band_id", "bucket"])
+        .where(F.col(id_col) != F.col("owner_id"))
+        .select(id_col, "band_id", "owner_id")
+    )
+    v = emb.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    o = emb.select(
+        F.col(id_col).alias("owner_id"), F.col(vec_col).alias("_ov")
+    )
+    cos = F.round(
+        _dot(F.col("_v"), F.col("_ov"))
+        / F.nullif(_norm(F.col("_v")) * _norm(F.col("_ov")), F.lit(0.0)),
+        round_dp,
+    )
+    verified = (
+        collisions.join(v, id_col)
+        .join(o, "owner_id")
+        .select(
+            id_col,
+            (cos >= threshold).alias("_hit"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_collisions"),
+            F.sum(F.col("_hit").cast("int")).cast("int").alias("n_verified"),
+        )
+    )
+    return (
+        emb.select(id_col)
+        .join(verified, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_collisions", F.lit(0)).alias("n_collisions"),
+            F.coalesce("n_verified", F.lit(0)).alias("n_verified"),
+            (F.coalesce("n_verified", F.lit(0)) == 0).alias("kept"),
+        )
+    )
+
+
 def embedding_gate_recall_curve(
     emb: DataFrame,
     bands_sweep: tuple[int, ...] = (1, 2, 4, 8),

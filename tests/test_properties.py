@@ -518,6 +518,136 @@ def test_banded_gate_matches_first_principles_any_vectors(spark, vecs):
     assert {i for i, (_, _, k) in out.items() if k} <= kept2
 
 
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@_settings
+def test_verified_gate_matches_first_principles_any_vectors(spark, vecs):
+    """For ANY vectors: the verified gate's (n_collisions, n_verified,
+    kept) equals a pure-Python replay — per-band owner, one rounded
+    cosine per collision vs the owner, kept iff none verifies."""
+    import hashlib
+    import math
+
+    from flink_helloworld_spark.operators.similarity import (
+        embedding_first_arrival_verified,
+    )
+
+    planes, bands, dims, thr = 3, 2, 8, 0.9
+
+    def sign(b, p, d):
+        h = hashlib.md5(f"{b}~{p}:{d}".encode()).hexdigest()[0]
+        return 1.0 if int(h, 16) % 2 == 0 else -1.0
+
+    def bucket(vec, b):
+        out = 0
+        for p in range(planes):
+            s = 0.0
+            for d in range(dims):
+                s += vec[d] * sign(b, p, d)
+            if s > 0:
+                out += 1 << p
+        return out
+
+    def rhe(x, dp=6):  # round-half-away, the engine contract
+        q = 10 ** dp
+        return math.floor(abs(x) * q + 0.5) / q * (1 if x >= 0 else -1)
+
+    owners: dict = {}
+    for i, v in enumerate(vecs):
+        for b in range(bands):
+            key = (b, bucket(v, b))
+            if key not in owners or i < owners[key]:
+                owners[key] = i
+    expect = {}
+    for i, v in enumerate(vecs):
+        ncol = nver = 0
+        for b in range(bands):
+            o = owners[(b, bucket(v, b))]
+            if o == i:
+                continue
+            ncol += 1
+            ov = vecs[o]
+            dot = sum(x * y for x, y in zip(v, ov))
+            nv = math.sqrt(sum(x * x for x in v))
+            no = math.sqrt(sum(x * x for x in ov))
+            if nv > 0 and no > 0 and rhe(dot / (nv * no)) >= thr:
+                nver += 1
+        expect[i] = (ncol, nver, nver == 0)
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.n_collisions, r.n_verified, r.kept)
+        for r in embedding_first_arrival_verified(
+            df, threshold=thr, planes=planes, bands=bands, dims=dims
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_verified_gate_zero_false_drops_at_low_planes(spark):
+    """The operating point verification buys: at planes=6 (64
+    buckets/band — heavy hash collisions, the state-LEAN setting where
+    the UNVERIFIED gate wrongly drops cluster-firsts) the verified gate
+    must keep EVERY planted cluster's first vector while still dropping
+    most true near-dups."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.similarity import (
+        embedding_first_arrival_banded,
+        embedding_first_arrival_verified,
+        planted_embeddings,
+    )
+
+    ids = spark.range(256).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+    )
+    planted = planted_embeddings(ids)
+    firsts = {
+        r.vec_id
+        for r in planted.withColumn(
+            "_m", F.min("vec_id").over(Window.partitionBy("cluster_id"))
+        )
+        .where("vec_id = _m")
+        .collect()
+    }
+    pv = planted.select("vec_id", "embedding")
+    unverified = {
+        r.vec_id: r.kept
+        for r in embedding_first_arrival_banded(
+            pv, planes=6, bands=4
+        ).collect()
+    }
+    verified = {
+        r.vec_id: r.kept
+        for r in embedding_first_arrival_verified(
+            pv, threshold=0.8, planes=6, bands=4
+        ).collect()
+    }
+    # the unverified gate at this setting DOES wrongly drop firsts
+    # (otherwise this test shows nothing)
+    assert any(not unverified[i] for i in firsts)
+    # the verified gate never does
+    assert all(verified[i] for i in firsts)
+    # and it still gates: most true near-dups (non-firsts) drop
+    dups = [i for i in verified if i not in firsts]
+    dropped = sum(1 for i in dups if not verified[i])
+    assert dropped / len(dups) > 0.8
+
+
 def test_gate_recall_curve_monotone_on_planted(spark):
     """On the planted 16-cluster mixture the banded-gate sweep must show
     its knobs working: recall non-decreasing with bands at fixed planes,
