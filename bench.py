@@ -296,21 +296,29 @@ def _load_prev_record() -> dict:
     return rec if isinstance(rec, dict) else {}
 
 
+def _post_warmup_ticks(canary: list) -> list:
+    """The canary series minus the POSITION-0 tick (first-query codegen
+    cost that applies to no other query) — keyed on the recorded
+    position value, not the list index, so a missing warmup tick (the
+    recorder swallows errors) cannot silently drop the first real
+    steady sample."""
+    return [
+        c
+        for c in canary
+        if isinstance(c, (list, tuple)) and len(c) == 2 and c[0] != 0
+    ]
+
+
 def _canary_factor(pos: int, canary: list) -> float:
     """Session-aging multiplier at run position ``pos``: the POST-WARMUP
     canary tick nearest to pos, divided by the canary's steady-state
-    value (median of post-warmup ticks). The position-0 tick is excluded
-    twice over — it carries first-query codegen cost that applies to no
-    other query. Clamped at >= 1.0 so normalization can only EXCUSE
-    aging inflation, never mask a real regression; 1.0 when the series
-    is too short to establish a steady state."""
-    import statistics
-
-    ticks = [c for c in canary[1:] if isinstance(c, (list, tuple)) and len(c) == 2]
-    if len(ticks) < 2:
-        return 1.0
-    steady = statistics.median(c for _, c in ticks)
-    if steady <= 0:
+    value (median of post-warmup ticks). Clamped at >= 1.0 so
+    normalization can only EXCUSE aging inflation, never mask a real
+    regression; 1.0 when the series is too short to establish a steady
+    state."""
+    ticks = _post_warmup_ticks(canary)
+    steady = _canary_steady(canary)
+    if len(ticks) < 2 or steady <= 0:
         return 1.0
     nearest = min(ticks, key=lambda pc: abs(pc[0] - pos))
     ratio = nearest[1] / steady
@@ -353,10 +361,18 @@ def _flag_regressions(
     # hide a real regression, only a slower one may excuse inflation.
     cur_steady, prev_steady = _canary_steady(canary), _canary_steady(prev_canary)
     machine = (
-        max(1.0, cur_steady / prev_steady)
+        cur_steady / prev_steady
         if cur_steady > 0 and prev_steady > 0
         else 1.0
     )
+    # dead-band at 1.07 (the steady level is a median of ~6 ticks, so
+    # its noise is ~1/sqrt(6) of the single-tick 15% band): drift below
+    # that is indistinguishable from between-session noise and must not
+    # soften the 1.3x bar; clamp >= 1.0 so a FASTER machine never hides
+    # a regression. Residual sensitivity gap is documented: a true 1.3-
+    # 1.4x regression coinciding with real >=7% machine drift is
+    # cleared — the price of not flagging machine drift as code.
+    machine = machine if machine >= 1.07 else 1.0
     out: dict = {}
     for name, sec in timings.items():
         p = prev_det.get(name)
@@ -389,7 +405,7 @@ def _canary_steady(canary: list) -> float:
     when the series is too short."""
     import statistics
 
-    ticks = [c for c in canary[1:] if isinstance(c, (list, tuple)) and len(c) == 2]
+    ticks = _post_warmup_ticks(canary)
     if len(ticks) < 2:
         return 0.0
     return float(statistics.median(c for _, c in ticks))

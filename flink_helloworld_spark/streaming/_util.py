@@ -9,7 +9,10 @@ import pandas as pd
 # measured c_row/c_fixed for the TWS gates on the 32-thread reference
 # node (SCALE_NOTES r6/r7): the hand-found optima — 8 partitions at
 # 1,250 input rows/trigger, 32 at 12,500 — solve n* = sqrt(rows·ratio)
-# at ratio ≈ 0.05 (8²/1250 = 0.051; 32²/12500 = 0.082; geometric mean)
+# at 0.051 and 0.082 respectively; 0.05 sits at the CONSERVATIVE (1×)
+# end so small batches are never over-split, and the validated 10×
+# suggestion (25) still beat both hand settings. Re-calibrate per
+# deployment as n²/rows from a measured optimum.
 STATEFUL_COST_RATIO = 0.05
 
 
@@ -45,14 +48,22 @@ def suggest_stateful_partitions(
     return min(n, cap) if cap is not None else n
 
 
-def apply_stateful_partitions(spark, rows_per_trigger: int, **kw) -> int:
+def apply_stateful_partitions(
+    spark, rows_per_trigger: int | None, **kw
+) -> int | None:
     """Set ``spark.sql.shuffle.partitions`` to the suggested stateful
-    count and return it. The conf is the ONLY binding knob for a
-    stateful streaming operator's partitioning (a ``repartition(n)``
-    upstream does not survive the stateful exchange), and only matters
-    before the first checkpoint — call this before ``.start()`` of a
-    NEW query; restore the previous value afterwards for batch work if
-    the session is shared."""
+    count and return it (``None`` rows_per_trigger is a no-op returning
+    None, so job-builder call sites stay one unconditional line). The
+    conf is the ONLY binding knob for a stateful streaming operator's
+    partitioning (a ``repartition(n)`` upstream does not survive the
+    stateful exchange), and only matters before the first checkpoint —
+    call this before ``.start()`` of a NEW query. The conf is
+    session-global: builders that .start() internally snapshot and
+    restore it afterwards; builders that RETURN a writer cannot (the
+    caller starts later), so there the setting deliberately persists
+    until the caller restores it."""
+    if rows_per_trigger is None:
+        return None
     n = suggest_stateful_partitions(rows_per_trigger, **kw)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     return n

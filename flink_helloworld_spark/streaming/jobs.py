@@ -34,13 +34,15 @@ def waybill_etl_job(
     ``rows_per_trigger``: expected input rows per micro-batch — when
     given, the stateful partition count is auto-sized by the sqrt
     capacity law (``_util.suggest_stateful_partitions``) before the
-    first start pins it at the checkpoint."""
-    if rows_per_trigger is not None:
-        from flink_helloworld_spark.streaming._util import (
-            apply_stateful_partitions,
-        )
+    first start pins it at the checkpoint; the session-global conf is
+    restored after .start() so shared-session batch work keeps its
+    parallelism."""
+    from flink_helloworld_spark.streaming._util import (
+        apply_stateful_partitions,
+    )
 
-        apply_stateful_partitions(spark, rows_per_trigger)
+    _prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    apply_stateful_partitions(spark, rows_per_trigger)
     stream = waybill_c_stream(spark, rows_per_second)
     enriched = stream.select(
         "waybill_code",
@@ -57,6 +59,9 @@ def waybill_etl_job(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+    # the partition count is pinned at the first checkpoint above;
+    # restore the session-global conf for subsequent batch work
+    spark.conf.set("spark.sql.shuffle.partitions", _prev_parts)
     return sink, query
 
 
@@ -102,13 +107,16 @@ def streaming_window_topn_job(
     live Top-N table. ``rows_per_trigger``: expected input rows per
     micro-batch — when given, the stateful partition count is
     auto-sized by the sqrt capacity law before the first start pins it.
+    The session-global partition conf is restored after the internal
+    .start() (the count is already pinned at the checkpoint by then).
     """
-    if rows_per_trigger is not None:
-        from flink_helloworld_spark.streaming._util import (
-            apply_stateful_partitions,
-        )
+    from flink_helloworld_spark.streaming._util import (
+        apply_stateful_partitions,
+    )
 
-        apply_stateful_partitions(stream.sparkSession, rows_per_trigger)
+    _sess = stream.sparkSession
+    _prev_parts = _sess.conf.get("spark.sql.shuffle.partitions")
+    apply_stateful_partitions(_sess, rows_per_trigger)
     agg = (
         stream.withWatermark(time_col, delay)
         .groupBy(F.window(time_col, size).alias("w"), key_col)
@@ -178,6 +186,7 @@ def streaming_window_topn_job(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+    _sess.conf.set("spark.sql.shuffle.partitions", _prev_parts)
     return agg_sink, topn_sink, query
 
 
@@ -281,14 +290,16 @@ def streaming_ingest_job(
     from flink_helloworld_spark.operators.dedup import _words
 
     # rows_per_trigger: expected input rows per micro-batch — auto-size
-    # the stateful partition count by the sqrt capacity law before the
-    # caller's first .start() pins it at the checkpoint
-    if rows_per_trigger is not None:
-        from flink_helloworld_spark.streaming._util import (
-            apply_stateful_partitions,
-        )
+    # the stateful partition count by the sqrt capacity law. This
+    # builder RETURNS a writer, so the setting must stay live until the
+    # caller's first .start() pins it at the checkpoint — the caller
+    # restores the session conf afterwards (apply_stateful_partitions
+    # docstring)
+    from flink_helloworld_spark.streaming._util import (
+        apply_stateful_partitions,
+    )
 
-        apply_stateful_partitions(stream.sparkSession, rows_per_trigger)
+    apply_stateful_partitions(stream.sparkSession, rows_per_trigger)
     # min_words >= 1 already implies non-blank (the word split drops
     # empty tokens), so the single predicate is the whole quality gate
     filtered = stream.where(F.size(_words(F.col(text_col))) >= min_words)

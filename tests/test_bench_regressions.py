@@ -143,6 +143,14 @@ def test_machine_drift_clears_global_inflation_but_not_real_regressions(bench):
         _prev({"regressed": 2.0}, cur_canary),
     )
     assert set(out2) == {"regressed"}
+    # drift below the 1.07 dead-band is between-session noise and must
+    # not soften the bar: 5% steady drift + a 1.35x mover stays flagged
+    noise_canary = [[0, 1.8], [30, 0.21], [60, 0.21], [90, 0.21], [120, 0.21]]
+    out3 = bench._flag_regressions(
+        {"q": 2.7}, {"q": 40}, noise_canary,
+        _prev({"q": 2.0}, prev_canary),
+    )
+    assert set(out3) == {"q"}
 
 
 def test_suggest_stateful_partitions_sqrt_law():

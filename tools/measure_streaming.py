@@ -1,11 +1,12 @@
 """Throughput + state-size measurement for the streaming TWS gates
 (VERDICT r5 item 4) — the numbers a 100 TB ingest capacity-plan needs.
 
-For each of the three transformWithState fronts (LSH first-arrival
-dedup, corpus->manifest, the composed 3-stage near-dup front) this
-stages the sf0.1 documents table (and its 10x duplicate-density
-replica) as multi-file parquet, runs the gate once with an
-availableNow trigger split into several micro-batches, and reports:
+For each of the five transformWithState fronts (LSH first-arrival
+dedup, corpus->manifest, the composed 3-stage near-dup front, and the
+single-band + banded embedding gates) this stages the sf0.1 documents
+or embeddings table (and its 10x duplicate-density replica) as
+multi-file parquet, runs the gate once with an availableNow trigger
+split into several micro-batches, and reports:
 
 - rows/s over trigger-execution time (startup excluded), i.e. the
   sustained per-batch throughput the gate holds once warm;
@@ -13,8 +14,10 @@ availableNow trigger split into several micro-batches, and reports:
   progress event (the steady-state footprint after the whole volume
   has been claimed).
 
-Usage: python tools/measure_streaming.py [gate ...]
-(default: all three, 1x then 10x each)
+Usage: python tools/measure_streaming.py [--auto] [gate ...]
+(default: all five, 1x then 10x each; --auto sizes the stateful
+partition count per run via the sqrt capacity law instead of the
+session default)
 """
 
 from __future__ import annotations
@@ -74,11 +77,9 @@ def run_gate(spark, name: str, in_dir: str, rows_per_trigger: int | None = None)
         if name.startswith("embedding_dedup")
         else "doc_id long, text string, source string"
     )
-    auto_n = None
-    if rows_per_trigger is not None:
-        from flink_helloworld_spark.streaming import apply_stateful_partitions
+    from flink_helloworld_spark.streaming import apply_stateful_partitions
 
-        auto_n = apply_stateful_partitions(spark, rows_per_trigger, cap=32)
+    auto_n = apply_stateful_partitions(spark, rows_per_trigger, cap=32)
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2")
