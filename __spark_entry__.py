@@ -998,6 +998,19 @@ def _q_embedding_gate_recall_curve(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cluster-balanced diversity sample (the D4-style "diversify" step
+    # beside SemDeDup): fixed md5-rank quota per k-means cluster, so
+    # dense embedding-space regions stop dominating the sample
+    from flink_helloworld_spark.operators.clustering import (
+        cluster_balanced_sample,
+    )
+
+    return cluster_balanced_sample(
+        load_tables(spark, sf_dir).embeddings, per_cluster=8
+    )
+
+
 def _q_dedup_embedding_gate_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verified banded gate: a bucket collision drops only after an exact
     # rounded-cosine check against the bucket OWNER — zero false drops
@@ -2478,7 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the FIRST 50 entries — EXACTLY 50 are listed before the
         # rotation marker below (ADVICE r6: the r6 block held 57, so 7
         # rotated-in names silently fell outside the gate).
-        # Round-7 rotation (stalest-first): the 4 new r7 queries, then
+        # Round-7 rotation (stalest-first): the 5 new r7 queries, then
         # the 35 queries whose newest official row is round 3, then
         # r4-checked queries in registry order fill the gate. After
         # this round no query's newest official row is older than r4.
@@ -2486,11 +2499,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracle.py at sf0.01 (full-registry sweep, 0
         # failures) beside the full pytest run. Rotate again next
         # round: new queries first, then oldest-official-row-first.
-        # --- gate slots (exactly 50): 4 new r7, the 35 r3, 11 r4 ---
+        # --- gate slots (exactly 50): 5 new r7, the 35 r3, 10 r4 ---
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
         "dedup_embedding_gate_verified": _q_dedup_embedding_gate_verified,
+        "cluster_balanced_sample": _q_cluster_balanced_sample,
         "bm25_search": _q_bm25_search,
         "cep_pattern": _q_cep_pattern,
         "changelog_materialize": _q_changelog_materialize,
@@ -2536,8 +2550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_fertility": _q_bpe_token_fertility,
         "multimodal_png_decode": _q_multimodal_png_decode,
         "bigram_logppl": _q_bigram_logppl,
-        "classifier_train": _q_classifier_train,
         # --- rotated out this round (r4 tail, r5, r6 official rows) ---
+        "classifier_train": _q_classifier_train,
         "classifier_score": _q_classifier_score,
         "similarity_recall_curve": _q_similarity_recall_curve,
         "dedup_embedding_gate": _q_dedup_embedding_gate,
@@ -4021,6 +4035,42 @@ def _kmeans_sql(k: int = 8, n_iter: int = 2, dims: int = 64) -> str:
     """
 
 
+def _cluster_balanced_sample_sql(
+    per_cluster: int = 8, n_iter: int = 2, dims: int = 64
+) -> str:
+    """Oracle for cluster_balanced_sample: the kmeans_assign CTEs (auto
+    k = max(8, ceil(N/256)) as a scalar subquery), then the md5-rank
+    pick window per cluster."""
+    k = "(SELECT k FROM kp)"
+    d = "(v.vec[i]::DOUBLE - c.cvec[i]::DOUBLE)"
+    sqd = f"list_sum(list_transform(range(1, {dims + 1}), i -> {d} * {d}))"
+    return f"""
+        WITH kp AS (
+          SELECT GREATEST(8, CAST(ceil(count(*) / 256.0) AS BIGINT)) AS k
+          FROM embeddings),
+        {_kmeans_ctes(k, n_iter, dims)},
+        fin AS (
+          SELECT v.id, c.cid,
+                 round({sqd} * 1000000.0)::BIGINT * {k} + c.cid AS _p
+          FROM v CROSS JOIN cent{n_iter} c),
+        asg AS (
+          SELECT id, CAST(cid AS INT) AS cluster_id FROM fin
+          QUALIFY row_number() OVER (PARTITION BY id ORDER BY _p) = 1),
+        h AS (
+          SELECT id, cluster_id,
+                 ('0x' || substr(md5('cbs:' || id::VARCHAR), 1, 15))::BIGINT
+                   AS _h
+          FROM asg)
+        SELECT id AS vec_id, cluster_id,
+               CAST(row_number() OVER (
+                 PARTITION BY cluster_id ORDER BY _h, id) AS INT) AS pick_rank,
+               row_number() OVER (
+                 PARTITION BY cluster_id ORDER BY _h, id) <= {per_cluster}
+                 AS kept
+        FROM h
+    """
+
+
 def _semantic_dedup_sql(
     threshold: float = 0.2, n_iter: int = 2, dims: int = 64
 ) -> str:
@@ -5380,6 +5430,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivfk_topk": _ivfk_sql(),
         "dedup_embedding_gate_banded": _banded_gate_sql(planes=8, bands=4),
         "similarity_ivf2k_topk": _ivf2k_sql(),
+        "cluster_balanced_sample": _cluster_balanced_sample_sql(per_cluster=8),
         "dedup_embedding_gate_verified": _verified_gate_sql(
             threshold=0.9, planes=8, bands=4
         ),

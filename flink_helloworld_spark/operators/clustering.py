@@ -186,6 +186,55 @@ def _auto_clusters(emb: DataFrame) -> int:
     return max(8, math.ceil(emb.count() / 256))
 
 
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cluster: int = 8,
+    k: int | None = None,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced diversity sample — the "diversify" selection
+    beside SemDeDup's dedup (the D4-style curation step): k-means the
+    corpus embeddings, then keep a fixed quota per cluster, so dense
+    regions of embedding space stop dominating the sample and coverage
+    is balanced across modes of the data.
+
+    Selection within a cluster is the deterministic md5 rank
+    (md5('cbs:' || id)) — a reproducible uniform draw, engine- and
+    partitioning-independent, exactly the contract of the text-side
+    samplers. Output: ``(vec_id, cluster_id, pick_rank, kept)`` for
+    EVERY vector (kept iff pick_rank <= per_cluster), so the verdict
+    composes with soft weights / mixture planners downstream.
+
+    Scale shape: clustering is the shared ``kmeans_assign`` machinery
+    (``k=None`` applies the ~256-rows-per-cluster cap, so the
+    per-cluster rank window sorts ~256 rows — bounded regardless of
+    corpus size); the ranking itself is one cluster-keyed window over
+    (long, int, long) rows — the embedding never leaves the assignment
+    stage. Nothing quadratic, nothing collected.
+    """
+    from pyspark.sql import Window
+
+    from flink_helloworld_spark.functions import md5_prefix_long
+
+    if k is None:
+        k = _auto_clusters(emb)
+    assigned = kmeans_assign(
+        emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster_id")
+    h = md5_prefix_long(
+        F.concat(F.lit("cbs:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(h, F.col(id_col))
+    return assigned.select(
+        id_col,
+        "cluster_id",
+        F.row_number().over(w).cast("int").alias("pick_rank"),
+        (F.row_number().over(w) <= per_cluster).alias("kept"),
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.35,

@@ -452,6 +452,39 @@ def test_cluster_consumers_label_identical_under_twostar(spark):
         D.soft_dedup_weights(docs, pairs, cc="bogus")
 
 
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    """Diversity sampling contract: every k-means cluster contributes
+    exactly min(|cluster|, per_cluster) keeps with contiguous 1..n
+    pick ranks, every vector gets a verdict, and a rerun is
+    bit-identical (md5-rank selection, no randomness)."""
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.clustering import (
+        cluster_balanced_sample,
+    )
+    from flink_helloworld_spark.operators.similarity import planted_embeddings
+
+    ids = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+    )
+    planted = planted_embeddings(ids).select("vec_id", "embedding")
+    rows = cluster_balanced_sample(planted, per_cluster=5).collect()
+    assert len(rows) == 300  # verdict for every vector
+    by_c: dict = {}
+    for r in rows:
+        by_c.setdefault(r.cluster_id, []).append(r)
+    assert len(by_c) > 1  # planted data actually clusters
+    for cid, rs in by_c.items():
+        ranks = sorted(r.pick_rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), cid
+        kept = [r for r in rs if r.kept]
+        assert len(kept) == min(5, len(rs)), cid
+        assert all(r.pick_rank <= 5 for r in kept)
+    again = cluster_balanced_sample(planted, per_cluster=5).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_textrank_hub_outranks_leaves_and_isolates(spark):
     from flink_helloworld_spark.operators.ranking import textrank_scores
 
