@@ -667,6 +667,12 @@ def embedding_first_arrival_verified(
     contract). A streaming twin would need the owner VECTOR in bucket
     state (64 doubles/bucket instead of one long) — a documented
     state-size trade left to the unverified TWS gates.
+
+    Reference semantics anchor: the keyed first-wins state pattern of
+    StateTest.java composed per band (as in ``lsh_first_arrival``),
+    with the candidate-then-verify split of the MinHash family
+    (``minhash_dedup_pairs``: hash candidates, exact-verify before
+    acting) applied to the vector side.
     """
     from flink_helloworld_spark.operators._cache import share
 
