@@ -1222,6 +1222,165 @@ def streaming_embedding_dedup_banded(
     )
 
 
+class VerifiedBucketClaimProcessor(StatefulProcessor):
+    """Per-(band, bucket) OWNER state for the VERIFIED gate: the lowest
+    arrival's id AND vector (the state-size trade the unverified gates
+    avoid — ~dims doubles per claimed bucket instead of one long). A
+    non-owner arrival is a verified collision iff its rounded cosine
+    against the owner is >= threshold; it is emitted as
+    ``is_first = NOT verified`` so the standard ``DocVerdictProcessor``
+    (kept iff 'first' on every band) composes unchanged downstream.
+
+    In-order contract: with ids monotone in arrival order the owner
+    equals the batch twin's lowest-id claimant; within a micro-batch
+    rows are processed in id order so the batch's own minimum claims
+    before later rows verify against it — doc-for-doc the batch
+    ``embedding_first_arrival_verified`` verdict (parity-pinned)."""
+
+    def __init__(
+        self,
+        threshold: float,
+        dims: int,
+        out_fields: list[str] | None = None,
+        round_dp: int = 6,
+    ) -> None:
+        self._threshold = threshold
+        self._dims = dims
+        self._round_dp = round_dp
+        self._out_fields = out_fields or [
+            f.name for f in _LSH_CLAIM_OUT.fields
+        ]
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        from pyspark.sql.types import ArrayType
+
+        self._owner = handle.getValueState(
+            "owner",
+            StructType(
+                [
+                    StructField("owner_id", LongType()),
+                    StructField("owner_vec", ArrayType(DoubleType())),
+                ]
+            ),
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        batch = _concat_chunks(rows)
+        if batch is None or not len(batch):
+            yield pd.DataFrame(columns=self._out_fields)
+            return
+        batch = batch.sort_values("doc_id", kind="mergesort")
+        ids = batch["doc_id"].to_numpy(dtype="int64")
+        mat = np.array(list(batch["vec"]), dtype=np.float64)
+        if self._owner.exists():
+            owner_id, owner_vec = self._owner.get()
+            owner_vec = np.asarray(owner_vec, dtype=np.float64)
+        else:
+            owner_id = int(ids[0])
+            owner_vec = mat[0]
+            self._owner.update((owner_id, [float(x) for x in owner_vec]))
+        non_owner = ids != owner_id
+        # rounded cosine vs the ONE owner — half-away rounding, the
+        # engine's BLAS/oracle parity contract
+        on = float(np.linalg.norm(owner_vec))
+        norms = np.linalg.norm(mat, axis=1)
+        denom = norms * on
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = mat @ owner_vec / denom
+        q = 10 ** self._round_dp
+        cos = np.floor(np.abs(cos) * q + 0.5) / q * np.sign(cos)
+        verified = non_owner & (denom > 0) & (cos >= self._threshold)
+        yield pd.DataFrame(
+            {"doc_id": ids, "is_first": ~verified},
+            columns=self._out_fields,
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_embedding_dedup_verified(
+    stream: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 8,
+    bands: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming VERIFIED banded embedding gate — the TWS twin of
+    ``similarity.embedding_first_arrival_verified``: a (band, bucket)
+    collision only counts against a vector after an exact rounded
+    cosine against the bucket's OWNER; admitted iff no band collision
+    verifies at ``threshold``.
+
+    Documented trades vs the unverified streaming gates, now shipped
+    instead of deferred: (a) bucket state holds the owner's VECTOR
+    (~``dims`` doubles per claimed bucket instead of one long) — the
+    price of running the state-LEAN planes=8 setting with zero false
+    drops; (b) the embedding crosses the claim exchange once per band
+    (verification needs it), so the claim shuffle carries
+    (long, int, long, ``dims``×double) rows. The verdict seam and
+    output contract are the standard two-operator topology —
+    ``DocVerdictProcessor`` composes unchanged because
+    ``is_first := NOT verified-collision`` maps the verified rule onto
+    the kept-iff-first-everywhere contract.
+
+    Emits ``(vec_id, n_bands, n_first, kept)``; ``n_verified`` of the
+    batch twin = n_bands − n_first (parity-pinned under id-monotone
+    arrival, the in-order contract of every gate here).
+    """
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.similarity import hyperplane_bucket
+
+    incidence = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band_id"),
+                        hyperplane_bucket(
+                            F.col(vec_col), planes, dims, seed=f"{b}~"
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        "vec",
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    claims = incidence.groupBy("band_id", "bucket").transformWithStateInPandas(
+        VerifiedBucketClaimProcessor(
+            threshold, dims, [f.name for f in _LSH_CLAIM_OUT.fields]
+        ),
+        outputStructType=_LSH_CLAIM_OUT,
+        outputMode="append",
+        timeMode="none",
+    )
+    verdicts = claims.groupBy("doc_id").transformWithStateInPandas(
+        DocVerdictProcessor(
+            bands, [f.name for f in LSH_VERDICT_OUTPUT.fields]
+        ),
+        outputStructType=LSH_VERDICT_OUTPUT,
+        outputMode="append",
+        timeMode="none",
+    )
+    return verdicts.select(
+        F.col("doc_id").alias(id_col), "n_bands", "n_first", "kept"
+    )
+
+
 def streaming_near_dedup_front(
     stream: DataFrame,
     cap: int,

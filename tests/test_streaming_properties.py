@@ -980,6 +980,69 @@ def test_streaming_embedding_dedup_banded_matches_batch_twin(spark):
     assert got == expect
 
 
+def test_streaming_embedding_dedup_verified_matches_batch_twin(spark):
+    """The VERIFIED streaming gate: streamed over id-ordered
+    micro-batches its verdicts must map doc-for-doc onto the batch
+    twin's — n_first = bands − n_verified, same kept set — and the
+    planted data must exercise BOTH collision outcomes (some collisions
+    verify and drop, some fail the cosine check and are forgiven;
+    otherwise the verification path is untested)."""
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.similarity import (
+        embedding_first_arrival_verified,
+        planted_embeddings,
+    )
+    from flink_helloworld_spark.streaming.tws import (
+        streaming_embedding_dedup_verified,
+    )
+
+    bands, planes, thr = 3, 6, 0.9
+    ids = spark.range(96).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+    )
+    planted = planted_embeddings(ids).select("vec_id", "embedding")
+    batch_rows = embedding_first_arrival_verified(
+        planted, threshold=thr, planes=planes, bands=bands
+    ).collect()
+    expect = {
+        r.vec_id: (bands, bands - r.n_verified, r.kept) for r in batch_rows
+    }
+    # both outcomes exercised: forgiven collisions AND verified drops
+    assert any(r.n_collisions > r.n_verified for r in batch_rows)
+    assert any(r.n_verified > 0 for r in batch_rows)
+    assert any(r.kept and r.n_collisions > 0 for r in batch_rows)
+
+    rows = sorted(
+        (
+            {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+            for r in planted.collect()
+        ),
+        key=lambda r: r["vec_id"],  # id-monotone arrival order
+    )
+    batches = [rows[0:32], rows[32:64], rows[64:96]]
+    workdir = tempfile.mkdtemp(prefix="embgatever-")
+    _write_files(batches, workdir)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    out = streaming_embedding_dedup_verified(
+        stream, threshold=thr, planes=planes, bands=bands
+    )
+    got = {
+        r.vec_id: (r.n_bands, r.n_first, r.kept)
+        for r in run_available_now(out, "embgatever")
+    }
+    assert got == expect
+
+
 def test_lsh_gate_bucket_state_resumes_from_checkpoint(spark):
     """LSH-gate durability across the TWO chained TWS operators: run
     batch 1 with a checkpoint, stop, append batch 2 containing a

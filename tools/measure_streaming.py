@@ -68,6 +68,7 @@ def run_gate(spark, name: str, in_dir: str, rows_per_trigger: int | None = None)
         streaming_corpus_manifest_tws,
         streaming_embedding_dedup,
         streaming_embedding_dedup_banded,
+        streaming_embedding_dedup_verified,
         streaming_lsh_dedup,
         streaming_near_dedup_front,
     )
@@ -92,6 +93,9 @@ def run_gate(spark, name: str, in_dir: str, rows_per_trigger: int | None = None)
         "embedding_dedup": lambda: streaming_embedding_dedup(raw),
         "embedding_dedup_banded": lambda: streaming_embedding_dedup_banded(
             raw, planes=8, bands=4
+        ),
+        "embedding_dedup_verified": lambda: streaming_embedding_dedup_verified(
+            raw, threshold=0.9, planes=8, bands=4
         ),
     }[name]()
     out_dir = tempfile.mkdtemp(prefix=f"ms-{name}-out-")
@@ -142,6 +146,7 @@ def main() -> None:
         "near_dedup_front",
         "embedding_dedup",
         "embedding_dedup_banded",
+        "embedding_dedup_verified",
     ]
     spark = build_session(app_name="fhs-stream-measure")
     for vol, src in (("1x", BASE), ("10x", BIG)):
