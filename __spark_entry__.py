@@ -998,6 +998,18 @@ def _q_embedding_gate_recall_curve(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_embedding_gate_verified_recall_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # the verified gate's quality table as driver-gated rows: bands x
+    # planes recall/false-drop grid on the planted mixture — zero false
+    # drops in every cell at the state-lean planes where the unverified
+    # gate's false-collision rate reaches 0.44
+    return S.embedding_gate_verified_recall_curve(
+        load_tables(spark, sf_dir).embeddings, sample_mod=2
+    )
+
+
 def _q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster-balanced diversity sample (the D4-style "diversify" step
     # beside SemDeDup): fixed md5-rank quota per k-means cluster, so
@@ -2491,7 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the FIRST 50 entries — EXACTLY 50 are listed before the
         # rotation marker below (ADVICE r6: the r6 block held 57, so 7
         # rotated-in names silently fell outside the gate).
-        # Round-7 rotation (stalest-first): the 5 new r7 queries, then
+        # Round-7 rotation (stalest-first): the 6 new r7 queries, then
         # the 35 queries whose newest official row is round 3, then
         # r4-checked queries in registry order fill the gate. After
         # this round no query's newest official row is older than r4.
@@ -2499,12 +2511,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracle.py at sf0.01 (full-registry sweep, 0
         # failures) beside the full pytest run. Rotate again next
         # round: new queries first, then oldest-official-row-first.
-        # --- gate slots (exactly 50): 5 new r7, the 35 r3, 10 r4 ---
+        # --- gate slots (exactly 50): 6 new r7, the 35 r3, 9 r4 ---
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
         "dedup_embedding_gate_verified": _q_dedup_embedding_gate_verified,
         "cluster_balanced_sample": _q_cluster_balanced_sample,
+        "embedding_gate_verified_recall_curve": _q_embedding_gate_verified_recall_curve,
         "bm25_search": _q_bm25_search,
         "cep_pattern": _q_cep_pattern,
         "changelog_materialize": _q_changelog_materialize,
@@ -2549,8 +2562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": _q_bpe_train_merges,
         "bpe_token_fertility": _q_bpe_token_fertility,
         "multimodal_png_decode": _q_multimodal_png_decode,
-        "bigram_logppl": _q_bigram_logppl,
         # --- rotated out this round (r4 tail, r5, r6 official rows) ---
+        "bigram_logppl": _q_bigram_logppl,
         "classifier_train": _q_classifier_train,
         "classifier_score": _q_classifier_score,
         "similarity_recall_curve": _q_similarity_recall_curve,
@@ -3559,6 +3572,88 @@ def _gate_recall_curve_sql(
                n_dropped_first::DOUBLE
                  / nullif((n_vectors - n_true_dup)::DOUBLE, 0.0)
                  AS false_collision_rate
+        FROM raw
+    """
+
+
+def _verified_gate_recall_curve_sql(
+    threshold: float = 0.9,
+    bands_sweep: tuple[int, ...] = (2, 4, 8),
+    planes_sweep: tuple[int, ...] = (6, 8),
+    n_clusters: int = 16,
+    sample_mod: int | None = None,
+) -> str:
+    """Oracle for embedding_gate_verified_recall_curve: the fused-sweep
+    skeleton of the unverified curve's oracle, with the per-row flag
+    being 'verified collision vs the arm's bucket owner' (one rounded
+    cosine per (vector, band, planes-arm) row) instead of is_first."""
+    max_b, max_p = max(bands_sweep), max(planes_sweep)
+    planted = _planted_cte(sample_mod)
+    inc = _band_incidence_sql(max_p, max_b, source="planted")
+    kb = ", ".join(f"({k})" for k in bands_sweep)
+    drop_case = " ".join(f"WHEN {k} THEN drop_{k}" for k in bands_sweep)
+    cos = (
+        f"round({_dot_sql('v.embedding', 'o.embedding')}"
+        f" / nullif(sqrt({_dot_sql('v.embedding', 'v.embedding')})"
+        f" * sqrt({_dot_sql('o.embedding', 'o.embedding')}), 0.0), 6)"
+    )
+    arms = []
+    for p in planes_sweep:
+        drops = ",\n                 ".join(
+            f"max(CASE WHEN band_id < {k} AND verified THEN 1 ELSE 0 END)"
+            f" AS drop_{k}"
+            for k in bands_sweep
+        )
+        arms.append(f"""
+          SELECT s.bands, CAST({p} AS INT) AS planes,
+                 count(*) AS n_vectors,
+                 CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true_dup,
+                 CAST(sum(CASE WHEN _di = 1 AND is_dup THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dropped_dup,
+                 CAST(sum(CASE WHEN _di = 1 AND NOT is_dup THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dropped_first
+          FROM (
+            SELECT pv.vec_id, t.is_dup, kb.bands,
+                   CASE kb.bands {drop_case} END AS _di
+            FROM (
+              SELECT vec_id,
+                 {drops}
+              FROM (
+                SELECT m.vec_id, m.band_id,
+                       (m.vec_id <> w.owner_id AND {cos} >= {threshold!r})
+                         AS verified
+                FROM (SELECT vec_id, band_id,
+                        bucket % {2 ** p} AS mb FROM inc) m
+                JOIN (SELECT band_id, bucket % {2 ** p} AS mb,
+                        min(vec_id) AS owner_id
+                      FROM inc GROUP BY band_id, bucket % {2 ** p}) w
+                  USING (band_id, mb)
+                JOIN planted v ON m.vec_id = v.vec_id
+                JOIN planted o ON w.owner_id = o.vec_id)
+              GROUP BY vec_id) pv
+            JOIN truth t USING (vec_id)
+            CROSS JOIN (VALUES {kb}) AS kb(bands)
+          ) s
+          GROUP BY s.bands""")
+    body = "\n          UNION ALL\n          ".join(arms)
+    return f"""
+        WITH {planted},
+        truth AS (SELECT vec_id,
+                    vec_id > min(vec_id) OVER (
+                      PARTITION BY vec_id % {n_clusters}) AS is_dup
+                  FROM planted),
+        inc AS MATERIALIZED (
+          {inc}),
+        raw AS (
+          {body})
+        SELECT CAST(bands AS INT) AS bands, planes, n_vectors, n_true_dup,
+               n_dropped_dup, n_dropped_first,
+               n_dropped_dup::DOUBLE
+                 / nullif(n_true_dup::DOUBLE, 0.0) AS recall,
+               n_dropped_first::DOUBLE
+                 / nullif((n_vectors - n_true_dup)::DOUBLE, 0.0)
+                 AS false_drop_rate
         FROM raw
     """
 
@@ -5431,6 +5526,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_gate_banded": _banded_gate_sql(planes=8, bands=4),
         "similarity_ivf2k_topk": _ivf2k_sql(),
         "cluster_balanced_sample": _cluster_balanced_sample_sql(per_cluster=8),
+        "embedding_gate_verified_recall_curve":
+            _verified_gate_recall_curve_sql(sample_mod=2),
         "dedup_embedding_gate_verified": _verified_gate_sql(
             threshold=0.9, planes=8, bands=4
         ),

@@ -721,6 +721,148 @@ def embedding_first_arrival_verified(
     )
 
 
+def embedding_gate_verified_recall_curve(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    bands_sweep: tuple[int, ...] = (2, 4, 8),
+    planes_sweep: tuple[int, ...] = (6, 8),
+    n_clusters: int = 16,
+    dims: int = 64,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Recall / false-drop sweep for the VERIFIED banded gate on the
+    planted mixture — the quality table that justifies the state-lean
+    operating point as driver-gated rows (measured first in SCALE_NOTES
+    r7: zero false drops in EVERY cell at planes 6-8 where the
+    unverified gate's false-collision rate reaches 0.44).
+
+    Per arm: recall = true near-dups dropped / true near-dups;
+    false_drop_rate = cluster-firsts wrongly dropped / cluster-firsts.
+    A vector drops iff ANY of its first k bands has a lower-id bucket
+    OWNER whose rounded cosine is >= ``threshold``.
+
+    FUSED exactly like ``embedding_gate_recall_curve`` — one incidence
+    table at (max bands, max planes); planes arms mask bucket bits,
+    bands arms prefix the band list — plus ONE rounded cosine per
+    (vector, band, planes-arm) row against that arm's bucket owner
+    (owner rows verify trivially false). Everything is column
+    expressions over id-keyed joins; nothing quadratic, nothing Python.
+    """
+    from pyspark.sql import Window
+
+    from flink_helloworld_spark.operators._cache import share
+
+    if sample_mod is not None:
+        emb = emb.where(F.col(id_col) % sample_mod == 0)
+    planted = share(
+        planted_embeddings(
+            emb, n_clusters=n_clusters, dims=dims, id_col=id_col, vec_col=vec_col
+        )
+    )
+    max_b, max_p = max(bands_sweep), max(planes_sweep)
+    inc = share(
+        embedding_band_incidence(
+            planted, planes=max_p, bands=max_b, dims=dims,
+            id_col=id_col, vec_col=vec_col,
+        )
+    )
+    truth = planted.select(
+        F.col(id_col),
+        (
+            F.col(id_col)
+            > F.min(id_col).over(Window.partitionBy("cluster_id"))
+        ).alias("is_dup"),
+    )
+    masked = None
+    for p in planes_sweep:
+        m = inc.select(
+            id_col,
+            F.lit(p).cast("int").alias("planes"),
+            "band_id",
+            (F.col("bucket") % (2 ** p)).alias("mb"),
+        )
+        masked = m if masked is None else masked.unionByName(m)
+    owners = masked.groupBy("planes", "band_id", "mb").agg(
+        F.min(id_col).alias("owner_id")
+    )
+    v = planted.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    o = planted.select(
+        F.col(id_col).alias("owner_id"), F.col(vec_col).alias("_ov")
+    )
+    cos = F.round(
+        _dot(F.col("_v"), F.col("_ov"))
+        / F.nullif(_norm(F.col("_v")) * _norm(F.col("_ov")), F.lit(0.0)),
+        round_dp,
+    )
+    flags = (
+        masked.join(owners, ["planes", "band_id", "mb"])
+        .join(v, id_col)
+        .join(o, "owner_id")
+        .select(
+            id_col,
+            "planes",
+            "band_id",
+            ((F.col(id_col) != F.col("owner_id")) & (cos >= threshold)).alias(
+                "verified"
+            ),
+        )
+    )
+    per_vec = flags.groupBy(id_col, "planes").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("band_id") < k, F.col("verified").cast("int")
+                ).otherwise(F.lit(0))
+            ).alias(f"_drop_{k}")
+            for k in bands_sweep
+        ]
+    )
+    stacked = per_vec.join(truth, id_col).select(
+        "planes",
+        "is_dup",
+        F.expr(
+            f"stack({len(bands_sweep)}, "
+            + ", ".join(f"CAST({k} AS INT), _drop_{k}" for k in bands_sweep)
+            + ") AS (bands, _di)"
+        ),
+    )
+    return (
+        stacked.groupBy("bands", "planes")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_true_dup"),
+            F.sum(
+                (F.col("_di") == 1).cast("long") * F.col("is_dup").cast("long")
+            ).alias("n_dropped_dup"),
+            F.sum(
+                (F.col("_di") == 1).cast("long") * (~F.col("is_dup")).cast("long")
+            ).alias("n_dropped_first"),
+        )
+        .select(
+            "bands",
+            "planes",
+            "n_vectors",
+            "n_true_dup",
+            "n_dropped_dup",
+            "n_dropped_first",
+            (
+                F.col("n_dropped_dup").cast("double")
+                / F.nullif(F.col("n_true_dup").cast("double"), F.lit(0.0))
+            ).alias("recall"),
+            (
+                F.col("n_dropped_first").cast("double")
+                / F.nullif(
+                    (F.col("n_vectors") - F.col("n_true_dup")).cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("false_drop_rate"),
+        )
+    )
+
+
 def embedding_gate_recall_curve(
     emb: DataFrame,
     bands_sweep: tuple[int, ...] = (1, 2, 4, 8),

@@ -648,6 +648,35 @@ def test_verified_gate_zero_false_drops_at_low_planes(spark):
     assert dropped / len(dups) > 0.8
 
 
+def test_verified_gate_recall_curve_on_planted(spark):
+    """The verified-gate sweep's contract on planted data: recall
+    non-decreasing with bands at fixed planes, ZERO false drops in
+    every arm at threshold 0.9 (the property the verification buys),
+    and every arm scores the full population."""
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.similarity import (
+        embedding_gate_verified_recall_curve,
+    )
+
+    ids = spark.range(256).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+    )
+    rows = embedding_gate_verified_recall_curve(
+        ids, bands_sweep=(2, 4), planes_sweep=(6, 8)
+    ).collect()
+    assert len(rows) == 4
+    by_arm = {(r.bands, r.planes): r for r in rows}
+    for r in rows:
+        assert r.n_vectors == 256
+        assert r.false_drop_rate == 0.0
+        assert r.n_dropped_first == 0
+    for p in (6, 8):
+        assert by_arm[(2, p)].recall <= by_arm[(4, p)].recall
+    assert by_arm[(4, 6)].recall > 0.9
+
+
 def test_gate_recall_curve_monotone_on_planted(spark):
     """On the planted 16-cluster mixture the banded-gate sweep must show
     its knobs working: recall non-decreasing with bands at fixed planes,
