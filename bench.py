@@ -273,18 +273,30 @@ def _next_round(here: str) -> int:
     return (max(rounds) + 1) if rounds else 0
 
 
-def _load_prev_record() -> dict:
-    """The FULL newest committed bench_local_r*.json record — the
-    regression reference: per-query timings under 'detail'/'queries'
-    (each in run order) plus its own 'aging_canary' series."""
+def _load_prev_record(here: str | None = None) -> dict:
+    """The FULL bench_local_r*.json record of the LAST DRIVER-STAMPED
+    round — the regression reference: per-query timings under
+    'detail'/'queries' (each in run order) plus its own 'aging_canary'
+    series.
+
+    VERDICT r7 item 2: the previous form grabbed the newest
+    bench_local_r*.json, which mid-round is THIS round's own earlier
+    run — so the committed ``regressions_vs_prev`` was a same-code
+    environment comparison instead of prev-round-vs-this-round.
+    Records from the current round (round >= ``_next_round``, i.e.
+    newer than the newest driver-stamped BENCH_r{N}.json) are now
+    excluded, so the baseline always means "vs last official round"
+    no matter how many times bench re-runs in-round."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    current = _next_round(here)
     best, best_n = None, -1
     for p in glob.glob(os.path.join(here, "bench_local_r*.json")):
         m = re.search(r"bench_local_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
+        if m and best_n < int(m.group(1)) < current:
             best, best_n = p, int(m.group(1))
     if best is None:
         return {}

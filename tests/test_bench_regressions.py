@@ -171,6 +171,35 @@ def test_suggest_stateful_partitions_sqrt_law():
     assert suggest_stateful_partitions(125000) > n10
 
 
+def test_prev_record_pinned_to_last_driver_stamped_round(bench, tmp_path):
+    """VERDICT r7 item 2: mid-round, the newest bench_local_r*.json is
+    THIS round's own earlier run — using it as the regression baseline
+    makes `regressions_vs_prev` a same-code environment comparison.
+    `_load_prev_record` must return the record of the last DRIVER-STAMPED
+    round (newest BENCH_r{N}.json = round N-1 official), skipping any
+    in-round bench_local files from the current round."""
+    import json
+
+    def w(name, payload):
+        (tmp_path / name).write_text(json.dumps(payload))
+
+    # driver-stamped rounds 6 and 7 -> current round is 8
+    w("BENCH_r06.json", {"value": 1})
+    w("BENCH_r07.json", {"value": 1})
+    w("bench_local_r06.json", {"round": 6})
+    w("bench_local_r07.json", {"round": 7})
+    assert bench._next_round(str(tmp_path)) == 8
+    # no in-round record yet: baseline is r7 (the last stamped round)
+    assert bench._load_prev_record(str(tmp_path))["round"] == 7
+    # an earlier in-round r8 run appears: baseline must STAY r7
+    w("bench_local_r08.json", {"round": 8})
+    assert bench._load_prev_record(str(tmp_path))["round"] == 7
+    # no stamped rounds at all -> current=0 -> no baseline
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert bench._load_prev_record(str(empty)) == {}
+
+
 def test_noise_floor_and_missing_prev(bench):
     prev = _prev({"tiny": 0.15}, FLAT)
     # sub-200ms baseline is noise, never flagged
