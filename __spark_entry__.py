@@ -1351,6 +1351,40 @@ def _q_similarity_ivf2k_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the BUILD half of the r8 ANN build/query split (VERDICT r7 item
+    # 1): the persisted two-level index artifact as manifest rows —
+    # supers sized by homed cells, cells by posting-list members,
+    # centroids pinned by rounded norm
+    return S.ivf_index_manifest(load_tables(spark, sf_dir).embeddings)
+
+
+def _q_similarity_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the QUERY half: a deterministic query subset (vec_id % 10 == 0 —
+    # queries arriving separately from the indexed corpus) scanned
+    # against the prebuilt artifact — no quantizer training on this
+    # path; construction parity with ivf2k makes the oracle exact
+    emb = load_tables(spark, sf_dir).embeddings
+    index, postings = S.build_ivf_index(emb)
+    return S.ivf_index_query(
+        index,
+        postings,
+        emb.where(F.col("vec_id") % 10 == 0),
+        k=5,
+        n_probe=2,
+        n_super_probe=2,
+    )
+
+
+def _q_ivf_indexed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall@5 of the indexed query path on the planted mixture at
+    # n_probe 1/2/4 — pins "recall unchanged at equal probes" (the r8
+    # split's acceptance criterion) against the exact N² baseline
+    return S.ivf_indexed_recall_curve(
+        load_tables(spark, sf_dir).embeddings, k=5, n_probes=(1, 2, 4)
+    )
+
+
 def _q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-unigram mean -log p(word) per doc — the model-free CCNet
     # quality filter; decimal-exact mean so the oracle hash matches
@@ -2512,6 +2546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # failures) beside the full pytest run. Rotate again next
         # round: new queries first, then oldest-official-row-first.
         # --- gate slots (exactly 50): 6 new r7, the 35 r3, 9 r4 ---
+        "ivf_index_build": _q_ivf_index_build,
+        "similarity_ivf_indexed_topk": _q_similarity_ivf_indexed_topk,
+        "ivf_indexed_recall": _q_ivf_indexed_recall,
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
@@ -3256,17 +3293,24 @@ def _ivfk_sql(n_probe: int = 2, n_iter: int = 2, k: int = 5) -> str:
             {_ivf_scoring_tail(n_probe, k)}"""
 
 
-def _ivf2k_sql(
-    n_probe: int = 2, n_super_probe: int = 2, n_iter: int = 2, k: int = 5
+def _ivf2k_routing_ctes(
+    max_probe: int = 2,
+    n_super_probe: int = 2,
+    n_iter: int = 2,
+    v_src: str = "SELECT vec_id AS id, embedding AS vec FROM embeddings",
 ) -> str:
-    """Replicates similarity.ivf2k_cosine_topk: a deterministic md5-rank
-    training sample (seed 'kmt:', max(2048, 8·C) rows — the FAISS
-    train-on-sample doctrine that keeps refinement off the scan's scale
-    path), then TWO chained `_kmeans_ctes` replays — sample → C cells
-    (auto C = max(16, ⌈N/64⌉)), refined centroid table → S = max(4,
-    ⌈√C⌉) super-cells — feeding the two-level scoring tail of the ivf2
-    oracle verbatim (centroid→super home, vector→super probes,
-    candidate cells, per-cell scan)."""
+    """The two-level Lloyd-refined quantizer BUILD + ROUTING CTE chain
+    shared by every ivf2k-family oracle (fused scan, index-build
+    manifest, indexed query, indexed recall curve): a deterministic
+    md5-rank training sample (seed 'kmt:', max(2048, 8·C) rows — the
+    FAISS train-on-sample doctrine), TWO chained `_kmeans_ctes` replays
+    (sample → C cells, refined cells → S = max(4, ⌈√C⌉) supers),
+    centroid→super home assignment, and per-vector cell routing. Ends
+    with ``i2ranked(id, vec, centroid_id, _crn)`` holding each vector's
+    ``max_probe`` nearest reachable cells (rank 1 = its posting-list
+    home), plus ``cent_home(centroid_id, cvec, super_id)`` and
+    ``sup(super_id, svec)`` for consumers that read the index artifact
+    itself. No leading WITH."""
     c_raw = "GREATEST(16, CEIL(COUNT(*) / 64.0)::BIGINT)"
     c_expr = f"(SELECT {c_raw} FROM v)"
     s_expr = (
@@ -3286,8 +3330,7 @@ def _ivf2k_sql(
         vec_expr="cvec",
         prefix="s_",
     )
-    return f"""
-            WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+    return f"""v AS ({v_src}),
             trainset AS (
               SELECT id, vec FROM (
                 SELECT id, vec, row_number() OVER (ORDER BY
@@ -3322,19 +3365,122 @@ def _ivf2k_sql(
                          PARTITION BY p.id
                          ORDER BY round({_dot_sql("p.vec", "c.cvec")} / nullif(sqrt({_dot_sql("p.vec", "p.vec")}) * sqrt({_dot_sql("c.cvec", "c.cvec")}), 0.0), 6) DESC, c.centroid_id) AS _crn
                 FROM v_super p JOIN cent_home c USING (super_id))
-              WHERE _crn <= {n_probe}),
+              WHERE _crn <= {max_probe})"""
+
+
+def _ivf2k_sql(
+    n_probe: int = 2, n_super_probe: int = 2, n_iter: int = 2, k: int = 5,
+    query_filter: str | None = None,
+) -> str:
+    """Replicates similarity.ivf2k_cosine_topk (and, with
+    ``query_filter``, the indexed query path ``ivf_index_query`` over a
+    prebuilt artifact — the build construction is IDENTICAL, which is
+    the whole point of the r8 build/query split): the shared
+    `_ivf2k_routing_ctes` build + routing, then the per-cell scan —
+    members are rank-1 homes (the posting lists), probes are
+    ``_crn <= n_probe``, optionally restricted to the query subset
+    (``query_filter`` is a predicate over the probe alias ``p``, e.g.
+    ``"p.id % 10 = 0"``)."""
+    qf = f" AND ({query_filter})" if query_filter else ""
+    return f"""
+            WITH {_ivf2k_routing_ctes(n_probe, n_super_probe, n_iter)},
             i2cells AS (SELECT id, vec, centroid_id FROM i2ranked WHERE _crn = 1),
             i2pairs AS (
               SELECT p.id AS query_id, c.id AS neighbor_id,
                      round({_dot_sql("p.vec", "c.vec")} / nullif(sqrt({_dot_sql("p.vec", "p.vec")}) * sqrt({_dot_sql("c.vec", "c.vec")}), 0.0), 6) AS cosine
               FROM i2ranked p JOIN i2cells c USING (centroid_id)
-              WHERE p.id <> c.id)
+              WHERE p.id <> c.id{qf})
             SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
               SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
               FROM i2pairs)
             WHERE rank <= {k}
         """
+
+
+def _ivf_index_build_sql(n_super_probe: int = 2, n_iter: int = 2) -> str:
+    """Oracle for ivf_index_build (similarity.ivf_index_manifest): the
+    `_ivf2k_routing_ctes` construction, then one manifest row per index
+    entry — level-2 supers sized by homed cells, level-1 cells sized by
+    their posting lists (routing rank 1), centroids pinned by their
+    rounded L2 norm."""
+    return f"""
+            WITH {_ivf2k_routing_ctes(1, n_super_probe, n_iter)},
+            postings AS (SELECT centroid_id, id FROM i2ranked WHERE _crn = 1),
+            psize AS (SELECT centroid_id, count(*) AS n FROM postings GROUP BY 1),
+            ssize AS (SELECT super_id, count(*) AS n FROM cent_home GROUP BY 1),
+            manifest AS (
+              SELECT 2 AS level, s.super_id::BIGINT AS centroid_id,
+                     NULL::BIGINT AS super_id,
+                     coalesce(z.n, 0)::BIGINT AS cell_size,
+                     round(sqrt({_dot_sql("s.svec", "s.svec")}), 6) AS cnorm
+              FROM sup s LEFT JOIN ssize z USING (super_id)
+              UNION ALL
+              SELECT 1 AS level, c.centroid_id::BIGINT AS centroid_id,
+                     c.super_id::BIGINT AS super_id,
+                     coalesce(p.n, 0)::BIGINT AS cell_size,
+                     round(sqrt({_dot_sql("c.cvec", "c.cvec")}), 6) AS cnorm
+              FROM cent_home c LEFT JOIN psize p USING (centroid_id))
+            SELECT CAST(level AS INT) AS level, centroid_id, super_id,
+                   cell_size, cnorm
+            FROM manifest
+        """
+
+
+def _ivf_indexed_recall_sql(
+    k: int = 5,
+    n_probes: tuple[int, ...] = (1, 2, 4),
+    n_super_probe: int = 2,
+    n_iter: int = 2,
+    sample_mod: int | None = None,
+) -> str:
+    """Oracle for ivf_indexed_recall: the planted mixture feeds the
+    `_ivf2k_routing_ctes` build at max(n_probes); candidate pairs are
+    scored ONCE with the probe rank carried and each arm masks
+    ``_crn <= n_probe`` before ranking (the engine's fused sweep);
+    ground truth is the exact top-k oracle over the same planted CTE."""
+    planted = _planted_cte(sample_mod)
+    exact = _cosine_pairs_sql(
+        "planted q JOIN planted c ON q.vec_id <> c.vec_id",
+        round_dp=6,
+    )
+    routing = _ivf2k_routing_ctes(
+        max(n_probes), n_super_probe, n_iter,
+        v_src="SELECT vec_id AS id, embedding AS vec FROM planted",
+    )
+    arms = "\n          UNION ALL\n          ".join(
+        f"""SELECT CAST({np} AS INT) AS n_probe, query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM allpairs WHERE _crn <= {np})
+            WHERE rank <= {k}"""
+        for np in n_probes
+    )
+    return f"""
+        WITH {planted},
+        {routing},
+        i2cells AS (SELECT id, vec, centroid_id FROM i2ranked WHERE _crn = 1),
+        allpairs AS (
+          SELECT p.id AS query_id, p._crn, c.id AS neighbor_id,
+                 round({_dot_sql("p.vec", "c.vec")} / nullif(sqrt({_dot_sql("p.vec", "p.vec")}) * sqrt({_dot_sql("c.vec", "c.vec")}), 0.0), 6) AS cosine
+          FROM i2ranked p JOIN i2cells c USING (centroid_id)
+          WHERE p.id <> c.id),
+        ann AS (
+          {arms}),
+        exact AS (
+          SELECT query_id, neighbor_id FROM ({exact}) e),
+        hits AS (
+          SELECT a.n_probe, count(*) AS n_ann,
+                 CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hits
+          FROM ann a LEFT JOIN exact e
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+          GROUP BY a.n_probe),
+        tot AS (SELECT count(*) AS n_exact FROM exact)
+        SELECT n_probe, n_hits, n_ann, n_exact,
+               n_hits::DOUBLE / nullif(n_exact::DOUBLE, 0.0) AS recall
+        FROM hits CROSS JOIN tot
+    """
 
 
 def _ivf_sql(n_probe: int = 2, source: str = "embeddings", k: int = 5) -> str:
@@ -5525,6 +5671,11 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivfk_topk": _ivfk_sql(),
         "dedup_embedding_gate_banded": _banded_gate_sql(planes=8, bands=4),
         "similarity_ivf2k_topk": _ivf2k_sql(),
+        "ivf_index_build": _ivf_index_build_sql(),
+        "similarity_ivf_indexed_topk": _ivf2k_sql(
+            query_filter="p.id % 10 = 0"
+        ),
+        "ivf_indexed_recall": _ivf_indexed_recall_sql(),
         "cluster_balanced_sample": _cluster_balanced_sample_sql(per_cluster=8),
         "embedding_gate_verified_recall_curve":
             _verified_gate_recall_curve_sql(sample_mod=2),

@@ -1741,21 +1741,26 @@ def ivf2k_cosine_topk(
     return _ivf2_scan(v, cent, sup, k, n_probe, n_super_probe, round_dp)
 
 
-def _ivf2_scan(
+def _route_cells(
     v: DataFrame,
-    cent: DataFrame,
+    cent_home: DataFrame,
     sup: DataFrame,
-    k: int,
-    n_probe: int,
     n_super_probe: int,
+    n_probe: int,
     round_dp: int = 6,
 ) -> DataFrame:
-    """Stages (2)-(5) of the two-level IVF, shared by every quantizer
-    build (md5-seed ``ivf2_cosine_topk``, Lloyd-refined
-    ``ivf2k_cosine_topk``): centroid→super home assignment, vector→super
-    probing (both BLAS against the broadcast ≤√C-row super table), the
-    super-cell-keyed grouped-BLAS candidate-cell stage, and the per-cell
-    scan. ``cent`` stays distributed throughout."""
+    """The two-level cell ROUTING shared by the fused scan
+    (``_ivf2_scan``), the index builder (member lists, ``n_probe=1``)
+    and the indexed query path (probes): each vector's ``n_probe``
+    nearest cells among the cells homed in its ``n_super_probe``
+    nearest super-cells, as ``(id, centroid_id, _crn)``.
+
+    ``cent_home`` is ``(cent_id, super_id, cvec)`` — the C-row centroid
+    table stays DISTRIBUTED; only the ≤√C-row ``sup`` table is ever
+    collected (inside ``_assign_cells_blas``). The vector→cell scoring
+    runs as ONE grouped-BLAS stage keyed by super-cell; every ranking
+    orders by cosine ROUNDED to ``round_dp`` with centroid-id tiebreaks
+    (the engine's BLAS/oracle parity contract)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -1766,23 +1771,9 @@ def _ivf2_scan(
         StructType,
     )
 
-    from ._cache import share
-
-    # (2) centroid → its one super-cell; (3) vector → n_super_probe cells.
-    # Both score against the SAME broadcast super matrix.
-    c_as_v = cent.select(F.col("centroid_id").alias("id"), F.col("cvec").alias("vec"))
-    cent_home = (
-        _assign_cells_blas(c_as_v, sup, n_probe=1, round_dp=round_dp)
-        .select(
-            F.col("id").alias("cent_id"), F.col("centroid_id").alias("super_id")
-        )
-        .join(cent.select(F.col("centroid_id").alias("cent_id"), "cvec"), "cent_id")
-    )
-    v_super = _assign_cells_blas(v, sup, n_probe=n_super_probe, round_dp=round_dp).select(
-        "id", F.col("centroid_id").alias("super_id")
-    )
-
-    # (4) grouped-BLAS per super-cell: probing vectors × member centroids
+    v_super = _assign_cells_blas(
+        v, sup, n_probe=n_super_probe, round_dp=round_dp
+    ).select("id", F.col("centroid_id").alias("super_id"))
     q_side = v_super.join(v, "id").select(
         "super_id", F.lit("Q").alias("role"), "id", "vec"
     )
@@ -1827,10 +1818,54 @@ def _ivf2_scan(
     w_cell = Window.partitionBy("id").orderBy(
         F.col("csim").desc(), F.col("centroid_id")
     )
-    ranked = share(
+    return (
         cand_cells.withColumn("_crn", F.row_number().over(w_cell))
         .where(F.col("_crn") <= n_probe)
-        .join(v, "id")
+        .select("id", "centroid_id", "_crn")
+    )
+
+
+def _ivf2_scan(
+    v: DataFrame,
+    cent: DataFrame,
+    sup: DataFrame,
+    k: int,
+    n_probe: int,
+    n_super_probe: int,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Stages (2)-(5) of the two-level IVF, shared by every quantizer
+    build (md5-seed ``ivf2_cosine_topk``, Lloyd-refined
+    ``ivf2k_cosine_topk``): centroid→super home assignment, vector→super
+    probing (both BLAS against the broadcast ≤√C-row super table), the
+    super-cell-keyed grouped-BLAS candidate-cell stage, and the per-cell
+    scan. ``cent`` stays distributed throughout."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ._cache import share
+
+    # (2) centroid → its one super-cell (BLAS against the broadcast
+    # super matrix); (3)+(4) are the shared two-level routing
+    c_as_v = cent.select(F.col("centroid_id").alias("id"), F.col("cvec").alias("vec"))
+    cent_home = (
+        _assign_cells_blas(c_as_v, sup, n_probe=1, round_dp=round_dp)
+        .select(
+            F.col("id").alias("cent_id"), F.col("centroid_id").alias("super_id")
+        )
+        .join(cent.select(F.col("centroid_id").alias("cent_id"), "cvec"), "cent_id")
+    )
+    ranked = share(
+        _route_cells(v, cent_home, sup, n_super_probe, n_probe, round_dp).join(
+            v, "id"
+        )
     )
 
     # (5) per-cell scan — identical to flat IVF's scoring stage
@@ -1870,6 +1905,371 @@ def _ivf2_scan(
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    n_centroids: int | None = None,
+    n_iter: int = 2,
+    n_super_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_floor: int = 2048,
+    round_dp: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE-TIME ANN index build, split from the query path (VERDICT r7
+    item 1): every IVF-family query previously re-trained its quantizer
+    inside the query — correct and sample-bounded, but at 100 TB the
+    index is built once, persisted to the lake, and queried many times
+    (the FAISS production shape, and the same reusable-artifact pattern
+    ``dedup.incremental_near_dedup`` ships for its LSH index). This is
+    the build half; ``ivf_index_query`` is the pure scan half.
+
+    Construction is byte-identical to ``ivf2k_cosine_topk``'s two-level
+    Lloyd-refined quantizer (train-on-sample 'kmt:' seed, max(
+    ``train_floor``, 8·C) rows; cells over the sample, supers over the
+    cells; only the ≤√C-row super table is ever collected), so
+    ``ivf_index_query(index, postings, emb)`` at equal probes returns
+    EXACTLY ``ivf2k_cosine_topk(emb)`` — parity-pinned, which is also
+    why the recall table is unchanged at equal probes by construction.
+
+    Returns ``(index, postings)`` — both plain DataFrames, persistable
+    to parquet and reloadable without loss:
+      * ``index``: ``(level, centroid_id, super_id, cvec)`` — level 2 =
+        super-centroids (``super_id`` null), level 1 = cells with their
+        HOME super (stored, so the query path never re-assigns cells);
+      * ``postings``: ``(centroid_id, member_id, mvec)`` — the inverted
+        lists: every corpus vector in its single nearest cell, routed
+        hierarchically through its ``n_super_probe`` nearest supers
+        (rank-1 of the same routing the fused scan uses).
+
+    Scale shape: two sample-bounded Lloyd trainings (8C² ≪ N·C), one
+    grouped-BLAS routing pass over the corpus, zero driver state beyond
+    the √C-row super collect. The postings carry the member VECTORS —
+    at 100 TB swap ``mvec`` for SQ/PQ codes (``sq_quantize`` /
+    ``_pq_codes_dtab_blas`` are the in-repo encoders) without touching
+    the routing."""
+    import math
+
+    from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
+    from flink_helloworld_spark.operators.clustering import kmeans_centroids
+
+    from ._cache import share
+
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if n_centroids is None:
+        n_centroids = _auto_centroids(emb)
+    n_super = max(4, math.ceil(math.sqrt(n_centroids)))
+    train_rows = max(train_floor, 8 * n_centroids)
+    trainset = share(
+        seed_topk(
+            v.withColumn(
+                "_h",
+                md5_prefix_long(
+                    F.concat(F.lit("kmt:"), F.col("id").cast("string"))
+                ),
+            ),
+            train_rows,
+        ).select("id", "vec")
+    )
+    cent = share(
+        kmeans_centroids(
+            trainset, n_centroids, n_iter, id_col="id", vec_col="vec"
+        ).select(F.col("cid").alias("centroid_id"), F.col("cvec"))
+    )
+    sup = share(
+        kmeans_centroids(
+            cent, n_super, n_iter, id_col="centroid_id", vec_col="cvec"
+        ).select(F.col("cid").alias("centroid_id"), F.col("cvec"))
+    )
+    c_as_v = cent.select(
+        F.col("centroid_id").alias("id"), F.col("cvec").alias("vec")
+    )
+    cent_home = (
+        _assign_cells_blas(c_as_v, sup, n_probe=1, round_dp=round_dp)
+        .select(
+            F.col("id").alias("cent_id"), F.col("centroid_id").alias("super_id")
+        )
+        .join(cent.select(F.col("centroid_id").alias("cent_id"), "cvec"), "cent_id")
+    )
+    index = sup.select(
+        F.lit(2).alias("level"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.lit(None).cast("long").alias("super_id"),
+        "cvec",
+    ).unionByName(
+        cent_home.select(
+            F.lit(1).alias("level"),
+            F.col("cent_id").cast("long").alias("centroid_id"),
+            F.col("super_id").cast("long").alias("super_id"),
+            "cvec",
+        )
+    )
+    postings = (
+        _route_cells(v, cent_home, sup, n_super_probe, n_probe=1,
+                     round_dp=round_dp)
+        .join(v, "id")
+        .select(
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.col("id").cast("long").alias("member_id"),
+            F.col("vec").alias("mvec"),
+        )
+    )
+    return index, postings
+
+
+def ivf_index_query(
+    index: DataFrame,
+    postings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    n_super_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """The PURE SCAN half of the build/query split: top-k neighbors for
+    ``queries`` against a PREBUILT ``(index, postings)`` artifact — no
+    quantizer training, no member re-assignment, nothing corpus-sized
+    on the driver. The per-query cost is (route: one BLAS score against
+    the broadcast supers + one grouped-BLAS cell ranking) + (scan: one
+    grouped-BLAS pass over the probed cells' posting lists) — the
+    query-many production path whose volume scaling SCALE_NOTES r8
+    measures separately from the build.
+
+    Output contract matches every IVF query: ``(query_id, rank,
+    neighbor_id, cosine)``, cosine ROUNDED to ``round_dp``, neighbor-id
+    tiebreaks, self excluded. With ``queries`` = the indexed corpus and
+    equal probes this is EXACTLY ``ivf2k_cosine_topk`` (parity-pinned
+    in tests)."""
+    return _indexed_pairs(
+        index, postings, queries, n_probe, n_super_probe, id_col, vec_col,
+        round_dp,
+    ).transform(lambda pairs: _rank_topk(pairs, k))
+
+
+def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Global top-k over scored candidate pairs — partitioned window,
+    never a global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _indexed_pairs(
+    index: DataFrame,
+    postings: DataFrame,
+    queries: DataFrame,
+    n_probe: int,
+    n_super_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Scored (query, member) candidate pairs of the indexed scan, with
+    the probe rank carried: ``(query_id, _crn, neighbor_id, cosine)``.
+    Factored from ``ivf_index_query`` so the recall-curve sweep can
+    score ONCE at max(n_probe) and mask arms by ``_crn`` (the fused
+    knob-sweep pattern of ``ann_recall_curve``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    sup = index.where(F.col("level") == 2).select("centroid_id", "cvec")
+    cent_home = index.where(F.col("level") == 1).select(
+        F.col("centroid_id").alias("cent_id"), "super_id", "cvec"
+    )
+    probes = _route_cells(
+        q, cent_home, sup, n_super_probe, n_probe, round_dp
+    ).join(q, "id")
+
+    mixed = probes.select(
+        "centroid_id",
+        F.lit("Q").alias("role"),
+        "id",
+        "vec",
+        F.col("_crn").cast("int").alias("_crn"),
+    ).unionByName(
+        postings.select(
+            "centroid_id",
+            F.lit("I").alias("role"),
+            F.col("member_id").alias("id"),
+            F.col("mvec").alias("vec"),
+            F.lit(0).alias("_crn"),
+        )
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("_crn", IntegerType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_i = (pdf["role"] == "I").to_numpy()
+        if not is_i.any() or is_i.all():
+            return pd.DataFrame({f.name: [] for f in out_schema.fields})
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = np.inf
+        mat_n = mat / norms[:, None]
+        q_ids, q_mat = ids[~is_i], mat_n[~is_i]
+        q_crn = pdf["_crn"].to_numpy()[~is_i]
+        m_ids, m_mat = ids[is_i], mat_n[is_i]
+        sims = round_half_away(q_mat @ m_mat.T, round_dp)
+        q_idx, n_idx = np.nonzero(q_ids[:, None] != m_ids[None, :])
+        return pd.DataFrame(
+            {
+                "query_id": q_ids[q_idx],
+                "_crn": q_crn[q_idx].astype(np.int32),
+                "neighbor_id": m_ids[n_idx],
+                "cosine": sims[q_idx, n_idx],
+            }
+        )
+
+    return mixed.groupBy("centroid_id").applyInPandas(per_cell, out_schema)
+
+
+def ivf_index_manifest(
+    emb: DataFrame,
+    n_centroids: int | None = None,
+    n_iter: int = 2,
+    n_super_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """The BUILD artifact as driver-gated rows: one row per index entry
+    — ``(level, centroid_id, super_id, cell_size, cnorm)`` where
+    ``cell_size`` counts posting-list members for level-1 cells and
+    homed cells for level-2 supers (0 for empties: the manifest a lake
+    deployment would range-check before swapping the live index), and
+    ``cnorm`` is the centroid's rounded L2 norm (pins the full vector
+    without hashing a float array). Everything upstream is
+    ``build_ivf_index`` verbatim, so a green row here certifies the
+    persisted artifact, not a lookalike."""
+    index, postings = build_ivf_index(
+        emb, n_centroids, n_iter, n_super_probe, id_col, vec_col,
+        round_dp=round_dp,
+    )
+    cell_sizes = postings.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    super_sizes = (
+        index.where(F.col("level") == 1)
+        .groupBy(F.col("super_id").alias("centroid_id"))
+        .agg(F.count(F.lit(1)).alias("_sn"))
+    )
+    return (
+        index.join(cell_sizes, "centroid_id", "left")
+        .join(super_sizes, "centroid_id", "left")
+        .select(
+            "level",
+            "centroid_id",
+            "super_id",
+            F.when(F.col("level") == 1, F.coalesce("_n", F.lit(0)))
+            .otherwise(F.coalesce("_sn", F.lit(0)))
+            .cast("long")
+            .alias("cell_size"),
+            F.round(_norm(F.col("cvec")), round_dp).alias("cnorm"),
+        )
+    )
+
+
+def ivf_indexed_recall_curve(
+    emb: DataFrame,
+    k: int = 5,
+    n_probes: tuple[int, ...] = (1, 2, 4),
+    n_clusters: int = 16,
+    dims: int = 64,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Recall@k of the INDEXED query path on the planted mixture, swept
+    over ``n_probe`` — the r8 acceptance row for the build/query split:
+    at equal probes these values must equal the fused ``ivf2k`` arm of
+    ``ann_recall_curve`` (same quantizer, same routing — equality is by
+    construction, this query PINS it against the exact baseline).
+
+    FUSED: the index is built once, candidates are scored ONCE at
+    max(``n_probes``) with the probe rank carried, and each arm masks
+    ``_crn <= n_probe`` before ranking — one grouped-BLAS scan feeding
+    every arm (the ``ann_recall_curve`` fusion pattern). Ground truth
+    is the N²-by-contract sharded-BLAS baseline over the same planted
+    table. Output: ``(n_probe, n_hits, n_ann, n_exact, recall)``."""
+    from flink_helloworld_spark.operators._cache import share
+
+    if sample_mod is not None:
+        emb = emb.where(F.col(id_col) % sample_mod == 0)
+    planted = share(
+        planted_embeddings(
+            emb, n_clusters=n_clusters, dims=dims, id_col=id_col,
+            vec_col=vec_col,
+        ).select(id_col, vec_col)
+    )
+    index, postings = build_ivf_index(
+        planted, id_col=id_col, vec_col=vec_col, round_dp=round_dp
+    )
+    pairs = share(
+        _indexed_pairs(
+            index, postings, planted, max(n_probes), 2, id_col, vec_col,
+            round_dp,
+        )
+    )
+    exact = share(
+        cosine_topk_exact_sharded(
+            planted, k=k, id_col=id_col, vec_col=vec_col, round_dp=round_dp
+        ).select("query_id", "neighbor_id")
+    )
+    tagged = None
+    for np_ in n_probes:
+        arm = _rank_topk(pairs.where(F.col("_crn") <= np_), k).select(
+            F.lit(np_).cast("int").alias("n_probe"), "query_id", "neighbor_id"
+        )
+        tagged = arm if tagged is None else tagged.unionByName(arm)
+    hits = (
+        tagged.join(
+            exact.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("n_probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_ann"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+    )
+    tot = exact.groupBy().agg(F.count(F.lit(1)).alias("n_exact"))
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "n_probe",
+        "n_hits",
+        "n_ann",
+        "n_exact",
+        (
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0))
+        ).alias("recall"),
     )
 
 
