@@ -1034,6 +1034,30 @@ def _q_dedup_embedding_gate_verified(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _q_dedup_embedding_gate_verified_sq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # SQ8-owner verified gate (VERDICT r7 item 3's batch twin): the
+    # collision check runs against the owner's int8 RECONSTRUCTION —
+    # what a streaming gate holding ~dims bytes of bucket state (vs
+    # dims float64s) actually compares against
+    return S.embedding_first_arrival_verified(
+        load_tables(spark, sf_dir).embeddings,
+        threshold=0.9, planes=8, bands=4, sq=True,
+    )
+
+
+def _q_embedding_gate_verified_sq_recall_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # quality grid certifying the ~8x state cut: bands x planes
+    # recall/false-drop sweep with the owner side SQ8-reconstructed —
+    # false drops must stay 0 at threshold 0.9 on the planted mixture
+    return S.embedding_gate_verified_recall_curve(
+        load_tables(spark, sf_dir).embeddings, sample_mod=2, sq=True
+    )
+
+
 def _q_similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int8 scalar quantization (FAISS SQ8): per-dim min/max codes, 4x
     # memory cut; asymmetric top-k (full-precision query sample vs the
@@ -1055,6 +1079,21 @@ def _q_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10-token windows, integer-exact; the drop-policy signal on top of
     # repeated_spans
     return D.repeated_span_coverage(load_tables(spark, sf_dir).documents, w=10)
+
+
+def _q_max_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MAXIMAL duplicated spans (the Lee et al. exact-substring shape,
+    # approximated without a distributed suffix array): adjacent flagged
+    # 10-token windows merged into maximal runs; only non-exemplar
+    # occurrences span (one corpus-wide copy of every passage survives)
+    return D.max_spans(load_tables(spark, sf_dir).documents, w=10)
+
+
+def _q_max_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the rewrite over max_spans: cut every maximal duplicated span out
+    # of its doc — byte surgery instead of whole-doc dropping; a planted
+    # 2w+3-token duplicate leaves as ONE span, not two windows (t)
+    return D.max_span_scrub(load_tables(spark, sf_dir).documents, w=10)
 
 
 def _q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2549,6 +2588,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_build": _q_ivf_index_build,
         "similarity_ivf_indexed_topk": _q_similarity_ivf_indexed_topk,
         "ivf_indexed_recall": _q_ivf_indexed_recall,
+        "dedup_embedding_gate_verified_sq": _q_dedup_embedding_gate_verified_sq,
+        "embedding_gate_verified_sq_recall_curve": _q_embedding_gate_verified_sq_recall_curve,
+        "max_spans": _q_max_spans,
+        "max_span_scrub": _q_max_span_scrub,
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
@@ -3616,19 +3659,54 @@ def _banded_gate_sql(planes: int = 8, bands: int = 4) -> str:
     """
 
 
+def _sq_recon_ctes(source: str = "embeddings", dims: int = 64) -> str:
+    """The SQ8 quantize → reconstruct CTE chain (similarity.sq_quantize
+    / sq_reconstruct replayed: per-dimension corpus min/max, one
+    division per scale, half-away rounding to integer codes) ending in
+    ``sqrecon(vec_id, embedding)`` — the owner table of the sq=True
+    verified gates. No leading WITH."""
+    return f"""sqv AS (SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM {source}),
+        sqdims AS (SELECT pos, min(emb[pos]) AS mn, max(emb[pos]) AS mx
+                   FROM sqv CROSS JOIN
+                        (SELECT unnest(range(1, {dims + 1})) AS pos)
+                   GROUP BY pos),
+        sqstats AS (SELECT list(mn ORDER BY pos) AS mn,
+                           list((mx - mn) / 255.0 ORDER BY pos) AS scale
+                    FROM sqdims),
+        sqcoded AS (SELECT vec_id,
+           list_transform(range(1, len(emb) + 1), i ->
+             CASE WHEN s.scale[i] <= 0.0 THEN 0
+                  ELSE CAST(least(255.0, greatest(0.0,
+                         round((emb[i] - s.mn[i]) / s.scale[i], 0)))
+                       AS INT) END) AS codes
+         FROM sqv CROSS JOIN sqstats s),
+        sqrecon AS (SELECT vec_id,
+           list_transform(range(1, len(codes) + 1), i ->
+             s.mn[i] + codes[i]::DOUBLE * s.scale[i]) AS embedding
+         FROM sqcoded CROSS JOIN sqstats s)"""
+
+
 def _verified_gate_sql(
-    threshold: float = 0.9, planes: int = 8, bands: int = 4
+    threshold: float = 0.9, planes: int = 8, bands: int = 4,
+    sq: bool = False,
 ) -> str:
-    """Oracle for dedup_embedding_gate_verified: banded incidence +
-    per-(band, bucket) owner, then one rounded cosine per COLLIDING row
-    against the owner's vector; kept iff no collision verifies."""
+    """Oracle for dedup_embedding_gate_verified (and, with ``sq=True``,
+    the SQ8-owner variant): banded incidence + per-(band, bucket)
+    owner, then one rounded cosine per COLLIDING row against the
+    owner's vector (full-precision, or its SQ8 reconstruction); kept
+    iff no collision verifies."""
     cos = (
         f"round({_dot_sql('v.embedding', 'o.embedding')}"
         f" / nullif(sqrt({_dot_sql('v.embedding', 'v.embedding')})"
         f" * sqrt({_dot_sql('o.embedding', 'o.embedding')}), 0.0), 6)"
     )
+    owner_rel = "sqrecon" if sq else "embeddings"
+    sq_cte = f"{_sq_recon_ctes()}," if sq else ""
     return f"""
-        WITH inc AS MATERIALIZED (
+        WITH {sq_cte}
+        inc AS MATERIALIZED (
           {_band_incidence_sql(planes, bands)}),
         f AS (SELECT band_id, bucket, min(vec_id) AS owner_id
               FROM inc GROUP BY band_id, bucket),
@@ -3642,7 +3720,7 @@ def _verified_gate_sql(
                       AS INT) AS n_verified
           FROM col c
           JOIN embeddings v ON c.vec_id = v.vec_id
-          JOIN embeddings o ON c.owner_id = o.vec_id
+          JOIN {owner_rel} o ON c.owner_id = o.vec_id
           GROUP BY c.vec_id)
         SELECT e.vec_id,
                coalesce(ver.n_collisions, 0) AS n_collisions,
@@ -3728,11 +3806,14 @@ def _verified_gate_recall_curve_sql(
     planes_sweep: tuple[int, ...] = (6, 8),
     n_clusters: int = 16,
     sample_mod: int | None = None,
+    sq: bool = False,
 ) -> str:
-    """Oracle for embedding_gate_verified_recall_curve: the fused-sweep
-    skeleton of the unverified curve's oracle, with the per-row flag
-    being 'verified collision vs the arm's bucket owner' (one rounded
-    cosine per (vector, band, planes-arm) row) instead of is_first."""
+    """Oracle for embedding_gate_verified_recall_curve (and, with
+    ``sq=True``, the SQ8-owner sweep): the fused-sweep skeleton of the
+    unverified curve's oracle, with the per-row flag being 'verified
+    collision vs the arm's bucket owner' (one rounded cosine per
+    (vector, band, planes-arm) row) instead of is_first; the sq form
+    reconstructs the owner side through its int8 codes first."""
     max_b, max_p = max(bands_sweep), max(planes_sweep)
     planted = _planted_cte(sample_mod)
     inc = _band_incidence_sql(max_p, max_b, source="planted")
@@ -3776,15 +3857,18 @@ def _verified_gate_recall_curve_sql(
                       FROM inc GROUP BY band_id, bucket % {2 ** p}) w
                   USING (band_id, mb)
                 JOIN planted v ON m.vec_id = v.vec_id
-                JOIN planted o ON w.owner_id = o.vec_id)
+                JOIN {"sqrecon" if sq else "planted"} o
+                  ON w.owner_id = o.vec_id)
               GROUP BY vec_id) pv
             JOIN truth t USING (vec_id)
             CROSS JOIN (VALUES {kb}) AS kb(bands)
           ) s
           GROUP BY s.bands""")
     body = "\n          UNION ALL\n          ".join(arms)
+    sq_cte = f"{_sq_recon_ctes(source='planted')}," if sq else ""
     return f"""
         WITH {planted},
+        {sq_cte}
         truth AS (SELECT vec_id,
                     vec_id > min(vec_id) OVER (
                       PARTITION BY vec_id % {n_clusters}) AS is_dup
@@ -3801,6 +3885,75 @@ def _verified_gate_recall_curve_sql(
                  / nullif((n_vectors - n_true_dup)::DOUBLE, 0.0)
                  AS false_drop_rate
         FROM raw
+    """
+
+
+def _max_span_ctes(w: int = 10, min_count: int = 2) -> str:
+    """CTE chain shared by the max_spans / max_span_scrub oracles
+    (dedup.max_spans construction): words → stride-1 hashed windows →
+    one window pass for the >=min_count flag AND the corpus-wide
+    exemplar rank → non-exemplar occurrences → gaps-and-islands merge
+    into maximal runs. Ends with ``spans(doc_id, span_start, span_end,
+    span_tokens)``. No leading WITH."""
+    return f"""t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+        sp AS (SELECT doc_id, i - 1 AS pos,
+                      md5(array_to_string(ws[i:i+{w - 1}], ' ')) AS span_hash
+               FROM (SELECT doc_id, ws,
+                            unnest(range(1, len(ws) - {w} + 2)) AS i
+                     FROM t WHERE len(ws) >= {w})),
+        marked AS (SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY span_hash) AS _n,
+                     row_number() OVER (PARTITION BY span_hash
+                                        ORDER BY doc_id, pos) AS _rn
+                   FROM sp),
+        scrub AS (SELECT doc_id, pos FROM marked
+                  WHERE _n >= {min_count} AND _rn > 1),
+        isl AS (SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(max(pos + {w}) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         -1) THEN 1 ELSE 0 END AS brk
+                FROM scrub),
+        isl2 AS (SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM isl),
+        spans AS (
+          SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+                 CAST(max(pos) + {w} AS INT) AS span_end,
+                 CAST(max(pos) + {w} - min(pos) AS INT) AS span_tokens
+          FROM isl2 GROUP BY doc_id, island)"""
+
+
+def _max_spans_sql(w: int = 10, min_count: int = 2) -> str:
+    return f"""
+        WITH {_max_span_ctes(w, min_count)}
+        SELECT doc_id, span_start, span_end, span_tokens FROM spans
+    """
+
+
+def _max_span_scrub_sql(w: int = 10, min_count: int = 2) -> str:
+    """Oracle for max_span_scrub: the shared span CTEs, islands rolled
+    into a per-doc list, the cut applied as an indexed list_filter
+    (1-based DuckDB lambda index vs the engine's 0-based offsets)."""
+    return f"""
+        WITH {_max_span_ctes(w, min_count)},
+        islands AS (SELECT doc_id,
+                      list(struct_pack(s := span_start, e := span_end)) AS isl,
+                      CAST(sum(span_tokens) AS BIGINT) AS cut
+                    FROM spans GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+               coalesce(i.cut, 0) AS scrubbed_tokens,
+               -- coalesce: DuckDB array_to_string([]) is NULL where
+               -- Spark array_join([]) is '' (a fully-scrubbed doc)
+               coalesce(
+                 CASE WHEN i.isl IS NULL THEN array_to_string(t.ws, ' ')
+                      ELSE array_to_string(list_filter(t.ws, (x, j) ->
+                        len(list_filter(i.isl, r ->
+                          j - 1 >= r.s AND j - 1 < r.e)) = 0), ' ')
+                 END, '') AS clean_text
+        FROM t LEFT JOIN islands i USING (doc_id)
     """
 
 
@@ -5676,12 +5829,19 @@ def oracle_sql() -> dict[str, str]:
             query_filter="p.id % 10 = 0"
         ),
         "ivf_indexed_recall": _ivf_indexed_recall_sql(),
+        "max_spans": _max_spans_sql(w=10),
+        "max_span_scrub": _max_span_scrub_sql(w=10),
         "cluster_balanced_sample": _cluster_balanced_sample_sql(per_cluster=8),
         "embedding_gate_verified_recall_curve":
             _verified_gate_recall_curve_sql(sample_mod=2),
         "dedup_embedding_gate_verified": _verified_gate_sql(
             threshold=0.9, planes=8, bands=4
         ),
+        "dedup_embedding_gate_verified_sq": _verified_gate_sql(
+            threshold=0.9, planes=8, bands=4, sq=True
+        ),
+        "embedding_gate_verified_sq_recall_curve":
+            _verified_gate_recall_curve_sql(sample_mod=2, sq=True),
         "embedding_gate_recall_curve": _gate_recall_curve_sql(sample_mod=2),
         "dedup_embedding_gate": f"""
             WITH b AS (SELECT vec_id, {_lsh_bucket_sql(8)} AS bucket

@@ -1610,6 +1610,147 @@ def repeated_span_coverage(
     )
 
 
+def max_spans(
+    docs: DataFrame,
+    w: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    keep_first: bool = True,
+) -> DataFrame:
+    """MAXIMAL duplicated spans — the distributed approximation of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): where ``repeated_spans`` flags
+    fixed-w hashed windows, this merges ADJACENT/OVERLAPPING flagged
+    windows into maximal runs, so a duplicated passage of any length
+    ≥ w comes back as ONE span with its true extent — the span a
+    suffix-array pass would report, recovered without building a
+    distributed suffix array (VERDICT r7 next-round item 6).
+
+    ``keep_first=True`` (the Lee et al. removal policy) spans only the
+    NON-EXEMPLAR occurrences: for each window hash the corpus-wide
+    first occurrence (minimal ``(doc_id, pos)``) survives, so one copy
+    of every duplicated passage remains scrubbed nowhere.
+    ``keep_first=False`` gives the detection view (every occurrence of
+    every flagged window, the ``repeated_span_coverage`` candidate
+    set).
+
+    Output: ``(doc_id, span_start, span_end, span_tokens)`` — token
+    offsets, end exclusive, one row per maximal run.
+
+    Scale shape: window fan-out is linear in token count; flagging and
+    exemplar choice ride ONE shuffle on the md5 span hash (count +
+    row_number over the same partition key — uniform keys, no skew);
+    the gaps-and-islands merge partitions by doc_id, so its state is
+    bounded by one document's flagged windows. Document text never
+    shuffles.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select("doc_id", _words(F.col(text_col)).alias("_ws")).where(
+        F.size("_ws") >= w
+    )
+    occ = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - w),
+                lambda i: F.md5(F.array_join(F.slice(F.col("_ws"), i + 1, w), " ")),
+            )
+        ).alias("pos", "span_hash"),
+    )
+    # ONE span_hash shuffle serves both the >=min_count flag and the
+    # exemplar rank (corpus-wide first occurrence of each window)
+    wh = Window.partitionBy("span_hash")
+    who = wh.orderBy("doc_id", "pos")
+    marked = occ.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(wh).alias("_n"),
+        F.row_number().over(who).alias("_rn"),
+    ).where(F.col("_n") >= min_count)
+    if keep_first:
+        marked = marked.where(F.col("_rn") > 1)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + w).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = marked.withColumn(
+        "_brk",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn("_island", F.sum("_brk").over(w_doc))
+    return (
+        isl.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + w).cast("int").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def max_span_scrub(
+    docs: DataFrame,
+    w: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    keep_first: bool = True,
+) -> DataFrame:
+    """The corpus REWRITE over ``max_spans``: cut every maximal
+    duplicated span (non-exemplar occurrences under ``keep_first``)
+    out of its document — byte surgery instead of whole-doc dropping,
+    the other half of the Lee et al. recipe next to
+    ``repeated_span_coverage``'s drop-policy signal.
+
+    Output: one row per input document — ``(doc_id, n_tokens,
+    scrubbed_tokens, clean_text)``. ``clean_text`` is the surviving
+    tokens joined with single spaces (the tokenizer's whitespace
+    normalization — same contract as ``boilerplate_scrub``).
+
+    Scale shape: ``max_spans``'s two shuffles, plus one doc_id join to
+    carry the per-doc island list (bounded by that doc's span count)
+    back onto the token array; the cut itself is a pure higher-order
+    filter inside codegen — text crosses the exchange once.
+    """
+    words = docs.select("doc_id", _words(F.col(text_col)).alias("_ws"))
+    spans = max_spans(
+        docs, w=w, min_count=min_count, text_col=text_col,
+        keep_first=keep_first,
+    )
+    isl = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_isl"),
+        F.sum("span_tokens").cast("long").alias("_cut"),
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — nested HOF lambda
+        F.col("_isl"),
+        lambda r: (i >= r["span_start"]) & (i < r["span_end"]),
+    )
+    return (
+        words.join(isl, "doc_id", "left")
+        .withColumn(
+            "_isl",
+            F.coalesce(
+                "_isl",
+                F.expr(
+                    "CAST(array() AS array<struct<span_start:int,span_end:int>>)"
+                ),
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("_ws").cast("long").alias("n_tokens"),
+            F.coalesce("_cut", F.lit(0)).alias("scrubbed_tokens"),
+            F.array_join(
+                F.filter("_ws", lambda tok, i: ~covered(i)), " "
+            ).alias("clean_text"),
+        )
+    )
+
+
 # --- corpus rewrite: keep one doc per near-dup cluster ---------------------
 
 

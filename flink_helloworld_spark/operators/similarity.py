@@ -638,11 +638,22 @@ def embedding_first_arrival_verified(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    sq: bool = False,
 ) -> DataFrame:
     """VERIFIED banded embedding gate: a bucket collision only drops a
     vector after an exact cosine check against the bucket's OWNER (the
     lowest-id claimant) — kept iff NO band collision verifies at
     cosine ≥ ``threshold``.
+
+    ``sq=True`` (VERDICT r7 item 3) checks against the owner's SQ8
+    RECONSTRUCTION (``sq_reconstruct``) instead of the full-precision
+    vector — the batch twin of a streaming gate that holds int8 codes
+    in bucket state (~dims bytes instead of dims float64s, the ~8×
+    state cut). Asymmetric by design (the arriving vector keeps full
+    precision, the STORED side is quantized — the ``sq_cosine_topk``
+    contract); the quantization error is bounded by the per-dimension
+    scale, and the recall-curve twin measures that false drops stay 0
+    at threshold 0.9 on the planted grid.
 
     The operating point this buys: the unverified banded gate needs
     planes 16–24 for near-zero false collisions (2^20 buckets/band of
@@ -688,7 +699,12 @@ def embedding_first_arrival_verified(
         .select(id_col, "band_id", "owner_id")
     )
     v = emb.select(F.col(id_col), F.col(vec_col).alias("_v"))
-    o = emb.select(
+    owner_src = (
+        sq_reconstruct(emb, dims=dims, id_col=id_col, vec_col=vec_col)
+        if sq
+        else emb
+    )
+    o = owner_src.select(
         F.col(id_col).alias("owner_id"), F.col(vec_col).alias("_ov")
     )
     cos = F.round(
@@ -732,12 +748,18 @@ def embedding_gate_verified_recall_curve(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    sq: bool = False,
 ) -> DataFrame:
     """Recall / false-drop sweep for the VERIFIED banded gate on the
     planted mixture — the quality table that justifies the state-lean
     operating point as driver-gated rows (measured first in SCALE_NOTES
     r7: zero false drops in EVERY cell at planes 6-8 where the
     unverified gate's false-collision rate reaches 0.44).
+
+    ``sq=True`` sweeps the SQ8-owner variant (verification against the
+    reconstructed owner — the int8-state streaming gate's batch twin):
+    the quality table that certifies the ~8× state cut costs nothing
+    on the planted grid at threshold 0.9.
 
     Per arm: recall = true near-dups dropped / true near-dups;
     false_drop_rate = cluster-firsts wrongly dropped / cluster-firsts.
@@ -789,7 +811,12 @@ def embedding_gate_verified_recall_curve(
         F.min(id_col).alias("owner_id")
     )
     v = planted.select(F.col(id_col), F.col(vec_col).alias("_v"))
-    o = planted.select(
+    owner_src = (
+        sq_reconstruct(planted, dims=dims, id_col=id_col, vec_col=vec_col)
+        if sq
+        else planted
+    )
+    o = owner_src.select(
         F.col(id_col).alias("owner_id"), F.col(vec_col).alias("_ov")
     )
     cos = F.round(
@@ -2665,6 +2692,29 @@ def sq_quantize(
     )
 
 
+def sq_reconstruct(
+    emb: DataFrame,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Round-trip every vector through its SQ8 codes: ``(id_col,
+    vec_col)`` with each vector replaced by ``mn_d + code_d * scale_d``
+    — what a consumer that persisted only the codes table actually
+    sees. Factored from ``sq_cosine_topk`` so the verified gates can
+    check against the RECONSTRUCTED owner (the state a quantized
+    streaming gate holds) under the exact oracle-replayable
+    construction. Shuffle-free projection, codegen-side."""
+    coded = sq_quantize(emb, dims=dims, id_col=id_col, vec_col=vec_col)
+    return coded.select(
+        F.col("id").alias(id_col),
+        F.expr(
+            "transform(codes, (c, i) ->"
+            " mn[i] + CAST(c AS DOUBLE) * scale[i])"
+        ).alias(vec_col),
+    )
+
+
 def sq_cosine_topk(
     emb: DataFrame,
     k: int = 5,
@@ -2695,14 +2745,7 @@ def sq_cosine_topk(
     """
     import math
 
-    coded = sq_quantize(emb, dims=dims, id_col=id_col, vec_col=vec_col)
-    recon = coded.select(
-        F.col("id").alias(id_col),
-        F.expr(
-            "transform(codes, (c, i) ->"
-            " mn[i] + CAST(c AS DOUBLE) * scale[i])"
-        ).alias(vec_col),
-    )
+    recon = sq_reconstruct(emb, dims=dims, id_col=id_col, vec_col=vec_col)
     queries_df = emb.where(F.col(id_col) % sample_mod == 0).select(
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
     )

@@ -1231,6 +1231,24 @@ class VerifiedBucketClaimProcessor(StatefulProcessor):
     ``is_first = NOT verified`` so the standard ``DocVerdictProcessor``
     (kept iff 'first' on every band) composes unchanged downstream.
 
+    With ``sq_mn``/``sq_scale`` (offline-trained per-dimension SQ8
+    params — the FAISS scalar-quantizer-training shape; VERDICT r7
+    item 3) the owner state holds int8 CODES packed as ``dims`` BYTES
+    instead of ``dims`` float64s (~8× smaller), and the cosine runs
+    against the RECONSTRUCTED owner — the exact contract the batch
+    twin's ``sq=True`` form replays with corpus-trained stats.
+    ``ttl_ms`` bounds the dedup horizon like every other gate here
+    (ADVICE r7: the verified gate holds the heaviest per-bucket state,
+    so it is the one MOST in need of a bounded horizon).
+
+    Malformed vectors (null or wrong length — ADVICE r7) no longer
+    kill the query: they are unverifiable, so they are forgiven
+    (``is_first = True``), matching the batch twin where a null vector
+    yields a null cosine that never passes the threshold. A malformed
+    FIRST arrival still claims its bucket (again like the batch twin's
+    lowest-id rule) but stores an empty vector, so later collisions
+    against it are likewise forgiven.
+
     In-order contract: with ids monotone in arrival order the owner
     equals the batch twin's lowest-id claimant; within a micro-batch
     rows are processed in id order so the batch's own minimum claims
@@ -1243,6 +1261,9 @@ class VerifiedBucketClaimProcessor(StatefulProcessor):
         dims: int,
         out_fields: list[str] | None = None,
         round_dp: int = 6,
+        sq_mn: list[float] | None = None,
+        sq_scale: list[float] | None = None,
+        ttl_ms: int | None = None,
     ) -> None:
         self._threshold = threshold
         self._dims = dims
@@ -1250,19 +1271,54 @@ class VerifiedBucketClaimProcessor(StatefulProcessor):
         self._out_fields = out_fields or [
             f.name for f in _LSH_CLAIM_OUT.fields
         ]
+        if (sq_mn is None) != (sq_scale is None):
+            raise ValueError("sq_mn and sq_scale must be given together")
+        if sq_mn is not None and (
+            len(sq_mn) != dims or len(sq_scale) != dims
+        ):
+            raise ValueError(
+                f"SQ params must have {dims} entries, got "
+                f"{len(sq_mn)}/{len(sq_scale)}"
+            )
+        self._sq_mn = list(sq_mn) if sq_mn is not None else None
+        self._sq_scale = list(sq_scale) if sq_scale is not None else None
+        self._ttl_ms = ttl_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        from pyspark.sql.types import ArrayType
+        from pyspark.sql.types import ArrayType, BinaryType
 
-        self._owner = handle.getValueState(
-            "owner",
-            StructType(
-                [
-                    StructField("owner_id", LongType()),
-                    StructField("owner_vec", ArrayType(DoubleType())),
-                ]
-            ),
+        vec_field = (
+            StructField("owner_codes", BinaryType())
+            if self._sq_mn is not None
+            else StructField("owner_vec", ArrayType(DoubleType()))
         )
+        schema = StructType([StructField("owner_id", LongType()), vec_field])
+        if self._ttl_ms is not None:
+            self._owner = handle.getValueState("owner", schema, self._ttl_ms)
+        else:
+            self._owner = handle.getValueState("owner", schema)
+
+    def _encode(self, vec) -> bytes:
+        """SQ8-encode one vector to ``dims`` bytes — sq_quantize's
+        formula (half-away rounding, clamp to [0, 255], constant dims
+        code to 0)."""
+        import numpy as np
+
+        x = np.asarray(vec, dtype=np.float64)
+        mn = np.asarray(self._sq_mn)
+        scale = np.asarray(self._sq_scale)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = (x - mn) / scale
+        raw = np.floor(np.abs(raw) + 0.5) * np.sign(raw)  # half-away
+        codes = np.clip(raw, 0.0, 255.0)
+        codes[scale <= 0.0] = 0.0
+        return bytes(codes.astype(np.uint8))
+
+    def _decode(self, codes: bytes):
+        import numpy as np
+
+        c = np.frombuffer(codes, dtype=np.uint8).astype(np.float64)
+        return np.asarray(self._sq_mn) + c * np.asarray(self._sq_scale)
 
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
@@ -1275,25 +1331,57 @@ class VerifiedBucketClaimProcessor(StatefulProcessor):
             return
         batch = batch.sort_values("doc_id", kind="mergesort")
         ids = batch["doc_id"].to_numpy(dtype="int64")
-        mat = np.array(list(batch["vec"]), dtype=np.float64)
+        # tolerate null / ragged embeddings instead of crashing the
+        # whole streaming query: invalid rows are unverifiable
+        vecs = list(batch["vec"])
+        valid = np.array(
+            [v is not None and len(v) == self._dims for v in vecs]
+        )
+        mat = np.zeros((len(vecs), self._dims), dtype=np.float64)
+        for i, v in enumerate(vecs):
+            if valid[i]:
+                mat[i] = np.asarray(v, dtype=np.float64)
         if self._owner.exists():
-            owner_id, owner_vec = self._owner.get()
-            owner_vec = np.asarray(owner_vec, dtype=np.float64)
+            owner_id, stored = self._owner.get()
+            if stored is not None and len(stored):
+                owner_vec = (
+                    self._decode(stored)
+                    if self._sq_mn is not None
+                    else np.asarray(stored, dtype=np.float64)
+                )
+            else:
+                owner_vec = None  # malformed first arrival claimed it
         else:
             owner_id = int(ids[0])
-            owner_vec = mat[0]
-            self._owner.update((owner_id, [float(x) for x in owner_vec]))
+            if valid[0]:
+                owner_vec = mat[0]
+                stored = (
+                    self._encode(vecs[0])
+                    if self._sq_mn is not None
+                    else [float(x) for x in owner_vec]
+                )
+                # under SQ the stored side is what later arrivals
+                # compare against — reconstruct it for THIS batch too
+                if self._sq_mn is not None:
+                    owner_vec = self._decode(stored)
+            else:
+                owner_vec = None
+                stored = b"" if self._sq_mn is not None else []
+            self._owner.update((owner_id, stored))
         non_owner = ids != owner_id
-        # rounded cosine vs the ONE owner — half-away rounding, the
-        # engine's BLAS/oracle parity contract
-        on = float(np.linalg.norm(owner_vec))
-        norms = np.linalg.norm(mat, axis=1)
-        denom = norms * on
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = mat @ owner_vec / denom
-        q = 10 ** self._round_dp
-        cos = np.floor(np.abs(cos) * q + 0.5) / q * np.sign(cos)
-        verified = non_owner & (denom > 0) & (cos >= self._threshold)
+        if owner_vec is None:
+            verified = np.zeros(len(ids), dtype=bool)
+        else:
+            # rounded cosine vs the ONE owner — half-away rounding, the
+            # engine's BLAS/oracle parity contract
+            on = float(np.linalg.norm(owner_vec))
+            norms = np.linalg.norm(mat, axis=1)
+            denom = norms * on
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = mat @ owner_vec / denom
+            q = 10 ** self._round_dp
+            cos = np.floor(np.abs(cos) * q + 0.5) / q * np.sign(cos)
+            verified = non_owner & valid & (denom > 0) & (cos >= self._threshold)
         yield pd.DataFrame(
             {"doc_id": ids, "is_first": ~verified},
             columns=self._out_fields,
@@ -1311,6 +1399,9 @@ def streaming_embedding_dedup_verified(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sq_mn: list[float] | None = None,
+    sq_scale: list[float] | None = None,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming VERIFIED banded embedding gate — the TWS twin of
     ``similarity.embedding_first_arrival_verified``: a (band, bucket)
@@ -1319,16 +1410,27 @@ def streaming_embedding_dedup_verified(
     verifies at ``threshold``.
 
     Documented trades vs the unverified streaming gates, now shipped
-    instead of deferred: (a) bucket state holds the owner's VECTOR
-    (~``dims`` doubles per claimed bucket instead of one long) — the
-    price of running the state-LEAN planes=8 setting with zero false
-    drops; (b) the embedding crosses the claim exchange once per band
-    (verification needs it), so the claim shuffle carries
+    instead of deferred: (a) bucket state holds the owner's VECTOR —
+    ~``dims`` doubles per claimed bucket instead of one long, or, with
+    ``sq_mn``/``sq_scale`` (offline-trained per-dim SQ8 params, e.g.
+    one bounded collect of ``similarity.sq_quantize``'s stats row),
+    ~``dims`` BYTES of int8 codes (~8× leaner; the cosine then runs
+    against the reconstructed owner — the ``sq=True`` batch twin's
+    exact contract, whose recall grid shows zero false drops at
+    threshold 0.9); (b) the embedding crosses the claim exchange once
+    per band (verification needs it), so the claim shuffle carries
     (long, int, long, ``dims``×double) rows. The verdict seam and
     output contract are the standard two-operator topology —
     ``DocVerdictProcessor`` composes unchanged because
     ``is_first := NOT verified-collision`` maps the verified rule onto
     the kept-iff-first-everywhere contract.
+
+    ``state_ttl_ms`` bounds the dedup horizon exactly as in the banded
+    and LSH gates (ADVICE r7: this gate's per-bucket state is the
+    heaviest of all, so the bounded horizon matters most here); an
+    expired owner forgets, and the next arrival re-claims. Malformed
+    vectors (null / wrong length) are forgiven rather than fatal —
+    the batch twin's null-cosine tolerance.
 
     Emits ``(vec_id, n_bands, n_first, kept)``; ``n_verified`` of the
     batch twin = n_bands − n_first (parity-pinned under id-monotone
@@ -1362,11 +1464,16 @@ def streaming_embedding_dedup_verified(
     )
     claims = incidence.groupBy("band_id", "bucket").transformWithStateInPandas(
         VerifiedBucketClaimProcessor(
-            threshold, dims, [f.name for f in _LSH_CLAIM_OUT.fields]
+            threshold,
+            dims,
+            [f.name for f in _LSH_CLAIM_OUT.fields],
+            sq_mn=sq_mn,
+            sq_scale=sq_scale,
+            ttl_ms=state_ttl_ms,
         ),
         outputStructType=_LSH_CLAIM_OUT,
         outputMode="append",
-        timeMode="none",
+        timeMode="none" if state_ttl_ms is None else "processingTime",
     )
     verdicts = claims.groupBy("doc_id").transformWithStateInPandas(
         DocVerdictProcessor(

@@ -954,6 +954,60 @@ def test_repeated_spans_multiplicity_and_cross_doc(spark):
     assert all(r.exemplar_doc in (0, 1, 2) for r in rows)
 
 
+def test_max_span_scrub_removes_planted_span_as_one_run(spark):
+    """The VERDICT r7 item-6 acceptance test: a planted duplicated span
+    of 2w+3 tokens must come back as ONE maximal span (not ⌈L/w⌉
+    windows) in the non-exemplar doc, be absent from the exemplar doc
+    (keep_first: one corpus-wide copy survives), and the scrub must cut
+    exactly that token range."""
+    w = 5
+    span_toks = [f"s{i}" for i in range(2 * w + 3)]  # 13 tokens
+    span = " ".join(span_toks)
+    docs = _docs(
+        spark,
+        [
+            f"alpha beta {span} gamma delta",        # doc 0: exemplar
+            f"one two three {span} four five six",   # doc 1: scrubbed
+            "entirely unrelated filler words avoiding any window overlap",
+        ],
+    )
+    spans = D.max_spans(docs, w=w, min_count=2).collect()
+    assert len(spans) == 1  # ONE maximal run, not w+4 windows
+    s = spans[0]
+    assert (s.doc_id, s.span_start, s.span_end, s.span_tokens) == (
+        1, 3, 3 + 13, 13,
+    )
+    got = {r.doc_id: r for r in D.max_span_scrub(docs, w=w, min_count=2).collect()}
+    assert got[0].scrubbed_tokens == 0  # exemplar keeps its copy
+    assert got[0].clean_text == f"alpha beta {span} gamma delta"
+    assert got[1].scrubbed_tokens == 13
+    assert got[1].clean_text == "one two three four five six"
+    assert got[2].scrubbed_tokens == 0
+    # detection view (keep_first=False): BOTH occurrences span
+    both = D.max_spans(docs, w=w, min_count=2, keep_first=False).collect()
+    assert {(r.doc_id, r.span_tokens) for r in both} == {(0, 13), (1, 13)}
+
+
+def test_max_span_scrub_within_doc_repeat_and_full_scrub(spark):
+    """Within-doc second occurrences scrub (the exemplar is positional,
+    not per-doc); an exact-duplicate doc scrubs to empty text with
+    scrubbed == n_tokens."""
+    w = 3
+    rep = "a b c d e"
+    docs = _docs(
+        spark,
+        [
+            f"{rep} x y z {rep}",  # doc 0: 2nd internal occurrence cut
+            rep,                   # doc 1: exact duplicate -> empty
+        ],
+    )
+    got = {r.doc_id: r for r in D.max_span_scrub(docs, w=w, min_count=2).collect()}
+    assert got[0].clean_text == f"{rep} x y z"
+    assert got[0].scrubbed_tokens == 5
+    assert got[1].clean_text == ""
+    assert got[1].scrubbed_tokens == got[1].n_tokens == 5
+
+
 def test_span_coverage_interval_union_math(spark):
     """Overlapping flagged windows merge (no double count); disjoint
     islands sum; clean docs report zero coverage."""

@@ -1043,6 +1043,143 @@ def test_streaming_embedding_dedup_verified_matches_batch_twin(spark):
     assert got == expect
 
 
+def test_streaming_verified_gate_sq_codes_match_batch_sq_twin(spark):
+    """The QUANTIZED-owner verified gate (VERDICT r7 item 3): with the
+    per-dim SQ8 stats trained offline (one bounded collect of
+    sq_quantize's stats — the FAISS quantizer-training shape) the
+    streaming gate stores ~dims BYTES of owner codes instead of dims
+    float64s, and its verdicts must map doc-for-doc onto the batch
+    twin's sq=True form (which reconstructs the owner through the SAME
+    codes). The planted data must exercise both collision outcomes."""
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.similarity import (
+        embedding_first_arrival_verified,
+        planted_embeddings,
+        sq_quantize,
+    )
+    from flink_helloworld_spark.streaming.tws import (
+        streaming_embedding_dedup_verified,
+    )
+
+    bands, planes, thr = 3, 6, 0.9
+    ids = spark.range(96).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+    )
+    planted = planted_embeddings(ids).select("vec_id", "embedding")
+    batch_rows = embedding_first_arrival_verified(
+        planted, threshold=thr, planes=planes, bands=bands, sq=True
+    ).collect()
+    expect = {
+        r.vec_id: (bands, bands - r.n_verified, r.kept) for r in batch_rows
+    }
+    assert any(r.n_collisions > r.n_verified for r in batch_rows)
+    assert any(r.n_verified > 0 for r in batch_rows)
+
+    # offline SQ training: ONE stats row (2 x dims doubles), the
+    # bounded-collect contract every index artifact here follows
+    stats = sq_quantize(planted).select("mn", "scale").first()
+
+    rows = sorted(
+        (
+            {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+            for r in planted.collect()
+        ),
+        key=lambda r: r["vec_id"],
+    )
+    batches = [rows[0:32], rows[32:64], rows[64:96]]
+    workdir = tempfile.mkdtemp(prefix="embgatesq-")
+    _write_files(batches, workdir)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    out = streaming_embedding_dedup_verified(
+        stream,
+        threshold=thr,
+        planes=planes,
+        bands=bands,
+        sq_mn=list(stats.mn),
+        sq_scale=list(stats.scale),
+    )
+    got = {
+        r.vec_id: (r.n_bands, r.n_first, r.kept)
+        for r in run_available_now(out, "embgatesq")
+    }
+    assert got == expect
+
+
+def test_streaming_verified_gate_tolerates_malformed_vectors(spark):
+    """ADVICE r7: a null or wrong-length embedding must NOT kill the
+    streaming query — malformed rows are unverifiable, so they are
+    forgiven (kept), exactly like the batch twin's null-cosine rule.
+    Valid rows' verdicts must match the batch twin computed over the
+    same mixed input."""
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.similarity import (
+        embedding_first_arrival_verified,
+        planted_embeddings,
+    )
+    from flink_helloworld_spark.streaming.tws import (
+        streaming_embedding_dedup_verified,
+    )
+
+    bands, planes, thr = 3, 6, 0.9
+    ids = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+    )
+    planted = planted_embeddings(ids).select("vec_id", "embedding")
+    rows = sorted(
+        (
+            {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+            for r in planted.collect()
+        ),
+        key=lambda r: r["vec_id"],
+    )
+    # id-interleaved malformed rows: a null and a ragged vector
+    rows.append({"vec_id": 100, "embedding": None})
+    rows.append({"vec_id": 101, "embedding": [0.5, 0.25, 0.125]})
+    mixed = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in rows],
+        "vec_id long, embedding array<double>",
+    )
+    expect = {
+        r.vec_id: (bands, bands - r.n_verified, r.kept)
+        for r in embedding_first_arrival_verified(
+            mixed, threshold=thr, planes=planes, bands=bands
+        ).collect()
+    }
+    assert expect[100][2] and expect[101][2]  # malformed rows forgiven
+
+    workdir = tempfile.mkdtemp(prefix="embgatebad-")
+    _write_files([rows[0:21], rows[21:]], workdir)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+    out = streaming_embedding_dedup_verified(
+        stream, threshold=thr, planes=planes, bands=bands
+    )
+    got = {
+        r.vec_id: (r.n_bands, r.n_first, r.kept)
+        for r in run_available_now(out, "embgatebad")
+    }
+    assert got == expect
+
+
 def test_lsh_gate_bucket_state_resumes_from_checkpoint(spark):
     """LSH-gate durability across the TWO chained TWS operators: run
     batch 1 with a checkpoint, stop, append batch 2 containing a

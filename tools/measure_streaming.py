@@ -58,6 +58,28 @@ def stage(src_dir: str, dst: str, table: str = "documents") -> int:
     return n
 
 
+def _verified_sq_gate(spark, raw, in_dir: str):
+    """Verified gate with int8-SQ owner state: per-dim stats trained
+    offline on the staged table (one bounded stats-row collect)."""
+    from flink_helloworld_spark.operators.similarity import sq_quantize
+    from flink_helloworld_spark.streaming.tws import (
+        streaming_embedding_dedup_verified,
+    )
+
+    emb = spark.read.schema("vec_id long, embedding array<float>").parquet(
+        in_dir
+    )
+    stats = sq_quantize(emb).select("mn", "scale").first()
+    return streaming_embedding_dedup_verified(
+        raw,
+        threshold=0.9,
+        planes=8,
+        bands=4,
+        sq_mn=list(stats.mn),
+        sq_scale=list(stats.scale),
+    )
+
+
 def run_gate(spark, name: str, in_dir: str, rows_per_trigger: int | None = None):
     """Run one gate over the staged files. When ``rows_per_trigger`` is
     given, the stateful partition count is AUTO-SIZED by the sqrt
@@ -96,6 +118,12 @@ def run_gate(spark, name: str, in_dir: str, rows_per_trigger: int | None = None)
         ),
         "embedding_dedup_verified": lambda: streaming_embedding_dedup_verified(
             raw, threshold=0.9, planes=8, bands=4
+        ),
+        # owner state as int8 SQ codes (~dims bytes vs dims float64s);
+        # stats trained OFFLINE on the staged table — the bounded
+        # quantizer-training collect a production deploy ships with
+        "embedding_dedup_verified_sq": lambda: _verified_sq_gate(
+            spark, raw, in_dir
         ),
     }[name]()
     out_dir = tempfile.mkdtemp(prefix=f"ms-{name}-out-")
@@ -147,6 +175,7 @@ def main() -> None:
         "embedding_dedup",
         "embedding_dedup_banded",
         "embedding_dedup_verified",
+        "embedding_dedup_verified_sq",
     ]
     spark = build_session(app_name="fhs-stream-measure")
     for vol, src in (("1x", BASE), ("10x", BIG)):
