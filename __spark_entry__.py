@@ -1067,6 +1067,13 @@ def _q_similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the audit behind every codes-only SQ consumer (verified-gate owner
+    # state, persisted code tables): reconstruction cosine + worst
+    # per-dim error as one exact-decimal aggregate row
+    return S.sq_reconstruction_error(load_tables(spark, sf_dir).embeddings)
+
+
 def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashed exact-substring dedup: every 10-token sliding window (stride
     # 1 — within-doc repeats count), one uniform-key hash agg; text never
@@ -1971,6 +1978,16 @@ def _q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_clusters_twostar(pairs)
 
 
+def _q_dedup_clusters_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured-diameter guard: min-label with a bounded round probe,
+    # two-star only if the probe exhausts — the unknown-graph default;
+    # labels identical under either path (same oracle verbatim)
+    pairs = D.minhash_dedup_pairs(load_tables(spark, sf_dir).documents).where(
+        "is_dup"
+    )
+    return D.duplicate_clusters_auto(pairs)
+
+
 def _q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Flink SQL "Window Top-N": top-3 event types per tumbling day
     ev = load_tables(spark, sf_dir).events
@@ -2592,6 +2609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gate_verified_sq_recall_curve": _q_embedding_gate_verified_sq_recall_curve,
         "max_spans": _q_max_spans,
         "max_span_scrub": _q_max_span_scrub,
+        "dedup_clusters_auto": _q_dedup_clusters_auto,
+        "sq_reconstruction_error": _q_sq_reconstruction_error,
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
@@ -5831,6 +5850,26 @@ def oracle_sql() -> dict[str, str]:
         "ivf_indexed_recall": _ivf_indexed_recall_sql(),
         "max_spans": _max_spans_sql(w=10),
         "max_span_scrub": _max_span_scrub_sql(w=10),
+        "sq_reconstruction_error": f"""
+            WITH {_sq_recon_ctes()},
+            per AS (
+              SELECT round({_dot_sql("v.emb", "r.embedding")}
+                       / nullif(sqrt({_dot_sql("v.emb", "v.emb")})
+                                * sqrt({_dot_sql("r.embedding", "r.embedding")}), 0.0), 9)
+                       ::DECIMAL(28,9) AS _c,
+                     round(list_max(list_transform(range(1, len(v.emb) + 1),
+                       i -> abs(v.emb[i] - r.embedding[i]))), 9)
+                       ::DECIMAL(28,9) AS _e
+              FROM sqv v JOIN sqrecon r USING (vec_id))
+            SELECT count(*) AS n_vecs,
+                   round(CAST(sum(_c) AS DOUBLE) / count(*)::DOUBLE, 6)
+                     AS mean_cos,
+                   round(CAST(min(_c) AS DOUBLE), 6) AS min_cos,
+                   CAST(sum(CASE WHEN _c < 0.999 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_below_999,
+                   round(CAST(max(_e) AS DOUBLE), 6) AS max_abs_err
+            FROM per
+        """,
         "cluster_balanced_sample": _cluster_balanced_sample_sql(per_cluster=8),
         "embedding_gate_verified_recall_curve":
             _verified_gate_recall_curve_sql(sample_mod=2),
@@ -7075,6 +7114,9 @@ def oracle_sql() -> dict[str, str]:
     # recursive-CTE oracle is algorithm-independent, so both queries
     # share one definition (what's checked is the fixpoint, not the path)
     d["dedup_clusters_twostar"] = d["dedup_clusters"]
+    # the auto dispatch picks one of those two algorithms at runtime —
+    # either way the fixpoint (and thus the oracle) is identical
+    d["dedup_clusters_auto"] = d["dedup_clusters"]
     # soft weights / leakage-safe split: the cluster labels replay the
     # dedup_clusters recursive-CTE oracle verbatim as a nested subquery;
     # singletons fall back to their own doc_id via the left join

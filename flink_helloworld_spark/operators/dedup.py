@@ -335,12 +335,20 @@ def _cc_labels(pairs: DataFrame, cc: str) -> DataFrame:
       (``duplicate_clusters_twostar``) — O(log n) rounds, the
       adversarial-scale path for freak long chains (boilerplate rings,
       templated mirrors) a 100 TB crawl can contain.
+    - ``auto``: the measured-diameter guard (VERDICT r7 item 7) —
+      min-label with a bounded round probe, two-star iff the probe
+      exhausts (``duplicate_clusters_auto``). The production default
+      for graphs of unknown shape.
     """
     if cc == "twostar":
         return duplicate_clusters_twostar(pairs)
     if cc == "minlabel":
         return duplicate_clusters(pairs)
-    raise ValueError(f"cc must be 'minlabel' or 'twostar', got {cc!r}")
+    if cc == "auto":
+        return duplicate_clusters_auto(pairs)
+    raise ValueError(
+        f"cc must be 'minlabel', 'twostar' or 'auto', got {cc!r}"
+    )
 
 
 def soft_dedup_weights(
@@ -1225,6 +1233,34 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         F.col("label").alias("cluster_id"),
         F.count("*").over(w).cast("int").alias("cluster_size"),
     )
+
+
+def duplicate_clusters_auto(
+    pairs: DataFrame, probe_rounds: int = 8
+) -> DataFrame:
+    """The MEASURED-DIAMETER guard over the two closure algorithms
+    (VERDICT r7 item 7): run min-label propagation with a bounded
+    round cap as the probe — real near-dup components are shallow
+    rewrites of one page (diameter 1-3, so min-label converges in 2-3
+    rounds and is the cheaper algorithm) — and dispatch to the
+    O(log n) two-star contraction ONLY when the probe exhausts, i.e.
+    when the graph demonstrably contains a chain longer than
+    ``probe_rounds`` (boilerplate rings, templated mirrors).
+
+    The trade, stated plainly: on an adversarial graph the probe's
+    ``probe_rounds`` shuffles are thrown away before two-star starts —
+    that waste is bounded and rare, while the common-case win (never
+    paying two-star's ~log n rounds on shallow graphs) applies to
+    every run. Both algorithms share the exact output contract
+    (doc_id, cluster_id = component min, cluster_size), so the
+    dispatch is invisible downstream — the oracle is
+    ``duplicate_clusters``'s verbatim, and the long-chain test pins
+    that the fallback path fires and produces min-label-identical
+    labels."""
+    try:
+        return duplicate_clusters(pairs, max_iters=probe_rounds)
+    except RuntimeError:
+        return duplicate_clusters_twostar(pairs)
 
 
 # --- benchmark decontamination ---------------------------------------------

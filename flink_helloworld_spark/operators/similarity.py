@@ -2765,6 +2765,77 @@ def sq_cosine_topk(
     )
 
 
+def sq_reconstruction_error(
+    emb: DataFrame,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """The SQ8 quantization-error AUDIT — the number that justifies
+    storing int8 codes anywhere exactness matters (the verified gate's
+    owner state, a persisted codes-only embedding table): per-vector
+    cosine between the original and its reconstruction, plus the worst
+    per-dimension absolute error, aggregated to one corpus row
+    ``(n_vecs, mean_cos, min_cos, n_below_999, max_abs_err)``.
+
+    ``n_below_999`` counts vectors whose reconstruction cosine falls
+    under 0.999 — the capacity-plan headline: at 0 the quantized owner
+    is interchangeable with the full-precision one for any gate
+    threshold ≤ 0.999 minus the error band.
+
+    Determinism contract (the embedding_audit pattern): per-row cosine
+    and max-abs-err round to 9 dp and carry as DECIMAL(28,9), so
+    min/mean/max are exact and order-independent; final outputs are
+    one double division / cast rounded to ``round_dp``.
+
+    Scale shape: quantize + reconstruct are shuffle-free projections;
+    the audit is ONE map-side-combinable aggregate — no join (the
+    reconstruction is computed beside the original in the same row),
+    nothing driver-side."""
+    v = F.col(vec_col).cast("array<double>")
+    stats = emb.agg(
+        F.array(*[F.min(v[i]) for i in range(dims)]).alias("mn"),
+        F.array(*[F.max(v[i]) for i in range(dims)]).alias("mx"),
+    ).select(
+        "mn",
+        F.expr("transform(mx, (x, i) -> (x - mn[i]) / 255.0D)").alias("scale"),
+    )
+    recon = F.expr(
+        f"""transform(cast({vec_col} as array<double>), (x, i) ->
+              mn[i] + CAST(CASE WHEN scale[i] <= 0.0D THEN 0
+                   ELSE CAST(least(255.0D, greatest(0.0D,
+                          round((x - mn[i]) / scale[i], 0))) AS INT)
+              END AS DOUBLE) * scale[i])"""
+    )
+    per = emb.crossJoin(F.broadcast(stats)).select(
+        F.round(
+            _dot(v, recon)
+            / F.nullif(_norm(v) * _norm(recon), F.lit(0.0)),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("_c"),
+        F.round(
+            F.array_max(F.zip_with(v, recon, lambda x, r: F.abs(x - r))), 9
+        )
+        .cast("decimal(28,9)")
+        .alias("_e"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum("_c").cast("double") / F.count(F.lit(1)).cast("double"),
+            round_dp,
+        ).alias("mean_cos"),
+        F.round(F.min("_c").cast("double"), round_dp).alias("min_cos"),
+        F.sum(F.when(F.col("_c") < 0.999, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below_999"),
+        F.round(F.max("_e").cast("double"), round_dp).alias("max_abs_err"),
+    )
+
+
 def embedding_audit(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -42,26 +42,30 @@ def waybill_etl_job(
     )
 
     _prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    apply_stateful_partitions(spark, rows_per_trigger)
-    stream = waybill_c_stream(spark, rows_per_second)
-    enriched = stream.select(
-        "waybill_code",
-        "waybill_sign",
-        "site_code",
-        "site_name",
-        "seq",
-        F.length("waybill_sign").alias("sign_len"),
-        F.unix_millis(F.col("emit_time")).alias("ts"),
-    )
-    sink = KeyedUpsertSink(sink_path, "waybill_code", "seq")
-    query = (
-        enriched.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
-    # the partition count is pinned at the first checkpoint above;
-    # restore the session-global conf for subsequent batch work
-    spark.conf.set("spark.sql.shuffle.partitions", _prev_parts)
+    # try/finally (ADVICE r7): if plan building or .start() raises, the
+    # session-global conf must not stay clobbered for later batch work
+    try:
+        apply_stateful_partitions(spark, rows_per_trigger)
+        stream = waybill_c_stream(spark, rows_per_second)
+        enriched = stream.select(
+            "waybill_code",
+            "waybill_sign",
+            "site_code",
+            "site_name",
+            "seq",
+            F.length("waybill_sign").alias("sign_len"),
+            F.unix_millis(F.col("emit_time")).alias("ts"),
+        )
+        sink = KeyedUpsertSink(sink_path, "waybill_code", "seq")
+        query = (
+            enriched.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+    finally:
+        # the partition count is pinned at the first checkpoint above;
+        # restore the session-global conf for subsequent batch work
+        spark.conf.set("spark.sql.shuffle.partitions", _prev_parts)
     return sink, query
 
 
@@ -116,77 +120,81 @@ def streaming_window_topn_job(
 
     _sess = stream.sparkSession
     _prev_parts = _sess.conf.get("spark.sql.shuffle.partitions")
-    apply_stateful_partitions(_sess, rows_per_trigger)
-    agg = (
-        stream.withWatermark(time_col, delay)
-        .groupBy(F.window(time_col, size).alias("w"), key_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col(key_col).alias("key"),
-            "cnt",
-        )
-    )
-    agg_sink = KeyedUpsertSink(f"{sink_path}/agg", "window_key", "cnt")
-    # rank slots order by batch RECENCY, not cnt: when a new occupant
-    # TIES the old occupant's count at a slot, the freshest ranking must
-    # win — ordering by cnt would nondeterministically keep the stale
-    # row, duplicating one key across two slots and dropping the other
-    topn_sink = KeyedUpsertSink(f"{sink_path}/topn", "window_rank", "_ver")
-
-    def rank_and_upsert(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window as Wspec
-
-        if batch.isEmpty():
-            return
-        batch = batch.withColumn(
-            "window_key",
-            F.concat_ws("#", F.col("window_start").cast("string"), "key"),
-        ).localCheckpoint(eager=True)  # update-mode batch is consumed twice
-        agg_sink(batch, batch_id)
-        # current aggregate state for the touched windows (tiny slice:
-        # |touched windows| x |keys|), selected executor-side via a
-        # broadcast semi-join against the batch's distinct windows — no
-        # driver collect, so a late-data-heavy stream with many open
-        # windows never hops window metadata through the driver
-        touched = batch.select("window_start").distinct()
-        state = agg_sink.read(batch.sparkSession).join(
-            F.broadcast(touched), "window_start", "left_semi"
-        )
-        ranked = (
-            state.withColumn(
-                "rank",
-                F.row_number().over(
-                    Wspec.partitionBy("window_start").orderBy(
-                        F.col("cnt").desc(), F.col("key")
-                    )
-                ),
-            )
-            .where(F.col("rank") <= n)
-            .withColumn(
-                "window_rank",
-                F.concat_ws(
-                    "#", F.col("window_start").cast("string"), F.col("rank")
-                ),
-            )
+    # try/finally (ADVICE r7): nothing between the conf override and
+    # .start() may leak the session-global partition count on error
+    try:
+        apply_stateful_partitions(_sess, rows_per_trigger)
+        agg = (
+            stream.withWatermark(time_col, delay)
+            .groupBy(F.window(time_col, size).alias("w"), key_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
             .select(
-                "window_rank",
-                "window_start",
-                "rank",
-                "key",
+                F.col("w.start").alias("window_start"),
+                F.col(key_col).alias("key"),
                 "cnt",
-                F.lit(batch_id).alias("_ver"),
             )
         )
-        topn_sink(ranked, batch_id)
+        agg_sink = KeyedUpsertSink(f"{sink_path}/agg", "window_key", "cnt")
+        # rank slots order by batch RECENCY, not cnt: when a new occupant
+        # TIES the old occupant's count at a slot, the freshest ranking must
+        # win — ordering by cnt would nondeterministically keep the stale
+        # row, duplicating one key across two slots and dropping the other
+        topn_sink = KeyedUpsertSink(f"{sink_path}/topn", "window_rank", "_ver")
 
-    query = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(rank_and_upsert)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
-    _sess.conf.set("spark.sql.shuffle.partitions", _prev_parts)
+        def rank_and_upsert(batch: DataFrame, batch_id: int) -> None:
+            from pyspark.sql import Window as Wspec
+
+            if batch.isEmpty():
+                return
+            batch = batch.withColumn(
+                "window_key",
+                F.concat_ws("#", F.col("window_start").cast("string"), "key"),
+            ).localCheckpoint(eager=True)  # update-mode batch is consumed twice
+            agg_sink(batch, batch_id)
+            # current aggregate state for the touched windows (tiny slice:
+            # |touched windows| x |keys|), selected executor-side via a
+            # broadcast semi-join against the batch's distinct windows — no
+            # driver collect, so a late-data-heavy stream with many open
+            # windows never hops window metadata through the driver
+            touched = batch.select("window_start").distinct()
+            state = agg_sink.read(batch.sparkSession).join(
+                F.broadcast(touched), "window_start", "left_semi"
+            )
+            ranked = (
+                state.withColumn(
+                    "rank",
+                    F.row_number().over(
+                        Wspec.partitionBy("window_start").orderBy(
+                            F.col("cnt").desc(), F.col("key")
+                        )
+                    ),
+                )
+                .where(F.col("rank") <= n)
+                .withColumn(
+                    "window_rank",
+                    F.concat_ws(
+                        "#", F.col("window_start").cast("string"), F.col("rank")
+                    ),
+                )
+                .select(
+                    "window_rank",
+                    "window_start",
+                    "rank",
+                    "key",
+                    "cnt",
+                    F.lit(batch_id).alias("_ver"),
+                )
+            )
+            topn_sink(ranked, batch_id)
+
+        query = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(rank_and_upsert)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+    finally:
+        _sess.conf.set("spark.sql.shuffle.partitions", _prev_parts)
     return agg_sink, topn_sink, query
 
 
@@ -275,8 +283,18 @@ def streaming_ingest_job(
     """Streaming corpus ingest: the pretrain-prep front half as one
     continuous query — cheap per-row quality gate (word count + non-empty
     after trim), exact content dedup within the watermark horizon, then
-    the partitioned lake sink. Returns the started-ready DataStreamWriter
-    (caller .start()s it).
+    the partitioned lake sink. Returns ``(writer, restore)`` — the
+    started-ready DataStreamWriter plus a zero-arg RESTORE handle.
+
+    CALLER OBLIGATION (ADVICE r7 — stated here, not just in _util):
+    with ``rows_per_trigger`` set, this builder overrides the
+    session-global ``spark.sql.shuffle.partitions`` and MUST leave it
+    live until the caller's first ``.start()`` pins the stateful
+    partition count at the checkpoint; call ``restore()`` right after
+    that ``.start()``, or all subsequent batch work in the shared
+    session silently runs at the streaming partition count.
+    ``restore()`` is idempotent and is a no-op when nothing was
+    overridden.
 
     Scale shape: the quality filter is a stateless row predicate (no
     state, pushes into the scan); dedup state is bounded by the
@@ -292,14 +310,19 @@ def streaming_ingest_job(
     # rows_per_trigger: expected input rows per micro-batch — auto-size
     # the stateful partition count by the sqrt capacity law. This
     # builder RETURNS a writer, so the setting must stay live until the
-    # caller's first .start() pins it at the checkpoint — the caller
-    # restores the session conf afterwards (apply_stateful_partitions
-    # docstring)
+    # caller's first .start() pins it at the checkpoint — hence the
+    # restore handle instead of an in-function finally.
     from flink_helloworld_spark.streaming._util import (
         apply_stateful_partitions,
     )
 
-    apply_stateful_partitions(stream.sparkSession, rows_per_trigger)
+    sess = stream.sparkSession
+    _prev_parts = sess.conf.get("spark.sql.shuffle.partitions")
+
+    def restore() -> None:
+        sess.conf.set("spark.sql.shuffle.partitions", _prev_parts)
+
+    apply_stateful_partitions(sess, rows_per_trigger)
     # min_words >= 1 already implies non-blank (the word split drops
     # empty tokens), so the single predicate is the whole quality gate
     filtered = stream.where(F.size(_words(F.col(text_col))) >= min_words)
@@ -311,8 +334,9 @@ def streaming_ingest_job(
     dated = deduped.withColumn("ingest_date", F.to_date(F.col(time_col)))
     from flink_helloworld_spark.streaming.sinks import partitioned_lake_sink
 
-    return partitioned_lake_sink(
-        dated, sink_path, checkpoint_dir, ["ingest_date"]
+    return (
+        partitioned_lake_sink(dated, sink_path, checkpoint_dir, ["ingest_date"]),
+        restore,
     )
 
 

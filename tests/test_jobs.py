@@ -260,9 +260,9 @@ def test_streaming_ingest_job_filters_dedups_partitions(spark):
         .parquet(workdir)
         .withColumn("event_time", F.timestamp_millis(F.col("ms")))
     )
-    q = streaming_ingest_job(stream, sink, ck, min_words=3).trigger(
-        availableNow=True
-    ).start()
+    writer, restore = streaming_ingest_job(stream, sink, ck, min_words=3)
+    q = writer.trigger(availableNow=True).start()
+    restore()  # the documented caller obligation: restore after .start()
     q.awaitTermination(120)
     out = spark.read.parquet(sink)
     rows = {r.doc_id for r in out.collect()}
@@ -770,7 +770,7 @@ def test_job_builders_auto_size_stateful_partitions(spark):
         stream = spark.readStream.schema(
             "doc_id long, text string, event_time timestamp"
         ).parquet(workdir)
-        streaming_ingest_job(
+        _, restore = streaming_ingest_job(
             stream,
             tempfile.mkdtemp(prefix="autosz-out-"),
             tempfile.mkdtemp(prefix="autosz-ck-"),
@@ -779,5 +779,11 @@ def test_job_builders_auto_size_stateful_partitions(spark):
         expect = suggest_stateful_partitions(12500)
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(expect)
         assert expect == 25  # sqrt(12500 * 0.05), the measured 10x winner
+        # ADVICE r7: the returned restore handle undoes the override
+        # without the caller knowing the _util contract — idempotently
+        restore()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+        restore()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

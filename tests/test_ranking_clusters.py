@@ -392,6 +392,60 @@ def test_twostar_raises_rather_than_emitting_unconverged_state(spark):
     assert len(out) == 51
 
 
+def test_auto_cc_dispatches_by_measured_diameter(spark):
+    """VERDICT r7 item 7: cc='auto' must (a) resolve a shallow graph
+    via min-label WITHOUT ever invoking two-star (the common-case
+    cost), and (b) fall back to two-star when the probe cap exhausts
+    on a long chain — with labels identical to an uncapped min-label
+    run either way."""
+    from flink_helloworld_spark.operators import dedup as D
+
+    # (a) shallow forest: triangle + pair — min-label converges in the
+    # probe; two-star must not be touched (monkeypatch proves it)
+    shallow = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (900, 901)], "doc_a long, doc_b long"
+    )
+    orig_twostar = D.duplicate_clusters_twostar
+
+    def _boom(*a, **k):
+        raise AssertionError("two-star invoked on a shallow graph")
+
+    D.duplicate_clusters_twostar = _boom
+    try:
+        got = {
+            (r.doc_id, r.cluster_id, r.cluster_size)
+            for r in D.duplicate_clusters_auto(shallow).collect()
+        }
+    finally:
+        D.duplicate_clusters_twostar = orig_twostar
+    assert got == {
+        (1, 1, 3), (2, 1, 3), (3, 1, 3), (900, 900, 2), (901, 900, 2),
+    }
+
+    # (b) 41-node chain: diameter 40 > probe_rounds=8 — the probe must
+    # exhaust and the two-star fallback must produce min-label labels
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "doc_a long, doc_b long"
+    )
+    auto = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in D.duplicate_clusters_auto(chain, probe_rounds=8).collect()
+    }
+    ref = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in D.duplicate_clusters(chain, max_iters=50).collect()
+    }
+    assert auto == ref
+    assert (100, 100, 41) in auto
+    # the consumers accept the new mode
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100, 141)], "doc_id long, text string"
+    )
+    pruned = D.cluster_prune(docs, chain, cc="auto").collect()
+    assert {r.doc_id for r in pruned} == {100}
+    assert pruned[0].dups_removed == 40
+
+
 def test_cluster_consumers_label_identical_under_twostar(spark):
     """VERDICT r6 item 4: the three cluster-consuming operators
     (soft_dedup_weights, leakage_safe_split, cluster_prune) must produce
