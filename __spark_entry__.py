@@ -2587,21 +2587,85 @@ def _q_product_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.product_revenue(spark, _WAYBILL_N)
 
 
+# Round-8 gate rotation (VERDICT r7 item 2, stalest-first contract):
+# the driver's correctness gate checks only the FIRST 50 entries of
+# queries(). This round: the 9 new r8 queries, then ALL 41 queries
+# whose newest official CORRECTNESS row is round 4 — 9 + 41 = exactly
+# 50, so after this round no query's newest official row is older
+# than round 5. The stale list below is computed from the
+# CORRECTNESS_r01–r07 union (newest green row per name == r4).
+# Everything rotated OUT is re-verified locally this round via
+# tools/check_oracle.py (full-registry sweep) beside the pytest run.
+# Rotate again next round: new queries first, then
+# oldest-official-row-first.
+_GATE_R8 = [
+    # --- the 9 new r8 queries ---
+    "ivf_index_build",
+    "similarity_ivf_indexed_topk",
+    "ivf_indexed_recall",
+    "dedup_embedding_gate_verified_sq",
+    "embedding_gate_verified_sq_recall_curve",
+    "max_spans",
+    "max_span_scrub",
+    "dedup_clusters_auto",
+    "sq_reconstruction_error",
+    # --- the 41 r4-stale queries (newest official row == round 4) ---
+    "as_of_join",
+    "bigram_logppl",
+    "classifier_score",
+    "classifier_train",
+    "corpus_clean",
+    "count_windows",
+    "dedup_embedding_cosine",
+    "denorm_wide",
+    "funnel_conversion",
+    "global_window",
+    "hypertable_rollup",
+    "iterate_fixpoint",
+    "kmv_distinct_sketch",
+    "merge_last_non_null",
+    "multi_get",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "pivot_counts",
+    "point_lookup",
+    "pricing_summary",
+    "product_revenue",
+    "rolling_extrema",
+    "rolling_fold",
+    "rolling_sum",
+    "session_windows",
+    "side_output_split",
+    "similarity_lsh_topk",
+    "similarity_topk",
+    "sliding_hourly",
+    "sql_q5_revenue",
+    "stateful_filter",
+    "term_count",
+    "trigger_evictor",
+    "tumbling_daily",
+    "union_streams",
+    "waybill_capstone",
+    "waybill_cem_merge",
+    "waybill_generator",
+    "window_join",
+    "window_last_value",
+    "wordcount",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    reg = _registry()
+    assert len(_GATE_R8) == 50 and set(_GATE_R8) <= set(reg)
+    out = {k: reg[k] for k in _GATE_R8}
+    out.update((k, v) for k, v in reg.items() if k not in out)
+    return out
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ordering contract: the driver's correctness gate checks only
-        # the FIRST 50 entries — EXACTLY 50 are listed before the
-        # rotation marker below (ADVICE r6: the r6 block held 57, so 7
-        # rotated-in names silently fell outside the gate).
-        # Round-7 rotation (stalest-first): the 6 new r7 queries, then
-        # the 35 queries whose newest official row is round 3, then
-        # r4-checked queries in registry order fill the gate. After
-        # this round no query's newest official row is older than r4.
-        # Everything rotated OUT was re-verified locally this round via
-        # tools/check_oracle.py at sf0.01 (full-registry sweep, 0
-        # failures) beside the full pytest run. Rotate again next
-        # round: new queries first, then oldest-official-row-first.
-        # --- gate slots (exactly 50): 6 new r7, the 35 r3, 9 r4 ---
+        # every implemented query, unordered — queries() applies the
+        # round's gate rotation (_GATE_R8) on top of this registry
         "ivf_index_build": _q_ivf_index_build,
         "similarity_ivf_indexed_topk": _q_similarity_ivf_indexed_topk,
         "ivf_indexed_recall": _q_ivf_indexed_recall,
