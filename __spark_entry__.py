@@ -1431,6 +1431,38 @@ def _q_ivf_indexed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the FAISS add() seam: quantizer trained on the EVEN half only,
+    # the odd half appended through the existing artifact with NO
+    # retraining, then the standard indexed query over the grown
+    # posting table — how a deployment absorbs ingest between rebuilds
+    emb = load_tables(spark, sf_dir).embeddings
+    index, postings = S.build_ivf_index(emb.where(F.col("vec_id") % 2 == 0))
+    grown = S.ivf_index_append(
+        index, postings, emb.where(F.col("vec_id") % 2 == 1)
+    )
+    return S.ivf_index_query(
+        index, grown, emb.where(F.col("vec_id") % 10 == 0),
+        k=5, n_probe=2, n_super_probe=2,
+    )
+
+
+def _q_similarity_ivf_indexed_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the codes-only artifact: posting vectors compressed to int8 SQ
+    # codes (~8x leaner at rest), reconstructed inside the scan —
+    # asymmetric full-precision-query-vs-reconstructed-member scoring
+    # (the sq_cosine_topk contract inside the IVF cell scan)
+    emb = load_tables(spark, sf_dir).embeddings
+    index, postings = S.build_ivf_index(emb)
+    coded, stats = S.sq_encode_postings(postings)
+    return S.ivf_index_query(
+        index,
+        S.sq_decode_postings(coded, stats),
+        emb.where(F.col("vec_id") % 10 == 0),
+        k=5, n_probe=2, n_super_probe=2,
+    )
+
+
 def _q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-unigram mean -log p(word) per doc — the model-free CCNet
     # quality filter; decimal-exact mean so the oracle hash matches
@@ -2675,6 +2707,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_span_scrub": _q_max_span_scrub,
         "dedup_clusters_auto": _q_dedup_clusters_auto,
         "sq_reconstruction_error": _q_sq_reconstruction_error,
+        # r8 late additions — outside this round's (already exactly
+        # full) gate; verified via the local full-registry sweep, they
+        # rotate into the official gate FIRST next round
+        "similarity_ivf_append_topk": _q_similarity_ivf_append_topk,
+        "similarity_ivf_indexed_sq_topk": _q_similarity_ivf_indexed_sq_topk,
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
@@ -3424,6 +3461,7 @@ def _ivf2k_routing_ctes(
     n_super_probe: int = 2,
     n_iter: int = 2,
     v_src: str = "SELECT vec_id AS id, embedding AS vec FROM embeddings",
+    quantizer_filter: str | None = None,
 ) -> str:
     """The two-level Lloyd-refined quantizer BUILD + ROUTING CTE chain
     shared by every ivf2k-family oracle (fused scan, index-build
@@ -3436,14 +3474,23 @@ def _ivf2k_routing_ctes(
     ``max_probe`` nearest reachable cells (rank 1 = its posting-list
     home), plus ``cent_home(centroid_id, cvec, super_id)`` and
     ``sup(super_id, svec)`` for consumers that read the index artifact
-    itself. No leading WITH."""
+    itself. ``quantizer_filter`` (the incremental-append oracle) trains
+    the quantizer — trainset, auto-C/S sizing — over only the matching
+    subset of ``v`` while member/probe routing still covers all of
+    ``v`` (the FAISS add() path: new vectors route through the
+    EXISTING quantizer, no retraining). No leading WITH."""
+    qv = (
+        f"(SELECT * FROM v WHERE {quantizer_filter})"
+        if quantizer_filter
+        else "v"
+    )
     c_raw = "GREATEST(16, CEIL(COUNT(*) / 64.0)::BIGINT)"
-    c_expr = f"(SELECT {c_raw} FROM v)"
+    c_expr = f"(SELECT {c_raw} FROM {qv} _qc)"
     s_expr = (
         "(SELECT GREATEST(4, CEIL(SQRT(GREATEST(16, CEIL(COUNT(*) / 64.0))))"
-        "::BIGINT) FROM v)"
+        f"::BIGINT) FROM {qv} _qs)"
     )
-    t_expr = f"(SELECT GREATEST(2048, 8 * {c_raw}) FROM v)"
+    t_expr = f"(SELECT GREATEST(2048, 8 * {c_raw}) FROM {qv} _qt)"
     cells = _kmeans_ctes(
         c_expr, n_iter, src="trainset", id_expr="id", vec_expr="vec",
         prefix="c_",
@@ -3462,7 +3509,7 @@ def _ivf2k_routing_ctes(
                 SELECT id, vec, row_number() OVER (ORDER BY
                     ('0x' || substr(md5('kmt:' || id::VARCHAR), 1, 15))::BIGINT,
                     id) AS _rn
-                FROM v)
+                FROM {qv} _qtr)
               WHERE _rn <= {t_expr}),
             {cells},
             cent AS (SELECT cid AS centroid_id, cvec FROM c_cent{n_iter}),
@@ -3497,6 +3544,8 @@ def _ivf2k_routing_ctes(
 def _ivf2k_sql(
     n_probe: int = 2, n_super_probe: int = 2, n_iter: int = 2, k: int = 5,
     query_filter: str | None = None,
+    quantizer_filter: str | None = None,
+    sq_members: bool = False,
 ) -> str:
     """Replicates similarity.ivf2k_cosine_topk (and, with
     ``query_filter``, the indexed query path ``ivf_index_query`` over a
@@ -3506,15 +3555,29 @@ def _ivf2k_sql(
     members are rank-1 homes (the posting lists), probes are
     ``_crn <= n_probe``, optionally restricted to the query subset
     (``query_filter`` is a predicate over the probe alias ``p``, e.g.
-    ``"p.id % 10 = 0"``)."""
+    ``"p.id % 10 = 0"``).
+
+    ``quantizer_filter`` replays ``ivf_index_append``: the quantizer
+    trains on only the matching subset while ALL vectors route into
+    posting lists. ``sq_members=True`` replays the codes-only artifact
+    (``sq_encode_postings`` + query): the member side of every scored
+    pair is its SQ8 reconstruction, queries stay full-precision."""
     qf = f" AND ({query_filter})" if query_filter else ""
+    sq_cte = (
+        f"""{_sq_recon_ctes()},
+            i2mem AS (SELECT c.id, r.embedding AS vec, c.centroid_id
+                      FROM i2cells c JOIN sqrecon r ON c.id = r.vec_id),"""
+        if sq_members
+        else "i2mem AS (SELECT id, vec, centroid_id FROM i2cells),"
+    )
     return f"""
-            WITH {_ivf2k_routing_ctes(n_probe, n_super_probe, n_iter)},
+            WITH {_ivf2k_routing_ctes(n_probe, n_super_probe, n_iter, quantizer_filter=quantizer_filter)},
             i2cells AS (SELECT id, vec, centroid_id FROM i2ranked WHERE _crn = 1),
+            {sq_cte}
             i2pairs AS (
               SELECT p.id AS query_id, c.id AS neighbor_id,
                      round({_dot_sql("p.vec", "c.vec")} / nullif(sqrt({_dot_sql("p.vec", "p.vec")}) * sqrt({_dot_sql("c.vec", "c.vec")}), 0.0), 6) AS cosine
-              FROM i2ranked p JOIN i2cells c USING (centroid_id)
+              FROM i2ranked p JOIN i2mem c USING (centroid_id)
               WHERE p.id <> c.id{qf})
             SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
               SELECT *, row_number() OVER (
@@ -5912,6 +5975,12 @@ def oracle_sql() -> dict[str, str]:
             query_filter="p.id % 10 = 0"
         ),
         "ivf_indexed_recall": _ivf_indexed_recall_sql(),
+        "similarity_ivf_append_topk": _ivf2k_sql(
+            query_filter="p.id % 10 = 0", quantizer_filter="id % 2 = 0"
+        ),
+        "similarity_ivf_indexed_sq_topk": _ivf2k_sql(
+            query_filter="p.id % 10 = 0", sq_members=True
+        ),
         "max_spans": _max_spans_sql(w=10),
         "max_span_scrub": _max_span_scrub_sql(w=10),
         "sq_reconstruction_error": f"""

@@ -2046,6 +2046,98 @@ def build_ivf_index(
     return index, postings
 
 
+def ivf_index_append(
+    index: DataFrame,
+    postings: DataFrame,
+    new_emb: DataFrame,
+    n_super_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """INCREMENTAL index update — the FAISS ``add()`` path: route new
+    vectors through the EXISTING quantizer (the persisted artifact's
+    supers + cells, untouched) into posting lists, with NO retraining.
+    Returns the grown postings table (old ∪ new); the ``index``
+    DataFrame is reused as-is. This is how a 100 TB deployment absorbs
+    a day's ingest between index rebuilds: routing is one grouped-BLAS
+    pass over only the NEW rows, per-row independent — so appending in
+    any batch order equals routing everything at once (test-pinned),
+    and quality drifts only as far as the data distribution drifts
+    from the trained quantizer (rebuild cadence is the dial).
+
+    Same artifact pattern as ``dedup.incremental_near_dedup``'s
+    reusable LSH index, applied to the vector side."""
+    v = new_emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    sup = index.where(F.col("level") == 2).select("centroid_id", "cvec")
+    cent_home = index.where(F.col("level") == 1).select(
+        F.col("centroid_id").alias("cent_id"), "super_id", "cvec"
+    )
+    new_posts = (
+        _route_cells(v, cent_home, sup, n_super_probe, n_probe=1,
+                     round_dp=round_dp)
+        .join(v, "id")
+        .select(
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.col("id").cast("long").alias("member_id"),
+            F.col("vec").alias("mvec"),
+        )
+    )
+    return postings.unionByName(new_posts)
+
+
+def sq_encode_postings(
+    postings: DataFrame, dims: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Compress an IVF posting table to int8 SQ codes — the artifact a
+    100 TB deployment actually persists (the ``build_ivf_index``
+    docstring's promised seam): returns ``(coded, stats)`` where
+    ``coded`` is ``(centroid_id, member_id, codes array<int>)`` (~8×
+    leaner than float64 ``mvec``; pack to binary at rest) and
+    ``stats`` is the ONE quantizer row ``(mn, scale)`` trained on the
+    posting vectors (per-dimension min/max — the corpus itself, since
+    every vector posts exactly once). Decode with
+    ``sq_decode_postings``; the query path is then asymmetric
+    (full-precision queries vs reconstructed members), the
+    ``sq_cosine_topk`` contract inside the IVF scan."""
+    v = F.col("mvec").cast("array<double>")
+    stats = postings.agg(
+        F.array(*[F.min(v[i]) for i in range(dims)]).alias("mn"),
+        F.array(*[F.max(v[i]) for i in range(dims)]).alias("mx"),
+    ).select(
+        "mn",
+        F.expr("transform(mx, (x, i) -> (x - mn[i]) / 255.0D)").alias("scale"),
+    )
+    coded = postings.crossJoin(F.broadcast(stats)).select(
+        "centroid_id",
+        "member_id",
+        F.expr(
+            """transform(cast(mvec as array<double>), (x, i) ->
+                 CASE WHEN scale[i] <= 0.0D THEN 0
+                      ELSE CAST(least(255.0D, greatest(0.0D,
+                             round((x - mn[i]) / scale[i], 0))) AS INT)
+                 END)"""
+        ).alias("codes"),
+    )
+    return coded, stats
+
+
+def sq_decode_postings(coded: DataFrame, stats: DataFrame) -> DataFrame:
+    """Reconstruct a codes-only posting table back to the
+    ``(centroid_id, member_id, mvec)`` layout ``ivf_index_query``
+    scans — a shuffle-free projection against the broadcast 1-row
+    quantizer stats, evaluated inside the scan tasks (the ADC shape:
+    reconstruction cost rides the query, memory rides the codes)."""
+    return coded.crossJoin(F.broadcast(stats)).select(
+        "centroid_id",
+        "member_id",
+        F.expr(
+            "transform(codes, (c, i) ->"
+            " mn[i] + CAST(c AS DOUBLE) * scale[i])"
+        ).alias("mvec"),
+    )
+
+
 def ivf_index_query(
     index: DataFrame,
     postings: DataFrame,

@@ -556,6 +556,70 @@ def test_indexed_recall_equals_fused_at_equal_probes(spark):
     assert curve[2].n_exact == len(exact)
 
 
+def test_ivf_index_append_order_invariant_and_routed(spark):
+    """The FAISS add() path: appending new vectors through the existing
+    artifact in ANY batch split equals routing everything at once
+    (per-row-independent routing), every member lands in exactly one
+    existing cell, and the index itself is untouched."""
+    emb = _ids_only_emb(spark, 192)
+    planted = S.planted_embeddings(emb).select("vec_id", "embedding")
+    base = planted.where("vec_id % 2 = 0")
+    inc = planted.where("vec_id % 2 = 1")
+    index, postings = S.build_ivf_index(base)
+
+    grown = S.ivf_index_append(index, postings, inc)
+    # all-at-once routing through the same artifact
+    at_once = S.ivf_index_append(index, postings.limit(0), planted)
+    key = lambda r: (r.centroid_id, r.member_id)  # noqa: E731
+    assert sorted(map(key, grown.collect())) == sorted(
+        map(key, at_once.collect())
+    )
+    rows = grown.collect()
+    assert len(rows) == 192  # every vector posts exactly once
+    cells = {
+        r.centroid_id for r in index.where("level = 1").collect()
+    }
+    assert {r.centroid_id for r in rows} <= cells
+    # two-batch incremental split equals the one-batch append
+    inc_a = inc.where("vec_id % 4 = 1")
+    inc_b = inc.where("vec_id % 4 = 3")
+    twostep = S.ivf_index_append(
+        index, S.ivf_index_append(index, postings, inc_a), inc_b
+    )
+    assert sorted(map(key, twostep.collect())) == sorted(
+        map(key, grown.collect())
+    )
+
+
+def test_sq_postings_roundtrip_bounded_error(spark):
+    """The codes-only artifact: decode(encode(postings)) keeps every
+    (centroid_id, member_id) row with per-dimension error bounded by
+    scale/2, and the indexed query over the reconstructed postings
+    returns well-formed contiguous-rank output."""
+    import numpy as np
+
+    emb = _ids_only_emb(spark, 128)
+    planted = S.planted_embeddings(emb).select("vec_id", "embedding")
+    index, postings = S.build_ivf_index(planted)
+    coded, stats = S.sq_encode_postings(postings)
+    decoded = S.sq_decode_postings(coded, stats)
+    orig = {r.member_id: np.array(r.mvec) for r in postings.collect()}
+    st = stats.first()
+    half = np.array(st.scale) / 2.0 + 1e-12
+    for r in decoded.collect():
+        err = np.abs(np.array(r.mvec) - orig[r.member_id])
+        assert (err <= half).all(), r.member_id
+    out = S.ivf_index_query(
+        index, decoded, planted.where("vec_id % 8 = 0"), k=5
+    ).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert by_q and all(
+        sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values()
+    )
+
+
 def test_ivf_index_manifest_accounting(spark):
     """Manifest invariants a lake deployment would range-check before
     swapping the live index: every corpus vector lands in exactly one
