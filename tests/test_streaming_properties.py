@@ -1232,6 +1232,80 @@ def test_lsh_gate_bucket_state_resumes_from_checkpoint(spark):
     assert run_once() == [(1, True), (2, True), (3, False), (4, True)]
 
 
+def test_verified_gate_state_ttl_bounds_the_dedup_horizon(spark):
+    """`state_ttl_ms` on the VERIFIED embedding gate (ADVICE r7: the
+    heaviest-state gate previously had no bounded horizon): an expired
+    owner forgets, so a same-vector arrival after the horizon is
+    re-admitted (run A, tiny TTL + wall sleep); a generous TTL drops it
+    as a verified collision (run B), exactly like the unbounded gate."""
+    import os
+
+    import pandas as pd
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.similarity import (
+        planted_embeddings,
+    )
+    from flink_helloworld_spark.streaming.tws import (
+        streaming_embedding_dedup_verified,
+    )
+
+    ids = spark.range(2).select(
+        F.lit(0).cast("long").alias("vec_id"),
+        F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+    ).limit(1)
+    vec = list(
+        planted_embeddings(ids).select("embedding").first().embedding
+    )
+
+    def put(workdir, i, rows):
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
+            p, index=False
+        )
+        os.utime(p, (_time.time() - 60 + i, _time.time() - 60 + i))
+
+    def run_once(workdir, ck, out_dir, ttl_ms):
+        raw = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(workdir)
+        q = (
+            streaming_embedding_dedup_verified(
+                raw, threshold=0.9, planes=6, bands=3, state_ttl_ms=ttl_ms
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+        return sorted(
+            (r.vec_id, r.kept) for r in spark.read.parquet(out_dir).collect()
+        )
+
+    for ttl_ms, sleep_s, dup_kept in ((1_000, 3.0, True), (3_600_000, 0.0, False)):
+        workdir = tempfile.mkdtemp(prefix="ver-ttl-in-")
+        out_dir = tempfile.mkdtemp(prefix="ver-ttl-out-")
+        ck = tempfile.mkdtemp(prefix="ver-ttl-ck-")
+        put(workdir, 0, [(1, vec)])
+        assert run_once(workdir, ck, out_dir, ttl_ms) == [(1, True)]
+        if sleep_s:
+            _time.sleep(sleep_s)  # let the 1s TTL lapse between runs
+        # identical vector: collision verifies at cosine 1.0 >= 0.9
+        put(workdir, 1, [(2, vec)])
+        got = run_once(workdir, ck, out_dir, ttl_ms)
+        assert got == [(1, True), (2, dup_kept)], (ttl_ms, got)
+
+
 def test_lsh_gate_state_ttl_bounds_the_dedup_horizon(spark):
     """`state_ttl_ms` on the LSH gate: an EXPIRED bucket claim forgets
     its first arrival, so the same near-dup text is admitted again after
