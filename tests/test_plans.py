@@ -710,3 +710,41 @@ def test_band_plan_is_one_aggregate_over_bounded_arms(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_indexed_query_plan_is_pure_scan_no_training(spark, sf_dir):
+    """The r8 build/query seam, enforced at the PLAN level: querying a
+    parquet-reloaded index artifact must contain ZERO quantizer
+    training (no 'kmt:'/'km:' md5 seed literals — those mark the Lloyd
+    sample and seeding stages), exactly the three Python stages of the
+    scan path (super-assignment MapInPandas + routing and cell-scan
+    grouped BLAS), and the level filters must PUSH DOWN into the
+    artifact's parquet scan (a deployment reads only the level it
+    needs)."""
+    import tempfile
+
+    from flink_helloworld_spark.operators import similarity as S
+
+    planted = S.planted_embeddings(
+        load_tables(spark, sf_dir).embeddings
+    ).select("vec_id", "embedding")
+    d = tempfile.mkdtemp(prefix="planidx-")
+    idx, post = S.build_ivf_index(planted)
+    idx.write.parquet(f"{d}/index")
+    post.write.parquet(f"{d}/postings")
+    q = S.ivf_index_query(
+        spark.read.parquet(f"{d}/index"),
+        spark.read.parquet(f"{d}/postings"),
+        planted.where("vec_id % 8 = 0"),
+        k=5,
+    )
+    simple = explain_str(q, "simple")
+    assert "kmt:" not in simple and "md5(concat(km:" not in simple
+    assert simple.count("FlatMapGroupsInPandas") == 2
+    assert simple.count("MapInPandas") == 1
+    formatted = explain_str(q, "formatted")
+    assert "PushedFilters: [IsNotNull(level), EqualTo(level,1)]" in formatted
+    # and the BUILD plan does contain the training stages — the seam
+    # exists because the two halves genuinely differ
+    build_plan = explain_str(idx, "simple")
+    assert "kmt:" in build_plan
