@@ -2148,6 +2148,7 @@ def ivf_index_query(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    cogroup: bool = False,
 ) -> DataFrame:
     """The PURE SCAN half of the build/query split: top-k neighbors for
     ``queries`` against a PREBUILT ``(index, postings)`` artifact — no
@@ -2158,12 +2159,24 @@ def ivf_index_query(
     query-many production path whose volume scaling SCALE_NOTES r8
     measures separately from the build.
 
+    ``cogroup=True`` scores the cell scan as a COGROUP of (probes,
+    postings) instead of a union: each side keeps its own distribution
+    requirement, so when the posting artifact is stored BUCKETED by
+    ``centroid_id`` (``.write.bucketBy(n, 'centroid_id')
+    .saveAsTable(...)``) the corpus side satisfies the clustering
+    in-place and ONLY the (much smaller) probe side shuffles — at
+    100 TB the posting table never crosses an exchange per query
+    (plan-asserted in tests; identical output either way). With
+    unbucketed postings the union form is marginally fewer stages, so
+    it stays the default.
+
     Output contract matches every IVF query: ``(query_id, rank,
     neighbor_id, cosine)``, cosine ROUNDED to ``round_dp``, neighbor-id
     tiebreaks, self excluded. With ``queries`` = the indexed corpus and
     equal probes this is EXACTLY ``ivf2k_cosine_topk`` (parity-pinned
     in tests)."""
-    return _indexed_pairs(
+    pairs_fn = _indexed_pairs_cogroup if cogroup else _indexed_pairs
+    return pairs_fn(
         index, postings, queries, n_probe, n_super_probe, id_col, vec_col,
         round_dp,
     ).transform(lambda pairs: _rank_topk(pairs, k))
@@ -2267,6 +2280,82 @@ def _indexed_pairs(
         )
 
     return mixed.groupBy("centroid_id").applyInPandas(per_cell, out_schema)
+
+
+def _indexed_pairs_cogroup(
+    index: DataFrame,
+    postings: DataFrame,
+    queries: DataFrame,
+    n_probe: int,
+    n_super_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """``_indexed_pairs`` as a (probes, postings) COGROUP — output
+    identical (test-pinned), plan different: the posting side carries
+    its own ClusteredDistribution requirement, which a
+    bucketed-by-``centroid_id`` artifact satisfies WITHOUT an exchange
+    (the union form re-shuffles the corpus on every query). The shape
+    a lake deployment runs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    sup = index.where(F.col("level") == 2).select("centroid_id", "cvec")
+    cent_home = index.where(F.col("level") == 1).select(
+        F.col("centroid_id").alias("cent_id"), "super_id", "cvec"
+    )
+    probes = _route_cells(
+        q, cent_home, sup, n_super_probe, n_probe, round_dp
+    ).join(q, "id")
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("_crn", IntegerType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def per_cell(key, probe_pdf: pd.DataFrame, member_pdf: pd.DataFrame):
+        if not len(probe_pdf) or not len(member_pdf):
+            return pd.DataFrame({f.name: [] for f in out_schema.fields})
+
+        def normed(mat):
+            n = np.linalg.norm(mat, axis=1)
+            n[n == 0.0] = np.inf
+            return mat / n[:, None]
+
+        q_ids = probe_pdf["id"].to_numpy(dtype=np.int64)
+        q_crn = probe_pdf["_crn"].to_numpy()
+        q_mat = normed(np.array(list(probe_pdf["vec"]), dtype=np.float64))
+        m_ids = member_pdf["member_id"].to_numpy(dtype=np.int64)
+        m_mat = normed(np.array(list(member_pdf["mvec"]), dtype=np.float64))
+        sims = round_half_away(q_mat @ m_mat.T, round_dp)
+        qi, ni = np.nonzero(q_ids[:, None] != m_ids[None, :])
+        return pd.DataFrame(
+            {
+                "query_id": q_ids[qi],
+                "_crn": q_crn[qi].astype(np.int32),
+                "neighbor_id": m_ids[ni],
+                "cosine": sims[qi, ni],
+            }
+        )
+
+    return (
+        probes.groupBy("centroid_id")
+        .cogroup(postings.groupBy("centroid_id"))
+        .applyInPandas(per_cell, out_schema)
+    )
 
 
 def ivf_index_manifest(

@@ -1072,6 +1072,30 @@ def test_max_span_scrub_within_doc_repeat_and_full_scrub(spark):
     assert got[1].scrubbed_tokens == got[1].n_tokens == 5
 
 
+def test_max_spans_detection_view_consistent_with_span_coverage(spark, sf_dir):
+    """Cross-operator consistency: max_spans(keep_first=False) merges
+    the SAME flagged windows repeated_span_coverage unions — so per
+    doc, the sum of detection-view span_tokens must equal
+    covered_tokens exactly, on real corpus data (no planted layout)."""
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir).documents.limit(300)
+    spans = (
+        D.max_spans(docs, w=10, min_count=2, keep_first=False)
+        .groupBy("doc_id")
+        .sum("span_tokens")
+        .collect()
+    )
+    got = {r.doc_id: r["sum(span_tokens)"] for r in spans}
+    cov = {
+        r.doc_id: r.covered_tokens
+        for r in D.repeated_span_coverage(docs, w=10, min_count=2).collect()
+    }
+    assert got  # the corpus genuinely contains duplicated spans
+    for doc_id, tok in cov.items():
+        assert got.get(doc_id, 0) == tok, doc_id
+
+
 def test_span_coverage_interval_union_math(spark):
     """Overlapping flagged windows merge (no double count); disjoint
     islands sum; clean docs report zero coverage."""

@@ -748,3 +748,62 @@ def test_indexed_query_plan_is_pure_scan_no_training(spark, sf_dir):
     # exists because the two halves genuinely differ
     build_plan = explain_str(idx, "simple")
     assert "kmt:" in build_plan
+
+
+def test_bucketed_postings_cogroup_scan_never_shuffles_the_corpus(spark, sf_dir):
+    """The lake-deployment shape of the indexed scan: posting lists
+    stored BUCKETED by centroid_id + the cogroup scan — the corpus
+    side satisfies the grouping distribution in-place, so exactly ONE
+    centroid_id exchange remains (the small probe side), vs TWO for
+    the cogroup over plain parquet. Output parity with the union scan
+    is exact."""
+    import re
+    import tempfile
+
+    from flink_helloworld_spark.operators import similarity as S
+
+    planted = S.planted_embeddings(
+        load_tables(spark, sf_dir).embeddings
+    ).select("vec_id", "embedding")
+    idx, post = S.build_ivf_index(planted)
+    d = tempfile.mkdtemp(prefix="bucketidx-")
+    idx.write.parquet(f"{d}/index")
+    post.write.parquet(f"{d}/postings")
+    spark.sql("DROP TABLE IF EXISTS ivf_postings_bucketed_t")
+    post.write.bucketBy(8, "centroid_id").sortBy("centroid_id").mode(
+        "overwrite"
+    ).saveAsTable("ivf_postings_bucketed_t")
+    try:
+        idxr = spark.read.parquet(f"{d}/index")
+        queries = planted.where("vec_id % 8 = 0")
+        want = sorted(
+            map(
+                tuple,
+                S.ivf_index_query(
+                    idxr, spark.read.parquet(f"{d}/postings"), queries, k=5
+                ).collect(),
+            )
+        )
+
+        def centroid_exchanges(df):
+            return len(
+                re.findall(
+                    r"Exchange hashpartitioning\(centroid_id",
+                    explain_str(df, "simple"),
+                )
+            )
+
+        cg_plain = S.ivf_index_query(
+            idxr, spark.read.parquet(f"{d}/postings"), queries, k=5,
+            cogroup=True,
+        )
+        cg_bucketed = S.ivf_index_query(
+            idxr, spark.table("ivf_postings_bucketed_t"), queries, k=5,
+            cogroup=True,
+        )
+        assert centroid_exchanges(cg_plain) == 2
+        assert centroid_exchanges(cg_bucketed) == 1  # corpus side in-place
+        assert sorted(map(tuple, cg_plain.collect())) == want
+        assert sorted(map(tuple, cg_bucketed.collect())) == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_postings_bucketed_t")
