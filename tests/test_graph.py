@@ -1,0 +1,162 @@
+"""Graph analytics: PageRank power iteration + degree-oriented
+triangle counting over relational-derived graphs.
+
+Small hand-built graphs with known closed-form answers, plus
+structural invariants on the real testdata-derived graphs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_helloworld_spark.operators import graph as GRAPH
+from flink_helloworld_spark.sources.tables import load_tables
+
+
+def _edges(spark, pairs):
+    """Symmetrized (src, dst) edge DataFrame from undirected pairs."""
+    both = list(pairs) + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(both, "src string, dst string")
+
+
+def _undirected(spark, pairs):
+    return spark.createDataFrame(list(pairs), "u bigint, v bigint")
+
+
+# --- pagerank ----------------------------------------------------------------
+
+
+class TestPagerank:
+    def test_uniform_on_regular_graph(self, spark):
+        # every node of a cycle has identical rank = 1/N (the power
+        # iteration fixpoint of any regular graph starts AND stays there)
+        n = 6
+        pairs = [(f"n{i}", f"n{(i + 1) % n}") for i in range(n)]
+        out = GRAPH.pagerank(_edges(spark, pairs), iters=7).collect()
+        assert len(out) == n
+        for row in out:
+            assert math.isclose(row["rank"], 1.0 / n, rel_tol=1e-6)
+
+    def test_star_center_dominates(self, spark):
+        # star graph: the hub must outrank every leaf, and leaves tie
+        pairs = [("hub", f"leaf{i}") for i in range(8)]
+        out = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(_edges(spark, pairs), iters=10).collect()
+        }
+        leaves = [v for k, v in out.items() if k != "hub"]
+        assert out["hub"] > max(leaves) * 2
+        assert max(leaves) - min(leaves) < 1e-12
+
+    def test_mass_conserved(self, spark):
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+        out = GRAPH.pagerank(_edges(spark, pairs), iters=10).collect()
+        assert math.isclose(sum(r["rank"] for r in out), 1.0, abs_tol=1e-6)
+
+    def test_broadcast_and_shuffle_paths_identical(self, spark):
+        # the broadcast-ranks fast path is a physical choice only —
+        # identical decimal-lattice iterates either way
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+        e = _edges(spark, pairs)
+        bc = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(e, iters=6, broadcast_ranks=True).collect()
+        }
+        sh = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(e, iters=6, broadcast_ranks=False).collect()
+        }
+        assert bc == sh
+
+    def test_checkpoint_cadence_is_physical_only(self, spark):
+        pairs = [("a", "b"), ("b", "c"), ("c", "a")]
+        e = _edges(spark, pairs)
+        r1 = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(e, iters=5, checkpoint_every=1).collect()
+        }
+        r5 = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(e, iters=5, checkpoint_every=5).collect()
+        }
+        assert r1 == r5
+
+    def test_aqe_conf_restored(self, spark):
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        pairs = [("a", "b"), ("b", "c")]
+        GRAPH.pagerank(_edges(spark, pairs), iters=2).collect()
+        assert spark.conf.get("spark.sql.adaptive.enabled") == prev
+
+    def test_interaction_graph_shape(self, spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        e = GRAPH.interaction_edges(t.orders, t.lineitem)
+        pdf = e.toPandas()
+        # symmetrized: every C->S edge has its S->C mirror
+        fwd = {(r.src, r.dst) for r in pdf.itertuples() if r.src[0] == "C"}
+        rev = {(r.dst, r.src) for r in pdf.itertuples() if r.src[0] == "S"}
+        assert fwd == rev and len(pdf) == 2 * len(fwd)
+
+
+# --- triangles ---------------------------------------------------------------
+
+
+class TestTriangles:
+    def test_single_triangle(self, spark):
+        out = {
+            r["node"]: r
+            for r in GRAPH.triangle_counts(
+                _undirected(spark, [(1, 2), (1, 3), (2, 3)])
+            ).collect()
+        }
+        for n in (1, 2, 3):
+            assert out[n]["tri_cnt"] == 1
+            assert out[n]["deg"] == 2
+            assert out[n]["lcc"] == 1.0
+
+    def test_triangle_plus_pendant(self, spark):
+        # pendant node 4 hangs off node 1: no triangle for it, and
+        # node 1's lcc drops to 2·1/(3·2) = 1/3
+        out = {
+            r["node"]: r
+            for r in GRAPH.triangle_counts(
+                _undirected(spark, [(1, 2), (1, 3), (2, 3), (1, 4)])
+            ).collect()
+        }
+        assert out[4]["tri_cnt"] == 0 and out[4]["lcc"] == 0.0
+        assert out[1]["tri_cnt"] == 1
+        assert math.isclose(out[1]["lcc"], 1.0 / 3.0, rel_tol=1e-9)
+
+    def test_k4_counts(self, spark):
+        # K4: every node in 3 triangles, lcc 1.0, 4 triangles total
+        pairs = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        rows = GRAPH.triangle_counts(_undirected(spark, pairs)).collect()
+        assert len(rows) == 4
+        for r in rows:
+            assert r["tri_cnt"] == 3 and r["deg"] == 3 and r["lcc"] == 1.0
+
+    def test_square_no_triangles(self, spark):
+        rows = GRAPH.triangle_counts(
+            _undirected(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+        ).collect()
+        assert all(r["tri_cnt"] == 0 for r in rows)
+
+    def test_each_triangle_counted_once(self, spark):
+        # two triangles sharing an edge: shared nodes see 2, others 1
+        pairs = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+        out = {
+            r["node"]: r["tri_cnt"]
+            for r in GRAPH.triangle_counts(_undirected(spark, pairs)).collect()
+        }
+        assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+
+    def test_copurchase_support_threshold(self, spark, sf_dir):
+        li = load_tables(spark, sf_dir).lineitem
+        loose = GRAPH.copurchase_edges(li, min_support=1)
+        tight = GRAPH.copurchase_edges(li, min_support=2)
+        n_loose, n_tight = loose.count(), tight.count()
+        assert n_tight <= n_loose
+        # edges are canonical (u < v), no self-loops
+        assert tight.where(F.col("u") >= F.col("v")).count() == 0
