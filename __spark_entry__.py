@@ -2619,6 +2619,18 @@ def _q_product_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.product_revenue(spark, _WAYBILL_N)
 
 
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Content-defined chunking: md5-gear boundary (w=4 window, 1/16
+    # cut rate) over the word stream — shuffle-free, one corpus pass
+    return D.cdc_chunks(load_tables(spark, sf_dir).documents)
+
+
+def _q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # storage-dedup view: duplicated CDC chunks corpus-wide (boundaries
+    # are content-defined, so shifted copies still share chunk hashes)
+    return D.cdc_chunk_dedup(load_tables(spark, sf_dir).documents)
+
+
 def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Link-analysis centrality over the customer–supplier interaction
     # graph — the host-level-PageRank quality prior, as power iteration
@@ -2737,6 +2749,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_indexed_sq_topk": _q_similarity_ivf_indexed_sq_topk,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
@@ -7362,6 +7376,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT variant, n_hits, n_ann, n_exact,
                n_hits::DOUBLE / nullif(n_exact::DOUBLE, 0.0) AS recall
         FROM hits CROSS JOIN tot
+    """
+    _cdc_base = """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                   FROM documents),
+        tt AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+        b AS (SELECT doc_id, ws, n,
+                CASE WHEN n >= 4 THEN
+                  list_filter(generate_series(3, n - 1),
+                    i -> ('0x' || substr(md5(array_to_string(
+                            list_slice(ws, i - 2, i + 1), ' ')), 1, 15)
+                         )::BIGINT % 16 = 0)
+                ELSE [] END AS e0
+              FROM tt),
+        bb AS (SELECT doc_id, ws, n,
+                 CASE WHEN len(e0) > 0 AND e0[-1] = n - 1 THEN e0
+                      ELSE list_append(e0, n - 1) END AS ends
+               FROM b),
+        c AS (SELECT doc_id, ws, unnest(ends) AS end_tok FROM bb),
+        d AS (SELECT doc_id, ws, end_tok,
+                coalesce(lag(end_tok) OVER (
+                    PARTITION BY doc_id ORDER BY end_tok) + 1, 0) AS start_tok,
+                CAST(row_number() OVER (
+                    PARTITION BY doc_id ORDER BY end_tok) - 1 AS INT) AS chunk_idx
+              FROM c)
+        SELECT doc_id, chunk_idx, CAST(start_tok AS INT) AS start_tok,
+               CAST(end_tok - start_tok + 1 AS INT) AS chunk_len,
+               md5(array_to_string(
+                   list_slice(ws, start_tok + 1, end_tok + 1), ' ')) AS chunk_hash
+        FROM d
+    """
+    d["cdc_chunks"] = _cdc_base
+    d["cdc_chunk_dedup"] = f"""
+        SELECT chunk_hash, count(*) AS n_occ,
+               count(DISTINCT doc_id) AS n_docs,
+               min(doc_id) AS exemplar_doc,
+               min(chunk_len) AS chunk_len
+        FROM ({_cdc_base})
+        GROUP BY chunk_hash HAVING count(*) >= 2
     """
     d["graph_pagerank"] = _pagerank_sql(iters=10)
     d["graph_triangles"] = """

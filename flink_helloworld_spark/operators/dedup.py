@@ -2171,3 +2171,118 @@ def sorted_neighborhood_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.min("hamming").alias("hamming"))
     )
+
+
+# --- content-defined chunking (CDC) -----------------------------------------
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    w: int = 4,
+    mod: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking over the word stream — the
+    backup-dedup / FastCDC boundary rule re-expressed on tokens: word
+    position i (0-based, i ≥ w−1) ENDS a chunk when the md5 of the
+    w-word window ending at i ≡ 0 (mod ``mod``); the last word always
+    closes the final chunk. Expected chunk length ≈ ``mod`` words
+    (geometric), and — the property fixed-stride chunking lacks — an
+    insertion or deletion only re-chunks the neighborhood of the edit:
+    every boundary whose window doesn't straddle the edit survives, so
+    chunk hashes stay stable for the untouched remainder (tested).
+
+    Output: one row per chunk — (doc_id, chunk_idx, start_tok,
+    chunk_len, chunk_hash).
+
+    Scale shape: everything is per-row array arithmetic inside the
+    scan partition (window hash → boundary filter → start/end zip →
+    posexplode); NO shuffle at all — chunking 100 TB is exactly one
+    pass over the corpus splits. The md5-per-position term is the same
+    cost class as ``repeated_spans``'s stride-1 windows.
+    """
+    ws = _words(F.col(text_col))
+    n = F.size(ws)
+
+    def _is_boundary(i):
+        win = F.array_join(F.slice(ws, i - (w - 2), w), " ")
+        return (
+            F.conv(F.substring(F.md5(win), 1, 15), 16, 10).cast("long")
+            % F.lit(int(mod))
+            == 0
+        )
+
+    ends0 = F.when(
+        n >= w,
+        F.filter(F.sequence(F.lit(w - 1), n - 1), _is_boundary),
+    ).otherwise(F.array().cast("array<int>"))
+    # always close the final chunk at the last token (try_element_at:
+    # a doc with no content boundary has an EMPTY ends0)
+    ends = F.when(
+        F.try_element_at(ends0, F.lit(-1)) == n - 1, ends0
+    ).otherwise(F.concat(ends0, F.array(n - 1)))
+
+    base = docs.where(n > 0).select(
+        "doc_id",
+        ws.alias("_ws"),
+        ends.alias("_ends"),
+    )
+    starts = F.transform(
+        F.col("_ends"),
+        lambda e, idx: F.when(idx == 0, F.lit(0)).otherwise(
+            F.element_at(F.col("_ends"), idx) + 1
+        ),
+    )
+    chunks = base.select(
+        "doc_id",
+        "_ws",
+        F.posexplode(F.arrays_zip(starts.alias("s"), F.col("_ends").alias("e"))),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("chunk_idx"),
+        F.col("col.s").cast("int").alias("start_tok"),
+        (F.col("col.e") - F.col("col.s") + 1).cast("int").alias("chunk_len"),
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("_ws"),
+                    F.col("col.s") + 1,
+                    F.col("col.e") - F.col("col.s") + 1,
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+    return chunks
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    w: int = 4,
+    mod: int = 16,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated-chunk report over ``cdc_chunks`` — the
+    storage-dedup view of a text corpus: chunks whose content hash
+    repeats (within or across documents), with occurrence/document
+    counts and the corpus-first exemplar. Because boundaries are
+    content-defined, a passage duplicated with different surroundings
+    still lands on the same chunk hashes — the robustness
+    ``repeated_spans``'s fixed windows get from stride-1 enumeration,
+    here at ~1/``mod`` of the hash volume.
+
+    Scale shape: ONE md5-keyed hash-aggregate (uniform keys, map-side
+    partials); document text never shuffles.
+    """
+    c = cdc_chunks(docs, w=w, mod=mod, text_col=text_col)
+    return (
+        c.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("exemplar_doc"),
+            F.min("chunk_len").alias("chunk_len"),
+        )
+        .where(F.col("n_occ") >= F.lit(int(min_count)))
+    )

@@ -2574,3 +2574,84 @@ def test_bpe_segmentation_applies_merges_in_order(spark):
         "b": (1, "b"),
         "abab": (1, "abab"),
     }
+
+
+# --- content-defined chunking ------------------------------------------------
+
+
+class TestCdcChunks:
+    def _text(self, n, seed=7):
+        # deterministic aperiodic word stream (period > any test doc —
+        # a small modulus makes the stream periodic and fixed windows
+        # then collide by accident)
+        return " ".join(
+            f"w{(i * 2654435761 + seed * 97003) % 1000003}" for i in range(n)
+        )
+
+    def test_chunks_tile_the_document(self, spark):
+        docs = _docs(spark, [self._text(200), self._text(55, seed=11)])
+        rows = D.cdc_chunks(docs).orderBy("doc_id", "chunk_idx").collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, ch in by_doc.items():
+            # contiguous, gapless, starting at 0
+            assert ch[0].start_tok == 0
+            for a, b in zip(ch, ch[1:]):
+                assert b.start_tok == a.start_tok + a.chunk_len
+            n_words = 200 if doc_id == 0 else 55
+            assert ch[-1].start_tok + ch[-1].chunk_len == n_words
+
+    def test_short_doc_is_one_chunk(self, spark):
+        docs = _docs(spark, ["a b c"])  # shorter than the window
+        rows = D.cdc_chunks(docs, w=4).collect()
+        assert len(rows) == 1
+        assert rows[0].start_tok == 0 and rows[0].chunk_len == 3
+
+    def test_insertion_only_rechunks_the_neighborhood(self, spark):
+        # THE property fixed-stride chunking lacks: prepending words
+        # shifts every fixed window, but content-defined boundaries
+        # re-synchronize — most chunk hashes survive the edit
+        base = self._text(400)
+        edited = "zz yy xx " + base
+        docs = _docs(spark, [base, edited])
+        rows = D.cdc_chunks(docs).collect()
+        h0 = {r.chunk_hash for r in rows if r.doc_id == 0}
+        h1 = {r.chunk_hash for r in rows if r.doc_id == 1}
+        shared = len(h0 & h1) / len(h0)
+        assert shared > 0.6, f"only {shared:.0%} of chunks survived the edit"
+        # and the dedup report sees those shared chunks as duplicated
+        dup = D.cdc_chunk_dedup(docs).collect()
+        assert {r.chunk_hash for r in dup if r.n_docs == 2} >= (h0 & h1)
+
+    def test_fixed_stride_baseline_loses_everything(self, spark):
+        # contrast check: the same edit under fixed 16-token windows
+        # shares zero window hashes (documents the CDC advantage)
+        base = self._text(400)
+        edited = "zz yy xx " + base
+        docs = _docs(spark, [base, edited])
+        w = 16
+        spans = docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.size(F.split("text", " ")) - w) / w).cast("int"),
+                    ),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.split("text", " "), i * w + 1, w), " ")
+                    ),
+                )
+            ).alias("h"),
+        ).collect()
+        h0 = {r.h for r in spans if r.doc_id == 0}
+        h1 = {r.h for r in spans if r.doc_id == 1}
+        assert len(h0 & h1) == 0
+
+    def test_expected_chunk_length_tracks_mod(self, spark):
+        docs = _docs(spark, [self._text(3000)])
+        for mod, lo, hi in ((8, 4.0, 12.0), (32, 16.0, 48.0)):
+            rows = D.cdc_chunks(docs, mod=mod).collect()
+            mean = sum(r.chunk_len for r in rows) / len(rows)
+            assert lo < mean < hi, (mod, mean)
