@@ -1540,3 +1540,136 @@ def streaming_near_dedup_front(
     return streaming_domain_cap(
         survivors, cap=cap, domain_col=domain_col, id_col="doc_id", seq_col="seq"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming heavy hitters: sharded Misra-Gries with mergeable-summary batching
+# --------------------------------------------------------------------------
+
+HEAVY_HITTERS_OUTPUT = StructType(
+    [
+        StructField("bucket", IntegerType()),
+        StructField("item", StringType()),
+        StructField("weight", LongType()),
+        StructField("err_total", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_HH_ROW_STATE = StructType(
+    [StructField("item", StringType()), StructField("weight", LongType())]
+)
+_HH_META_STATE = StructType(
+    [StructField("n_seen", LongType()), StructField("err_total", LongType())]
+)
+
+
+class HeavyHittersProcessor(StatefulProcessor):
+    """Misra-Gries frequent-items sketch over an unbounded stream —
+    bounded state (≤ ``capacity`` counters per bucket) with the classic
+    deterministic guarantees, NOT a sampling estimate:
+
+    - ``weight ≤ true_count ≤ weight + err_total`` for every tracked
+      item (err_total = the bucket's accumulated decrement mass);
+    - every item whose true bucket count exceeds
+      ``n_seen / (capacity + 1)`` is GUARANTEED tracked;
+    - when a bucket's distinct items never exceed ``capacity``, the
+      sketch is EXACT (err_total = 0).
+
+    Each micro-batch applies the mergeable-summaries batch step
+    (Agarwal et al., PODS'12): exact batch counts merge into the state
+    counters; if more than ``capacity`` survive, every counter drops by
+    the (capacity+1)-th largest weight and non-positive counters leave
+    — one decrement charged to ``err_total``. The guarantees hold for
+    ANY arrival order / micro-batch split (the exact weights, like any
+    MG summary, are split-dependent; the bounds are not).
+
+    Emission contract = WeightedReservoirProcessor's: every batch
+    re-emits the bucket's CURRENT tracked set stamped with ``n_seen``;
+    consumers read the max-``n_seen`` emission per bucket.
+
+    State is O(capacity) rows per bucket FOREVER — the entire point of
+    a frequent-items sketch at 100 TB: 1024 buckets × 256 counters ≈
+    8 MB of state for exact-bounded top talkers over any volume.
+    """
+
+    def __init__(self, capacity: int) -> None:
+        self._cap = int(capacity)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._items = handle.getListState("items", _HH_ROW_STATE)
+        self._meta = handle.getValueState("meta", _HH_META_STATE)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        weights: dict[str, int] = {r[0]: int(r[1]) for r in self._items.get()}
+        n_seen, err_total = (
+            self._meta.get() if self._meta.exists() else (0, 0)
+        )
+        batch = _concat_chunks(rows)
+        if batch is not None and len(batch):
+            n_seen += int(len(batch))
+            for item, cnt in batch["item"].value_counts().items():
+                weights[item] = weights.get(item, 0) + int(cnt)
+            if len(weights) > self._cap:
+                # (cap+1)-th largest weight is the decrement (ties on
+                # weight broken by item so the step is deterministic)
+                ordered = sorted(
+                    weights.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+                d = ordered[self._cap][1]
+                weights = {k: v - d for k, v in ordered if v - d > 0}
+                err_total += d
+            self._items.clear()
+            if weights:
+                self._items.appendList(
+                    [(k, v) for k, v in sorted(weights.items())]
+                )
+            self._meta.update((n_seen, err_total))
+        out = [
+            {
+                "bucket": int(key[0]),
+                "item": item,
+                "weight": w,
+                "err_total": err_total,
+                "n_seen": n_seen,
+            }
+            for item, w in sorted(weights.items())
+        ]
+        yield pd.DataFrame(
+            out, columns=[f.name for f in HEAVY_HITTERS_OUTPUT.fields]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    item_col: str,
+    capacity: int = 256,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Sharded streaming frequent-items: items hash into ``n_buckets``
+    key groups (every occurrence of an item lands in ONE bucket, so
+    per-bucket Misra-Gries guarantees apply to the item's full count),
+    each group keeps a ``capacity``-counter sketch. The streaming twin
+    of the batch ``cms_heavy_hitters`` estimate — deterministic bounds
+    instead of probabilistic ones, and O(n_buckets × capacity) state
+    instead of a second pass.
+    """
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(int(n_buckets)))
+        .cast("int")
+        .alias("bucket"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return src.groupBy("bucket").transformWithStateInPandas(
+        HeavyHittersProcessor(capacity),
+        outputStructType=HEAVY_HITTERS_OUTPUT,
+        outputMode="append",
+        timeMode="none",
+    )

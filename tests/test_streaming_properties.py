@@ -1500,3 +1500,140 @@ def test_banded_gate_ttl_expiry_and_reclaim_survive_checkpoint_recovery(spark):
     # the identical vec 3 must lose all three firsts across this restart
     got = run_once(ttl_ms=3_600_000)
     assert got == [(1, 3, True), (2, 3, True), (3, 0, False)], got
+
+
+def _hh_feed(spark, frames, schema="item string"):
+    import os
+    import tempfile
+    import time as _time
+
+    workdir = tempfile.mkdtemp(prefix="hh-")
+    t0 = _time.time() - 60
+    for i, pdf in enumerate(frames):
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workdir)
+    )
+
+
+def _hh_final(rows):
+    """max-n_seen emission per bucket = the live sketch snapshot."""
+    latest: dict[int, int] = {}
+    for r in rows:
+        latest[r.bucket] = max(latest.get(r.bucket, -1), r.n_seen)
+    return [r for r in rows if r.n_seen == latest[r.bucket]]
+
+
+def test_streaming_heavy_hitters_exact_under_capacity(spark):
+    """Distinct items within capacity -> the MG sketch IS the exact
+    count (err_total 0), state surviving the micro-batch boundary."""
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import streaming_heavy_hitters
+
+    frames = [
+        pd.DataFrame({"item": ["a"] * 5 + ["b"] * 2 + ["c"]}),
+        pd.DataFrame({"item": ["a"] * 3 + ["c"] * 4}),
+    ]
+    stream = _hh_feed(spark, frames)
+    out = streaming_heavy_hitters(stream, "item", capacity=8, n_buckets=2)
+    rows = _hh_final(run_available_now(out, "hh_exact"))
+    got = {r.item: r.weight for r in rows}
+    assert got == {"a": 8, "b": 2, "c": 5}
+    assert all(r.err_total == 0 for r in rows)
+
+
+def test_streaming_heavy_hitters_mg_bounds_over_capacity(spark):
+    """Over capacity the deterministic MG guarantees hold for any
+    batch split: weight <= true <= weight + err_total, and every item
+    with true count > n_seen/(capacity+1) is tracked."""
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import streaming_heavy_hitters
+
+    # deterministic skewed stream: item f"i{j}" appears 2^(6-j) times
+    # for j in 0..5 plus a long tail of singletons
+    items = []
+    for j in range(6):
+        items += [f"i{j}"] * (2 ** (6 - j))
+    items += [f"tail{t}" for t in range(60)]
+    # interleave deterministically so batches mix head and tail
+    items = [items[i] for i in range(0, len(items), 2)] + [
+        items[i] for i in range(1, len(items), 2)
+    ]
+    true = {}
+    for it in items:
+        true[it] = true.get(it, 0) + 1
+
+    for n_frames in (1, 4):
+        sz = (len(items) + n_frames - 1) // n_frames
+        frames = [
+            pd.DataFrame({"item": items[i * sz : (i + 1) * sz]})
+            for i in range(n_frames)
+        ]
+        cap = 8
+        stream = _hh_feed(spark, frames)
+        out = streaming_heavy_hitters(
+            stream, "item", capacity=cap, n_buckets=1
+        )
+        rows = _hh_final(run_available_now(out, f"hh_mg_{n_frames}"))
+        assert rows, "sketch emitted nothing"
+        n_seen = rows[0].n_seen
+        assert n_seen == len(items)
+        err = rows[0].err_total
+        assert 0 < err < n_seen
+        tracked = {r.item: r.weight for r in rows}
+        assert len(tracked) <= cap
+        for item, w in tracked.items():
+            assert w <= true[item] <= w + err, (n_frames, item)
+        for item, cnt in true.items():
+            if cnt > n_seen / (cap + 1):
+                assert item in tracked, (n_frames, item)
+
+
+def test_streaming_heavy_hitters_buckets_partition_items(spark):
+    """Sharding: every occurrence of an item lands in one bucket, and
+    per-bucket n_seen sums to the stream length."""
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import streaming_heavy_hitters
+
+    items = [f"k{i % 17}" for i in range(200)]
+    frames = [
+        pd.DataFrame({"item": items[:100]}),
+        pd.DataFrame({"item": items[100:]}),
+    ]
+    stream = _hh_feed(spark, frames)
+    out = streaming_heavy_hitters(stream, "item", capacity=32, n_buckets=4)
+    rows = _hh_final(run_available_now(out, "hh_buckets"))
+    by_item_buckets: dict[str, set[int]] = {}
+    for r in rows:
+        by_item_buckets.setdefault(r.item, set()).add(r.bucket)
+    assert all(len(b) == 1 for b in by_item_buckets.values())
+    n_per_bucket = {r.bucket: r.n_seen for r in rows}
+    assert sum(n_per_bucket.values()) == 200
+    # under-capacity everywhere -> exact counts reassemble the stream
+    got = {r.item: r.weight for r in rows}
+    assert got == {f"k{j}": (12 if j < 13 else 11) for j in range(17)}
