@@ -2619,6 +2619,18 @@ def _q_product_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.product_revenue(spark, _WAYBILL_N)
 
 
+def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hybrid retrieval: BM25 lexical top-20 fused with the static
+    # quality-prior top-100 by Reciprocal Rank Fusion (k=60) — fusion
+    # joins bounded candidate LISTS, never the corpus
+    from flink_helloworld_spark.operators import ranking as RK
+
+    docs = load_tables(spark, sf_dir).documents
+    bm25 = RK.bm25_search(docs, _BM25_TERMS, topn=20).select("doc_id", "rank")
+    prior = RK.quality_prior_ranking(docs, topn=100)
+    return RK.rrf_fuse([bm25, prior], k=60, topn=20)
+
+
 def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Content-defined chunking: md5-gear boundary (w=4 window, 1/16
     # cut rate) over the word stream — shuffle-free, one corpus pass
@@ -2751,6 +2763,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_graph_triangles,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
@@ -7376,6 +7389,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT variant, n_hits, n_ann, n_exact,
                n_hits::DOUBLE / nullif(n_exact::DOUBLE, 0.0) AS recall
         FROM hits CROSS JOIN tot
+    """
+    d["hybrid_search_rrf"] = f"""
+        WITH bm AS ({d["bm25_search"]}),
+        tq AS (
+          SELECT doc_id,
+            len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+            length(text) AS n_chars,
+            len(list_filter(list_filter(string_split(text, ' '), w -> w <> ''),
+              w -> list_contains(['the','and','of','to','a'], w))) AS stop_hits,
+            len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+          FROM documents),
+        pq AS (
+          SELECT doc_id,
+            ((CASE WHEN (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) >= 3.0
+                    AND (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) <= 10.0
+                   THEN 4 ELSE 0 END)
+             + (CASE WHEN stop_hits::DOUBLE / nullif(n_words::DOUBLE, 0.0) > 0.0 THEN 4 ELSE 0 END)
+             + (CASE WHEN n_punct::DOUBLE / nullif(n_chars::DOUBLE, 0.0) < 0.2 THEN 2 ELSE 0 END)
+            )::DOUBLE / 10.0 AS quality_score
+          FROM tq),
+        prior AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (
+                     ORDER BY quality_score DESC, doc_id) AS INT) AS rank
+          FROM pq QUALIFY rank <= 100),
+        f AS (
+          SELECT coalesce(bm.doc_id, prior.doc_id) AS doc_id,
+                 bm.rank AS rank_1, prior.rank AS rank_2
+          FROM bm FULL OUTER JOIN prior ON bm.doc_id = prior.doc_id),
+        s AS (
+          SELECT doc_id, rank_1, rank_2,
+            coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank_1),
+                     CAST(0.0 AS DOUBLE))
+            + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank_2),
+                       CAST(0.0 AS DOUBLE)) AS rrf_score
+          FROM f)
+        SELECT doc_id, rank_1, rank_2, rrf_score,
+               CAST(row_number() OVER (
+                   ORDER BY rrf_score DESC, doc_id) AS INT) AS rrf_rank
+        FROM s QUALIFY rrf_rank <= 20
     """
     _cdc_base = """
         WITH t AS (SELECT doc_id,

@@ -289,3 +289,82 @@ def textrank_scores(
             ).alias("pr"),
         )
     return pr.select("word", F.round("pr", round_dp).alias("textrank"))
+
+
+# --- reciprocal rank fusion ---------------------------------------------------
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topn: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR'09) of
+    N ranked lists — THE standard hybrid-retrieval combiner (lexical
+    BM25 ⊕ dense ⊕ priors) because it needs no score calibration:
+    rrf(d) = Σ_lists 1/(k + rank_i(d)), summed over the lists that
+    contain d, in FIXED list order (IEEE determinism for the oracle).
+
+    Inputs are (id, rank) DataFrames — already top-bounded by their
+    producers, so the fusion is a join over candidate lists (≤ Σ topn_i
+    rows), never corpus-sized: the scale cost lives in the upstream
+    rankers, fusion itself is a driver-light epilogue on tiny lists.
+    Output: (id, rrf_score, rank_1..rank_N, fused rank) top ``topn``
+    by (score desc, id) — deterministic total order.
+    """
+    from pyspark.sql import Window
+
+    assert len(rankings) >= 2
+    fused = None
+    for i, r in enumerate(rankings, start=1):
+        side = r.select(
+            F.col(id_col), F.col("rank").cast("int").alias(f"rank_{i}")
+        )
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}").cast("double")),
+            F.lit(0.0),
+        )
+        for i in range(1, len(rankings) + 1)
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    scored = fused.select(
+        id_col,
+        *[F.col(f"rank_{i}") for i in range(1, len(rankings) + 1)],
+        score.alias("rrf_score"),
+    )
+    # candidate set is bounded (union of top-n lists) — the global
+    # window is over ≤ Σ topn_i rows by construction, not the corpus
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rrf_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rrf_rank") <= topn)
+    )
+
+
+def quality_prior_ranking(
+    docs: DataFrame, topn: int = 100, id_col: str = "doc_id"
+) -> DataFrame:
+    """Static document-quality prior as a ranked list: top ``topn`` by
+    (quality_score desc, id) — the query-independent half of a hybrid
+    retrieval stack (the host-PageRank slot, when no link graph
+    exists). orderBy().limit() executes as TakeOrderedAndProject —
+    distributed top-k, no global sort; the row_number window then runs
+    over ``topn`` rows only.
+    """
+    from pyspark.sql import Window
+
+    from flink_helloworld_spark.operators.text import quality_score
+
+    q = quality_score(docs).select(id_col, "quality_score")
+    top = q.orderBy(F.col("quality_score").desc(), F.col(id_col)).limit(topn)
+    w = Window.orderBy(F.col("quality_score").desc(), F.col(id_col))
+    return top.select(
+        id_col,
+        F.row_number().over(w).cast("int").alias("rank"),
+        "quality_score",
+    )

@@ -690,3 +690,59 @@ def test_embedding_standardize_zero_mean_unit_var(spark):
             continue
         assert abs(float(np.mean(zs))) < 1e-6
         assert abs(float(np.var(zs)) - 1.0) < 1e-4
+
+
+# --- reciprocal rank fusion ---------------------------------------------------
+
+
+class TestRrfFuse:
+    def _ranked(self, spark, pairs):
+        return spark.createDataFrame(pairs, "doc_id long, rank int")
+
+    def test_closed_form_fusion(self, spark):
+        from flink_helloworld_spark.operators.ranking import rrf_fuse
+
+        a = self._ranked(spark, [(1, 1), (2, 2), (3, 3)])
+        b = self._ranked(spark, [(3, 1), (1, 2), (4, 3)])
+        rows = {r.doc_id: r for r in rrf_fuse([a, b], k=60, topn=10).collect()}
+        # doc 1: 1/61 + 1/62; doc 3: 1/63 + 1/61; doc 2: 1/62; doc 4: 1/63
+        assert rows[1].rrf_score == 1 / 61 + 1 / 62
+        assert rows[3].rrf_score == 1 / 63 + 1 / 61
+        assert rows[2].rrf_score == 1 / 62
+        assert rows[4].rrf_score == 1 / 63
+        # both-list docs outrank single-list docs; rank_1/rank_2 carried
+        assert rows[1].rrf_rank == 1 and rows[3].rrf_rank == 2
+        assert rows[1].rank_1 == 1 and rows[1].rank_2 == 2
+        assert rows[2].rank_2 is None and rows[4].rank_1 is None
+
+    def test_topn_cut_and_tiebreak(self, spark):
+        from flink_helloworld_spark.operators.ranking import rrf_fuse
+
+        # docs 10 and 20 tie exactly (same ranks in mirrored lists) —
+        # the (score desc, id) total order must break the tie by id
+        a = self._ranked(spark, [(10, 1), (20, 2)])
+        b = self._ranked(spark, [(20, 1), (10, 2)])
+        rows = rrf_fuse([a, b], topn=1).collect()
+        assert len(rows) == 1 and rows[0].doc_id == 10
+
+    def test_three_list_fusion(self, spark):
+        from flink_helloworld_spark.operators.ranking import rrf_fuse
+
+        a = self._ranked(spark, [(1, 1)])
+        b = self._ranked(spark, [(1, 1), (2, 2)])
+        c = self._ranked(spark, [(2, 1)])
+        rows = {r.doc_id: r for r in rrf_fuse([a, b, c], k=60, topn=5).collect()}
+        assert rows[1].rrf_score == 1 / 61 + 1 / 61
+        assert rows[2].rrf_score == 1 / 62 + 1 / 61
+        assert rows[1].rank_3 is None and rows[2].rank_1 is None
+
+    def test_quality_prior_ranking_monotone(self, spark, sf_dir):
+        from flink_helloworld_spark.operators.ranking import quality_prior_ranking
+        from flink_helloworld_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        rows = quality_prior_ranking(docs, topn=50).orderBy("rank").collect()
+        assert rows[0].rank == 1
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.rank == prev.rank + 1
+            assert cur.quality_score <= prev.quality_score
