@@ -1637,3 +1637,56 @@ def test_streaming_heavy_hitters_buckets_partition_items(spark):
     # under-capacity everywhere -> exact counts reassemble the stream
     got = {r.item: r.weight for r in rows}
     assert got == {f"k{j}": (12 if j < 13 else 11) for j in range(17)}
+
+
+def test_heavy_hitters_state_resumes_from_checkpoint(spark):
+    """MG sketch durability: counts accumulated in run 1 must seed the
+    merge step after a restart — the cross-restart total is exact while
+    under capacity, which only restored state can produce."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.tws import streaming_heavy_hitters
+
+    workdir = tempfile.mkdtemp(prefix="hh-resume-in-")
+    out_dir = tempfile.mkdtemp(prefix="hh-resume-out-")
+    ck = tempfile.mkdtemp(prefix="hh-resume-ck-")
+
+    def put(i, items):
+        p = os.path.join(workdir, f"f{i:03d}.parquet")
+        pd.DataFrame({"item": items}).to_parquet(p, index=False)
+        os.utime(p, (_time.time() - 60 + i, _time.time() - 60 + i))
+
+    def run_once():
+        raw = spark.readStream.schema("item string").parquet(workdir)
+        q = (
+            streaming_heavy_hitters(raw, "item", capacity=8, n_buckets=1)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+        q.awaitTermination(30)
+        rows = spark.read.parquet(out_dir).collect()
+        n_max = max(r.n_seen for r in rows)
+        return {r.item: r.weight for r in rows if r.n_seen == n_max}, n_max
+
+    put(0, ["a"] * 4 + ["b"] * 2)
+    got, n = run_once()
+    assert got == {"a": 4, "b": 2} and n == 6
+    put(1, ["a"] * 3 + ["c"])
+    got, n = run_once()
+    # run-1 counts survived the restart: totals are exact cross-restart
+    assert got == {"a": 7, "b": 2, "c": 1} and n == 10

@@ -125,6 +125,11 @@ def run_gate(spark, name: str, in_dir: str, rows_per_trigger: int | None = None)
         "embedding_dedup_verified_sq": lambda: _verified_sq_gate(
             spark, raw, in_dir
         ),
+        # sharded Misra-Gries over the source/domain column: bounded
+        # counters per bucket regardless of volume
+        "heavy_hitters": lambda: __import__(
+            "flink_helloworld_spark.streaming.tws", fromlist=["x"]
+        ).streaming_heavy_hitters(raw, "source", capacity=64, n_buckets=8),
     }[name]()
     out_dir = tempfile.mkdtemp(prefix=f"ms-{name}-out-")
     ck = tempfile.mkdtemp(prefix=f"ms-{name}-ck-")
