@@ -2631,6 +2631,27 @@ def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RK.rrf_fuse([bm25, prior], k=60, topn=20)
 
 
+def _q_graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Personalized PageRank: teleport mass concentrated on a seed set
+    # (one customer + one supplier) — related-entity retrieval ranking
+    from flink_helloworld_spark.operators import graph as GRAPH
+
+    t = load_tables(spark, sf_dir)
+    edges = GRAPH.interaction_edges(t.orders, t.lineitem)
+    return GRAPH.pagerank(edges, iters=10, damping=0.85, seeds=["C1", "S1"])
+
+
+def _q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Connected components of the co-purchase graph via two-star
+    # contraction — the giant-component shape (94% of nodes, one
+    # component) min-label propagation handles worst
+    from flink_helloworld_spark.operators import graph as GRAPH
+
+    li = load_tables(spark, sf_dir).lineitem
+    edges = GRAPH.copurchase_edges(li, min_support=2)
+    return GRAPH.connected_components(edges)
+
+
 def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Content-defined chunking: md5-gear boundary (w=4 window, 1/16
     # cut rate) over the word stream — shuffle-free, one corpus pass
@@ -2764,6 +2785,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _q_cdc_chunks,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "graph_pagerank_personalized": _q_graph_pagerank_personalized,
+        "graph_components": _q_graph_components,
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
@@ -7470,6 +7493,31 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY chunk_hash HAVING count(*) >= 2
     """
     d["graph_pagerank"] = _pagerank_sql(iters=10)
+    d["graph_pagerank_personalized"] = _pagerank_sql(
+        iters=10, seeds=["C1", "S1"]
+    )
+    d["graph_components"] = """
+        WITH RECURSIVE li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2),
+        eu AS (SELECT u, v FROM e0 WHERE w >= 2),
+        edges AS (SELECT u AS src, v AS dst FROM eu
+                  UNION ALL SELECT v, u FROM eu),
+        walk(node, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lab FROM walk w
+          JOIN edges e ON e.src = w.node WHERE w.lab < e.dst),
+        lab AS (SELECT node, min(lab) AS component_id
+                FROM walk GROUP BY node)
+        SELECT node, component_id,
+               CAST(count(*) OVER (PARTITION BY component_id) AS INT)
+                 AS component_size
+        FROM lab
+    """
     d["graph_triangles"] = """
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
@@ -7513,11 +7561,23 @@ def oracle_sql() -> dict[str, str]:
     return d
 
 
-def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
+def _pagerank_sql(
+    iters: int = 10, damping: float = 0.85, seeds: list | None = None
+) -> str:
     """Chained-CTE mirror of graph.pagerank: one CTE per power
     iteration, every iterate on the identical floor-form 9-dp ladder
     with DECIMAL(28,9) contribution sums, so Spark and DuckDB walk the
-    same decimal lattice and the final ranks hash-match exactly."""
+    same decimal lattice and the final ranks hash-match exactly.
+    ``seeds`` mirrors the personalized mode (teleport to the seed set)."""
+    if seeds is None:
+        r0_expr = _r9("1.0 / (SELECT nn FROM n)")
+    else:
+        in_list = ", ".join(f"'{s}'" for s in seeds)
+        r0_expr = _r9(
+            f"CASE WHEN node IN ({in_list})"
+            f" THEN CAST(1.0 AS DOUBLE) / CAST({len(seeds)} AS DOUBLE)"
+            " ELSE CAST(0.0 AS DOUBLE) END"
+        )
     head = f"""
         WITH base AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
                       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
@@ -7525,7 +7585,7 @@ def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
                   UNION ALL SELECT 'S' || s, 'C' || c FROM base),
         deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
         n AS (SELECT count(*) AS nn FROM deg),
-        r0 AS (SELECT node, {_r9('1.0 / (SELECT nn FROM n)')} AS r FROM deg)"""
+        r0 AS (SELECT node, {r0_expr} AS r FROM deg)"""
     step = """,
         r{i} AS (
           SELECT e.dst AS node,
@@ -7534,15 +7594,25 @@ def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
           JOIN r{prev} p ON p.node = e.src
           JOIN deg ON deg.node = e.src
           GROUP BY e.dst)"""
+    # CAST the damping literals to DOUBLE: DuckDB parses bare 1.0 -
+    # 0.85 as exact DECIMAL(4,2) subtraction, which converts to a
+    # different double than the engine's IEEE 1.0-0.85 (off by one
+    # ulp — enough to cross a 9-dp lattice boundary).
+    d_dbl = f"CAST({damping} AS DOUBLE)"
+    if seeds is None:
+        base_sql = f"(CAST(1.0 AS DOUBLE) - {d_dbl}) / (SELECT nn FROM n)"
+    else:
+        in_list = ", ".join(f"'{s}'" for s in seeds)
+        base_sql = (
+            f"CASE WHEN e.dst IN ({in_list})"
+            f" THEN (CAST(1.0 AS DOUBLE) - {d_dbl})"
+            f" / CAST({len(seeds)} AS DOUBLE)"
+            " ELSE CAST(0.0 AS DOUBLE) END"
+        )
     body = ""
     for i in range(1, int(iters) + 1):
-        # CAST the damping literals to DOUBLE: DuckDB parses bare 1.0 -
-        # 0.85 as exact DECIMAL(4,2) subtraction, which converts to a
-        # different double than the engine's IEEE 1.0-0.85 (off by one
-        # ulp — enough to cross a 9-dp lattice boundary).
-        d_dbl = f"CAST({damping} AS DOUBLE)"
         newr = _r9(
-            f"(CAST(1.0 AS DOUBLE) - {d_dbl}) / (SELECT nn FROM n) + {d_dbl}"
+            f"{base_sql} + {d_dbl}"
             f" * CAST(SUM(CAST({_r9('p.r / deg.d')} AS DECIMAL(28,9)))"
             " AS DOUBLE)"
         )

@@ -160,3 +160,84 @@ class TestTriangles:
         assert n_tight <= n_loose
         # edges are canonical (u < v), no self-loops
         assert tight.where(F.col("u") >= F.col("v")).count() == 0
+
+
+# --- personalized pagerank -----------------------------------------------------
+
+
+class TestPersonalizedPagerank:
+    def test_seed_concentration(self, spark):
+        # two disjoint triangles; seeding one of them leaves the other
+        # at exactly rank 0 (teleport never reaches it)
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+                 ("x", "y"), ("y", "z"), ("z", "x")]
+        out = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(
+                _edges(spark, pairs), iters=8, seeds=["a"]
+            ).collect()
+        }
+        assert out["x"] == 0.0 and out["y"] == 0.0 and out["z"] == 0.0
+        assert out["a"] > out["b"] > 0.0
+        assert abs(out["b"] - out["c"]) < 1e-12  # symmetric wrt seed
+        assert abs(sum(out.values()) - 1.0) < 1e-6  # mass conserved
+
+    def test_multi_seed_splits_teleport(self, spark):
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+        one = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(
+                _edges(spark, pairs), iters=10, seeds=["a"]
+            ).collect()
+        }
+        both = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(
+                _edges(spark, pairs), iters=10, seeds=["a", "c"]
+            ).collect()
+        }
+        # a and c are symmetric on the 4-cycle: seeding both makes the
+        # distribution symmetric under the a<->c, b<->d exchange
+        assert abs(both["a"] - both["c"]) < 1e-12
+        assert abs(both["b"] - both["d"]) < 1e-12
+        # single-seed ranks the seed strictly higher than the far node
+        assert one["a"] > one["c"]
+
+    def test_uniform_mode_unchanged_by_seeds_param_default(self, spark):
+        pairs = [("a", "b"), ("b", "c"), ("c", "a")]
+        u1 = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(_edges(spark, pairs), iters=5).collect()
+        }
+        u2 = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(
+                _edges(spark, pairs), iters=5, seeds=None
+            ).collect()
+        }
+        assert u1 == u2
+
+
+# --- connected components ------------------------------------------------------
+
+
+class TestGraphComponents:
+    def test_two_components(self, spark):
+        e = _undirected(spark, [(1, 2), (2, 3), (10, 11)])
+        out = {
+            r["node"]: (r["component_id"], r["component_size"])
+            for r in GRAPH.connected_components(e).collect()
+        }
+        assert out == {
+            1: (1, 3), 2: (1, 3), 3: (1, 3),
+            10: (10, 2), 11: (10, 2),
+        }
+
+    def test_long_chain_converges(self, spark):
+        # a 40-node path: the diameter case two-star contracts in
+        # O(log n) rounds
+        e = _undirected(spark, [(i, i + 1) for i in range(1, 40)])
+        out = GRAPH.connected_components(e).collect()
+        assert len(out) == 40
+        assert {r["component_id"] for r in out} == {1}
+        assert all(r["component_size"] == 40 for r in out)
