@@ -2631,6 +2631,17 @@ def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RK.rrf_fuse([bm25, prior], k=60, topn=20)
 
 
+def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-snapshot overlap from two O(k) KMV sketches per language:
+    # union / Jaccard / intersection without the corpora ever joining
+    from flink_helloworld_spark.operators.rollups import kmv_set_ops
+
+    docs = load_tables(spark, sf_dir).documents
+    snap_a = docs.where(F.col("doc_id") % 3 != 2)
+    snap_b = docs.where(F.col("doc_id") % 2 == 0)
+    return kmv_set_ops(snap_a, snap_b, "lang", "text", k=16)
+
+
 def _q_graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Personalized PageRank: teleport mass concentrated on a seed set
     # (one customer + one supplier) — related-entity retrieval ranking
@@ -2787,6 +2798,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "graph_pagerank_personalized": _q_graph_pagerank_personalized,
         "graph_components": _q_graph_components,
+        "kmv_set_ops": _q_kmv_set_ops,
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
@@ -7491,6 +7503,55 @@ def oracle_sql() -> dict[str, str]:
                min(chunk_len) AS chunk_len
         FROM ({_cdc_base})
         GROUP BY chunk_hash HAVING count(*) >= 2
+    """
+    d["kmv_set_ops"] = """
+        WITH ha AS (
+          SELECT DISTINCT lang,
+            ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+          FROM documents WHERE doc_id % 3 <> 2 AND text IS NOT NULL),
+        hb AS (
+          SELECT DISTINCT lang,
+            ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+          FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        ka AS (SELECT lang, h FROM (
+                 SELECT lang, h,
+                   row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+                 FROM ha) WHERE rn <= 16),
+        kb AS (SELECT lang, h FROM (
+                 SELECT lang, h,
+                   row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+                 FROM hb) WHERE rn <= 16),
+        l AS (SELECT lang, h FROM (
+                SELECT lang, h,
+                  row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+                FROM (SELECT DISTINCT lang, h FROM
+                        (SELECT lang, h FROM ka UNION ALL SELECT lang, h FROM kb)))
+              WHERE rn <= 16),
+        m AS (
+          SELECT l.lang, l.h,
+                 ka.h IS NOT NULL AS in_a, kb.h IS NOT NULL AS in_b
+          FROM l
+          LEFT JOIN ka ON ka.lang = l.lang AND ka.h = l.h
+          LEFT JOIN kb ON kb.lang = l.lang AND kb.h = l.h),
+        agg AS (
+          SELECT lang, max(h) AS kth_min, count(*) AS n_l,
+                 CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                      AS BIGINT) AS rho
+          FROM m GROUP BY lang)
+        SELECT lang, kth_min, n_l, rho,
+          CASE WHEN n_l < 16 THEN n_l::DOUBLE
+               ELSE 15.0 / (kth_min::DOUBLE / 1152921504606846976.0)
+          END AS union_est,
+          rho::DOUBLE / (CASE WHEN n_l < 16 THEN n_l::DOUBLE ELSE 16.0 END)
+            AS jaccard_est,
+          CASE WHEN n_l < 16 THEN rho::DOUBLE
+               ELSE (rho::DOUBLE
+                     / (CASE WHEN n_l < 16 THEN n_l::DOUBLE ELSE 16.0 END))
+                    * (CASE WHEN n_l < 16 THEN n_l::DOUBLE
+                       ELSE 15.0 / (kth_min::DOUBLE / 1152921504606846976.0)
+                       END)
+          END AS intersect_est
+        FROM agg
     """
     d["graph_pagerank"] = _pagerank_sql(iters=10)
     d["graph_pagerank_personalized"] = _pagerank_sql(

@@ -541,3 +541,82 @@ def bloom_might_contain(
             "might_contain"
         ),
     )
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    group: str,
+    value: str,
+    k: int = 16,
+) -> DataFrame:
+    """KMV sketch set algebra (Beyer et al., SIGMOD'07) — union size,
+    Jaccard, and intersection size of two snapshots' value sets from
+    their k-minimum-value sketches alone: the cross-crawl overlap
+    report ("how much of snapshot B is already in A?") computed from
+    two O(k) summaries instead of a corpus-sized anti-join.
+
+    Combine rule: L = the k smallest distinct hashes of K_A ∪ K_B;
+    ρ = |{h ∈ L : h ∈ K_A ∧ h ∈ K_B}|. Then Jaccard ≈ ρ/k,
+    |A ∪ B| ≈ (k-1)/(kth_min(L)/2^60), |A ∩ B| ≈ Jaccard·|A ∪ B| —
+    and when |L| < k nothing was evicted anywhere, so all three are
+    EXACT. Hashes are md5-derived (the engine's portable-hash
+    contract), so the whole computation — estimator included — is
+    deterministic and oracle-exact.
+
+    Scale shape: each side is one distinct + per-group top-k (the same
+    shape as ``kmv_distinct``); the combine works on ≤ 2k rows per
+    group. At 100 TB the sketches are the only thing that crosses
+    snapshots — the corpora themselves never join.
+    """
+    def sketch(df: DataFrame) -> DataFrame:
+        hashed = (
+            df.where(F.col(value).isNotNull())
+            .select(F.col(group), _h60(F.col(value).cast("string")).alias("h"))
+            .distinct()
+        )
+        w = Window.partitionBy(group).orderBy("h")
+        return hashed.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= k
+        ).select(group, "h")
+
+    ka = sketch(a)
+    kb = sketch(b)
+    both = ka.select(group, "h").unionByName(kb.select(group, "h")).distinct()
+    w = Window.partitionBy(group).orderBy("h")
+    ell = both.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    marked = (
+        ell.select(group, "h")
+        .join(ka.withColumn("_in_a", F.lit(1)), [group, "h"], "left")
+        .join(kb.withColumn("_in_b", F.lit(1)), [group, "h"], "left")
+    )
+    agg = marked.groupBy(group).agg(
+        F.max("h").alias("kth_min"),
+        F.count(F.lit(1)).alias("n_l"),
+        F.sum(
+            F.when(
+                F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("rho"),
+    )
+    saturated = F.col("n_l") >= F.lit(int(k))
+    union_est = F.when(
+        ~saturated, F.col("n_l").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth_min").cast("double") / F.lit(HASH_SPACE))
+    )
+    jaccard = F.col("rho").cast("double") / F.when(
+        ~saturated, F.col("n_l").cast("double")
+    ).otherwise(F.lit(float(k)))
+    inter_est = F.when(~saturated, F.col("rho").cast("double")).otherwise(
+        jaccard * union_est
+    )
+    return agg.select(
+        group,
+        "kth_min",
+        "n_l",
+        "rho",
+        union_est.alias("union_est"),
+        jaccard.alias("jaccard_est"),
+        inter_est.alias("intersect_est"),
+    )

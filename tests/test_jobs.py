@@ -787,3 +787,55 @@ def test_job_builders_auto_size_stateful_partitions(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == prev
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# --- KMV set algebra -----------------------------------------------------------
+
+
+class TestKmvSetOps:
+    def _snap(self, spark, ids):
+        return spark.createDataFrame(
+            [(i, f"content-{i}") for i in ids], "doc_id long, val string"
+        )
+
+    def test_exact_under_k(self, spark):
+        # 6 ∪-distinct values < k=16: every output is EXACT set algebra
+        from flink_helloworld_spark.operators.rollups import kmv_set_ops
+
+        a = self._snap(spark, [1, 2, 3, 4]).withColumn("g", F.lit("x"))
+        b = self._snap(spark, [3, 4, 5, 6]).withColumn("g", F.lit("x"))
+        row = kmv_set_ops(a, b, "g", "val", k=16).collect()[0]
+        assert row.n_l == 6 and row.rho == 2
+        assert row.union_est == 6.0
+        assert row.jaccard_est == 2.0 / 6.0
+        assert row.intersect_est == 2.0
+
+    def test_estimates_track_truth_when_saturated(self, spark):
+        # planted overlap: |A|=600, |B|=600, |A∩B|=300 -> J=1/3,
+        # |A∪B|=900; k=64 sketches must land within ~25% of truth
+        from flink_helloworld_spark.operators.rollups import kmv_set_ops
+
+        a = self._snap(spark, range(0, 600)).withColumn("g", F.lit("x"))
+        b = self._snap(spark, range(300, 900)).withColumn("g", F.lit("x"))
+        row = kmv_set_ops(a, b, "g", "val", k=64).collect()[0]
+        assert row.n_l == 64  # saturated
+        assert 0.75 * 900 < row.union_est < 1.25 * 900
+        assert 0.15 < row.jaccard_est < 0.55
+        assert 0.5 * 300 < row.intersect_est < 1.6 * 300
+
+    def test_disjoint_sets(self, spark):
+        from flink_helloworld_spark.operators.rollups import kmv_set_ops
+
+        a = self._snap(spark, range(0, 100)).withColumn("g", F.lit("x"))
+        b = self._snap(spark, range(100, 200)).withColumn("g", F.lit("x"))
+        row = kmv_set_ops(a, b, "g", "val", k=32).collect()[0]
+        assert row.rho == 0
+        assert row.jaccard_est == 0.0 and row.intersect_est == 0.0
+
+    def test_identical_sets(self, spark):
+        from flink_helloworld_spark.operators.rollups import kmv_set_ops
+
+        a = self._snap(spark, range(0, 200)).withColumn("g", F.lit("x"))
+        row = kmv_set_ops(a, a, "g", "val", k=32).collect()[0]
+        assert row.rho == 32 and row.jaccard_est == 1.0
+        assert row.union_est == row.intersect_est
