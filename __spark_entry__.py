@@ -2631,6 +2631,14 @@ def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RK.rrf_fuse([bm25, prior], k=60, topn=20)
 
 
+def _q_embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Matryoshka truncation report: recall@5 of prefix-truncated exact
+    # cosine vs the full-dim ground truth, sampled query set
+    return S.dim_ablation_recall(
+        load_tables(spark, sf_dir).embeddings, dims=(8, 16, 32), k=5
+    )
+
+
 def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cross-snapshot overlap from two O(k) KMV sketches per language:
     # union / Jaccard / intersection without the corpora ever joining
@@ -2799,6 +2807,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_personalized": _q_graph_pagerank_personalized,
         "graph_components": _q_graph_components,
         "kmv_set_ops": _q_kmv_set_ops,
+        "embedding_dim_ablation": _q_embedding_dim_ablation,
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
@@ -7503,6 +7512,46 @@ def oracle_sql() -> dict[str, str]:
                min(chunk_len) AS chunk_len
         FROM ({_cdc_base})
         GROUP BY chunk_hash HAVING count(*) >= 2
+    """
+    def _trunc_arm_sql(dd: int) -> str:
+        cos = (
+            "round(coalesce(list_sum(list_transform(range(1, "
+            f"{dd} + 1), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) "
+            "/ nullif(sqrt(list_sum(list_transform(range(1, "
+            f"{dd} + 1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) "
+            "* sqrt(list_sum(list_transform(range(1, "
+            f"{dd} + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))), "
+            "0.0), 0.0), 6)"
+        )
+        return f"""
+          SELECT {dd} AS dims, query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {cos} AS cosine
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id % 10 = 0))
+          WHERE rank <= 5"""
+
+    d["embedding_dim_ablation"] = f"""
+        WITH exact AS (
+          SELECT query_id, neighbor_id FROM ({d["similarity_topk"]}) e
+          WHERE query_id % 10 = 0),
+        ann AS ({_trunc_arm_sql(8)}
+          UNION ALL {_trunc_arm_sql(16)}
+          UNION ALL {_trunc_arm_sql(32)}),
+        hits AS (
+          SELECT a.dims, count(*) AS n_ann,
+                 CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hits
+          FROM ann a LEFT JOIN exact e
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+          GROUP BY a.dims),
+        tot AS (SELECT count(*) AS n_exact FROM exact)
+        SELECT dims, n_hits, n_ann, n_exact,
+               n_hits::DOUBLE / nullif(n_exact::DOUBLE, 0.0) AS recall
+        FROM hits CROSS JOIN tot
     """
     d["kmv_set_ops"] = """
         WITH ha AS (

@@ -3070,3 +3070,76 @@ def embedding_audit(
         F.round(F.min("_n").cast("double"), round_dp).alias("min_norm"),
         F.round(F.max("_n").cast("double"), round_dp).alias("max_norm"),
     )
+
+
+def dim_ablation_recall(
+    emb: DataFrame,
+    dims: tuple = (8, 16, 32),
+    k: int = 5,
+    sample_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation ablation: recall@k of exact cosine
+    search over PREFIX-truncated embeddings vs the full-dimension
+    ground truth — the report that decides how many dimensions an
+    embedding column actually needs before the ANN index is built
+    (truncation is the cheapest embedding compression there is: a
+    projection, no codebooks, no training).
+
+    One sampled query set (``id % sample_mod == 0``) serves every arm;
+    each arm is the block-sharded exact BLAS kernel over ``slice(vec,
+    1, d)`` — same rounded-ranking contract as the full-dim baseline,
+    so the comparison is set arithmetic on deterministic rankings.
+    Output: (dims, n_hits, n_ann, n_exact, recall) per truncation arm.
+
+    Scale shape: arms share the one sampled query set; each arm is the
+    same O(N·|Q|) blocked kernel the recall audits already budget for,
+    and arms are independent (union of parallel branches). n_exact is
+    a broadcast 1-row aggregate.
+    """
+    queries = emb.where(F.col(id_col) % sample_mod == 0)
+    exact = cosine_topk_exact_sharded(
+        emb, k=k, queries_df=queries, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+
+    arms = None
+    for d in dims:
+        tr = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), 1, int(d)).alias(vec_col),
+        )
+        trq = tr.where(F.col(id_col) % sample_mod == 0)
+        arm = cosine_topk_exact_sharded(
+            tr, k=k, queries_df=trq, id_col=id_col, vec_col=vec_col
+        ).select(
+            F.lit(int(d)).alias("dims"), "query_id", "neighbor_id"
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+
+    e = exact.withColumnRenamed("neighbor_id", "_en").withColumnRenamed(
+        "query_id", "_eq"
+    )
+    joined = arms.join(
+        e,
+        (F.col("query_id") == F.col("_eq"))
+        & (F.col("neighbor_id") == F.col("_en")),
+        "left",
+    )
+    hits = joined.groupBy("dims").agg(
+        F.count(F.lit(1)).alias("n_ann"),
+        F.sum(
+            F.when(F.col("_eq").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_hits"),
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "dims",
+        "n_hits",
+        "n_ann",
+        "n_exact",
+        (
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0))
+        ).alias("recall"),
+    )

@@ -2655,3 +2655,38 @@ class TestCdcChunks:
             rows = D.cdc_chunks(docs, mod=mod).collect()
             mean = sum(r.chunk_len for r in rows) / len(rows)
             assert lo < mean < hi, (mod, mean)
+
+
+class TestDimAblation:
+    def test_recall_monotone_in_dims_on_planted_clusters(self, spark):
+        # 64-dim vectors in 4 well-separated clusters: the cluster
+        # signal lives in the first dims too, so truncation recall must
+        # be high at 32 dims and non-decreasing-ish; dims=64 == exact
+        import numpy as np
+
+        rng_rows = []
+        for c in range(4):
+            center = [0.0] * 64
+            center[c] = 10.0  # cluster axis
+            for j in range(25):
+                # deterministic jitter per (c, j)
+                vec = [
+                    center[t] + ((c * 97 + j * 31 + t * 7) % 13 - 6) * 0.05
+                    for t in range(64)
+                ]
+                rng_rows.append((c * 25 + j, vec))
+        emb = spark.createDataFrame(
+            rng_rows, "vec_id long, embedding array<double>"
+        )
+        out = {
+            r.dims: r
+            for r in S.dim_ablation_recall(
+                emb, dims=(8, 32, 64), k=5, sample_mod=5
+            ).collect()
+        }
+        assert out[64].recall == 1.0  # full dims reproduce ground truth
+        assert out[64].n_ann == out[64].n_exact
+        assert out[32].recall >= 0.9  # cluster axes live in dims 0..3
+        assert out[8].recall >= 0.5
+        for r in out.values():
+            assert r.n_hits <= r.n_ann and r.n_hits <= r.n_exact
