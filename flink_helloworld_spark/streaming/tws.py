@@ -1673,3 +1673,112 @@ def streaming_heavy_hitters(
         outputMode="append",
         timeMode="none",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming distinct-count sketch: per-key KMV with exact batch parity
+# --------------------------------------------------------------------------
+
+KMV_OUTPUT = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("kth_min", LongType()),
+        StructField("n_kept", LongType()),
+        StructField("distinct_estimate", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_KMV_ROW_STATE = StructType([StructField("h", LongType())])
+
+
+class KmvDistinctProcessor(StatefulProcessor):
+    """Per-key K-Minimum-Values distinct-count sketch over an unbounded
+    stream — O(k) state per key forever, and (unlike the MG heavy-hitter
+    or the arrival-order domain cap) a sketch whose value is
+    ORDER-INDEPENDENT: the k smallest distinct hashes of a set don't
+    depend on arrival order or batch splits, so the streaming sketch is
+    BIT-IDENTICAL to batch ``rollups.kmv_distinct`` over the same rows —
+    full batch parity, the reservoir-twin contract.
+
+    The upstream column expression computes the SAME md5-derived 60-bit
+    hash as the batch operator (``rollups._h60``), so estimates (the
+    (k-1)/(kth_min/2^60) estimator, exact below k) agree exactly.
+
+    Emission: each batch re-emits the key's current sketch summary
+    stamped with n_seen; consumers take the max-n_seen row per key.
+    """
+
+    def __init__(self, k: int) -> None:
+        self._k = int(k)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._mins = handle.getListState("mins", _KMV_ROW_STATE)
+        self._n = handle.getValueState("n", _COUNT_STATE)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        cur = sorted(int(r[0]) for r in self._mins.get())
+        (n_seen,) = self._n.get() if self._n.exists() else (0,)
+        batch = _concat_chunks(rows)
+        if batch is not None and len(batch):
+            n_seen += int(len(batch))
+            merged = sorted(set(cur) | set(int(h) for h in batch["h"]))
+            cur = merged[: self._k]
+            self._mins.clear()
+            if cur:
+                self._mins.appendList([(h,) for h in cur])
+            self._n.update((n_seen,))
+        if cur:
+            kth = cur[-1]
+            n_kept = len(cur)
+            est = (
+                float(n_kept)
+                if n_kept < self._k
+                else float(self._k - 1) / (float(kth) / float(1 << 60))
+            )
+        else:
+            kth, n_kept, est = 0, 0, 0.0
+        yield pd.DataFrame(
+            [
+                {
+                    "k": key[0],
+                    "kth_min": kth,
+                    "n_kept": n_kept,
+                    "distinct_estimate": est,
+                    "n_seen": n_seen,
+                }
+            ],
+            columns=[f.name for f in KMV_OUTPUT.fields],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_kmv_distinct(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Streaming per-key distinct-count sketch: the exact-parity twin of
+    batch ``rollups.kmv_distinct`` (same md5 hash, same estimator, same
+    under-k exactness) with O(k) state per key. The windowless
+    approx-COUNT-DISTINCT a live ingest dashboard needs without holding
+    the value set."""
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.rollups import _h60
+
+    src = stream.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("k"),
+        _h60(F.col(value_col).cast("string")).alias("h"),
+    )
+    return src.groupBy("k").transformWithStateInPandas(
+        KmvDistinctProcessor(k),
+        outputStructType=KMV_OUTPUT,
+        outputMode="append",
+        timeMode="none",
+    )

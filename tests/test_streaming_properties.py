@@ -1690,3 +1690,55 @@ def test_heavy_hitters_state_resumes_from_checkpoint(spark):
     got, n = run_once()
     # run-1 counts survived the restart: totals are exact cross-restart
     assert got == {"a": 7, "b": 2, "c": 1} and n == 10
+
+
+def test_streaming_kmv_matches_batch_exactly_any_split(spark):
+    """KMV is order-independent: the streaming sketch after ANY batch
+    split is BIT-IDENTICAL to batch kmv_distinct over the same rows —
+    including the saturated estimator, not just under-k exactness."""
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.operators.rollups import kmv_distinct
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import streaming_kmv_distinct
+
+    # two groups; group 'a' saturates k=8, group 'b' stays exact
+    rows = [("a", f"v{i % 40}") for i in range(160)] + [
+        ("b", f"w{i}") for i in range(5)
+    ]
+    batch_df = spark.createDataFrame(rows, "g string, val string")
+    expected = {
+        r.g: r
+        for r in kmv_distinct(batch_df, "g", "val", k=8).collect()
+    }
+    assert expected["a"].n_kept == 8  # saturated side
+    assert expected["b"].n_kept == 5  # exact side
+
+    for n_frames in (1, 3):
+        sz = (len(rows) + n_frames - 1) // n_frames
+        frames = [
+            pd.DataFrame(
+                rows[i * sz : (i + 1) * sz], columns=["g", "val"]
+            )
+            for i in range(n_frames)
+        ]
+        stream = _hh_feed(spark, frames, schema="g string, val string")
+        out = streaming_kmv_distinct(stream, "g", "val", k=8)
+        got_rows = run_available_now(out, f"kmv_tws_{n_frames}")
+        latest = {}
+        for r in got_rows:
+            if r.k not in latest or r.n_seen > latest[r.k].n_seen:
+                latest[r.k] = r
+        for g in ("a", "b"):
+            assert latest[g].kth_min == expected[g].kth_min, n_frames
+            assert latest[g].n_kept == expected[g].n_kept, n_frames
+            assert (
+                latest[g].distinct_estimate
+                == expected[g].distinct_estimate
+            ), n_frames
+        assert latest["a"].n_seen == 160 and latest["b"].n_seen == 5
