@@ -175,6 +175,18 @@ def pagerank(
             base_expr = F.lit(float((1.0 - damping)) / float(n_nodes))
             r0 = _r9(F.lit(1.0) / F.lit(float(n_nodes)))
         else:
+            # a seed absent from the graph silently loses its share of
+            # the teleport mass (all-zero ranks when EVERY seed is
+            # missing) — surface the typo at call time instead. One
+            # bounded agg job; the loop below runs eagerly anyway.
+            n_found = deg.where(F.col("node").isin(list(seeds))).count()
+            if n_found != len(set(seeds)):
+                raise ValueError(
+                    f"pagerank seeds: only {n_found} of "
+                    f"{len(set(seeds))} distinct seeds exist in the "
+                    "edge set — a missing seed would silently drop its "
+                    "teleport mass"
+                )
             k = float(len(seeds))
             base_expr = F.when(
                 F.col("node").isin(list(seeds)),

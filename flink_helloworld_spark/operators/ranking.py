@@ -315,7 +315,8 @@ def rrf_fuse(
     """
     from pyspark.sql import Window
 
-    assert len(rankings) >= 2
+    if len(rankings) < 2:  # not assert: must survive python -O
+        raise ValueError("rrf_fuse needs at least two ranked lists")
     fused = None
     for i, r in enumerate(rankings, start=1):
         side = r.select(

@@ -56,6 +56,27 @@ def _h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _kmv_sketch(df: DataFrame, group: str, value: str, k: int) -> DataFrame:
+    """THE sketch definition — (group, h) rows holding each group's k
+    smallest distinct 60-bit md5 hashes. Single source of truth shared
+    by ``kmv_distinct`` and ``kmv_set_ops`` (and mirrored upstream of
+    the streaming twin), so null handling and the hash column can never
+    drift between the sketch consumers."""
+    # nulls carry no distinct value (COUNT DISTINCT semantics); a NULL
+    # hash would also sort below every real hash and poison rank 1
+    hashed = (
+        df.where(F.col(value).isNotNull())
+        .select(F.col(group), _h60(F.col(value).cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group).orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(group, "h")
+    )
+
+
 def kmv_distinct(
     df: DataFrame, group: str, value: str, k: int = 64
 ) -> DataFrame:
@@ -65,15 +86,7 @@ def kmv_distinct(
     fewer than k distinct values the estimate is exact (the kept count).
     Estimator: (k-1) / (kth_min / 2^60).
     """
-    # nulls carry no distinct value (COUNT DISTINCT semantics); a NULL
-    # hash would also sort below every real hash and poison rank 1
-    hashed = (
-        df.where(F.col(value).isNotNull())
-        .select(F.col(group), _h60(F.col(value).cast("string")).alias("h"))
-        .distinct()
-    )
-    w = Window.partitionBy(group).orderBy("h")
-    kept = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    kept = _kmv_sketch(df, group, value, k)
     return (
         kept.groupBy(group)
         .agg(F.max("h").alias("kth_min"), F.count(F.lit(1)).alias("n_kept"))
@@ -569,19 +582,8 @@ def kmv_set_ops(
     group. At 100 TB the sketches are the only thing that crosses
     snapshots — the corpora themselves never join.
     """
-    def sketch(df: DataFrame) -> DataFrame:
-        hashed = (
-            df.where(F.col(value).isNotNull())
-            .select(F.col(group), _h60(F.col(value).cast("string")).alias("h"))
-            .distinct()
-        )
-        w = Window.partitionBy(group).orderBy("h")
-        return hashed.withColumn("_rn", F.row_number().over(w)).where(
-            F.col("_rn") <= k
-        ).select(group, "h")
-
-    ka = sketch(a)
-    kb = sketch(b)
+    ka = _kmv_sketch(a, group, value, k)
+    kb = _kmv_sketch(b, group, value, k)
     both = ka.select(group, "h").unionByName(kb.select(group, "h")).distinct()
     w = Window.partitionBy(group).orderBy("h")
     ell = both.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)

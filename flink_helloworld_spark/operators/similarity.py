@@ -3098,9 +3098,21 @@ def dim_ablation_recall(
     and arms are independent (union of parallel branches). n_exact is
     a broadcast 1-row aggregate.
     """
+    import math
+
+    # size the block shards ONCE — N is identical for every arm, and
+    # letting each kernel call auto-size would re-run emb.count() four
+    # times (one redundant corpus scan per arm)
+    shards = max(8, math.ceil(emb.count() / 256))
     queries = emb.where(F.col(id_col) % sample_mod == 0)
     exact = cosine_topk_exact_sharded(
-        emb, k=k, queries_df=queries, id_col=id_col, vec_col=vec_col
+        emb,
+        k=k,
+        q_shards=shards,
+        c_shards=shards,
+        queries_df=queries,
+        id_col=id_col,
+        vec_col=vec_col,
     ).select("query_id", "neighbor_id")
 
     arms = None
@@ -3111,7 +3123,13 @@ def dim_ablation_recall(
         )
         trq = tr.where(F.col(id_col) % sample_mod == 0)
         arm = cosine_topk_exact_sharded(
-            tr, k=k, queries_df=trq, id_col=id_col, vec_col=vec_col
+            tr,
+            k=k,
+            q_shards=shards,
+            c_shards=shards,
+            queries_df=trq,
+            id_col=id_col,
+            vec_col=vec_col,
         ).select(
             F.lit(int(d)).alias("dims"), "query_id", "neighbor_id"
         )

@@ -1661,7 +1661,10 @@ def streaming_heavy_hitters(
     """
     from pyspark.sql import functions as F
 
-    src = stream.select(
+    # null items carry no count (COUNT semantics, same as the KMV twin's
+    # isNotNull gate) — letting them through would inflate n_seen while
+    # value_counts() drops NaN, breaking the exact-under-capacity contract
+    src = stream.where(F.col(item_col).isNotNull()).select(
         F.pmod(F.xxhash64(F.col(item_col)), F.lit(int(n_buckets)))
         .cast("int")
         .alias("bucket"),
@@ -1733,11 +1736,15 @@ class KmvDistinctProcessor(StatefulProcessor):
         if cur:
             kth = cur[-1]
             n_kept = len(cur)
-            est = (
-                float(n_kept)
-                if n_kept < self._k
-                else float(self._k - 1) / (float(kth) / float(1 << 60))
-            )
+            if n_kept < self._k:
+                est = float(n_kept)
+            elif kth == 0:
+                # ~2^-60 event; the batch twin's SQL division yields
+                # Infinity rather than raising — match it instead of
+                # killing the streaming query with ZeroDivisionError
+                est = float("inf")
+            else:
+                est = float(self._k - 1) / (float(kth) / float(1 << 60))
         else:
             kth, n_kept, est = 0, 0, 0.0
         yield pd.DataFrame(

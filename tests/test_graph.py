@@ -241,3 +241,8 @@ class TestGraphComponents:
         assert len(out) == 40
         assert {r["component_id"] for r in out} == {1}
         assert all(r["component_size"] == 40 for r in out)
+
+    def test_missing_seed_raises(self, spark):
+        pairs = [("a", "b"), ("b", "c")]
+        with pytest.raises(ValueError, match="seeds"):
+            GRAPH.pagerank(_edges(spark, pairs), iters=2, seeds=["a", "zz"])

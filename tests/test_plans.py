@@ -870,11 +870,10 @@ def test_kmv_set_ops_plan_no_corpus_join(spark, sf_dir):
     b = docs.where("doc_id % 2 = 0")
     df = kmv_set_ops(a, b, "lang", "text", k=16)
     plan = explain_str(df, "simple")
-    first_join = min(
-        [i for i in (plan.find("Join"),) if i >= 0] or [len(plan)]
-    )
-    first_window = plan.find("Window")
-    assert first_window != -1
-    # the sketch windows are computed below (later in the printed tree
-    # = deeper) the joins; printed top-down, joins appear first
-    assert first_join < first_window
+    last_window = plan.rfind("Window")
+    assert last_window != -1
+    # printed top-down, deeper operators appear later: every join must
+    # sit ABOVE (= before) the deepest sketch window — a join printed
+    # after the last Window would mean a raw corpus scan is being
+    # joined below the sketch reduction
+    assert "Join" not in plan[last_window:]

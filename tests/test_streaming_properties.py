@@ -1742,3 +1742,26 @@ def test_streaming_kmv_matches_batch_exactly_any_split(spark):
                 == expected[g].distinct_estimate
             ), n_frames
         assert latest["a"].n_seen == 160 and latest["b"].n_seen == 5
+
+
+def test_streaming_heavy_hitters_ignores_null_items(spark):
+    """Null items carry no count (the KMV twin's isNotNull contract):
+    n_seen and the counters must reflect only non-null rows, keeping
+    the exact-under-capacity guarantee intact."""
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import streaming_heavy_hitters
+
+    frames = [pd.DataFrame({"item": ["a", None, "a", None, "b"]})]
+    stream = _hh_feed(spark, frames)
+    out = streaming_heavy_hitters(stream, "item", capacity=8, n_buckets=1)
+    rows = _hh_final(run_available_now(out, "hh_nulls"))
+    got = {r.item: r.weight for r in rows}
+    assert got == {"a": 2, "b": 1}
+    assert all(r.n_seen == 3 and r.err_total == 0 for r in rows)
