@@ -2639,6 +2639,16 @@ def _q_embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # link prediction on the co-purchase graph: top-50 non-adjacent
+    # pairs by Adamic-Adar (hub-discounted common neighbors)
+    from flink_helloworld_spark.operators import graph as GRAPH
+
+    li = load_tables(spark, sf_dir).lineitem
+    edges = GRAPH.copurchase_edges(li, min_support=2)
+    return GRAPH.adamic_adar_topk(edges, topn=50)
+
+
 def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cross-snapshot overlap from two O(k) KMV sketches per language:
     # union / Jaccard / intersection without the corpora ever joining
@@ -2808,6 +2818,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": _q_graph_components,
         "kmv_set_ops": _q_kmv_set_ops,
         "embedding_dim_ablation": _q_embedding_dim_ablation,
+        "graph_adamic_adar": _q_graph_adamic_adar,
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
@@ -7605,6 +7616,36 @@ def oracle_sql() -> dict[str, str]:
     d["graph_pagerank"] = _pagerank_sql(iters=10)
     d["graph_pagerank_personalized"] = _pagerank_sql(
         iters=10, seeds=["C1", "S1"]
+    )
+    d["graph_adamic_adar"] = """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2),
+        eu AS (SELECT u, v FROM e0 WHERE w >= 2),
+        sym AS (SELECT u AS z, v AS nbr FROM eu
+                UNION ALL SELECT v, u FROM eu),
+        deg AS (SELECT z, count(*) AS d FROM sym GROUP BY z),
+        wz AS (SELECT sym.z, sym.nbr, deg.d FROM sym
+               JOIN deg ON deg.z = sym.z WHERE deg.d <= 256),
+        wedges AS (
+          SELECT a.nbr AS x, b.nbr AS y, a.d AS hub_deg
+          FROM wz a JOIN wz b ON a.z = b.z AND a.nbr < b.nbr),
+        scored AS (
+          SELECT x, y, count(*) AS n_common,
+                 CAST(sum(CAST({r9} AS DECIMAL(28,9))) AS DOUBLE) AS score
+          FROM wedges GROUP BY x, y),
+        cand AS (
+          SELECT s.* FROM scored s
+          ANTI JOIN eu ON eu.u = s.x AND eu.v = s.y)
+        SELECT x, y, score, n_common,
+               CAST(row_number() OVER (ORDER BY score DESC, x, y) AS INT)
+                 AS rank
+        FROM cand QUALIFY rank <= 50
+    """.replace(
+        "{r9}",
+        _r9("CAST(1.0 AS DOUBLE) / ln(CAST(hub_deg AS DOUBLE))"),
     )
     d["graph_components"] = """
         WITH RECURSIVE li AS (

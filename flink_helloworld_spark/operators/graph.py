@@ -331,3 +331,75 @@ def connected_components(edges: DataFrame) -> DataFrame:
         F.col("cluster_id").alias("component_id"),
         F.col("cluster_size").alias("component_size"),
     )
+
+
+# --- link prediction ----------------------------------------------------------
+
+
+def adamic_adar_topk(
+    edges: DataFrame, topn: int = 50, max_hub_degree: int = 256
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge list (u < v):
+    for each NON-adjacent pair (x, y), score = Σ_{z ∈ N(x)∩N(y)}
+    1/ln(deg z) — the classic common-neighbors index that discounts
+    promiscuous hubs; the "parts bought together but never yet in one
+    basket" recommender over the co-purchase graph.
+
+    Unlike triangle counting (where degree orientation suffices because
+    each triangle needs finding ONCE), AA must see EVERY common
+    neighbor, so wedges come from the symmetrized adjacency — Σ deg²
+    fan-out. The standard last-reducer fix is principled here:
+    ``max_hub_degree`` drops hubs above the cap from the CANDIDATE
+    GENERATION, and a hub at the cap contributes only 1/ln(256) ≈ 0.18
+    per pair while generating 32k wedges — the index's own 1/ln(d)
+    discount says those hubs are noise. (The oracle applies the same
+    cap, so the contract is exact; a degree-1 node can never be a
+    common neighbor, so ln(d) ≥ ln 2 and the division is safe.)
+
+    Known edges are anti-joined away; the top ``topn`` pairs survive a
+    distributed TakeOrderedAndProject. Each 1/ln(d) contribution rounds
+    to the 9-dp lattice and sums in exact DECIMAL (partition order
+    can't move the score; JVM and libm ln() agree through the 9-dp
+    round). Output: (x, y, score, n_common, rank).
+    """
+    from pyspark.sql import Window
+
+    sym = edges.select(F.col("u").alias("z"), F.col("v").alias("nbr")).unionByName(
+        edges.select(F.col("v").alias("z"), F.col("u").alias("nbr"))
+    )
+    deg = sym.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    wz = sym.join(deg, "z").where(F.col("d") <= F.lit(int(max_hub_degree)))
+
+    a, b = wz.alias("a"), wz.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.z") == F.col("b.z")) & (F.col("a.nbr") < F.col("b.nbr")),
+    ).select(
+        F.col("a.nbr").alias("x"),
+        F.col("b.nbr").alias("y"),
+        F.col("a.d").alias("hub_deg"),
+    )
+    # decimal-ladder sum: each 1/ln(d) contribution rounds to the 9-dp
+    # lattice and sums in exact DECIMAL, so partition order can't move
+    # the score (aggregate double sums are order-dependent; bare
+    # round-after-sum would leave a boundary-flip hazard)
+    scored = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(
+            _r9(F.lit(1.0) / F.log(F.col("hub_deg").cast("double"))).cast(
+                "decimal(28,9)"
+            )
+        )
+        .cast("double")
+        .alias("score"),
+    )
+    known = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    candidates = scored.join(known, ["x", "y"], "left_anti")
+    top = candidates.orderBy(
+        F.col("score").desc(), F.col("x"), F.col("y")
+    ).limit(int(topn))
+    w = Window.orderBy(F.col("score").desc(), F.col("x"), F.col("y"))
+    return top.select(
+        "x", "y", "score", "n_common",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

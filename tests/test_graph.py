@@ -246,3 +246,42 @@ class TestGraphComponents:
         pairs = [("a", "b"), ("b", "c")]
         with pytest.raises(ValueError, match="seeds"):
             GRAPH.pagerank(_edges(spark, pairs), iters=2, seeds=["a", "zz"])
+
+
+# --- adamic-adar link prediction ------------------------------------------------
+
+
+class TestAdamicAdar:
+    def test_path_predicts_endpoints(self, spark):
+        import math as m
+
+        e = _undirected(spark, [(1, 2), (2, 3)])
+        rows = GRAPH.adamic_adar_topk(e, topn=10).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.x, r.y, r.n_common) == (1, 3, 1)
+        # neighbor 2 has degree 2: score = 1/ln(2) on the 9-dp lattice
+        assert abs(r.score - 1.0 / m.log(2.0)) < 1e-9
+
+    def test_square_symmetric_pairs(self, spark):
+        import math as m
+
+        e = _undirected(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+        rows = {(r.x, r.y): r for r in GRAPH.adamic_adar_topk(e, topn=10).collect()}
+        assert set(rows) == {(1, 3), (2, 4)}
+        for r in rows.values():
+            assert r.n_common == 2
+            assert abs(r.score - 2.0 / m.log(2.0)) < 1e-9
+
+    def test_known_edges_excluded(self, spark):
+        # triangle: every pair is already an edge -> no predictions
+        e = _undirected(spark, [(1, 2), (2, 3), (1, 3)])
+        assert GRAPH.adamic_adar_topk(e, topn=10).count() == 0
+
+    def test_hub_cap_drops_promiscuous_neighbors(self, spark):
+        # star hub 0 connects 1..6; with the cap below its degree the
+        # hub generates no wedges, so leaf pairs get no score at all
+        e = _undirected(spark, [(0, i) for i in range(1, 7)])
+        assert GRAPH.adamic_adar_topk(e, topn=10, max_hub_degree=5).count() == 0
+        rows = GRAPH.adamic_adar_topk(e, topn=100, max_hub_degree=6).collect()
+        assert len(rows) == 15  # all C(6,2) leaf pairs via the hub
