@@ -2639,6 +2639,16 @@ def _q_embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weighted PageRank: mass flows proportionally to interaction
+    # strength (distinct orders coupling each customer-supplier pair)
+    from flink_helloworld_spark.operators import graph as GRAPH
+
+    t = load_tables(spark, sf_dir)
+    edges = GRAPH.interaction_edges(t.orders, t.lineitem, weighted=True)
+    return GRAPH.pagerank(edges, iters=10, damping=0.85, weight_col="w")
+
+
 def _q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # link prediction on the co-purchase graph: top-50 non-adjacent
     # pairs by Adamic-Adar (hub-discounted common neighbors)
@@ -2819,6 +2829,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops": _q_kmv_set_ops,
         "embedding_dim_ablation": _q_embedding_dim_ablation,
         "graph_adamic_adar": _q_graph_adamic_adar,
+        "graph_pagerank_weighted": _q_graph_pagerank_weighted,
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
@@ -7617,6 +7628,7 @@ def oracle_sql() -> dict[str, str]:
     d["graph_pagerank_personalized"] = _pagerank_sql(
         iters=10, seeds=["C1", "S1"]
     )
+    d["graph_pagerank_weighted"] = _pagerank_sql(iters=10, weighted=True)
     d["graph_adamic_adar"] = """
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
@@ -7713,7 +7725,10 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _pagerank_sql(
-    iters: int = 10, damping: float = 0.85, seeds: list | None = None
+    iters: int = 10,
+    damping: float = 0.85,
+    seeds: list | None = None,
+    weighted: bool = False,
 ) -> str:
     """Chained-CTE mirror of graph.pagerank: one CTE per power
     iteration, every iterate on the identical floor-form 9-dp ladder
@@ -7729,7 +7744,19 @@ def _pagerank_sql(
             f" THEN CAST(1.0 AS DOUBLE) / CAST({len(seeds)} AS DOUBLE)"
             " ELSE CAST(0.0 AS DOUBLE) END"
         )
-    head = f"""
+    if weighted:
+        head = f"""
+        WITH base AS (SELECT o.o_custkey AS c, l.l_suppkey AS s,
+                             count(DISTINCT l.l_orderkey) AS w
+                      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                      GROUP BY 1, 2),
+        edges AS (SELECT 'C' || c AS src, 'S' || s AS dst, w FROM base
+                  UNION ALL SELECT 'S' || s, 'C' || c, w FROM base),
+        deg AS (SELECT src AS node, sum(w) AS d FROM edges GROUP BY 1),
+        n AS (SELECT count(*) AS nn FROM deg),
+        r0 AS (SELECT node, {r0_expr} AS r FROM deg)"""
+    else:
+        head = f"""
         WITH base AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
                       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
         edges AS (SELECT 'C' || c AS src, 'S' || s AS dst FROM base
@@ -7760,11 +7787,12 @@ def _pagerank_sql(
             f" / CAST({len(seeds)} AS DOUBLE)"
             " ELSE CAST(0.0 AS DOUBLE) END"
         )
+    c_sql = "p.r * e.w / deg.d" if weighted else "p.r / deg.d"
     body = ""
     for i in range(1, int(iters) + 1):
         newr = _r9(
             f"{base_sql} + {d_dbl}"
-            f" * CAST(SUM(CAST({_r9('p.r / deg.d')} AS DECIMAL(28,9)))"
+            f" * CAST(SUM(CAST({_r9(c_sql)} AS DECIMAL(28,9)))"
             " AS DOUBLE)"
         )
         body += step.format(i=i, prev=i - 1, newr=newr)

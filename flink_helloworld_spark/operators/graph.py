@@ -56,23 +56,42 @@ from flink_helloworld_spark.operators.clustering import _r9
 # --- graph derivation -------------------------------------------------------
 
 
-def interaction_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+def interaction_edges(
+    orders: DataFrame, lineitem: DataFrame, weighted: bool = False
+) -> DataFrame:
     """Symmetrized customer–supplier interaction edges: one directed
     row per direction per distinct (customer, supplier) pair that
     co-occurs in an order. Node labels are 'C<custkey>' / 'S<suppkey>'
     so the two entity spaces cannot collide.
 
-    The distinct() is the only shuffle; at 100 TB it is a map-side
-    combinable hash-aggregate on a uniform key.
+    The distinct() (or the weighted count-distinct agg) is the only
+    shuffle; at 100 TB it is a map-side combinable hash-aggregate on a
+    uniform key.
+
+    ``weighted=True`` carries the interaction STRENGTH as an edge
+    weight ``w`` (number of distinct orders coupling the pair) for
+    weighted PageRank — mass then flows proportionally to relationship
+    strength instead of splitting uniformly across neighbors.
     """
-    base = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            F.concat(F.lit("C"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
+    joined = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("c"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"),
+        F.col("o_orderkey").alias("ok"),
     )
+    if weighted:
+        base = joined.groupBy("c", "s").agg(
+            F.countDistinct("ok").alias("w")
+        )
+        fwd = base.select(
+            F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+        )
+        rev = base.select(
+            F.col("s").alias("src"), F.col("c").alias("dst"), "w"
+        )
+        return fwd.unionByName(rev)
+    base = joined.select("c", "s").distinct()
     fwd = base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     rev = base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     return fwd.unionByName(rev)
@@ -114,6 +133,7 @@ def pagerank(
     checkpoint_every: int = 5,
     broadcast_ranks: bool | None = None,
     seeds: list | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (src, dst)
     where every node appears as a src (callers symmetrize undirected
@@ -150,14 +170,21 @@ def pagerank(
     """
     spark = edges.sparkSession
     edges = edges.persist()  # derivation (joins/distinct) runs ONCE
+    # weighted mode: d = Σ out-weights, contribution r·w/d (mass flows
+    # proportionally to edge strength); unweighted keeps the original
+    # count/divide path byte-for-byte
+    out_mass = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    )
     deg = (
         edges.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(out_mass.alias("d"))
         .persist()
     )
+    adj_cols = ["src", "dst", "d"] + ([weight_col] if weight_col else [])
     adj = (
         edges.join(deg, edges.src == deg.node)
-        .select("src", "dst", "d")
+        .select(*adj_cols)
         .persist()
     )
     # AQE's per-stage re-planning sync costs ~0.3s/stage on the tiny
@@ -202,8 +229,13 @@ def pagerank(
 
         for i in range(int(iters)):
             rhs = F.broadcast(ranks) if broadcast_ranks else ranks
+            c_expr = (
+                _r9(F.col("r") * F.col(weight_col) / F.col("d"))
+                if weight_col
+                else _r9(F.col("r") / F.col("d"))
+            )
             contrib = adj.join(rhs, adj.src == ranks.node).select(
-                F.col("dst"), _r9(F.col("r") / F.col("d")).alias("c")
+                F.col("dst"), c_expr.alias("c")
             )
             summed = contrib.groupBy(F.col("dst").alias("node")).agg(
                 F.sum(F.col("c").cast("decimal(28,9)"))

@@ -285,3 +285,46 @@ class TestAdamicAdar:
         assert GRAPH.adamic_adar_topk(e, topn=10, max_hub_degree=5).count() == 0
         rows = GRAPH.adamic_adar_topk(e, topn=100, max_hub_degree=6).collect()
         assert len(rows) == 15  # all C(6,2) leaf pairs via the hub
+
+
+class TestWeightedPagerank:
+    def test_weight_1_equals_unweighted(self, spark):
+        # unit weights must reproduce the unweighted iterates exactly
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+        e = _edges(spark, pairs)
+        ew = e.withColumn("w", F.lit(1).cast("long"))
+        plain = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(e, iters=6).collect()
+        }
+        weighted = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(ew, iters=6, weight_col="w").collect()
+        }
+        assert plain == weighted
+
+    def test_mass_follows_heavy_edges(self, spark):
+        # 'a' links to b (weight 9) and c (weight 1): b must collect
+        # ~9x c's share of a's mass; symmetric back-edges weight 1
+        rows = [
+            ("a", "b", 9), ("b", "a", 9),
+            ("a", "c", 1), ("c", "a", 1),
+        ]
+        e = spark.createDataFrame(rows, "src string, dst string, w long")
+        out = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(e, iters=10, weight_col="w").collect()
+        }
+        assert out["b"] > 3 * out["c"]
+        assert abs(sum(out.values()) - 1.0) < 1e-6
+
+    def test_weighted_interaction_edges_shape(self, spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        ew = GRAPH.interaction_edges(t.orders, t.lineitem, weighted=True)
+        pdf = ew.toPandas()
+        assert (pdf.w >= 1).all()
+        # weighted edge set == unweighted edge set (weights only add info)
+        e = GRAPH.interaction_edges(t.orders, t.lineitem)
+        assert set(map(tuple, pdf[["src", "dst"]].values)) == {
+            (r.src, r.dst) for r in e.collect()
+        }
