@@ -877,3 +877,18 @@ def test_kmv_set_ops_plan_no_corpus_join(spark, sf_dir):
     # after the last Window would mean a raw corpus scan is being
     # joined below the sketch reduction
     assert "Join" not in plan[last_window:]
+
+
+def test_adamic_adar_plan_has_no_nested_loop(spark, sf_dir):
+    """Wedge generation and the known-edge anti-join must both be hash
+    strategies — no cartesian/nested-loop fallback anywhere."""
+    from flink_helloworld_spark.operators import graph as GRAPH
+    from flink_helloworld_spark.plans import explain_str
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    li = load_tables(spark, sf_dir).lineitem
+    df = GRAPH.adamic_adar_topk(GRAPH.copurchase_edges(li, min_support=2))
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
