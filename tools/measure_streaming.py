@@ -130,6 +130,10 @@ def run_gate(spark, name: str, in_dir: str, rows_per_trigger: int | None = None)
         "heavy_hitters": lambda: __import__(
             "flink_helloworld_spark.streaming.tws", fromlist=["x"]
         ).streaming_heavy_hitters(raw, "source", capacity=64, n_buckets=8),
+        # per-source KMV distinct-content sketch: O(k) state per key
+        "kmv_distinct": lambda: __import__(
+            "flink_helloworld_spark.streaming.tws", fromlist=["x"]
+        ).streaming_kmv_distinct(raw, "source", "text", k=64),
     }[name]()
     out_dir = tempfile.mkdtemp(prefix=f"ms-{name}-out-")
     ck = tempfile.mkdtemp(prefix=f"ms-{name}-ck-")
