@@ -192,9 +192,18 @@ def pagerank(
     # measured ~1.5× end-to-end at sf0.1 with it off. All heavy jobs run
     # eagerly inside this function, so restore-in-finally is airtight.
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    sp_prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         n_nodes = deg.count()  # bounded: one scalar to the driver
+        # right-size the per-round shuffles to the RANK VECTOR, not the
+        # session default: ~2k rows/partition amortizes task overhead
+        # on tiny vectors (16k nodes: 32→8 partitions ≈ 1.5× end-to-end
+        # at sf0.1) while a web-scale N keeps the session parallelism
+        n_parts = min(
+            max(int(sp_prev), 1), max(1, -(-n_nodes // 2000))
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
         if broadcast_ranks is None:
             broadcast_ranks = n_nodes <= 5_000_000
 
@@ -252,6 +261,7 @@ def pagerank(
                 ranks = ranks.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_prev)
         adj.unpersist()
         deg.unpersist()
         edges.unpersist()
