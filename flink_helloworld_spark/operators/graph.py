@@ -204,6 +204,13 @@ def pagerank(
             max(int(sp_prev), 1), max(1, -(-n_nodes // 2000))
         )
         spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        # materialize the adjacency UNDER the right-sized conf before
+        # the loop: every broadcast build between checkpoints re-reads
+        # it, and an unmaterialized adj would re-execute its join at
+        # whatever partition count the session carries (a plain
+        # 200-partition session turned each re-execution into a
+        # 400-task walk — minutes instead of seconds at sf0.001)
+        adj.count()
         if broadcast_ranks is None:
             broadcast_ranks = n_nodes <= 5_000_000
 
