@@ -713,3 +713,121 @@ def test_gate_recall_curve_monotone_on_planted(spark):
         )
     # the gate must actually gate: the widest arm catches most dups
     assert by_arm[(4, 6)].recall > 0.9
+
+
+# --- round-8 families: CDC chunking, MG merge step, pagerank -------------------
+
+
+@st.composite
+def _word_texts(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=4))
+    docs = []
+    for i in range(n_docs):
+        n = draw(st.integers(min_value=0, max_value=60))
+        words = [
+            draw(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]))
+            for _ in range(n)
+        ]
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@given(docs=_word_texts())
+@_settings
+def test_cdc_chunks_tile_any_document(spark, docs):
+    """For ANY text: chunks are contiguous, gap-free, start at 0, end at
+    the last word, and re-running produces the identical chunking."""
+    from flink_helloworld_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = cdc_chunks(df, w=3, mod=4).collect()
+    again = cdc_chunks(df, w=3, mod=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in docs:
+        n_words = len([w for w in text.split(" ") if w])
+        if n_words == 0:
+            assert doc_id not in by_doc  # empty docs chunkless
+            continue
+        ch = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        assert ch[0].start_tok == 0
+        for a, b in zip(ch, ch[1:]):
+            assert b.start_tok == a.start_tok + a.chunk_len
+            assert a.chunk_len >= 1
+        assert ch[-1].start_tok + ch[-1].chunk_len == n_words
+
+
+@given(
+    items=st.lists(
+        st.sampled_from([f"i{j}" for j in range(12)]), min_size=1, max_size=80
+    ),
+    cap=st.integers(min_value=2, max_value=6),
+    split=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=8, deadline=None)
+def test_mg_merge_step_bounds_hold_for_any_stream(items, cap, split):
+    """Pure-python check of the exact MG batch step the streaming
+    processor runs: for ANY stream, ANY capacity, ANY batch split —
+    weight ≤ true ≤ weight + err_total, and anything with true count
+    > n/(cap+1) stays tracked. (No Spark job: this pins the algorithm
+    the processor embeds, so hypothesis can afford real coverage.)"""
+    true: dict[str, int] = {}
+    for it in items:
+        true[it] = true.get(it, 0) + 1
+
+    # replay HeavyHittersProcessor.handleInputRows' merge step
+    weights: dict[str, int] = {}
+    err_total = 0
+    sz = (len(items) + split - 1) // split
+    for b in range(split):
+        batch = items[b * sz : (b + 1) * sz]
+        if not batch:
+            continue
+        for it in batch:
+            weights[it] = weights.get(it, 0) + 1
+        if len(weights) > cap:
+            ordered = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
+            d = ordered[cap][1]
+            weights = {k: v - d for k, v in ordered if v - d > 0}
+            err_total += d
+
+    assert len(weights) <= cap
+    for it, w in weights.items():
+        assert w <= true[it] <= w + err_total, (it, w, err_total)
+    n = len(items)
+    for it, cnt in true.items():
+        if cnt > n / (cap + 1):
+            assert it in weights, (it, cnt, n, cap)
+
+
+@st.composite
+def _random_graph(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    pairs = set()
+    for _ in range(draw(st.integers(min_value=1, max_value=12))):
+        a = draw(st.integers(min_value=0, max_value=n - 1))
+        b = draw(st.integers(min_value=0, max_value=n - 1))
+        if a != b:
+            pairs.add((f"n{min(a,b)}", f"n{max(a,b)}"))
+    return sorted(pairs)
+
+
+@given(pairs=_random_graph())
+@_settings
+def test_pagerank_mass_and_positivity_on_any_graph(spark, pairs):
+    """For ANY undirected graph: ranks are positive, total mass is 1
+    (within the 9-dp ladder's accumulation), and the result is
+    deterministic across re-runs."""
+    from flink_helloworld_spark.operators.graph import pagerank
+
+    if not pairs:
+        return
+    both = list(pairs) + [(b, a) for a, b in pairs]
+    e = spark.createDataFrame(both, "src string, dst string")
+    out = {r["node"]: r["rank"] for r in pagerank(e, iters=4).collect()}
+    nodes = {x for p in pairs for x in p}
+    assert set(out) == nodes
+    assert all(v > 0 for v in out.values())
+    assert abs(sum(out.values()) - 1.0) < 1e-6
