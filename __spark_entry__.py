@@ -2639,6 +2639,15 @@ def _q_embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PSI drift monitor between the two standard snapshot views over
+    # (lang x quality-band) buckets - the composition-shift alarm
+    docs = load_tables(spark, sf_dir).documents
+    snap_a = docs.where(F.col("doc_id") % 3 != 2)
+    snap_b = docs.where(F.col("doc_id") % 2 == 0)
+    return T.corpus_drift_psi(snap_a, snap_b)
+
+
 def _q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weighted PageRank: mass flows proportionally to interaction
     # strength (distinct orders coupling each customer-supplier pair)
@@ -2830,6 +2839,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_ablation": _q_embedding_dim_ablation,
         "graph_adamic_adar": _q_graph_adamic_adar,
         "graph_pagerank_weighted": _q_graph_pagerank_weighted,
+        "corpus_drift_psi": _q_corpus_drift_psi,
         "dedup_embedding_gate_banded": _q_dedup_embedding_gate_banded,
         "embedding_gate_recall_curve": _q_embedding_gate_recall_curve,
         "similarity_ivf2k_topk": _q_similarity_ivf2k_topk,
@@ -7623,6 +7633,52 @@ def oracle_sql() -> dict[str, str]:
                        END)
           END AS intersect_est
         FROM agg
+    """
+    _psi_r6 = _r9(
+        "(share_a - share_b) * ln(share_a / share_b)"
+    ).replace("1e9", "1e6")
+    d["corpus_drift_psi"] = f"""
+        WITH tq AS (
+          SELECT doc_id, lang,
+            len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+            length(text) AS n_chars,
+            len(list_filter(list_filter(string_split(text, ' '), w -> w <> ''),
+              w -> list_contains(['the','and','of','to','a'], w))) AS stop_hits,
+            len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+          FROM documents),
+        pq AS (
+          SELECT doc_id, lang,
+            ((CASE WHEN (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) >= 3.0
+                    AND (n_chars - (n_words - 1))::DOUBLE / nullif(n_words::DOUBLE, 0.0) <= 10.0
+                   THEN 4 ELSE 0 END)
+             + (CASE WHEN stop_hits::DOUBLE / nullif(n_words::DOUBLE, 0.0) > 0.0 THEN 4 ELSE 0 END)
+             + (CASE WHEN n_punct::DOUBLE / nullif(n_chars::DOUBLE, 0.0) < 0.2 THEN 2 ELSE 0 END)
+            )::DOUBLE / 10.0 AS quality_score
+          FROM tq),
+        banded AS (
+          SELECT doc_id, lang,
+                 CAST(round(quality_score * 10, 0) AS INT) AS band
+          FROM pq),
+        qa AS (SELECT lang, band, count(*) AS n_a FROM banded
+               WHERE doc_id % 3 <> 2 GROUP BY 1, 2),
+        qb AS (SELECT lang, band, count(*) AS n_b FROM banded
+               WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        j AS (
+          SELECT coalesce(qa.lang, qb.lang) AS lang,
+                 coalesce(qa.band, qb.band) AS band,
+                 coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+          FROM qa FULL OUTER JOIN qb
+            ON qa.lang = qb.lang AND qa.band = qb.band),
+        t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b,
+                     count(*) AS kk FROM j),
+        s AS (
+          SELECT lang, band, n_a, n_b,
+                 CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + kk AS DOUBLE) AS share_a,
+                 CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + kk AS DOUBLE) AS share_b
+          FROM j CROSS JOIN t)
+        SELECT lang, band, n_a, n_b, share_a, share_b,
+               {_psi_r6} AS psi_term
+        FROM s
     """
     d["graph_pagerank"] = _pagerank_sql(iters=10)
     d["graph_pagerank_personalized"] = _pagerank_sql(

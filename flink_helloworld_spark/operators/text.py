@@ -853,3 +853,79 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.coalesce(F.col("n").cast("int"), F.lit(0)).alias("n_chars_seen"),
         F.coalesce("ent", F.lit(0.0)).alias("char_entropy"),
     )
+
+
+def corpus_drift_psi(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Population Stability Index between two corpus snapshots over
+    (lang × quality-band) buckets — the standard production drift
+    monitor ("did the composition of what we're ingesting move?"),
+    computed before any expensive re-processing decision.
+
+    Buckets are the discrete quality bands quality_score emits
+    (score·10 ∈ {0,2,4,6,8,10}) crossed with lang; shares are
+    Laplace-smoothed ((n+1)/(total+K), K = distinct buckets in the
+    union) so a bucket vanishing from one snapshot contributes a
+    finite, well-defined term; psi_term = (p−q)·ln(p/q) per bucket on
+    a 6-dp floor-form round (the BM25 contract: JVM and libm ln()
+    agree through a 6-dp round). Σ psi_term > 0.2 is the classic
+    "significant shift" alarm threshold.
+
+    Scale shape: one quality pass + one (lang, band) count per
+    snapshot — map-side combinable aggs over tiny key spaces; totals
+    and K are broadcast 1-row aggregates. Nothing pairwise, nothing
+    corpus-crossing.
+    """
+    def buckets(df: DataFrame, out: str) -> DataFrame:
+        q = quality_score(df, text_col=text_col).select(
+            "doc_id", "quality_score"
+        )
+        keyed = df.select("doc_id", "lang").join(q, "doc_id")
+        # explicit round before the int cast: score·10 is an integer up
+        # to float noise (5.999…), and bare double→int TRUNCATES in
+        # Spark but ROUNDS in DuckDB — a silent band-off-by-one
+        return keyed.groupBy(
+            "lang",
+            F.round(F.col("quality_score") * 10, 0).cast("int").alias("band"),
+        ).agg(F.count(F.lit(1)).alias(out))
+
+    ba = buckets(snap_a, "n_a")
+    bb = buckets(snap_b, "n_b")
+    joined = (
+        ba.join(bb, ["lang", "band"], "full_outer")
+        .select(
+            "lang",
+            "band",
+            F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+        )
+        .persist()
+    )
+    totals = joined.agg(
+        F.sum("n_a").alias("tot_a"),
+        F.sum("n_b").alias("tot_b"),
+        F.count(F.lit(1)).alias("kk"),
+    )
+    out = joined.crossJoin(F.broadcast(totals))
+    share_a = (F.col("n_a") + 1).cast("double") / (
+        F.col("tot_a") + F.col("kk")
+    ).cast("double")
+    share_b = (F.col("n_b") + 1).cast("double") / (
+        F.col("tot_b") + F.col("kk")
+    ).cast("double")
+    raw = (share_a - share_b) * F.log(share_a / share_b)
+    r6 = F.signum(raw) * F.floor(F.abs(raw) * F.lit(1e6) + F.lit(0.5)) / F.lit(
+        1e6
+    )
+    return out.select(
+        "lang",
+        "band",
+        "n_a",
+        "n_b",
+        share_a.alias("share_a"),
+        share_b.alias("share_b"),
+        r6.alias("psi_term"),
+    )

@@ -2690,3 +2690,54 @@ class TestDimAblation:
         assert out[8].recall >= 0.5
         for r in out.values():
             assert r.n_hits <= r.n_ann and r.n_hits <= r.n_exact
+
+
+class TestCorpusDriftPsi:
+    def _snap(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t, lang, "src", len(t)) for i, (t, lang) in enumerate(rows)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    def test_identical_snapshots_zero_psi(self, spark):
+        rows = [("the cat sat on the mat quietly", "en")] * 6 + [
+            ("und der hund lief schnell weg heute", "de")
+        ] * 4
+        a = self._snap(spark, rows)
+        out = T.corpus_drift_psi(a, a).collect()
+        assert len(out) > 0
+        assert all(r.psi_term == 0.0 for r in out)
+        assert all(r.share_a == r.share_b for r in out)
+
+    def test_composition_shift_raises_psi(self, spark):
+        import math as m
+
+        base = [("the cat sat on the mat quietly", "en")] * 8
+        shifted = base[:2] + [
+            ("und der hund lief schnell weg heute", "de")
+        ] * 6
+        a = self._snap(spark, base)
+        b = self._snap(spark, shifted)
+        rows = {(r.lang, r.band): r for r in T.corpus_drift_psi(a, b).collect()}
+        total = sum(r.psi_term for r in rows.values())
+        assert total > 0.2  # the classic significant-shift threshold
+        # every term individually non-negative ((p-q) and ln(p/q) share sign)
+        assert all(r.psi_term >= 0.0 for r in rows.values())
+        # hand-check one bucket: en count 8 -> 2, K = 2 buckets
+        en = [r for (lang, _), r in rows.items() if lang == "en"][0]
+        p = (8 + 1) / (8 + 2)
+        q = (2 + 1) / (8 + 2)
+        expect = (p - q) * m.log(p / q)
+        assert abs(en.psi_term - expect) < 2e-6
+
+    def test_vanished_bucket_is_finite(self, spark):
+        a = self._snap(spark, [("the cat sat on the mat quietly", "en")] * 5)
+        b = self._snap(
+            spark, [("und der hund lief schnell weg heute", "de")] * 5
+        )
+        out = T.corpus_drift_psi(a, b).collect()
+        assert all(
+            r.psi_term == r.psi_term and abs(r.psi_term) < float("inf")
+            for r in out
+        )
+        assert {r.lang for r in out} == {"en", "de"}
