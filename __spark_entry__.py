@@ -2746,6 +2746,16 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/check_oracle.py (full-registry sweep) beside the pytest run.
 # Rotate again next round: new queries first, then
 # oldest-official-row-first.
+#
+# ROUND-9 ROTATION QUEUE (computed at r8 close): these 14 r8-late
+# queries have never held an official CORRECTNESS row and fill the r9
+# gate FIRST — similarity_ivf_append_topk, similarity_ivf_indexed_sq_topk,
+# graph_pagerank, graph_pagerank_personalized, graph_pagerank_weighted,
+# graph_triangles, graph_components, graph_adamic_adar, cdc_chunks,
+# cdc_chunk_dedup, hybrid_search_rrf, kmv_set_ops,
+# embedding_dim_ablation, corpus_drift_psi. After them,
+# stalest-official-row-first over the CORRECTNESS_r01–r08 union
+# (the r5-stamped rows become the oldest cohort).
 _GATE_R8 = [
     # --- the 9 new r8 queries ---
     "ivf_index_build",
