@@ -2735,87 +2735,83 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GRAPH.triangle_counts(edges)
 
 
-# Round-8 gate rotation (VERDICT r7 item 2, stalest-first contract):
+# Round-9 gate rotation (VERDICT r8 item 1, stalest-first contract):
 # the driver's correctness gate checks only the FIRST 50 entries of
-# queries(). This round: the 9 new r8 queries, then ALL 41 queries
-# whose newest official CORRECTNESS row is round 4 — 9 + 41 = exactly
-# 50, so after this round no query's newest official row is older
-# than round 5. The stale list below is computed from the
-# CORRECTNESS_r01–r07 union (newest green row per name == r4).
+# queries(). This round: the 14 r8-late queries that have NEVER held
+# an official CORRECTNESS row (the queue recorded at r8 close,
+# verified name-for-name by the r8 judge), then the 36
+# alphabetically-first queries whose newest official row is round 5
+# (the oldest cohort in the CORRECTNESS_r01-r08 union) - 14 + 36 =
+# exactly 50. After this round EVERY registry query has held at
+# least one official driver row, and the newest-official-row
+# histogram is r5:14 r6:50 r7:50 r8:50 r9:50.
 # Everything rotated OUT is re-verified locally this round via
 # tools/check_oracle.py (full-registry sweep) beside the pytest run.
-# Rotate again next round: new queries first, then
-# oldest-official-row-first.
 #
-# ROUND-9 ROTATION QUEUE (computed at r8 close): these 14 r8-late
-# queries have never held an official CORRECTNESS row and fill the r9
-# gate FIRST — similarity_ivf_append_topk, similarity_ivf_indexed_sq_topk,
-# graph_pagerank, graph_pagerank_personalized, graph_pagerank_weighted,
-# graph_triangles, graph_components, graph_adamic_adar, cdc_chunks,
-# cdc_chunk_dedup, hybrid_search_rrf, kmv_set_ops,
-# embedding_dim_ablation, corpus_drift_psi. After them,
-# stalest-official-row-first over the CORRECTNESS_r01–r08 union
-# (the r5-stamped rows become the oldest cohort).
-_GATE_R8 = [
-    # --- the 9 new r8 queries ---
-    "ivf_index_build",
-    "similarity_ivf_indexed_topk",
-    "ivf_indexed_recall",
-    "dedup_embedding_gate_verified_sq",
-    "embedding_gate_verified_sq_recall_curve",
-    "max_spans",
-    "max_span_scrub",
-    "dedup_clusters_auto",
-    "sq_reconstruction_error",
-    # --- the 41 r4-stale queries (newest official row == round 4) ---
-    "as_of_join",
-    "bigram_logppl",
-    "classifier_score",
-    "classifier_train",
-    "corpus_clean",
-    "count_windows",
-    "dedup_embedding_cosine",
-    "denorm_wide",
-    "funnel_conversion",
-    "global_window",
-    "hypertable_rollup",
-    "iterate_fixpoint",
-    "kmv_distinct_sketch",
-    "merge_last_non_null",
-    "multi_get",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "pivot_counts",
-    "point_lookup",
-    "pricing_summary",
-    "product_revenue",
-    "rolling_extrema",
-    "rolling_fold",
-    "rolling_sum",
-    "session_windows",
-    "side_output_split",
-    "similarity_lsh_topk",
-    "similarity_topk",
-    "sliding_hourly",
-    "sql_q5_revenue",
-    "stateful_filter",
-    "term_count",
-    "trigger_evictor",
-    "tumbling_daily",
-    "union_streams",
-    "waybill_capstone",
-    "waybill_cem_merge",
-    "waybill_generator",
-    "window_join",
-    "window_last_value",
-    "wordcount",
+# ROUND-10 ROTATION QUEUE (computed at r9 close): no never-official
+# queries remain after this round, so r10 = any new r9 queries
+# first, then stalest-official-row-first (the 14 remaining
+# r5-stamped rows, then the r6 cohort).
+_GATE_R9 = [
+    # --- the 14 never-official r8-late queries ---
+    "similarity_ivf_append_topk",
+    "similarity_ivf_indexed_sq_topk",
+    "graph_pagerank",
+    "graph_pagerank_personalized",
+    "graph_pagerank_weighted",
+    "graph_triangles",
+    "graph_components",
+    "graph_adamic_adar",
+    "cdc_chunks",
+    "cdc_chunk_dedup",
+    "hybrid_search_rrf",
+    "kmv_set_ops",
+    "embedding_dim_ablation",
+    "corpus_drift_psi",
+    # --- the 36 alphabetically-first r5-stale queries ---
+    "boilerplate_scrub",
+    "bpe_segmentation",
+    "char_entropy",
+    "cohort_retention",
+    "contamination_report",
+    "corpus_manifest",
+    "curriculum_order",
+    "dedup_cluster_prune",
+    "dedup_clusters_twostar",
+    "dedup_exact",
+    "dedup_incremental_near",
+    "dedup_lsh_commit",
+    "dedup_minhash_buckets",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
+    "dedup_sorted_neighborhood",
+    "dsir_select",
+    "dsir_weights",
+    "embedding_audit",
+    "embedding_covariance",
+    "embedding_pca",
+    "embedding_standardize",
+    "filter_agreement",
+    "filter_funnel",
+    "json_extract",
+    "kneser_ney_logppl",
+    "minhash_estimate_audit",
+    "mixture_plan",
+    "mixture_temperature",
+    "multimodal_avi_decode",
+    "multimodal_avi_frames",
+    "multimodal_mulaw_decode",
+    "multimodal_wav_decode",
+    "multimodal_wav_pitch",
+    "near_dedup_front",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
-    assert len(_GATE_R8) == 50 and set(_GATE_R8) <= set(reg)
-    out = {k: reg[k] for k in _GATE_R8}
+    assert len(_GATE_R9) == 50 and set(_GATE_R9) <= set(reg)
+    out = {k: reg[k] for k in _GATE_R9}
     out.update((k, v) for k, v in reg.items() if k not in out)
     return out
 
@@ -2823,7 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # every implemented query, unordered — queries() applies the
-        # round's gate rotation (_GATE_R8) on top of this registry
+        # round's gate rotation (_GATE_R9) on top of this registry
         "ivf_index_build": _q_ivf_index_build,
         "similarity_ivf_indexed_topk": _q_similarity_ivf_indexed_topk,
         "ivf_indexed_recall": _q_ivf_indexed_recall,
