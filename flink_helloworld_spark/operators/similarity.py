@@ -2138,6 +2138,96 @@ def sq_decode_postings(coded: DataFrame, stats: DataFrame) -> DataFrame:
     )
 
 
+def collect_ivf_quantizer(index: DataFrame) -> dict:
+    """Materialize a persisted ``build_ivf_index`` artifact's QUANTIZER
+    into plain numpy arrays so a Python worker can route vectors with
+    zero Spark plans per batch — what the streaming ingest operator
+    (``streaming_ivf_ingest``) broadcasts. Bounded collect BY the
+    artifact's construction: C cells + ceil(sqrt(C)) supers, the same
+    index-metadata contract under which ``_assign_cells_blas`` collects
+    the flat centroid table (and the PQ path its ADC table).
+
+    Returns ``{sup_ids, sup_nmat, cell_ids, cell_nmat, cell_super}``
+    with both id arrays SORTED ASCENDING and the matrices L2-normalized
+    (zero-norm rows zeroed) — the exact preconditions the batch
+    routing's stable-argsort tie-break (lowest id wins) relies on."""
+    import numpy as np
+
+    def _pull(rows):
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = np.inf
+        return ids, mat / norms[:, None], order
+
+    sup_rows = index.where(F.col("level") == 2).select(
+        "centroid_id", "cvec"
+    ).collect()
+    cell_rows = index.where(F.col("level") == 1).select(
+        "centroid_id", "cvec", "super_id"
+    ).collect()
+    sup_ids, sup_nmat, _ = _pull(sup_rows)
+    cell_ids, cell_nmat, order = _pull(cell_rows)
+    cell_super = np.array(
+        [cell_rows[i][2] for i in order], dtype=np.int64
+    )
+    return {
+        "sup_ids": sup_ids,
+        "sup_nmat": sup_nmat,
+        "cell_ids": cell_ids,
+        "cell_nmat": cell_nmat,
+        "cell_super": cell_super,
+    }
+
+
+def route_frozen_np(mat, quant: dict, n_super_probe: int = 2,
+                    round_dp: int = 6):
+    """NumPy twin of ``_route_cells`` at ``n_probe=1`` against a FROZEN
+    collected quantizer: for each row of ``mat`` (raw, un-normalized
+    vectors) return its single home cell id, or -1 when none of its
+    probed supers homes any cell (the batch path drops such rows the
+    same way — ``per_super`` emits nothing for cell-less supers).
+
+    Parity contract (test-pinned row-for-row against the DataFrame
+    path): rounded-cosine scoring via the shared ``round_half_away``,
+    super ranking by stable argsort over ascending super ids, cell
+    ranking by (rounded cosine DESC, cell id ASC) across the UNION of
+    cells homed in all probed supers — byte-identical routing to
+    ``ivf_index_append``, which is what makes the streaming ingest's
+    posting set equal the batch append under any micro-batch split.
+
+    Cost shape: queries are grouped by their probed-super SET, one BLAS
+    product per distinct set against only those supers' cells — the
+    same grouped-BLAS bound as the batch stage, minus its shuffle."""
+    import numpy as np
+
+    q = np.asarray(mat, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0.0] = np.inf
+    q = q / qn[:, None]
+    sims_s = round_half_away(q @ quant["sup_nmat"].T, round_dp)
+    n_probe = min(n_super_probe, len(quant["sup_ids"]))
+    top = np.argsort(-sims_s, axis=1, kind="stable")[:, :n_probe]
+    probed = np.sort(quant["sup_ids"][top], axis=1)
+    out = np.full(len(q), -1, dtype=np.int64)
+    combos, inv = np.unique(probed, axis=0, return_inverse=True)
+    for ci in range(len(combos)):
+        sel = inv == ci
+        cand = np.isin(quant["cell_super"], combos[ci])
+        if not cand.any():
+            continue
+        c_ids = quant["cell_ids"][cand]  # ascending (collect contract)
+        sims = round_half_away(
+            q[sel] @ quant["cell_nmat"][cand].T, round_dp
+        )
+        # argmax returns the FIRST max -> lowest cell id on ties,
+        # matching the batch window's (csim DESC, centroid_id ASC)
+        out[sel] = c_ids[np.argmax(sims, axis=1)]
+    return out
+
+
 def ivf_index_query(
     index: DataFrame,
     postings: DataFrame,

@@ -2741,3 +2741,47 @@ class TestCorpusDriftPsi:
             for r in out
         )
         assert {r.lang for r in out} == {"en", "de"}
+
+
+def test_route_frozen_np_matches_batch_append_routing(spark):
+    """The streaming ingest's frozen-quantizer routing
+    (route_frozen_np over a collected artifact) is byte-identical to
+    the batch ivf_index_append routing — the precondition that makes
+    streaming_ivf_ingest's posting set equal the batch append under
+    any micro-batch split. Includes a zero-norm vector (routes like
+    the batch path: all-zero sims, lowest-id tie-breaks)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = _ids_only_emb(spark, 192)
+    planted = S.planted_embeddings(emb).select("vec_id", "embedding")
+    base = planted.where("vec_id % 2 = 0")
+    inc = planted.where("vec_id % 2 = 1").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # plant one zero-norm vector among the appends
+    dims = len(inc.first().embedding)
+    zero = spark.createDataFrame(
+        [(100000, [0.0] * dims)], "vec_id long, embedding array<double>"
+    )
+    inc = inc.unionByName(zero)
+    index, postings = S.build_ivf_index(base)
+    expected = sorted(
+        (r.centroid_id, r.member_id)
+        for r in S.ivf_index_append(index, postings.limit(0), inc).collect()
+    )
+
+    quant = S.collect_ivf_quantizer(index)
+    rows = inc.collect()
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    cells = S.route_frozen_np(mat, quant, n_super_probe=2)
+    got = sorted(
+        (int(c), int(r.vec_id))
+        for c, r in zip(cells, rows)
+        if c >= 0
+    )
+    assert got == expected and len(got) == 97  # 96 odd + the zero vec
+    # n_super_probe beyond the super count degrades to probe-all, not
+    # an index error (the _assign_cells_blas truncation contract)
+    all_probe = S.route_frozen_np(mat, quant, n_super_probe=10_000)
+    assert (all_probe >= 0).all()

@@ -1765,3 +1765,70 @@ def test_streaming_heavy_hitters_ignores_null_items(spark):
     got = {r.item: r.weight for r in rows}
     assert got == {"a": 2, "b": 1}
     assert all(r.n_seen == 3 and r.err_total == 0 for r in rows)
+
+
+def test_streaming_ivf_ingest_matches_batch_append_any_split(spark):
+    """Streaming index MAINTENANCE parity (the streaming twin of the
+    r8 build/query seam): vectors arriving in ANY micro-batch split —
+    including at-least-once REDELIVERY — grow the posting table to
+    exactly the set ivf_index_append produces routing everything at
+    once through the same frozen artifact. Routing is stateless
+    against the collected quantizer; commitment is first-arrival per
+    (cell, member) MapState, so duplicates post exactly once and the
+    emitted mvec payload is the source vector, bit-intact."""
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators import similarity as S
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import streaming_ivf_ingest
+
+    emb = S.planted_embeddings(
+        spark.range(160).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+        )
+    ).select("vec_id", "embedding")
+    base = emb.where("vec_id % 2 = 0")
+    inc = emb.where("vec_id % 2 = 1")
+    index, postings = S.build_ivf_index(base)
+    index = index.cache()
+    expected = sorted(
+        (r.centroid_id, r.member_id)
+        for r in S.ivf_index_append(index, postings.limit(0), inc).collect()
+    )
+
+    rows = inc.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).collect()
+    recs = [(r.vec_id, list(r.embedding)) for r in rows]
+    src_vec = {r.vec_id: list(r.embedding) for r in rows}
+
+    for n_frames in (1, 3):
+        sz = (len(recs) + n_frames - 1) // n_frames
+        chunks = [recs[i * sz : (i + 1) * sz] for i in range(n_frames)]
+        # redelivery: the last frame re-ships the first 15 vectors
+        chunks[-1] = chunks[-1] + recs[:15]
+        frames = [
+            pd.DataFrame(c, columns=["vec_id", "embedding"])
+            for c in chunks
+        ]
+        stream = _hh_feed(
+            spark, frames, schema="vec_id long, embedding array<double>"
+        )
+        out = streaming_ivf_ingest(stream, index, n_super_probe=2)
+        got_rows = run_available_now(out, f"ivf_ingest_{n_frames}")
+        got = sorted((r.centroid_id, r.member_id) for r in got_rows)
+        # exactly once per vector despite redelivery, equal to batch
+        assert len(got_rows) == len(expected), n_frames
+        assert got == expected, n_frames
+        assert all(
+            list(r.mvec) == src_vec[r.member_id] for r in got_rows
+        ), n_frames
+    index.unpersist()

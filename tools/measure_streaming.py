@@ -80,6 +80,24 @@ def _verified_sq_gate(spark, raw, in_dir: str):
     )
 
 
+def _ivf_ingest_gate(spark, raw, in_dir: str):
+    """Streaming IVF index maintenance: quantizer built ONCE (batch,
+    frozen) from the staged table, then every arriving vector routed
+    into posting lists. State = one MapState long per distinct posted
+    member (the first-arrival commit ledger), linear in distinct
+    ingest BY DESIGN — the artifact itself rides the emitted rows."""
+    from flink_helloworld_spark.operators.similarity import build_ivf_index
+    from flink_helloworld_spark.streaming.tws import streaming_ivf_ingest
+
+    emb = spark.read.schema("vec_id long, embedding array<float>").parquet(
+        in_dir
+    )
+    index, _ = build_ivf_index(emb)
+    index = index.cache()
+    index.count()
+    return streaming_ivf_ingest(raw, index, n_super_probe=2)
+
+
 def run_gate(spark, name: str, in_dir: str, rows_per_trigger: int | None = None):
     """Run one gate over the staged files. When ``rows_per_trigger`` is
     given, the stateful partition count is AUTO-SIZED by the sqrt
@@ -97,7 +115,7 @@ def run_gate(spark, name: str, in_dir: str, rows_per_trigger: int | None = None)
 
     schema = (
         "vec_id long, embedding array<float>"
-        if name.startswith("embedding_dedup")
+        if name.startswith("embedding_dedup") or name == "ivf_ingest"
         else "doc_id long, text string, source string"
     )
     from flink_helloworld_spark.streaming import apply_stateful_partitions
@@ -125,6 +143,9 @@ def run_gate(spark, name: str, in_dir: str, rows_per_trigger: int | None = None)
         "embedding_dedup_verified_sq": lambda: _verified_sq_gate(
             spark, raw, in_dir
         ),
+        # streaming IVF index maintenance: frozen-quantizer routing +
+        # first-arrival posting commit (r9) — state is the member ledger
+        "ivf_ingest": lambda: _ivf_ingest_gate(spark, raw, in_dir),
         # sharded Misra-Gries over the source/domain column: bounded
         # counters per bucket regardless of volume
         "heavy_hitters": lambda: __import__(
@@ -193,7 +214,9 @@ def main() -> None:
             continue
         for g in gates:
             table = (
-                "embeddings" if g.startswith("embedding_dedup") else "documents"
+                "embeddings"
+                if g.startswith("embedding_dedup") or g == "ivf_ingest"
+                else "documents"
             )
             staged = tempfile.mkdtemp(prefix=f"ms-in-{vol}-{table}-")
             n = stage(src, staged, table)
