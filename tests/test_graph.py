@@ -90,6 +90,67 @@ class TestPagerank:
         GRAPH.pagerank(_edges(spark, pairs), iters=2).collect()
         assert spark.conf.get("spark.sql.adaptive.enabled") == prev
 
+    def test_tol_early_exit_on_stationary_graph(self, spark):
+        # a regular graph's uniform r0 IS the fixpoint: the very first
+        # delta is exactly 0.0 on the 9-dp ladder, so tol exits at
+        # round 1 instead of paying 10 rounds of driver-sync floor
+        # (VERDICT r8 item 3)
+        n = 8
+        pairs = [(f"n{i}", f"n{(i + 1) % n}") for i in range(n)]
+        stats = {}
+        out = GRAPH.pagerank(
+            _edges(spark, pairs), iters=10, tol=1e-9, stats=stats
+        ).collect()
+        assert stats["rounds"] == 1 and stats["final_delta"] == 0.0
+        assert stats["deltas"] == [0.0]
+        for row in out:
+            assert math.isclose(row["rank"], 1.0 / n, rel_tol=1e-9)
+
+    def test_tol_exit_values_equal_fixed_iters_at_same_round(self, spark):
+        # the early-exit path must not perturb the iterate: exiting at
+        # round k returns exactly the fixed-iters=k ladder values; the
+        # star graph contracts at ratio=damping so a loose tol exits
+        # strictly inside the ceiling at a deterministic round
+        pairs = [("hub", f"leaf{i}") for i in range(8)]
+        e = _edges(spark, pairs)
+        stats = {}
+        got = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(
+                e, iters=60, tol=5e-2, stats=stats
+            ).collect()
+        }
+        assert 1 < stats["rounds"] < 60
+        # geometric contraction: every recorded delta shrinks
+        d = stats["deltas"]
+        assert all(d[i + 1] < d[i] for i in range(len(d) - 1))
+        fixed = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(e, iters=stats["rounds"]).collect()
+        }
+        assert got == fixed
+
+    def test_tol_none_runs_fixed_rounds_byte_identical(self, spark):
+        # the default path is untouched by the tol feature: stats
+        # reports the full ceiling, no deltas are computed, and values
+        # match a pre-feature fixed-round run (same ladder)
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+        e = _edges(spark, pairs)
+        stats = {}
+        r_none = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(e, iters=7, stats=stats).collect()
+        }
+        assert stats["rounds"] == 7 and stats["final_delta"] is None
+        assert stats["deltas"] == []
+        # a tiny tol never triggers here within the ceiling but must
+        # still land on the identical decimal-lattice iterate
+        r_tol = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(e, iters=7, tol=1e-15).collect()
+        }
+        assert r_none == r_tol
+
     def test_interaction_graph_shape(self, spark, sf_dir):
         t = load_tables(spark, sf_dir)
         e = GRAPH.interaction_edges(t.orders, t.lineitem)
