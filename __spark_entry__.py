@@ -7632,11 +7632,8 @@ def oracle_sql() -> dict[str, str]:
           rho::DOUBLE / (CASE WHEN n_l < 16 THEN n_l::DOUBLE ELSE 16.0 END)
             AS jaccard_est,
           CASE WHEN n_l < 16 THEN rho::DOUBLE
-               ELSE (rho::DOUBLE
-                     / (CASE WHEN n_l < 16 THEN n_l::DOUBLE ELSE 16.0 END))
-                    * (CASE WHEN n_l < 16 THEN n_l::DOUBLE
-                       ELSE 15.0 / (kth_min::DOUBLE / 1152921504606846976.0)
-                       END)
+               ELSE (rho::DOUBLE / 16.0)
+                    * (15.0 / (kth_min::DOUBLE / 1152921504606846976.0))
           END AS intersect_est
         FROM agg
     """

@@ -74,6 +74,7 @@ def cosine_topk_broadcast_index(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_index_rows: int = 1_000_000,
 ) -> DataFrame:
     """Vectorized exact top-k: Arrow-batched ``mapInPandas`` computing
     query-block × index matrix products in NumPy (BLAS) — the fast path
@@ -90,10 +91,25 @@ def cosine_topk_broadcast_index(
     (BLAS vs sequential) — rankings agree except on ~1e-15 ties, so this
     variant is verified against the exact baseline in tests rather than
     the SQL oracle.
+
+    GUARD: this is the one function in the package that collects the
+    FULL table it is given — safe only at verification scales. Above
+    ``max_index_rows`` it raises instead of OOMing the driver (VERDICT
+    r8 item 7: the sharded kernel ``cosine_topk_exact_sharded`` is the
+    registry/production path; raise the cap explicitly only when the
+    fit-per-executor contract above genuinely holds).
     """
     import numpy as np
     import pandas as pd
 
+    n = emb.count()  # one scalar; cheap next to the collect it guards
+    if n > max_index_rows:
+        raise ValueError(
+            f"cosine_topk_broadcast_index collects the full index "
+            f"({n} rows > {max_index_rows}): this baseline is for "
+            "verification scales — use cosine_topk_exact_sharded (or "
+            "an IVF/LSH bucketed variant) for large corpora"
+        )
     index_rows = emb.select(id_col, vec_col).collect()  # index build step
     ids = np.array([r[0] for r in index_rows], dtype=np.int64)
     mat = np.array([r[1] for r in index_rows], dtype=np.float64)

@@ -2785,3 +2785,23 @@ def test_route_frozen_np_matches_batch_append_routing(spark):
     # an index error (the _assign_cells_blas truncation contract)
     all_probe = S.route_frozen_np(mat, quant, n_super_probe=10_000)
     assert (all_probe >= 0).all()
+
+
+def test_broadcast_index_guard_refuses_oversized_collect(spark):
+    """The one full-table collect in the package is now safe by
+    construction (VERDICT r8 item 7): above max_index_rows the
+    tests-only broadcast baseline raises with a pointer to the sharded
+    kernel instead of OOMing a driver on a 100 TB corpus."""
+    import pytest
+
+    emb = _ids_only_emb(spark, 32)
+    planted = S.planted_embeddings(emb).select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="cosine_topk_exact_sharded"):
+        S.cosine_topk_broadcast_index(planted, k=3, max_index_rows=10)
+    # at or under the cap the baseline still runs
+    assert (
+        S.cosine_topk_broadcast_index(
+            planted, k=3, max_index_rows=32
+        ).count()
+        > 0
+    )
