@@ -1962,6 +1962,20 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout_stats(keyed, "user_id", "ts_sec")
 
 
+def _q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hilbert-curve clustering of events over (user_id, time) — the
+    # locality-tighter sibling of zorder_layout (consecutive keys are
+    # always grid-adjacent; Z jumps at quadrant seams), same per-file
+    # min/max pruning-stats contract so the two layouts are comparable
+    from flink_helloworld_spark.operators.layout import hilbert_layout_stats
+
+    ev = load_tables(spark, sf_dir).events
+    keyed = ev.select(
+        "user_id", F.col("ts").cast("long").alias("ts_sec")
+    )
+    return hilbert_layout_stats(keyed, "user_id", "ts_sec")
+
+
 def _q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable HyperLogLog (md5 buckets, integer register sum) — the
     # mergeable COUNT(DISTINCT) sketch next to KMV
@@ -2887,6 +2901,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "window_topn": _q_window_topn,
         "zorder_layout": _q_zorder_layout,
+        "hilbert_layout": _q_hilbert_layout,
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
         "unigram_logppl": _q_unigram_logppl,
         "gopher_rules": _q_gopher_rules,
@@ -3274,6 +3289,54 @@ def _zorder_sql(bits: int = 16, file_bits: int = 8) -> str:
                min(x) AS min_x, max(x) AS max_x,
                min(y) AS min_y, max(y) AS max_y
         FROM z
+    GROUP BY 1
+    """
+
+
+def _hilbert_sql(bits: int = 12, file_bits: int = 8) -> str:
+    # mirrors layout.hilbert_layout_stats: the textbook xy2d walk with
+    # the n-1-x reflection (every intermediate stays non-negative —
+    # Spark and DuckDB disagree on % semantics below zero) and the
+    # XOR-free quadrant digit 3*rx + ry*(1-2*rx); one CTE per level =
+    # the same staged-projection shape the engine uses
+    n = 1 << bits
+    parts = [
+        f"""keyed AS (
+          SELECT user_id AS x,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS y,
+                 user_id % {n} AS hx,
+                 CAST(floor(epoch(ts)) AS BIGINT) % {n} AS hy,
+                 CAST(0 AS BIGINT) AS hd
+          FROM events)"""
+    ]
+    prev = "keyed"
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        name = f"st{level}"
+        parts.append(
+            f"""{name} AS (
+          SELECT x, y,
+            CASE WHEN {ry} = 0 THEN
+              CASE WHEN {rx} = 1 THEN {n - 1} - hy ELSE hy END
+            ELSE hx END AS hx,
+            CASE WHEN {ry} = 0 THEN
+              CASE WHEN {rx} = 1 THEN {n - 1} - hx ELSE hx END
+            ELSE hy END AS hy,
+            hd + CAST({s} AS BIGINT) * {s}
+               * (3 * {rx} + {ry} * (1 - 2 * {rx})) AS hd
+          FROM {prev})"""
+        )
+        prev = name
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT CAST(hd >> {2 * bits - file_bits} AS INT) AS file_id,
+               count(*) AS n_rows,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+        FROM {prev}
     GROUP BY 1
     """
 
@@ -7175,6 +7238,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_sql(),
         "hll_distinct_sketch": _hll_sql(),
         "zorder_layout": _zorder_sql(),
+        "hilbert_layout": _hilbert_sql(),
         "term_postings": f"""
             WITH w AS (
               SELECT DISTINCT doc_id, unnest({_WS}) AS term FROM documents),

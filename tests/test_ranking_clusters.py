@@ -746,3 +746,95 @@ class TestRrfFuse:
         for prev, cur in zip(rows, rows[1:]):
             assert cur.rank == prev.rank + 1
             assert cur.quality_score <= prev.quality_score
+
+
+def _hilbert_xy2d_ref(bits, x, y):
+    # reference implementation (the n-1-x textbook walk the engine
+    # unrolls) for cross-checking the staged-projection form
+    n = 1 << bits
+    d, s = 0, n // 2
+    x, y = x % n, y % n
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_files_bound_both_dimensions_tighter_than_z(spark):
+    from flink_helloworld_spark.operators.layout import (
+        hilbert_layout_stats,
+        zorder_layout_stats,
+    )
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x bigint, y bigint"
+    )
+    stats = hilbert_layout_stats(grid, "x", "y", bits=5, file_bits=4).collect()
+    assert len(stats) == 16
+    span = 0
+    for r in stats:
+        assert r.n_rows == 64
+        # Hilbert files cover 8x8 blocks too — never WORSE than Z
+        assert r.max_x - r.min_x <= 7 and r.max_y - r.min_y <= 7
+        span += (r.max_x - r.min_x + 1) * (r.max_y - r.min_y + 1)
+    zspan = sum(
+        (r.max_x - r.min_x + 1) * (r.max_y - r.min_y + 1)
+        for r in zorder_layout_stats(
+            grid, "x", "y", bits=5, file_bits=4
+        ).collect()
+    )
+    # total covered area (pruning tightness) at least as good as Z
+    assert span <= zspan
+
+
+def test_hilbert_key_matches_reference_walk(spark):
+    # the staged-projection unrolling IS the textbook walk: pin the
+    # full 16x16 grid (bijection over 0..255 by construction of the
+    # reference) plus wrap-around inputs against the Python reference
+    from flink_helloworld_spark.operators.layout import hilbert_layout_stats
+
+    bits = 4
+    pts = [(x, y) for x in range(16) for y in range(16)] + [
+        (16 + 3, 32 + 5),  # masked inputs wrap like the reference
+        (54321, 99991),
+    ]
+    grid = spark.createDataFrame(pts, "x bigint, y bigint")
+    # file_bits = 2*bits => file_id IS the full hilbert key
+    stats = hilbert_layout_stats(
+        grid, "x", "y", bits=bits, file_bits=2 * bits
+    ).collect()
+    # exact check: one key per (x,y) cell via the singleton files
+    singles = {
+        (r.min_x, r.min_y): r.file_id
+        for r in stats
+        if r.n_rows == 1 and r.min_x == r.max_x and r.min_y == r.max_y
+    }
+    for (x, y), fid in singles.items():
+        assert fid == _hilbert_xy2d_ref(bits, x, y), (x, y)
+    # all 256 in-range cells are singleton files (bijection)
+    assert sum(1 for (x, y) in singles if x < 16 and y < 16) >= 254
+
+
+def test_hilbert_unit_step_adjacency(spark):
+    # the defining Hilbert property (what Z-order lacks): consecutive
+    # keys are always grid-adjacent — sort the full grid by key and
+    # every step moves exactly 1 in exactly one dimension
+    from flink_helloworld_spark.operators.layout import hilbert_layout_stats
+
+    bits = 4
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x bigint, y bigint"
+    )
+    stats = hilbert_layout_stats(
+        grid, "x", "y", bits=bits, file_bits=2 * bits
+    ).collect()
+    path = sorted((r.file_id, r.min_x, r.min_y) for r in stats)
+    assert [k for k, _, _ in path] == list(range(256))
+    for (_, x0, y0), (_, x1, y1) in zip(path, path[1:]):
+        assert abs(x1 - x0) + abs(y1 - y0) == 1
