@@ -850,6 +850,17 @@ def _q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EWMA rate-spike monitor: per event_type hourly counts vs the
+    # dyadic-kernel baseline — flags >=4x jumps over a warm 16-tap
+    # window (crawler loops / upstream replays before they skew the
+    # pipeline); every number exact (dyadic weights), no rounding
+    from flink_helloworld_spark.operators.rollups import rate_anomaly
+
+    ev = load_tables(spark, sf_dir).events
+    return rate_anomaly(ev, key="event_type", time_col="ts")
+
+
 def _q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TimescaleDB time_bucket_gapfill + locf: dense daily timeline per
     # user with carried-forward sums over the gaps
@@ -2902,6 +2913,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn": _q_window_topn,
         "zorder_layout": _q_zorder_layout,
         "hilbert_layout": _q_hilbert_layout,
+        "rate_anomaly": _q_rate_anomaly,
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
         "unigram_logppl": _q_unigram_logppl,
         "gopher_rules": _q_gopher_rules,
@@ -3290,6 +3302,54 @@ def _zorder_sql(bits: int = 16, file_bits: int = 8) -> str:
                min(y) AS min_y, max(y) AS max_y
         FROM z
     GROUP BY 1
+    """
+
+
+def _rate_anomaly_sql(
+    bucket_ms: int = 3_600_000,
+    taps: int = 16,
+    threshold: float = 4.0,
+    min_count: int = 8,
+) -> str:
+    # mirrors rollups.rate_anomaly: dense per-key hourly timeline, the
+    # dyadic EWMA kernel as explicit exact-decimal weight literals
+    # (2^-i is a finite decimal, parsed to the identical double), raw
+    # IEEE division for score — no rounding anywhere, everything exact
+    ew = " + ".join(
+        f"coalesce(lag(cnt, {i}) OVER w, 0)::DOUBLE * {2.0 ** -i!r}"
+        for i in range(1, taps + 1)
+    )
+    return f"""
+        WITH agg AS (
+          SELECT event_type,
+                 epoch_ms(ts) - epoch_ms(ts) % {bucket_ms} AS bucket,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        spans AS (
+          SELECT event_type, min(bucket) AS b_min, max(bucket) AS b_max
+          FROM agg GROUP BY event_type),
+        dense AS (
+          SELECT event_type,
+                 unnest(generate_series(b_min, b_max, {bucket_ms})) AS bucket
+          FROM spans),
+        t AS (
+          SELECT d.event_type, d.bucket, coalesce(a.cnt, 0) AS cnt
+          FROM dense d LEFT JOIN agg a
+            ON d.event_type = a.event_type AND d.bucket = a.bucket),
+        s AS (
+          SELECT event_type, bucket, cnt,
+                 {ew} AS ewma_prev,
+                 row_number() OVER w AS _rn
+          FROM t
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+        SELECT event_type, bucket, cnt, ewma_prev,
+               CASE WHEN ewma_prev > 0 THEN cnt::DOUBLE / ewma_prev
+               END AS score,
+               (_rn > {taps} AND cnt >= {min_count}
+                AND (ewma_prev = 0.0
+                     OR cnt::DOUBLE >= {threshold!r} * ewma_prev))
+                 AS is_anomaly
+        FROM s
     """
 
 
@@ -7239,6 +7299,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_sketch": _hll_sql(),
         "zorder_layout": _zorder_sql(),
         "hilbert_layout": _hilbert_sql(),
+        "rate_anomaly": _rate_anomaly_sql(),
         "term_postings": f"""
             WITH w AS (
               SELECT DISTINCT doc_id, unnest({_WS}) AS term FROM documents),

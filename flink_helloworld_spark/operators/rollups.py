@@ -622,3 +622,94 @@ def kmv_set_ops(
         jaccard.alias("jaccard_est"),
         inter_est.alias("intersect_est"),
     )
+
+
+def rate_anomaly(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    bucket_ms: int = 3_600_000,
+    taps: int = 16,
+    threshold: float = 4.0,
+    min_count: int = 8,
+) -> DataFrame:
+    """EWMA rate-spike detector over per-key event-rate timelines — the
+    ingest-ops monitor that flags a key whose CURRENT bucket count
+    jumps ≥ ``threshold``× its exponentially-weighted recent baseline
+    (crawler loops, log storms, upstream replays: the rate anomalies a
+    100 TB pipeline wants caught before they skew mixtures/dedup).
+
+    Baseline: the dyadic EWMA kernel — weight of lag i is 2^-i,
+    truncated at ``taps`` (so weights are EXACT doubles and every
+    term count·2^-i and their sum are exact dyadic rationals:
+    bit-identical across engines with no rounding ladder; pow-free,
+    summation-order-free). Gaps count as zero activity — the dense
+    per-key timeline is generated post-aggregation exactly like
+    ``time_bucket_gapfill`` (row count bounded by keys × span/bucket,
+    never by input size). The first ``taps`` buckets of a key are
+    kernel warmup (missing lags read as 0, inflating the ratio), so
+    ``is_anomaly`` is gated on a full kernel; ``min_count`` suppresses
+    tiny-count flag noise and makes a burst onto a silent baseline
+    (ewma=0) flaggable without a division.
+
+    Output: (key, bucket, cnt, ewma_prev, score = cnt/ewma_prev — raw
+    IEEE division, deterministic, NULL on zero baseline — is_anomaly).
+
+    Scale shape: one count aggregate keyed (key, bucket), one span agg,
+    the bounded dense explode, ONE window pass computing all ``taps``
+    lags + row_number under the same (key, bucket) spec. Nothing
+    Python, nothing quadratic; threshold math is exact (dyadic ×
+    integer), so the flag can't flap across engines or partitionings.
+    """
+    tsm = epoch_millis(time_col)
+    bucket = (tsm - F.pmod(tsm, F.lit(bucket_ms))).alias("bucket")
+    agg = df.groupBy(F.col(key), bucket).agg(F.count(F.lit(1)).alias("cnt"))
+    spans = agg.groupBy(key).agg(
+        F.min("bucket").alias("b_min"), F.max("bucket").alias("b_max")
+    )
+    dense = spans.select(
+        key,
+        F.explode(
+            F.sequence("b_min", "b_max", F.lit(bucket_ms).cast("long"))
+        ).alias("bucket"),
+    )
+    t = dense.join(agg, [key, "bucket"], "left").select(
+        key, "bucket", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy(key).orderBy("bucket")
+    ew: Column | None = None
+    for i in range(1, taps + 1):
+        term = F.coalesce(F.lag("cnt", i).over(w), F.lit(0)).cast(
+            "double"
+        ) * F.lit(2.0**-i)
+        ew = term if ew is None else ew + term
+    scored = t.select(
+        key,
+        "bucket",
+        "cnt",
+        ew.alias("ewma_prev"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    score = F.when(
+        F.col("ewma_prev") > 0, F.col("cnt") / F.col("ewma_prev")
+    )
+    warm = F.col("_rn") > taps
+    anom = (
+        warm
+        & (F.col("cnt") >= F.lit(int(min_count)))
+        & (
+            (F.col("ewma_prev") == 0.0)
+            | (
+                F.col("cnt").cast("double")
+                >= F.lit(float(threshold)) * F.col("ewma_prev")
+            )
+        )
+    )
+    return scored.select(
+        key,
+        "bucket",
+        "cnt",
+        "ewma_prev",
+        score.alias("score"),
+        anom.alias("is_anomaly"),
+    )

@@ -277,3 +277,54 @@ def test_bloom_filter_no_false_negatives(spark):
     )
     fp = sum(r.might_contain for r in bloom_might_contain(filters, absent, "g", "v").collect())
     assert fp / 200 < 0.15  # 1008 bits, n=100, k=3 -> ~2% expected
+
+
+def test_rate_anomaly_flags_spike_gates_warmup_and_gaps(spark):
+    """EWMA rate-spike detector: a planted 8x burst over a steady
+    baseline flags; the kernel-warmup window never flags (even a huge
+    early jump); gap buckets count as ZERO activity (decaying the
+    baseline instead of freezing it); and a burst onto an all-silent
+    baseline (ewma=0) flags without a division. All numbers exact
+    dyadics — ewma_prev is pinned to closed-form values."""
+    from flink_helloworld_spark.operators.rollups import rate_anomaly
+
+    rows = []
+    # key A: 4 events/bucket for buckets 0..19, then an 32-event burst
+    # at bucket 20, then quiet 1-event buckets
+    for b in range(20):
+        rows += [("A", b * 1000 + j) for j in range(4)]
+    rows += [("A", 20_000 + j) for j in range(32)]
+    rows += [("A", 21_500)]
+    # key B: single early burst inside warmup — must NOT flag
+    rows += [("B", 0), ("B", 1)] + [("B", 3_000 + j) for j in range(40)]
+    # key C: silent 17 buckets (one marker event at each end), then a
+    # burst onto the zero baseline — flags via the ewma=0 arm
+    rows += [("C", 0)] + [("C", 18_000 + j) for j in range(12)]
+    df = spark.createDataFrame(
+        rows, "k string, ms long"
+    ).withColumn("ts", F.timestamp_millis(F.col("ms")))
+    out = {
+        (r.k, r.bucket): r
+        for r in rate_anomaly(
+            df, "k", "ts", bucket_ms=1000, taps=16, threshold=4.0,
+            min_count=8,
+        ).collect()
+    }
+    # the planted burst flags: baseline is a steady 4/bucket, so
+    # ewma_prev = 4 * (1 - 2^-16), and 32 >= 4*threshold
+    a20 = out[("A", 20_000)]
+    assert a20.cnt == 32 and a20.is_anomaly
+    assert a20.ewma_prev == 4.0 * (1.0 - 2.0**-16)
+    # steady buckets never flag; the quiet bucket after the burst
+    # doesn't either (spike INFLATES the baseline)
+    assert not out[("A", 19_000)].is_anomaly
+    assert not out[("A", 21_000)].is_anomaly
+    # warmup gate: B's bucket-3 burst is inside the 16-tap warmup
+    b3 = out[("B", 3_000)]
+    assert b3.cnt == 40 and not b3.is_anomaly
+    # zero-baseline burst: C flags through the ewma=0 arm, score NULL
+    c18 = out[("C", 18_000)]
+    assert c18.cnt == 12 and c18.is_anomaly
+    assert c18.ewma_prev == 0.0 and c18.score is None
+    # gaps exist as rows with cnt=0 (dense timeline)
+    assert out[("C", 9_000)].cnt == 0
