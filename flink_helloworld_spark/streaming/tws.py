@@ -1930,3 +1930,155 @@ def streaming_ivf_ingest(
         outputMode="append",
         timeMode="none" if state_ttl_ms is None else "processingTime",
     )
+
+
+RATE_ANOMALY_OUTPUT = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("bucket", LongType()),
+        StructField("cnt", LongType()),
+        StructField("ewma_prev", DoubleType()),
+        StructField("score", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+
+_RATE_CUR_STATE = StructType(
+    [
+        StructField("bucket", LongType()),
+        StructField("cnt", LongType()),
+        StructField("rn", LongType()),
+    ]
+)
+_RATE_RING_ROW = StructType([StructField("c", LongType())])
+
+
+class RateAnomalyProcessor(StatefulProcessor):
+    """Per-key LIVE twin of ``rollups.rate_anomaly``: a bucket's verdict
+    is emitted the moment a LATER bucket's first event closes it (the
+    monitor fires while the storm is still running, not at batch time).
+    Gap buckets between the closed bucket and the next arrival emit
+    zero-count verdicts, so the dense-timeline semantics — and the
+    dyadic EWMA values, computed with the identical 2^-i exact-double
+    kernel — match the batch operator row-for-row.
+
+    State per key: the open (bucket, cnt, rn) triple plus a ring of the
+    last ``taps`` CLOSED bucket counts — O(taps) longs forever,
+    volume-independent. Parity precondition: per-key non-decreasing
+    bucket arrival (the in-order contract every batch/streaming twin
+    here replays); an event for an already-closed bucket is dropped
+    (the sideOutput-late channel of the window family is the place to
+    route them when they matter). The key's final open bucket is never
+    emitted (nothing closes it) — the batch twin's last row per key.
+    """
+
+    def __init__(
+        self,
+        taps: int,
+        threshold: float,
+        min_count: int,
+        bucket_ms: int,
+    ) -> None:
+        self._taps = int(taps)
+        self._threshold = float(threshold)
+        self._min_count = int(min_count)
+        self._bucket_ms = int(bucket_ms)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._cur = handle.getValueState("cur", _RATE_CUR_STATE)
+        self._ring = handle.getListState("ring", _RATE_RING_ROW)
+
+    def _verdict(self, key, bucket, cnt, rn, ring):
+        ew = 0.0
+        for i, c in enumerate(ring[: self._taps], start=1):
+            ew += float(c) * (2.0 ** -i)
+        score = (float(cnt) / ew) if ew > 0 else None
+        anom = bool(
+            rn > self._taps
+            and cnt >= self._min_count
+            and (ew == 0.0 or float(cnt) >= self._threshold * ew)
+        )
+        return {
+            "k": key,
+            "bucket": bucket,
+            "cnt": cnt,
+            "ewma_prev": ew,
+            "score": score,
+            "is_anomaly": anom,
+        }
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch = _concat_chunks(rows)
+        if batch is None or not len(batch):
+            return
+        if self._cur.exists():
+            cur_b, cur_c, rn = self._cur.get()
+        else:
+            cur_b, cur_c, rn = None, 0, 0
+        ring = [int(r[0]) for r in self._ring.get()]  # most-recent-first
+        out = []
+        counts = batch.groupby("bucket").size().sort_index()
+        for bucket, n in counts.items():
+            bucket, n = int(bucket), int(n)
+            if cur_b is None:
+                cur_b, cur_c = bucket, n
+                continue
+            if bucket == cur_b:
+                cur_c += n
+                continue
+            if bucket < cur_b:  # late into a closed bucket: dropped
+                continue
+            # close cur, then emit the zero-count gap buckets
+            b = cur_b
+            while b < bucket:
+                cnt_b = cur_c if b == cur_b else 0
+                rn += 1
+                out.append(self._verdict(key[0], b, cnt_b, rn, ring))
+                ring = [cnt_b] + ring[: self._taps - 1]
+                b += self._bucket_ms
+            cur_b, cur_c = bucket, n
+        self._cur.update((cur_b, cur_c, rn))
+        self._ring.clear()
+        if ring:
+            self._ring.appendList([(c,) for c in ring])
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RATE_ANOMALY_OUTPUT.fields]
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_rate_anomaly(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str,
+    bucket_ms: int = 3_600_000,
+    taps: int = 16,
+    threshold: float = 4.0,
+    min_count: int = 8,
+) -> DataFrame:
+    """Streaming EWMA rate-spike monitor — the live twin of
+    ``rollups.rate_anomaly`` (see ``RateAnomalyProcessor``): per-key
+    bucket verdicts emitted as soon as the bucket closes, exact-dyadic
+    EWMA parity with the batch operator row-for-row under in-order
+    arrival (test-pinned across micro-batch splits). O(taps) state per
+    key forever."""
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.functions import epoch_millis
+
+    tsm = epoch_millis(time_col)
+    src = stream.select(
+        F.col(key_col).cast("string").alias("k"),
+        (tsm - F.pmod(tsm, F.lit(bucket_ms))).cast("long").alias("bucket"),
+    )
+    return src.groupBy("k").transformWithStateInPandas(
+        RateAnomalyProcessor(taps, threshold, min_count, bucket_ms),
+        outputStructType=RATE_ANOMALY_OUTPUT,
+        outputMode="append",
+        timeMode="none",
+    )

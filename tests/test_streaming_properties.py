@@ -1832,3 +1832,69 @@ def test_streaming_ivf_ingest_matches_batch_append_any_split(spark):
             list(r.mvec) == src_vec[r.member_id] for r in got_rows
         ), n_frames
     index.unpersist()
+
+
+def test_streaming_rate_anomaly_matches_batch_any_split(spark):
+    """The live rate monitor equals batch rollups.rate_anomaly
+    row-for-row (every closed bucket: same cnt, same exact-dyadic
+    ewma_prev, same score and flag — including zero-count gap buckets)
+    under in-order arrival, for ANY micro-batch split; only each key's
+    final open bucket is unemitted (nothing closes it)."""
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.rollups import rate_anomaly
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import streaming_rate_anomaly
+
+    rows = []
+    for b in range(20):  # steady 4/bucket, then a burst, then quiet
+        rows += [("A", b * 1000 + j) for j in range(4)]
+    rows += [("A", 20_000 + j) for j in range(32)] + [("A", 21_500)]
+    rows += [("C", 0)] + [("C", 18_000 + j) for j in range(12)]
+    rows += [("C", 19_001)]  # closes C's burst bucket
+    kw = dict(bucket_ms=1000, taps=16, threshold=4.0, min_count=8)
+
+    batch_df = spark.createDataFrame(rows, "k string, ms long").withColumn(
+        "ts", F.timestamp_millis(F.col("ms"))
+    )
+    expected = {}
+    last_bucket = {}
+    for r in rate_anomaly(batch_df, "k", "ts", **kw).collect():
+        expected[(r.k, r.bucket)] = r
+        last_bucket[r.k] = max(last_bucket.get(r.k, -1), r.bucket)
+    for k, b in last_bucket.items():  # streaming never closes the tail
+        del expected[(k, b)]
+    assert any(v.is_anomaly for v in expected.values())
+
+    for n_frames in (1, 4):
+        sz = (len(rows) + n_frames - 1) // n_frames
+        frames = [
+            pd.DataFrame(
+                rows[i * sz : (i + 1) * sz], columns=["k", "ms"]
+            )
+            for i in range(n_frames)
+        ]
+        stream = _hh_feed(spark, frames, schema="k string, ms long").select(
+            "k", F.timestamp_millis(F.col("ms")).alias("ts")
+        )
+        out = streaming_rate_anomaly(stream, "k", "ts", **kw)
+        got = {
+            (r.k, r.bucket): r
+            for r in run_available_now(out, f"rate_anom_{n_frames}")
+        }
+        assert set(got) == set(expected), n_frames
+        for key, exp in expected.items():
+            g = got[key]
+            assert (g.cnt, g.ewma_prev, g.score, g.is_anomaly) == (
+                exp.cnt,
+                exp.ewma_prev,
+                exp.score,
+                exp.is_anomaly,
+            ), (key, n_frames)

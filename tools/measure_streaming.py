@@ -44,6 +44,7 @@ def stage(src_dir: str, dst: str, table: str = "documents") -> int:
     cols = {
         "documents": ["doc_id", "text", "source"],
         "embeddings": ["vec_id", "embedding"],
+        "events": ["event_type", "ts"],
     }[table]
     t = pq.read_table(f"{src_dir}/{table}.parquet").select(cols)
     os.makedirs(dst, exist_ok=True)
@@ -113,11 +114,12 @@ def run_gate(spark, name: str, in_dir: str, rows_per_trigger: int | None = None)
         streaming_near_dedup_front,
     )
 
-    schema = (
-        "vec_id long, embedding array<float>"
-        if name.startswith("embedding_dedup") or name == "ivf_ingest"
-        else "doc_id long, text string, source string"
-    )
+    if name.startswith("embedding_dedup") or name == "ivf_ingest":
+        schema = "vec_id long, embedding array<float>"
+    elif name == "rate_anomaly":
+        schema = "event_type string, ts timestamp_ntz"
+    else:
+        schema = "doc_id long, text string, source string"
     from flink_helloworld_spark.streaming import apply_stateful_partitions
 
     auto_n = apply_stateful_partitions(spark, rows_per_trigger, cap=32)
@@ -146,6 +148,10 @@ def run_gate(spark, name: str, in_dir: str, rows_per_trigger: int | None = None)
         # streaming IVF index maintenance: frozen-quantizer routing +
         # first-arrival posting commit (r9) — state is the member ledger
         "ivf_ingest": lambda: _ivf_ingest_gate(spark, raw, in_dir),
+        # live EWMA spike monitor: O(taps) longs per key forever
+        "rate_anomaly": lambda: __import__(
+            "flink_helloworld_spark.streaming.tws", fromlist=["x"]
+        ).streaming_rate_anomaly(raw, "event_type", "ts"),
         # sharded Misra-Gries over the source/domain column: bounded
         # counters per bucket regardless of volume
         "heavy_hitters": lambda: __import__(
@@ -213,11 +219,12 @@ def main() -> None:
             print(f"[skip] {src} missing (build with tools/build_replica.py)")
             continue
         for g in gates:
-            table = (
-                "embeddings"
-                if g.startswith("embedding_dedup") or g == "ivf_ingest"
-                else "documents"
-            )
+            if g.startswith("embedding_dedup") or g == "ivf_ingest":
+                table = "embeddings"
+            elif g == "rate_anomaly":
+                table = "events"
+            else:
+                table = "documents"
             staged = tempfile.mkdtemp(prefix=f"ms-in-{vol}-{table}-")
             n = stage(src, staged, table)
             rpt = (n + 3) // 4 if auto else None  # 8 files, 2/trigger
