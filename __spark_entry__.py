@@ -850,6 +850,27 @@ def _q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPETITION_BUDGET = 120_000
+
+
+def _q_epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data-constrained mixture planning (Muennighoff et al. 2023):
+    # when a source's target exceeds its unique tokens the trainer
+    # REPEATS it, and repeated tokens decay in value — per source the
+    # epochs, decay-adjusted effective tokens, and utilization that
+    # decide re-weight-vs-get-more-data. Budget sized so heavy sources
+    # repeat (epochs > 1) while light ones stay fresh at sf0.01.
+    from flink_helloworld_spark.operators.sampling import (
+        epoch_repetition_plan,
+    )
+
+    return epoch_repetition_plan(
+        load_tables(spark, sf_dir).documents,
+        _MIXTURE_WEIGHTS,
+        _REPETITION_BUDGET,
+    )
+
+
 def _q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EWMA rate-spike monitor: per event_type hourly counts vs the
     # dyadic-kernel baseline — flags >=4x jumps over a warm 16-tap
@@ -2914,6 +2935,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "hilbert_layout": _q_hilbert_layout,
         "rate_anomaly": _q_rate_anomaly,
+        "epoch_repetition_plan": _q_epoch_repetition_plan,
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
         "unigram_logppl": _q_unigram_logppl,
         "gopher_rules": _q_gopher_rules,
@@ -3302,6 +3324,59 @@ def _zorder_sql(bits: int = 16, file_bits: int = 8) -> str:
                min(y) AS min_y, max(y) AS max_y
         FROM z
     GROUP BY 1
+    """
+
+
+def _epoch_repetition_sql(
+    budget: int, r_star: float = 15.39
+) -> str:
+    # mirrors sampling.epoch_repetition_plan: one token-count agg per
+    # source, then the Muennighoff decay U·(1 + R*·(1−exp(−R/R*))) on
+    # the engine's 9-dp floor-form ladder (exp is the one
+    # transcendental; same JVM-vs-libm through-the-round contract as
+    # the ln()-based ops)
+    w_case = " ".join(
+        f"WHEN source = '{s}' THEN {w}"
+        for s, w in _MIXTURE_WEIGHTS.items()
+    )
+
+    def r9(x: str) -> str:
+        return f"(sign({x}) * floor(abs({x}) * 1e9 + 0.5) / 1e9)"
+
+    target = r9(f"(CASE {w_case} ELSE 0.0 END)::DOUBLE * {float(budget)!r}")
+    epochs = r9("target_tokens / unique_tokens::DOUBLE")
+    inner = r9(
+        f"exp(-greatest(epochs - 1.0, 0.0) / {float(r_star)!r})"
+    )
+    decayed = r9(
+        f"unique_tokens::DOUBLE * (1.0 + {float(r_star)!r} * (1.0 - {inner}))"
+    )
+    util = r9("effective_tokens / target_tokens")
+    return f"""
+        WITH t AS (
+          SELECT source,
+            CAST(sum(len(list_filter(string_split(text, ' '),
+                                     w -> w <> ''))) AS BIGINT)
+              AS unique_tokens
+          FROM documents GROUP BY source),
+        p AS (
+          SELECT source, unique_tokens,
+                 (CASE {w_case} ELSE 0.0 END)::DOUBLE AS weight,
+                 {target} AS target_tokens
+          FROM t),
+        e AS (
+          SELECT source, unique_tokens, weight, target_tokens,
+                 CASE WHEN unique_tokens > 0 THEN {epochs} END AS epochs
+          FROM p),
+        f AS (
+          SELECT source, unique_tokens, weight, target_tokens, epochs,
+                 CASE WHEN epochs <= 1.0 THEN target_tokens
+                      ELSE {decayed} END AS effective_tokens
+          FROM e)
+        SELECT source, unique_tokens, weight, target_tokens, epochs,
+               effective_tokens,
+               CASE WHEN target_tokens > 0 THEN {util} END AS utilization
+        FROM f
     """
 
 
@@ -7300,6 +7375,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _zorder_sql(),
         "hilbert_layout": _hilbert_sql(),
         "rate_anomaly": _rate_anomaly_sql(),
+        "epoch_repetition_plan": _epoch_repetition_sql(_REPETITION_BUDGET),
         "term_postings": f"""
             WITH w AS (
               SELECT DISTINCT doc_id, unnest({_WS}) AS term FROM documents),

@@ -362,3 +362,91 @@ def weighted_reservoir_sample(
         .where(F.col("res_rank") <= k)
         .select(id_col, strata_col, weight_col, "res_key", "res_rank")
     )
+
+
+def epoch_repetition_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    r_star: float = 15.39,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-CONSTRAINED mixture planning — the repeat-the-data
+    counterpart of ``mixture_plan`` (which only samples DOWN): when a
+    source's target allocation exceeds its unique tokens, the trainer
+    repeats it for multiple epochs, and repeated tokens are worth less
+    than fresh ones. Muennighoff et al. 2023 ("Scaling Data-Constrained
+    Language Models") fit that decay: with U unique tokens repeated R
+    times, the EFFECTIVE data is
+
+        D' = U + U · R*· (1 − exp(−R / R*)),   R* ≈ 15.39
+
+    (fresh-token-equivalent value; ~full value through the first few
+    epochs, asymptoting at U·(1+R*)). Per source this reports: unique
+    tokens, the weighted target, epochs = target/unique, effective
+    tokens under the decay, and utilization = effective/target — the
+    numbers that decide whether to re-weight the mixture or go get
+    more data BEFORE burning the compute.
+
+    Under-allocated sources (epochs ≤ 1) use only fresh tokens:
+    effective = target, utilization 1. The one transcendental
+    (exp) rides the engine's 9-dp floor-form ladder — the same
+    JVM-vs-libm agreement contract the ln()-based ops pin.
+
+    Scale shape: identical to ``mixture_plan`` — ONE map-side
+    combinable token-count aggregate to a row per source; the decay
+    arithmetic runs on that handful of rows.
+    """
+    from flink_helloworld_spark.operators.clustering import _r9
+    from flink_helloworld_spark.operators.text import _words
+
+    w = F.lit(0.0)
+    for value, wt in weights.items():
+        w = F.when(F.col(strata_col) == value, F.lit(float(wt))).otherwise(w)
+    per_source = (
+        docs.select(
+            F.col(strata_col),
+            F.size(_words(F.col(text_col))).cast("long").alias("_tok"),
+        )
+        .groupBy(strata_col)
+        .agg(F.sum("_tok").alias("unique_tokens"))
+        .select(
+            strata_col,
+            "unique_tokens",
+            w.alias("weight"),
+            _r9(w * F.lit(float(budget_tokens))).alias("target_tokens"),
+        )
+    )
+    u = F.col("unique_tokens").cast("double")
+    epochs = _r9(
+        F.when(F.col("unique_tokens") > 0, F.col("target_tokens") / u)
+    )
+    reps = F.greatest(F.col("epochs") - F.lit(1.0), F.lit(0.0))
+    decayed = _r9(
+        u
+        * (
+            F.lit(1.0)
+            + F.lit(float(r_star))
+            * (
+                F.lit(1.0)
+                - _r9(F.exp(-reps / F.lit(float(r_star))))
+            )
+        )
+    )
+    eff = F.when(F.col("epochs") <= 1.0, F.col("target_tokens")).otherwise(
+        decayed
+    )
+    return (
+        per_source.withColumn("epochs", epochs)
+        .withColumn("effective_tokens", eff)
+        .withColumn(
+            "utilization",
+            _r9(
+                F.when(
+                    F.col("target_tokens") > 0,
+                    F.col("effective_tokens") / F.col("target_tokens"),
+                )
+            ),
+        )
+    )

@@ -2805,3 +2805,54 @@ def test_broadcast_index_guard_refuses_oversized_collect(spark):
         ).count()
         > 0
     )
+
+
+def test_epoch_repetition_plan_decay_and_fresh_branches(spark):
+    """Data-constrained planning (Muennighoff decay): an over-allocated
+    source reports the closed-form effective tokens under repetition
+    (pinned to U·(1+R*·(1−exp(−R/R*))) on the 9-dp ladder, utilization
+    < 1 and falling with epochs), an under-allocated source uses only
+    fresh tokens (effective = target, utilization = 1), and a
+    weight-0 source plans zero."""
+    import math
+
+    from flink_helloworld_spark.operators.sampling import (
+        epoch_repetition_plan,
+    )
+
+    rows = []
+    for i in range(10):  # srcA: 40 unique tokens, target 400 -> 10 ep
+        rows.append((i, "a b c d", "en", "srcA", 7))
+    for i in range(10, 14):  # srcB: 200 tokens, target 100 -> fresh
+        rows.append((i, " ".join(["t"] * 50), "en", "srcB", 3))
+    rows.append((20, "p q r", "en", "srcC", 5))  # unweighted
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r.source: r
+        for r in epoch_repetition_plan(
+            docs, {"srcA": 0.8, "srcB": 0.2}, budget_tokens=500
+        ).collect()
+    }
+    a, b, c = out["srcA"], out["srcB"], out["srcC"]
+    # over-allocated: 400/40 = 10 epochs; closed form on the ladder
+    assert a.unique_tokens == 40 and a.epochs == 10.0
+    r_star = 15.39
+
+    def r9(x):
+        return math.copysign(
+            math.floor(abs(x) * 1e9 + 0.5) / 1e9, x
+        )
+
+    inner = r9(math.exp(-9.0 / r_star))
+    assert a.effective_tokens == r9(40.0 * (1.0 + r_star * (1.0 - inner)))
+    assert a.utilization < 1.0
+    # under-allocated: only fresh tokens, full value
+    assert b.unique_tokens == 200 and b.epochs == 0.5
+    assert b.effective_tokens == b.target_tokens == 100.0
+    assert b.utilization == 1.0
+    # unweighted: zero plan, utilization undefined
+    assert c.target_tokens == 0.0 and c.effective_tokens == 0.0
+    assert c.utilization is None
