@@ -850,6 +850,26 @@ def _q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES match_phrase, batch side: consecutive-token match count +
+    # first position per doc — shuffle-free slice-compare scan
+    from flink_helloworld_spark.operators.ranking import phrase_search
+
+    return phrase_search(
+        load_tables(spark, sf_dir).documents, phrase=("the", "data")
+    )
+
+
+def _q_fuzzy_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES fuzziness:1 match, batch side: tokens within edit distance 1
+    # of the term, hit counts + distinct variants — linear scan
+    from flink_helloworld_spark.operators.ranking import fuzzy_term_search
+
+    return fuzzy_term_search(
+        load_tables(spark, sf_dir).documents, term="data", max_edits=1
+    )
+
+
 _REPETITION_BUDGET = 120_000
 
 
@@ -2936,6 +2956,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_layout": _q_hilbert_layout,
         "rate_anomaly": _q_rate_anomaly,
         "epoch_repetition_plan": _q_epoch_repetition_plan,
+        "phrase_search": _q_phrase_search,
+        "fuzzy_term_search": _q_fuzzy_term_search,
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
         "unigram_logppl": _q_unigram_logppl,
         "gopher_rules": _q_gopher_rules,
@@ -7376,6 +7398,38 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_layout": _hilbert_sql(),
         "rate_anomaly": _rate_anomaly_sql(),
         "epoch_repetition_plan": _epoch_repetition_sql(_REPETITION_BUDGET),
+        # ES match_phrase: consecutive-token slice compare, 1-based
+        # positions; DuckDB slices are inclusive so ws[i:i+m-1] is the
+        # m-token window Spark's slice(ws, i, m) reads
+        "phrase_search": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), w -> w <> '') AS ws
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_filter(range(1, len(ws) - 2 + 2),
+                                 i -> ws[i:i+1] = ['the', 'data']) AS starts
+              FROM t WHERE len(ws) >= 2)
+            SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
+                   CAST(starts[1] AS BIGINT) AS first_pos
+            FROM s WHERE len(starts) > 0
+        """,
+        # ES fuzziness:1 — textbook integer Levenshtein in both engines
+        "fuzzy_term_search": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), w -> w <> '') AS ws
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     list_filter(ws, w -> levenshtein(w, 'data') <= 1) AS hits
+              FROM t)
+            SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+                   array_to_string(list_sort(list_distinct(hits)), ',')
+                     AS variants
+            FROM h WHERE len(hits) > 0
+        """,
         "term_postings": f"""
             WITH w AS (
               SELECT DISTINCT doc_id, unnest({_WS}) AS term FROM documents),

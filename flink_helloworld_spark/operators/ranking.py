@@ -369,3 +369,84 @@ def quality_prior_ranking(
         F.row_number().over(w).cast("int").alias("rank"),
         "quality_score",
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: tuple[str, ...] = ("the", "data"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase retrieval — the ES ``match_phrase`` query, batch
+    side (reference §2.10's term/mget surface, one rung up): every doc
+    containing the tokens of ``phrase`` CONSECUTIVELY, with the match
+    count and the first match position (1-based token index).
+
+    SHUFFLE-FREE: occurrences are counted per row with pure column
+    expressions — ``filter(sequence(1, n-m+1), i -> slice(words, i, m)
+    == phrase)`` — one linear pass inside codegen, no explode, no join;
+    the engine-side twin of the positional-postings intersection a
+    search engine runs (at an indexed deployment you'd probe
+    ``inverted_index`` postings instead; this form is the scan path
+    and the oracle for it). Tokenization is the engine-wide ``_words``
+    split (BM25/term_postings parity).
+
+    Output: (doc_id, n_matches, first_pos) for docs with >=1 match.
+    """
+    m = len(phrase)
+    arr = "array(" + ", ".join(f"'{t}'" for t in phrase) + ")"
+    ws = _words(F.col(text_col))
+    starts = (
+        f"filter(sequence(1, size(_ws) - {m} + 1),"
+        f" i -> slice(_ws, i, {m}) == {arr})"
+    )
+    return (
+        docs.select("doc_id", ws.alias("_ws"))
+        .where(F.size("_ws") >= m)
+        .select(
+            "doc_id",
+            F.expr(f"size({starts})").cast("long").alias("n_matches"),
+            F.expr(f"({starts})[0]").cast("long").alias("first_pos"),
+        )
+        .where(F.col("n_matches") > 0)
+    )
+
+
+def fuzzy_term_search(
+    docs: DataFrame,
+    term: str = "data",
+    max_edits: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy term retrieval — the ES ``fuzziness: 1`` match, batch
+    side: every doc containing a token within Levenshtein distance
+    ``max_edits`` of ``term``, with the hit count and the distinct
+    matched variants (sorted, joined — a stable string for the oracle
+    hash).
+
+    SHUFFLE-FREE single pass: ``filter(words, w -> levenshtein(w,
+    term) <= k)`` runs the DP distance per token inside codegen
+    against the literal — linear in corpus tokens, nothing collected,
+    no vocabulary materialized. At an indexed 100 TB deployment the
+    dictionary form wins (levenshtein against the DISTINCT-token
+    table — vocabulary-sized, then a semi-join back through the
+    postings); this operator is that plan's scan-path twin and oracle.
+    Both engines implement textbook Levenshtein (integer, exact), so
+    the match set is deterministic.
+
+    Output: (doc_id, n_hits, variants) for docs with >=1 hit.
+    """
+    lit = term.replace("'", "''")
+    hits = (
+        f"filter(_ws, w -> levenshtein(w, '{lit}') <= {int(max_edits)})"
+    )
+    return (
+        docs.select("doc_id", _words(F.col(text_col)).alias("_ws"))
+        .select(
+            "doc_id",
+            F.expr(f"size({hits})").cast("long").alias("n_hits"),
+            F.expr(
+                f"array_join(array_sort(array_distinct({hits})), ',')"
+            ).alias("variants"),
+        )
+        .where(F.col("n_hits") > 0)
+    )

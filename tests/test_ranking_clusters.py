@@ -838,3 +838,57 @@ def test_hilbert_unit_step_adjacency(spark):
     assert [k for k, _, _ in path] == list(range(256))
     for (_, x0, y0), (_, x1, y1) in zip(path, path[1:]):
         assert abs(x1 - x0) + abs(y1 - y0) == 1
+
+
+def test_phrase_search_consecutive_and_overlapping(spark):
+    from flink_helloworld_spark.operators.ranking import phrase_search
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b a"),      # "a b" twice; "b a" twice
+            (2, "b a x a b"),      # "a b" once at pos 4
+            (3, "a x b"),          # tokens present but not adjacent
+            (4, "a b"),            # exact doc == phrase
+            (5, "a"),              # shorter than the phrase
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in phrase_search(docs, phrase=("a", "b")).collect()
+    }
+    assert set(out) == {1, 2, 4}  # adjacency required, not containment
+    assert out[1].n_matches == 2 and out[1].first_pos == 1
+    assert out[2].n_matches == 1 and out[2].first_pos == 4
+    assert out[4].n_matches == 1 and out[4].first_pos == 1
+    # overlapping windows each count: "a a a" vs ("a", "a")
+    tri = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(
+            _docs(spark, [(9, "a a a")]), phrase=("a", "a")
+        ).collect()
+    }
+    assert tri[9] == 2
+
+
+def test_fuzzy_term_search_edit_distance_one(spark):
+    from flink_helloworld_spark.operators.ranking import fuzzy_term_search
+
+    docs = _docs(
+        spark,
+        [
+            (1, "data dada datum date"),  # sub / sub / 2-edits / sub
+            (2, "dat datas adata"),       # deletion / insertion / prepend-insertion
+            (3, "nothing matches here"),
+            (4, "data data"),             # exact twice
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in fuzzy_term_search(docs, term="data", max_edits=1).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    # datum is 2 edits away -> excluded; date/dada are 1 substitution
+    assert out[1].n_hits == 3 and out[1].variants == "dada,data,date"
+    assert out[2].n_hits == 3 and out[2].variants == "adata,dat,datas"
+    assert out[4].n_hits == 2 and out[4].variants == "data"
