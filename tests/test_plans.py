@@ -892,3 +892,47 @@ def test_adamic_adar_plan_has_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_r9_search_ops_are_shuffle_free_scans(spark, sf_dir):
+    # phrase/fuzzy search promise ONE linear codegen pass: no Python
+    # eval stages, no exchange of any kind before the result
+    from flink_helloworld_spark.operators.ranking import (
+        fuzzy_term_search,
+        phrase_search,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+    for df in (
+        phrase_search(docs, phrase=("the", "data")),
+        fuzzy_term_search(docs, term="data", max_edits=1),
+    ):
+        plan = explain_str(df, "simple")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan
+
+
+def test_rate_anomaly_single_input_sized_stage(spark, sf_dir):
+    # the only input-sized work is the (key, bucket) count agg; the
+    # lag window + flag arithmetic run post-reduction. Exchanges:
+    # partial->final agg, the span agg, the dense join, the window —
+    # all on keys x buckets rows, and zero Python stages
+    from flink_helloworld_spark.operators.rollups import rate_anomaly
+
+    ev = load_tables(spark, sf_dir).events
+    plan = explain_str(rate_anomaly(ev, "event_type", "ts"), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # all 16 lags + row_number ride ONE window spec -> one Window node
+    assert plan.count("Window ") == 1
+
+
+def test_hilbert_layout_single_agg_exchange(spark, sf_dir):
+    from flink_helloworld_spark.operators.layout import hilbert_layout_stats
+
+    ev = load_tables(spark, sf_dir).events
+    keyed = ev.select("user_id", F.col("ts").cast("long").alias("ts_sec"))
+    plan = explain_str(
+        hilbert_layout_stats(keyed, "user_id", "ts_sec"), "simple"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # file_id agg only
