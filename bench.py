@@ -117,12 +117,12 @@ HEADLINE = [
 # remaining queries() entry is appended in registry order.
 
 
-def main() -> None:
-    spark = build_session(app_name="fhs-bench")
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    qs = entrymod.queries()
-    # warm-up: JVM/codegen init + parquet footer reads for every table the
-    # headline touches, so the first timed query isn't charged for either
+def _warm_session(app_name: str = "fhs-bench"):
+    """Build (or rebuild) the bench session and pay the warmup costs —
+    JVM/codegen init + parquet footer reads for every table the headline
+    touches — so the first timed query after (re)start isn't charged
+    for either."""
+    spark = build_session(app_name=app_name)
     spark.range(1000).count()
     from flink_helloworld_spark.sources.tables import load_tables
 
@@ -135,6 +135,13 @@ def main() -> None:
             getattr(warm, t).count()
         except Exception as exc:  # noqa: BLE001
             print(f"[bench] warmup {t} failed: {exc}", file=sys.stderr)
+    return spark
+
+
+def main() -> None:
+    spark = _warm_session()
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    qs = entrymod.queries()
     from flink_helloworld_spark.operators.dedup import release_shared_caches
 
     # per-query error isolation: one broken query must never cost the
@@ -179,7 +186,21 @@ def main() -> None:
         finally:
             release_shared_caches()
 
+    # OPTIONAL in-session-aging mitigation (default OFF = methodology
+    # unchanged): restart the SparkSession every N queries, re-paying
+    # the warmup each time, to bound the GC/code-cache/listener aging
+    # a 200+-query single JVM accrues. Exists so a drift investigation
+    # can A/B quantify aging (r9 saw 1.5-3.6x outliers on untouched
+    # sub-2s queries between two runs of the same commit) without
+    # changing the committed record's methodology.
+    restart_every = int(
+        os.environ.get("SPARK_GRAFT_BENCH_RESTART_EVERY", "0") or 0
+    )
+
     for pos, name in enumerate(run_order):
+        if restart_every and pos and pos % restart_every == 0:
+            spark.stop()
+            spark = _warm_session(f"fhs-bench-{pos}")
         if pos % 30 == 0:
             tick_canary(pos)
         runs: list[float] = []
