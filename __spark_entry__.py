@@ -870,6 +870,17 @@ def _q_fuzzy_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # join-size estimation WITHOUT the join (CMS inner product): the
+    # co-purchase self-join |lineitem x lineitem on l_partkey| -- the
+    # planner number that says whether the quadratic projection is
+    # affordable; audit form carries the exact size + ratio beside it
+    from flink_helloworld_spark.operators.rollups import cms_join_size
+
+    li = load_tables(spark, sf_dir).lineitem
+    return cms_join_size(li, "l_partkey", li, "l_partkey")
+
+
 _REPETITION_BUDGET = 120_000
 
 
@@ -2963,6 +2974,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_repetition_plan": _q_epoch_repetition_plan,
         "phrase_search": _q_phrase_search,
         "fuzzy_term_search": _q_fuzzy_term_search,
+        "cms_join_size": _q_cms_join_size,
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
         "unigram_logppl": _q_unigram_logppl,
         "gopher_rules": _q_gopher_rules,
@@ -7403,6 +7415,34 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_layout": _hilbert_sql(),
         "rate_anomaly": _rate_anomaly_sql(),
         "epoch_repetition_plan": _epoch_repetition_sql(_REPETITION_BUDGET),
+        # CMS inner-product join-size estimate, self-join on l_partkey;
+        # mirrors rollups.cms_join_size (d=4, w=256, same md5 cells as
+        # the cms_heavy_hitters oracle)
+        "cms_join_size": """
+            WITH cells AS (
+              SELECT 0 AS row_id, ('0x' || substr(md5('0:' || l_partkey::VARCHAR), 1, 8))::BIGINT % 256 AS col_id FROM lineitem
+              UNION ALL SELECT 1, ('0x' || substr(md5('1:' || l_partkey::VARCHAR), 1, 8))::BIGINT % 256 FROM lineitem
+              UNION ALL SELECT 2, ('0x' || substr(md5('2:' || l_partkey::VARCHAR), 1, 8))::BIGINT % 256 FROM lineitem
+              UNION ALL SELECT 3, ('0x' || substr(md5('3:' || l_partkey::VARCHAR), 1, 8))::BIGINT % 256 FROM lineitem),
+            sk AS (SELECT row_id, col_id, count(*) AS cnt
+                   FROM cells GROUP BY 1, 2),
+            prod AS (
+              SELECT a.row_id, sum(a.cnt * b.cnt) AS ip
+              FROM sk a JOIN sk b
+                ON a.row_id = b.row_id AND a.col_id = b.col_id
+              GROUP BY a.row_id),
+            est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM prod),
+            kc AS (SELECT l_partkey AS k, count(*) AS n
+                   FROM lineitem GROUP BY 1),
+            tr AS (SELECT CAST(sum(n * n) AS BIGINT) AS true_join_size FROM kc)
+            SELECT est_join_size, true_join_size,
+                   (sign(est_join_size::DOUBLE / true_join_size::DOUBLE)
+                    * floor(abs(est_join_size::DOUBLE
+                                / true_join_size::DOUBLE) * 1e9 + 0.5)
+                    / 1e9) AS overestimate_ratio,
+                   4 AS d_rows, 256 AS width
+            FROM est, tr
+        """,
         # ES match_phrase: consecutive-token slice compare, 1-based
         # positions; DuckDB slices are inclusive so ws[i:i+m-1] is the
         # m-token window Spark's slice(ws, i, m) reads

@@ -713,3 +713,74 @@ def rate_anomaly(
         score.alias("score"),
         anom.alias("is_anomaly"),
     )
+
+
+def cms_join_size(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    audit: bool = True,
+) -> DataFrame:
+    """Join-SIZE estimation by Count-Min inner product (Cormode &
+    Muthukrishnan 2005 §4.2): |L ⋈ R on k| = Σ_k n_L(k)·n_R(k), and the
+    min over hash rows of the sketches' per-row inner products
+    estimates it — never under the truth, over by at most
+    (e/w)·|L|·|R| with the usual CMS probability. The planner number a
+    100 TB pipeline wants BEFORE running a possibly-quadratic join
+    (the co-purchase self-join is the house example): two O(d·w)
+    sketches instead of the join.
+
+    One scan per side (the mergeable ``cms_sketch``), then the inner
+    product joins two ≤ d·w-row counter tables — the estimate costs
+    nothing at any input size. With ``audit=True`` the exact size is
+    computed beside it from the per-key count tables (key-cardinality-
+    sized join — still far cheaper than materializing the join) plus
+    the overestimate ratio; an operating deployment passes
+    ``audit=False`` and gets the sketch-only row.
+
+    Output: one row — (est_join_size, true_join_size?,
+    overestimate_ratio?, d_rows, width). Integer arithmetic
+    throughout; the ratio rides the 9-dp floor-form ladder.
+    """
+    from flink_helloworld_spark.operators.clustering import _r9
+
+    skl = cms_sketch(left.select(F.col(left_key).alias("v")), "v")
+    skr = cms_sketch(right.select(F.col(right_key).alias("v")), "v")
+    a, b = skl.alias("a"), skr.alias("b")
+    prod = (
+        a.join(b, ["row_id", "col_id"])
+        .groupBy("row_id")
+        .agg(
+            F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip")
+        )
+    )
+    est = prod.agg(F.min("ip").cast("long").alias("est_join_size"))
+    if not audit:
+        return est.select(
+            "est_join_size",
+            F.lit(CMS_D).alias("d_rows"),
+            F.lit(CMS_W).alias("width"),
+        )
+    lc = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    rc = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("nr")
+    )
+    true_sz = lc.join(rc, "k").agg(
+        F.sum(F.col("nl") * F.col("nr")).cast("long").alias("true_join_size")
+    )
+    return (
+        est.crossJoin(F.broadcast(true_sz))
+        .select(
+            "est_join_size",
+            "true_join_size",
+            _r9(
+                F.col("est_join_size").cast("double")
+                / F.col("true_join_size").cast("double")
+            ).alias("overestimate_ratio"),
+            F.lit(CMS_D).alias("d_rows"),
+            F.lit(CMS_W).alias("width"),
+        )
+    )

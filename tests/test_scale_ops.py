@@ -328,3 +328,33 @@ def test_rate_anomaly_flags_spike_gates_warmup_and_gaps(spark):
     assert c18.ewma_prev == 0.0 and c18.score is None
     # gaps exist as rows with cnt=0 (dense timeline)
     assert out[("C", 9_000)].cnt == 0
+
+
+def test_cms_join_size_never_underestimates(spark):
+    """CMS inner product (Cormode-Muthukrishnan §4.2): the estimate is
+    NEVER below the true join size (counters only ever merge keys),
+    and the audit row carries the exact size + ratio; the sketch-only
+    form returns just the estimate."""
+    from flink_helloworld_spark.operators.rollups import cms_join_size
+
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("c",)] * 5, "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 2 + [("c",)] * 4 + [("zz",)] * 7, "k string"
+    )
+    row = cms_join_size(left, "k", right, "k").collect()[0]
+    assert row.true_join_size == 3 * 2 + 5 * 4  # a:6 + c:20
+    assert row.est_join_size >= row.true_join_size
+    assert row.overestimate_ratio >= 1.0
+    assert row.d_rows == 4 and row.width == 256
+    # skewed self-join: still an overestimate-only bound
+    skew = spark.createDataFrame(
+        [(i % 7,) for i in range(500)], "k bigint"
+    )
+    r2 = cms_join_size(skew, "k", skew, "k").collect()[0]
+    assert r2.est_join_size >= r2.true_join_size > 0
+    # sketch-only operating form: no exact-size computation
+    lean = cms_join_size(left, "k", right, "k", audit=False)
+    assert lean.columns == ["est_join_size", "d_rows", "width"]
+    assert lean.collect()[0].est_join_size >= 26
