@@ -2825,15 +2825,16 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything rotated OUT is re-verified locally this round via
 # tools/check_oracle.py (full-registry sweep) beside the pytest run.
 #
-# ROUND-10 ROTATION QUEUE (computed at r9 close): the 5 queries added
+# ROUND-10 ROTATION QUEUE (computed at r9 close): the 6 queries added
 # AFTER this round's gate froze have never held an official row and
 # fill the r10 gate FIRST — hilbert_layout, rate_anomaly,
-# epoch_repetition_plan, phrase_search, fuzzy_term_search (all green
-# under this round's local check_oracle runs); then
+# epoch_repetition_plan, phrase_search, fuzzy_term_search,
+# cms_join_size (all green under this round's local check_oracle
+# runs, incl. the 0-failures/217 full sweep); then
 # stalest-official-row-first — the 14 r5-stamped rows not rotated
 # this round (the alphabetical tail of the r5 cohort:
 # ppl_buckets..winnowing_overlap), then the r6 cohort,
-# 5 + 14 + 31 = 50.
+# 6 + 14 + 30 = 50.
 _GATE_R9 = [
     # --- the 14 never-official r8-late queries ---
     "similarity_ivf_append_topk",
