@@ -1898,3 +1898,63 @@ def test_streaming_rate_anomaly_matches_batch_any_split(spark):
                 exp.score,
                 exp.is_anomaly,
             ), (key, n_frames)
+
+
+def test_ivf_query_over_streamed_artifact_equals_batch(spark):
+    """Closes the streaming-maintenance loop end-to-end: ivf_index_query
+    over (base postings ∪ STREAMED appends) returns exactly the result
+    of querying the batch-appended index — the posting-set parity the
+    split test pins, composed through the actual scan path."""
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators import similarity as S
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import streaming_ivf_ingest
+
+    emb = S.planted_embeddings(
+        spark.range(120).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+        )
+    ).select("vec_id", "embedding")
+    base = emb.where("vec_id % 2 = 0")
+    inc = emb.where("vec_id % 2 = 1")
+    index, postings = S.build_ivf_index(base)
+    index = index.cache()
+
+    rows = inc.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).collect()
+    recs = [(r.vec_id, list(r.embedding)) for r in rows]
+    frames = [pd.DataFrame(recs[i::2], columns=["vec_id", "embedding"])
+              for i in range(2)]
+    stream = _hh_feed(
+        spark, frames, schema="vec_id long, embedding array<double>"
+    )
+    streamed = spark.createDataFrame(
+        [
+            (r.centroid_id, r.member_id, list(r.mvec))
+            for r in run_available_now(
+                streaming_ivf_ingest(stream, index), "ivf_ingest_e2e"
+            )
+        ],
+        "centroid_id long, member_id long, mvec array<double>",
+    )
+    grown_stream = postings.unionByName(streamed)
+    grown_batch = S.ivf_index_append(index, postings, inc)
+    queries = emb.where("vec_id % 10 = 0")
+    got = sorted(map(tuple, S.ivf_index_query(
+        index, grown_stream, queries, k=5, n_probe=2, n_super_probe=2
+    ).collect()))
+    want = sorted(map(tuple, S.ivf_index_query(
+        index, grown_batch, queries, k=5, n_probe=2, n_super_probe=2
+    ).collect()))
+    assert got == want and len(got) > 0
+    index.unpersist()
