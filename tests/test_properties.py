@@ -831,3 +831,62 @@ def test_pagerank_mass_and_positivity_on_any_graph(spark, pairs):
     assert set(out) == nodes
     assert all(v > 0 for v in out.values())
     assert abs(sum(out.values()) - 1.0) < 1e-6
+
+
+@st.composite
+def _vec_corpus(draw):
+    n = draw(st.integers(min_value=12, max_value=28))
+    dims = 8
+    vecs = []
+    for i in range(n):
+        vecs.append(
+            (
+                i,
+                [
+                    float(draw(st.integers(min_value=-4, max_value=4)))
+                    for _ in range(dims)
+                ],
+            )
+        )
+    return vecs
+
+
+@given(vecs=_vec_corpus())
+@_settings
+def test_route_frozen_np_equals_batch_routing_any_vectors(spark, vecs):
+    """For ANY small-integer vector corpus (including zero vectors and
+    exact ties — integer coordinates make rounded-cosine ties likely):
+    the collected-quantizer numpy routing the streaming ingest uses
+    assigns every appended vector to EXACTLY the cell the batch
+    ivf_index_append routing picks. This is the invariant that makes
+    streaming-vs-batch posting parity hold for any data, not just the
+    driver tables."""
+    import numpy as np
+
+    from flink_helloworld_spark.operators import similarity as S
+
+    base = spark.createDataFrame(
+        vecs[::2], "vec_id long, embedding array<double>"
+    )
+    inc_rows = vecs[1::2]
+    inc = spark.createDataFrame(
+        inc_rows, "vec_id long, embedding array<double>"
+    )
+    index, postings = S.build_ivf_index(
+        base, n_centroids=4, train_floor=8
+    )
+    index = index.cache()
+    expected = sorted(
+        (r.centroid_id, r.member_id)
+        for r in S.ivf_index_append(index, postings.limit(0), inc).collect()
+    )
+    quant = S.collect_ivf_quantizer(index)
+    mat = np.array([v for _, v in inc_rows], dtype=np.float64)
+    cells = S.route_frozen_np(mat, quant, n_super_probe=2)
+    got = sorted(
+        (int(c), int(i))
+        for c, (i, _) in zip(cells, inc_rows)
+        if c >= 0
+    )
+    index.unpersist()
+    assert got == expected
