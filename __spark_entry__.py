@@ -902,6 +902,24 @@ def _q_epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_reallocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Muennighoff ALLOCATOR (VERDICT r9 item 5): water-fill the
+    # token budget across sources so surplus moves from saturated
+    # sources (repetition decays value) to under-used ones — closed
+    # form per regime, one windowed scan on the per-source frame.
+    # _MIXTURE_BUDGET sits below ΣU at sf0.01 with src0 saturated
+    # (U/w smallest), so the down-case prefix cut is exercised:
+    # src0's 565-token surplus flows to src1-3 and total effective
+    # tokens beat the naive w·B split.
+    from flink_helloworld_spark.operators.sampling import mixture_reallocate
+
+    return mixture_reallocate(
+        load_tables(spark, sf_dir).documents,
+        _MIXTURE_WEIGHTS,
+        _MIXTURE_BUDGET,
+    )
+
+
 def _q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EWMA rate-spike monitor: per event_type hourly counts vs the
     # dyadic-kernel baseline — flags >=4x jumps over a warm 16-tap
@@ -2812,89 +2830,84 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GRAPH.triangle_counts(edges)
 
 
-# Round-9 gate rotation (VERDICT r8 item 1, stalest-first contract):
-# the driver's correctness gate checks only the FIRST 50 entries of
-# queries(). This round: the 14 r8-late queries that have NEVER held
-# an official CORRECTNESS row (the queue recorded at r8 close,
-# verified name-for-name by the r8 judge), then the 36
-# alphabetically-first queries whose newest official row is round 5
-# (the oldest cohort in the CORRECTNESS_r01-r08 union) - 14 + 36 =
-# exactly 50. After this round EVERY registry query has held at
-# least one official driver row, and the newest-official-row
-# histogram is r5:14 r6:50 r7:50 r8:50 r9:50.
+# Round-10 gate rotation (stalest-first contract): the driver's
+# correctness gate checks only the FIRST 50 entries of queries().
+# This round, exactly the queue recorded at r9 close (verified
+# name-for-name by the r9 judge): the 6 r9-late queries that have
+# NEVER held an official CORRECTNESS row, then the 14 queries whose
+# newest official row is round 5 (the alphabetical tail of the r5
+# cohort, ppl_buckets..winnowing_overlap), then the 30
+# alphabetically-first queries whose newest official row is round 6.
+# 6 + 14 + 30 = exactly 50. After this round the
+# newest-official-row histogram is r6:20 r7:50 r8:50 r9:50 r10:50
+# and no registry query's newest official row is older than r6.
 # Everything rotated OUT is re-verified locally this round via
 # tools/check_oracle.py (full-registry sweep) beside the pytest run.
 #
-# ROUND-10 ROTATION QUEUE (computed at r9 close): the 6 queries added
-# AFTER this round's gate froze have never held an official row and
-# fill the r10 gate FIRST — hilbert_layout, rate_anomaly,
-# epoch_repetition_plan, phrase_search, fuzzy_term_search,
-# cms_join_size (all green under this round's local check_oracle
-# runs, incl. the 0-failures/217 full sweep); then
-# stalest-official-row-first — the 14 r5-stamped rows not rotated
-# this round (the alphabetical tail of the r5 cohort:
-# ppl_buckets..winnowing_overlap), then the r6 cohort,
-# 6 + 14 + 30 = 50.
-_GATE_R9 = [
-    # --- the 14 never-official r8-late queries ---
-    "similarity_ivf_append_topk",
-    "similarity_ivf_indexed_sq_topk",
-    "graph_pagerank",
-    "graph_pagerank_personalized",
-    "graph_pagerank_weighted",
-    "graph_triangles",
-    "graph_components",
-    "graph_adamic_adar",
-    "cdc_chunks",
-    "cdc_chunk_dedup",
-    "hybrid_search_rrf",
-    "kmv_set_ops",
-    "embedding_dim_ablation",
-    "corpus_drift_psi",
-    # --- the 36 alphabetically-first r5-stale queries ---
-    "boilerplate_scrub",
-    "bpe_segmentation",
-    "char_entropy",
-    "cohort_retention",
-    "contamination_report",
-    "corpus_manifest",
-    "curriculum_order",
-    "dedup_cluster_prune",
-    "dedup_clusters_twostar",
-    "dedup_exact",
-    "dedup_incremental_near",
-    "dedup_lsh_commit",
-    "dedup_minhash_buckets",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard_capped",
-    "dedup_simhash",
-    "dedup_sorted_neighborhood",
-    "dsir_select",
-    "dsir_weights",
-    "embedding_audit",
-    "embedding_covariance",
-    "embedding_pca",
-    "embedding_standardize",
-    "filter_agreement",
-    "filter_funnel",
-    "json_extract",
-    "kneser_ney_logppl",
-    "minhash_estimate_audit",
-    "mixture_plan",
-    "mixture_temperature",
-    "multimodal_avi_decode",
-    "multimodal_avi_frames",
-    "multimodal_mulaw_decode",
-    "multimodal_wav_decode",
-    "multimodal_wav_pitch",
-    "near_dedup_front",
+# ROUND-11 ROTATION QUEUE (to compute at r10 close): any r10-late
+# never-official queries first, then the 20 r6-stale rows left
+# after this rotation, then oldest-first from the r7 cohort.
+_GATE_R10 = [
+    # --- the 6 never-official r9-late queries ---
+    "cms_join_size",
+    "epoch_repetition_plan",
+    "fuzzy_term_search",
+    "hilbert_layout",
+    "phrase_search",
+    "rate_anomaly",
+    # --- the 14 r5-stale queries (alphabetical tail of the r5 cohort) ---
+    "ppl_buckets",
+    "selection_prep",
+    "shard_manifest",
+    "similarity_ann_recall",
+    "similarity_ann_recall_sampled",
+    "similarity_sq_topk",
+    "snapshot_diff",
+    "textrank",
+    "top_customers",
+    "training_order",
+    "vocab_drift",
+    "weighted_reservoir",
+    "winnowing_fingerprint",
+    "winnowing_overlap",
+    # --- the 30 alphabetically-first r6-stale queries ---
+    "bloom_membership",
+    "chunk_documents",
+    "cube_counts",
+    "decontaminate",
+    "dedup_containment",
+    "dedup_embedding_gate",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_soft_weights",
+    "embedding_kmeans",
+    "event_transitions",
+    "grouping_sets_counts",
+    "histogram_quantiles",
+    "lookup_enrich",
+    "lookup_multi_get",
+    "minhash_band_plan",
+    "mixture_sample",
+    "multimodal_adpcm_decode",
+    "multimodal_audio",
+    "pack_sequences",
+    "percentiles",
+    "pq_codes",
+    "pretrain_prep",
+    "quality_checks",
+    "range_join",
+    "repeated_spans",
+    "retention_cohorts",
+    "rolling_median",
+    "salted_enrich",
+    "salted_sum",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
-    assert len(_GATE_R9) == 50 and set(_GATE_R9) <= set(reg)
-    out = {k: reg[k] for k in _GATE_R9}
+    assert len(_GATE_R10) == 50 and set(_GATE_R10) <= set(reg)
+    out = {k: reg[k] for k in _GATE_R10}
     out.update((k, v) for k, v in reg.items() if k not in out)
     return out
 
@@ -2902,7 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # every implemented query, unordered — queries() applies the
-        # round's gate rotation (_GATE_R9) on top of this registry
+        # round's gate rotation (_GATE_R10) on top of this registry
         "ivf_index_build": _q_ivf_index_build,
         "similarity_ivf_indexed_topk": _q_similarity_ivf_indexed_topk,
         "ivf_indexed_recall": _q_ivf_indexed_recall,
@@ -2973,6 +2986,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_layout": _q_hilbert_layout,
         "rate_anomaly": _q_rate_anomaly,
         "epoch_repetition_plan": _q_epoch_repetition_plan,
+        "mixture_reallocate": _q_mixture_reallocate,
         "phrase_search": _q_phrase_search,
         "fuzzy_term_search": _q_fuzzy_term_search,
         "cms_join_size": _q_cms_join_size,
@@ -3354,8 +3368,9 @@ def _zorder_sql(bits: int = 16, file_bits: int = 8) -> str:
         WITH keyed AS (
           SELECT user_id AS x,
                  CAST(floor(epoch(ts)) AS BIGINT) AS y,
-                 user_id % {1 << bits} AS xm,
-                 CAST(floor(epoch(ts)) AS BIGINT) % {1 << bits} AS ym
+                 ((user_id % {1 << bits}) + {1 << bits}) % {1 << bits} AS xm,
+                 ((CAST(floor(epoch(ts)) AS BIGINT) % {1 << bits})
+                  + {1 << bits}) % {1 << bits} AS ym
           FROM events),
         z AS (SELECT x, y, ({interleave}) AS zkey FROM keyed)
         SELECT CAST(zkey >> {2 * bits - file_bits} AS INT) AS file_id,
@@ -3420,6 +3435,112 @@ def _epoch_repetition_sql(
     """
 
 
+def _mixture_reallocate_sql(budget: int, r_star: float = 15.39) -> str:
+    # mirrors sampling.mixture_reallocate: closed-form water-filling
+    # on the per-source frame — integer cumulative U sums, exact
+    # DECIMAL(28,9) weight prefixes (order-free), doubles only in the
+    # per-row ratio/level arithmetic, every emitted value on the 9-dp
+    # floor-form ladder (the Muennighoff decay applied to BOTH the
+    # naive w*B split and the reallocated targets)
+    w_case = " ".join(
+        f"WHEN source = '{s}' THEN {w}"
+        for s, w in _MIXTURE_WEIGHTS.items()
+    )
+
+    def r9(x: str) -> str:
+        return f"(sign({x}) * floor(abs({x}) * 1e9 + 0.5) / 1e9)"
+
+    B = f"{float(budget)!r}"
+    RS = f"{float(r_star)!r}"
+
+    def eff(tgt: str, epochs: str) -> str:
+        inner = r9(f"exp(-greatest({epochs} - 1.0, 0.0) / {RS})")
+        decayed = r9(
+            f"unique_tokens::DOUBLE * (1.0 + {RS} * (1.0 - {inner}))"
+        )
+        return f"CASE WHEN {epochs} <= 1.0 THEN {tgt} ELSE {decayed} END"
+
+    naive_target = r9(f"(CASE {w_case} ELSE 0.0 END)::DOUBLE * {B}")
+    lam = f"(({B} - _sat_u::DOUBLE) / ((_tot_w - _sat_w)::DOUBLE))"
+    realloc = r9(f"least(unique_tokens::DOUBLE, weight * {lam})")
+    up = r9(f"unique_tokens::DOUBLE * {B} / _tot_u::DOUBLE")
+    ep_n = r9("naive_target / unique_tokens::DOUBLE")
+    ep_r = r9("realloc_target / unique_tokens::DOUBLE")
+    gain = r9(
+        "coalesce(effective_tokens, 0.0) - coalesce(naive_effective, 0.0)"
+    )
+    return f"""
+        WITH t AS (
+          SELECT source,
+            CAST(sum(len(list_filter(string_split(text, ' '),
+                                     w -> w <> ''))) AS BIGINT)
+              AS unique_tokens
+          FROM documents GROUP BY source),
+        p AS (
+          SELECT source, unique_tokens,
+                 (CASE {w_case} ELSE 0.0 END)::DOUBLE AS weight,
+                 {naive_target} AS naive_target
+          FROM t),
+        act AS (
+          SELECT source, unique_tokens, weight,
+                 unique_tokens::DOUBLE / weight AS _ratio
+          FROM p WHERE weight > 0),
+        tot AS (
+          SELECT CAST(sum(unique_tokens) AS BIGINT) AS _tot_u,
+                 sum(weight::DECIMAL(28,9)) AS _tot_w
+          FROM act),
+        scanned AS (
+          SELECT act.*, _tot_u, _tot_w,
+                 CAST(coalesce(sum(unique_tokens) OVER wpre, 0)
+                      AS BIGINT) AS _cu,
+                 coalesce(sum(weight::DECIMAL(28,9)) OVER wpre,
+                          0::DECIMAL(28,9)) AS _cw
+          FROM act CROSS JOIN tot
+          WINDOW wpre AS (ORDER BY _ratio, source
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING)),
+        sat AS (
+          SELECT *,
+                 (_cu::DOUBLE + _ratio * (_tot_w - _cw)::DOUBLE) <= {B}
+                   AS _sat
+          FROM scanned),
+        cut AS (
+          SELECT CAST(coalesce(sum(CASE WHEN _sat THEN unique_tokens END),
+                               0) AS BIGINT) AS _sat_u,
+                 coalesce(sum(CASE WHEN _sat
+                              THEN weight::DECIMAL(28,9) END),
+                          0::DECIMAL(28,9)) AS _sat_w
+          FROM sat),
+        alloc AS (
+          SELECT source,
+                 CASE WHEN {B} >= _tot_u::DOUBLE AND _tot_u > 0
+                        THEN {up}
+                      WHEN _sat THEN unique_tokens::DOUBLE
+                      ELSE {realloc} END AS realloc_target
+          FROM sat CROSS JOIN cut),
+        o AS (
+          SELECT p.source, p.unique_tokens, p.weight, p.naive_target,
+                 coalesce(a.realloc_target, 0.0) AS realloc_target
+          FROM p LEFT JOIN alloc a USING (source)),
+        e AS (
+          SELECT *,
+                 CASE WHEN unique_tokens > 0 THEN {ep_n} END AS _ep_n,
+                 CASE WHEN unique_tokens > 0 THEN {ep_r} END AS epochs
+          FROM o),
+        f AS (
+          SELECT source, unique_tokens, weight, naive_target,
+                 realloc_target,
+                 {eff("naive_target", "_ep_n")} AS naive_effective,
+                 epochs,
+                 {eff("realloc_target", "epochs")} AS effective_tokens
+          FROM e)
+        SELECT source, unique_tokens, weight, naive_target,
+               realloc_target, naive_effective, epochs,
+               effective_tokens, {gain} AS gain_tokens
+        FROM f
+    """
+
+
 def _rate_anomaly_sql(
     bucket_ms: int = 3_600_000,
     taps: int = 16,
@@ -3479,8 +3600,8 @@ def _hilbert_sql(bits: int = 12, file_bits: int = 8) -> str:
         f"""keyed AS (
           SELECT user_id AS x,
                  CAST(floor(epoch(ts)) AS BIGINT) AS y,
-                 user_id % {n} AS hx,
-                 CAST(floor(epoch(ts)) AS BIGINT) % {n} AS hy,
+                 ((user_id % {n}) + {n}) % {n} AS hx,
+                 ((CAST(floor(epoch(ts)) AS BIGINT) % {n}) + {n}) % {n} AS hy,
                  CAST(0 AS BIGINT) AS hd
           FROM events)"""
     ]
@@ -7416,6 +7537,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_layout": _hilbert_sql(),
         "rate_anomaly": _rate_anomaly_sql(),
         "epoch_repetition_plan": _epoch_repetition_sql(_REPETITION_BUDGET),
+        "mixture_reallocate": _mixture_reallocate_sql(_MIXTURE_BUDGET),
         # CMS inner-product join-size estimate, self-join on l_partkey;
         # mirrors rollups.cms_join_size (d=4, w=256, same md5 cells as
         # the cms_heavy_hitters oracle)
@@ -7432,14 +7554,22 @@ def oracle_sql() -> dict[str, str]:
               FROM sk a JOIN sk b
                 ON a.row_id = b.row_id AND a.col_id = b.col_id
               GROUP BY a.row_id),
-            est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM prod),
+            -- sparse sketches: a hash row with no colliding cells has
+            -- inner product ZERO and must join the min (engine parity)
+            allr AS (SELECT unnest(range(4)) AS row_id),
+            prodz AS (SELECT allr.row_id, coalesce(prod.ip, 0) AS ip
+                      FROM allr LEFT JOIN prod USING (row_id)),
+            est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM prodz),
             kc AS (SELECT l_partkey AS k, count(*) AS n
                    FROM lineitem GROUP BY 1),
-            tr AS (SELECT CAST(sum(n * n) AS BIGINT) AS true_join_size FROM kc)
+            tr AS (SELECT CAST(coalesce(sum(n * n), 0) AS BIGINT)
+                     AS true_join_size FROM kc)
             SELECT est_join_size, true_join_size,
-                   (sign(est_join_size::DOUBLE / true_join_size::DOUBLE)
+                   (sign(est_join_size::DOUBLE
+                         / nullif(true_join_size, 0)::DOUBLE)
                     * floor(abs(est_join_size::DOUBLE
-                                / true_join_size::DOUBLE) * 1e9 + 0.5)
+                                / nullif(true_join_size, 0)::DOUBLE)
+                            * 1e9 + 0.5)
                     / 1e9) AS overestimate_ratio,
                    4 AS d_rows, 256 AS width
             FROM est, tr

@@ -135,6 +135,7 @@ def pagerank(
     seeds: list | None = None,
     weight_col: str | None = None,
     tol: float | None = None,
+    check_every: int = 1,
     stats: dict | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (src, dst)
@@ -182,6 +183,15 @@ def pagerank(
     delta read would otherwise replay lineage), trading one small job
     per round for skipped rounds; deltas shrink ~geometrically with
     ratio ``damping``, so the saving is largest on low-diameter graphs.
+
+    ``check_every``: run the delta join+agg only every k-th round
+    (always on the final round), halving the convergence-probe
+    overhead at k=2 on graphs that need many rounds. The probe still
+    compares consecutive iterates (r_t vs r_{t-1} on check rounds), so
+    a triggered exit satisfies exactly the same single-round-delta
+    criterion as k=1 — the exit can only happen ≤ k−1 rounds LATER,
+    and on a 9-dp-stationary iterate the extra rounds are fixpoint
+    no-ops: the returned ranks are identical.
 
     ``stats``: optional caller-supplied dict; on return it carries
     ``{"rounds": <executed>, "final_delta": <last L1 delta or None>,
@@ -306,6 +316,8 @@ def pagerank(
                 # round's lineage and the NEXT round would replay it
                 # again. One (node, rank) vector job per round.
                 ranks = ranks.localCheckpoint(eager=True)
+                if (i + 1) % int(check_every) and i != int(iters) - 1:
+                    continue  # probe skipped this round (check_every)
                 final_delta = (
                     ranks.join(
                         prev.select(

@@ -25,8 +25,12 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
 
     The expression is a balanced sum of 2*bits shift/mask terms —
     constant-folded into one codegen stage, no UDF."""
-    x = x.cast("long") % F.lit(1 << bits).cast("long")
-    y = y.cast("long") % F.lit(1 << bits).cast("long")
+    # pmod, not %: Spark's % follows the dividend's sign, so a negative
+    # input would leak a negative masked value into the shift walk and
+    # silently diverge from the non-negative contract (and from DuckDB
+    # oracles written with ((v % n) + n) % n)
+    x = F.pmod(x.cast("long"), F.lit(1 << bits).cast("long"))
+    y = F.pmod(y.cast("long"), F.lit(1 << bits).cast("long"))
     terms = []
     for j in range(bits):
         terms.append(F.shiftleft(F.shiftright(x, j) % 2, 2 * j))
@@ -279,8 +283,11 @@ def hilbert_layout_stats(
     cur = df.select(
         F.col(x_col).alias("x"),
         F.col(y_col).alias("y"),
-        (F.col(x_col).cast("long") % F.lit(n).cast("long")).alias("hx"),
-        (F.col(y_col).cast("long") % F.lit(n).cast("long")).alias("hy"),
+        # pmod keeps the docstring's [0, 2^bits) contract for negative
+        # inputs too — Spark's sign-following % would let a negative
+        # hx/hy slip into the bitwiseAND/reflection walk
+        F.pmod(F.col(x_col).cast("long"), F.lit(n).cast("long")).alias("hx"),
+        F.pmod(F.col(y_col).cast("long"), F.lit(n).cast("long")).alias("hy"),
         F.lit(0).cast("long").alias("hd"),
     )
     one, two, three = (F.lit(v).cast("long") for v in (1, 2, 3))

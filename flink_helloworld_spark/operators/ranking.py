@@ -393,7 +393,11 @@ def phrase_search(
     Output: (doc_id, n_matches, first_pos) for docs with >=1 match.
     """
     m = len(phrase)
-    arr = "array(" + ", ".join(f"'{t}'" for t in phrase) + ")"
+    # escape literals (fuzzy_term_search parity): a token containing a
+    # single quote must not break or inject into the SQL expression
+    arr = "array(" + ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in phrase
+    ) + ")"
     ws = _words(F.col(text_col))
     starts = (
         f"filter(sequence(1, size(_ws) - {m} + 1),"

@@ -755,6 +755,19 @@ def cms_join_size(
             F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip")
         )
     )
+    # The sketches are SPARSE counter tables: a hash row whose cells
+    # never collide between the two sides produces NO row in `prod`,
+    # and its inner product is ZERO — it must still participate in the
+    # min (same pitfall as cms_point_estimates' LEFT join above). An
+    # inner-join min over populated rows only would return NULL on
+    # fully disjoint key sets and a looser estimate on partial
+    # overlap. Materialize all CMS_D row_ids and coalesce to 0.
+    all_rows = left.sparkSession.range(int(CMS_D)).select(
+        F.col("id").cast("int").alias("row_id")
+    )
+    prod = all_rows.join(prod, "row_id", "left").select(
+        "row_id", F.coalesce("ip", F.lit(0)).alias("ip")
+    )
     est = prod.agg(F.min("ip").cast("long").alias("est_join_size"))
     if not audit:
         return est.select(
@@ -769,7 +782,11 @@ def cms_join_size(
         F.count(F.lit(1)).alias("nr")
     )
     true_sz = lc.join(rc, "k").agg(
-        F.sum(F.col("nl") * F.col("nr")).cast("long").alias("true_join_size")
+        # disjoint key sets → the join is empty and sum() is NULL; the
+        # true size is 0 (same zero-participates rule as the estimate)
+        F.coalesce(F.sum(F.col("nl") * F.col("nr")), F.lit(0))
+        .cast("long")
+        .alias("true_join_size")
     )
     return (
         est.crossJoin(F.broadcast(true_sz))
@@ -778,7 +795,9 @@ def cms_join_size(
             "true_join_size",
             _r9(
                 F.col("est_join_size").cast("double")
-                / F.col("true_join_size").cast("double")
+                / F.nullif(
+                    F.col("true_join_size").cast("double"), F.lit(0.0)
+                )
             ).alias("overestimate_ratio"),
             F.lit(CMS_D).alias("d_rows"),
             F.lit(CMS_W).alias("width"),

@@ -450,3 +450,212 @@ def epoch_repetition_plan(
             ),
         )
     )
+
+
+def mixture_reallocate(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    r_star: float = 15.39,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Budget REALLOCATION — the allocator that closes the Muennighoff
+    loop: ``epoch_repetition_plan`` prices repetition and
+    ``mixture_plan`` samples down, but neither moves surplus from a
+    SATURATED source (target > unique tokens, where repeated epochs
+    are worth exponentially less) to under-used ones. This operator
+    re-splits the same total budget to maximize total EFFECTIVE tokens
+    under the Scaling-Data-Constrained decay
+    D'(U, T) = U + U·R*·(1 − exp(−(T/U − 1)/R*)) for T > U (= T below).
+
+    D' is concave and increasing with marginal value 1 up to U and
+    exp(−R/R*) beyond, so the optimum is classic WATER-FILLING — and
+    because the marginal is continuous, it has a CLOSED FORM per
+    regime (no iteration; the fixpoint the iterative clamp/
+    redistribute loop converges to, computed in one windowed scan):
+
+    - ``budget ≥ ΣU`` (every weighted source saturates): equal
+      marginals ⇔ equal epochs ⇔ targets ∝ U: T_s = U_s · B/ΣU.
+    - ``budget < ΣU``: fill fresh tokens only, honoring the mixture
+      ratios until a source runs dry: T_s = min(U_s, w_s·λ) with the
+      water level λ solving Σ T_s = B. Sources saturate in increasing
+      order of capacity-per-weight r_s = U_s/w_s, so the saturated set
+      is a PREFIX of the r-sorted rows: row s saturates iff
+      cumU_<s + r_s·(W − cumW_<s) ≤ B (that test is nondecreasing in
+      s), and λ = (B − Σ_sat U)/(W − Σ_sat w). One window pass + two
+      1-row broadcast aggregates on the per-source frame.
+
+    Every reallocated total-effective is ≥ the naive w·B plan's
+    PROVIDED the weights are a true mixture (Σw ≤ 1, so the naive
+    split is feasible for the same concave program — an over-unity
+    weights dict overspends the budget and can "beat" any feasible
+    allocation); the output reports both so the gain is visible per
+    source.
+
+    Determinism: integer cumulative sums for U, DECIMAL(28,9) sums for
+    the weight prefixes (order-free), doubles only in the per-row
+    ratio/level arithmetic, every emitted value on the 9-dp floor-form
+    ladder — hash-exact against the chained-CTE DuckDB oracle.
+
+    Scale shape: ONE map-side-combinable token-count aggregate over
+    the corpus; the allocator runs on the |sources|-row frame (global
+    window over ≤ sources rows, two broadcast scalar aggregates) —
+    driver never sees documents, and nothing here grows with corpus
+    size (a million sources would still be one tiny exchange).
+
+    Output per source: (source, unique_tokens, weight, naive_target,
+    naive_effective, realloc_target, epochs, effective_tokens,
+    gain_tokens).
+    """
+    from pyspark.sql import Window
+
+    from flink_helloworld_spark.operators.clustering import _r9
+    from flink_helloworld_spark.operators.text import _words
+
+    B = float(budget_tokens)
+    w = F.lit(0.0)
+    for value, wt in weights.items():
+        w = F.when(F.col(strata_col) == value, F.lit(float(wt))).otherwise(w)
+    per = (
+        docs.select(
+            F.col(strata_col),
+            F.size(_words(F.col(text_col))).cast("long").alias("_tok"),
+        )
+        .groupBy(strata_col)
+        .agg(F.sum("_tok").alias("unique_tokens"))
+        .select(
+            strata_col,
+            "unique_tokens",
+            w.alias("weight"),
+            _r9(w * F.lit(B)).alias("naive_target"),
+        )
+    )
+
+    def _effective(target: Column) -> Column:
+        # the epoch_repetition_plan decay, applied to any target column
+        u = F.col("unique_tokens").cast("double")
+        epochs = _r9(F.when(F.col("unique_tokens") > 0, target / u))
+        reps = F.greatest(epochs - F.lit(1.0), F.lit(0.0))
+        decayed = _r9(
+            u
+            * (
+                F.lit(1.0)
+                + F.lit(float(r_star))
+                * (F.lit(1.0) - _r9(F.exp(-reps / F.lit(float(r_star)))))
+            )
+        )
+        return F.when(epochs <= 1.0, target).otherwise(decayed)
+
+    act = per.where(F.col("weight") > 0).select(
+        strata_col,
+        "unique_tokens",
+        "weight",
+        (
+            F.col("unique_tokens").cast("double") / F.col("weight")
+        ).alias("_ratio"),
+    )
+    tot = act.agg(
+        F.sum("unique_tokens").alias("_tot_u"),
+        F.sum(F.col("weight").cast("decimal(28,9)")).alias("_tot_w"),
+    )
+    # ≤ |sources| rows: the single-partition window is the POINT — the
+    # allocator must scan the prefix in capacity-per-weight order
+    win = Window.orderBy("_ratio", strata_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    scanned = (
+        act.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_cu", F.coalesce(F.sum("unique_tokens").over(win), F.lit(0))
+        )
+        .withColumn(
+            "_cw",
+            F.coalesce(
+                F.sum(F.col("weight").cast("decimal(28,9)")).over(win),
+                F.lit(0).cast("decimal(28,9)"),
+            ),
+        )
+        .withColumn(
+            "_sat",
+            (
+                F.col("_cu").cast("double")
+                + F.col("_ratio")
+                * (F.col("_tot_w") - F.col("_cw")).cast("double")
+            )
+            <= F.lit(B),
+        )
+    )
+    cut = scanned.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_sat"), F.col("unique_tokens"))), F.lit(0)
+        ).alias("_sat_u"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_sat"), F.col("weight").cast("decimal(28,9)")
+                )
+            ),
+            F.lit(0).cast("decimal(28,9)"),
+        ).alias("_sat_w"),
+    )
+    lam = (F.lit(B) - F.col("_sat_u").cast("double")) / (
+        F.col("_tot_w") - F.col("_sat_w")
+    ).cast("double")
+    realloc = (
+        scanned.crossJoin(F.broadcast(cut))
+        .withColumn(
+            "realloc_target",
+            F.when(
+                # tot_u > 0 guard: with zero capacity everywhere the
+                # rows fall through to the sat branch (T = U = 0) —
+                # and keeps the ANSI divide-by-zero out of the plan
+                (F.lit(B) >= F.col("_tot_u").cast("double"))
+                & (F.col("_tot_u") > 0),
+                # up-case: equal epochs, targets ∝ U
+                _r9(
+                    F.col("unique_tokens").cast("double")
+                    * F.lit(B)
+                    / F.col("_tot_u").cast("double")
+                ),
+            ).otherwise(
+                F.when(
+                    F.col("_sat"),
+                    F.col("unique_tokens").cast("double"),
+                ).otherwise(
+                    _r9(
+                        F.least(
+                            F.col("unique_tokens").cast("double"),
+                            F.col("weight") * lam,
+                        )
+                    )
+                )
+            ),
+        )
+        .select(strata_col, "realloc_target")
+    )
+    out = per.join(realloc, strata_col, "left").select(
+        strata_col,
+        "unique_tokens",
+        "weight",
+        "naive_target",
+        F.coalesce("realloc_target", F.lit(0.0)).alias("realloc_target"),
+    )
+    u = F.col("unique_tokens").cast("double")
+    epochs = _r9(
+        F.when(F.col("unique_tokens") > 0, F.col("realloc_target") / u)
+    )
+    return (
+        out.withColumn("naive_effective", _effective(F.col("naive_target")))
+        .withColumn("epochs", epochs)
+        .withColumn(
+            "effective_tokens", _effective(F.col("realloc_target"))
+        )
+        .withColumn(
+            "gain_tokens",
+            _r9(
+                F.coalesce(F.col("effective_tokens"), F.lit(0.0))
+                - F.coalesce(F.col("naive_effective"), F.lit(0.0))
+            ),
+        )
+    )

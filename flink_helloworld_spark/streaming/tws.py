@@ -1940,6 +1940,12 @@ RATE_ANOMALY_OUTPUT = StructType(
         StructField("ewma_prev", DoubleType()),
         StructField("score", DoubleType()),
         StructField("is_anomaly", BooleanType()),
+        # 'main' = closed-bucket verdict (batch-parity row);
+        # 'late' = events for an already-closed bucket (W11
+        # sideOutputLateData pattern: tagged, never silently dropped);
+        # 'overflow' = events beyond the max-gap horizon (bounded
+        # worker protection — see RateAnomalyProcessor)
+        StructField("channel", StringType()),
     ]
 )
 
@@ -1966,10 +1972,27 @@ class RateAnomalyProcessor(StatefulProcessor):
     last ``taps`` CLOSED bucket counts — O(taps) longs forever,
     volume-independent. Parity precondition: per-key non-decreasing
     bucket arrival (the in-order contract every batch/streaming twin
-    here replays); an event for an already-closed bucket is dropped
-    (the sideOutput-late channel of the window family is the place to
-    route them when they matter). The key's final open bucket is never
-    emitted (nothing closes it) — the batch twin's last row per key.
+    here replays). Two departures from it are SURFACED, never silent
+    (the W11 ``sideOutputLateData`` pattern — tagged rows on the same
+    stream, split by ``channel``):
+
+    - ``channel='late'``: events for an already-closed bucket. One row
+      per (key, late bucket) per trigger with ``cnt`` = late-event
+      count; kernel columns are NULL (the verdict for that bucket
+      already shipped and is immutable). Main-channel rows are
+      byte-identical whether or not late events arrive.
+    - ``channel='overflow'``: an arrival whose gap from the open
+      bucket exceeds ``max_gap_buckets``. The batch twin distributes
+      its dense zero-fill explode across the cluster, but here ONE
+      Python worker would synchronously emit gap/bucket_ms rows in a
+      single trigger — a far-future/corrupt timestamp must not stall
+      the query or balloon memory. Such events do not advance the
+      kernel; they surface on the overflow channel (cnt = event
+      count, kernel columns NULL). A deployment with real gaps above
+      the horizon raises ``max_gap_buckets`` consciously.
+
+    The key's final open bucket is never emitted (nothing closes it)
+    — the batch twin's last row per key.
     """
 
     def __init__(
@@ -1978,11 +2001,13 @@ class RateAnomalyProcessor(StatefulProcessor):
         threshold: float,
         min_count: int,
         bucket_ms: int,
+        max_gap_buckets: int = 10_000,
     ) -> None:
         self._taps = int(taps)
         self._threshold = float(threshold)
         self._min_count = int(min_count)
         self._bucket_ms = int(bucket_ms)
+        self._max_gap = int(max_gap_buckets)
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._cur = handle.getValueState("cur", _RATE_CUR_STATE)
@@ -2005,6 +2030,21 @@ class RateAnomalyProcessor(StatefulProcessor):
             "ewma_prev": ew,
             "score": score,
             "is_anomaly": anom,
+            "channel": "main",
+        }
+
+    @staticmethod
+    def _side(key, bucket, cnt, channel):
+        # late/overflow rows carry the raw event count only; the EWMA
+        # kernel never sees them, so its columns are NULL
+        return {
+            "k": key,
+            "bucket": bucket,
+            "cnt": cnt,
+            "ewma_prev": None,
+            "score": None,
+            "is_anomaly": None,
+            "channel": channel,
         }
 
     def handleInputRows(
@@ -2028,7 +2068,13 @@ class RateAnomalyProcessor(StatefulProcessor):
             if bucket == cur_b:
                 cur_c += n
                 continue
-            if bucket < cur_b:  # late into a closed bucket: dropped
+            if bucket < cur_b:  # late into a closed bucket: side-output
+                out.append(self._side(key[0], bucket, n, "late"))
+                continue
+            if (bucket - cur_b) // self._bucket_ms > self._max_gap:
+                # beyond the gap horizon: bounded-output protection —
+                # surface instead of emitting gap/bucket_ms zero rows
+                out.append(self._side(key[0], bucket, n, "overflow"))
                 continue
             # close cur, then emit the zero-count gap buckets
             b = cur_b
@@ -2060,13 +2106,21 @@ def streaming_rate_anomaly(
     taps: int = 16,
     threshold: float = 4.0,
     min_count: int = 8,
+    max_gap_buckets: int = 10_000,
 ) -> DataFrame:
     """Streaming EWMA rate-spike monitor — the live twin of
     ``rollups.rate_anomaly`` (see ``RateAnomalyProcessor``): per-key
     bucket verdicts emitted as soon as the bucket closes, exact-dyadic
     EWMA parity with the batch operator row-for-row under in-order
     arrival (test-pinned across micro-batch splits). O(taps) state per
-    key forever."""
+    key forever.
+
+    The output carries a ``channel`` column: ``'main'`` verdicts are
+    the batch-parity rows; ``'late'`` rows surface events for
+    already-closed buckets and ``'overflow'`` rows surface arrivals
+    beyond the ``max_gap_buckets`` dense-fill horizon — split with
+    ``out.where("channel = 'main'")`` / ``.where("channel != 'main'")``
+    exactly like the window family's sideOutputLateData."""
     from pyspark.sql import functions as F
 
     from flink_helloworld_spark.functions import epoch_millis
@@ -2077,7 +2131,9 @@ def streaming_rate_anomaly(
         (tsm - F.pmod(tsm, F.lit(bucket_ms))).cast("long").alias("bucket"),
     )
     return src.groupBy("k").transformWithStateInPandas(
-        RateAnomalyProcessor(taps, threshold, min_count, bucket_ms),
+        RateAnomalyProcessor(
+            taps, threshold, min_count, bucket_ms, max_gap_buckets
+        ),
         outputStructType=RATE_ANOMALY_OUTPUT,
         outputMode="append",
         timeMode="none",

@@ -130,6 +130,47 @@ class TestPagerank:
         }
         assert got == fixed
 
+    def test_check_every_skips_probes_same_criterion(self, spark):
+        # check_every=2 runs the convergence probe on half the rounds
+        # (plus the final round); the exit lands on the first CHECKED
+        # round at/after k=1's exit round, and the returned iterate is
+        # exactly the fixed-iters ladder at that round (no
+        # perturbation from skipping probes)
+        pairs = [("hub", f"leaf{i}") for i in range(8)]
+        e = _edges(spark, pairs)
+        s1, s2 = {}, {}
+        GRAPH.pagerank(e, iters=60, tol=5e-2, stats=s1).collect()
+        r2 = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(
+                e, iters=60, tol=5e-2, check_every=2, stats=s2
+            ).collect()
+        }
+        # probes: every round vs every other round
+        assert len(s2["deltas"]) <= (len(s1["deltas"]) + 1) // 2 + 1
+        # exit lands on the first CHECKED round at/after k=1's exit
+        assert s1["rounds"] <= s2["rounds"] <= s1["rounds"] + 1
+        assert s2["rounds"] % 2 == 0 or s2["rounds"] == 60
+        fixed = {
+            r["node"]: r["rank"]
+            for r in GRAPH.pagerank(e, iters=s2["rounds"]).collect()
+        }
+        assert r2 == fixed
+
+    def test_check_every_stationary_exits_first_probe(self, spark):
+        # uniform fixpoint: with check_every=3 the first probe (round
+        # 3) sees delta 0.0 — exactly 1 probe job for 3 rounds
+        n = 8
+        pairs = [(f"n{i}", f"n{(i + 1) % n}") for i in range(n)]
+        stats = {}
+        out = GRAPH.pagerank(
+            _edges(spark, pairs), iters=10, tol=1e-9,
+            check_every=3, stats=stats,
+        ).collect()
+        assert stats["rounds"] == 3 and stats["deltas"] == [0.0]
+        for row in out:
+            assert math.isclose(row["rank"], 1.0 / n, rel_tol=1e-9)
+
     def test_tol_none_runs_fixed_rounds_byte_identical(self, spark):
         # the default path is untouched by the tol feature: stats
         # reports the full ceiling, no deltas are computed, and values

@@ -2856,3 +2856,78 @@ def test_epoch_repetition_plan_decay_and_fresh_branches(spark):
     # unweighted: zero plan, utilization undefined
     assert c.target_tokens == 0.0 and c.effective_tokens == 0.0
     assert c.utilization is None
+
+
+def test_mixture_reallocate_down_case_moves_surplus(spark):
+    """Budget below total unique tokens: the saturated source (smallest
+    U/w) is capped at U, its surplus re-splits across the others at
+    the water level lambda, the budget is conserved exactly, and total
+    effective tokens strictly beat the naive w*B plan (which burns
+    part of the budget on decayed repetition)."""
+    from flink_helloworld_spark.operators.sampling import mixture_reallocate
+
+    rows = []
+    rows += [(i, " ".join(["t"] * 40), "en", "srcA", 1) for i in range(1)]
+    rows += [(10 + i, " ".join(["t"] * 100), "en", "srcB", 1) for i in range(2)]
+    rows += [(20 + i, " ".join(["t"] * 100), "en", "srcC", 1) for i in range(3)]
+    rows.append((30, "x y z", "en", "srcZ", 1))  # unweighted
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # U: A=40 B=200 C=300 (sum 540); naive at B=500: A=250 B=150 C=100
+    W = {"srcA": 0.5, "srcB": 0.3, "srcC": 0.2}
+    out = {
+        r.source: r
+        for r in mixture_reallocate(docs, W, budget_tokens=500).collect()
+    }
+    a, b, c, z = out["srcA"], out["srcB"], out["srcC"], out["srcZ"]
+    # ratios U/w: A 80, B 666.7, C 1500; the water level rises past
+    # B's ratio too (prefix test: 40 + 666.7*0.5 = 373 <= 500), so A
+    # AND B saturate: lambda = (500-240)/0.2 = 1300 -> C gets 260
+    assert a.realloc_target == 40.0 and a.epochs == 1.0
+    assert b.realloc_target == 200.0 and c.realloc_target == 260.0
+    assert z.realloc_target == 0.0 and z.naive_target == 0.0
+    got_total = sum(r.realloc_target for r in out.values())
+    assert got_total == 500.0  # budget conserved
+    # all fresh -> effective == target, and the naive plan decayed A
+    assert all(
+        r.effective_tokens == r.realloc_target for r in out.values()
+    )
+    assert a.naive_effective < a.naive_target  # repetition decay
+    assert sum(r.effective_tokens for r in out.values()) > sum(
+        r.naive_effective for r in out.values()
+    )
+    assert a.gain_tokens < 0 < b.gain_tokens  # per-source visibility
+
+
+def test_mixture_reallocate_up_case_equal_epochs(spark):
+    """Budget above total unique tokens: every weighted source
+    saturates and the optimum equalizes marginal value, i.e. equal
+    epochs -> targets proportional to U (independent of w)."""
+    from flink_helloworld_spark.operators.sampling import mixture_reallocate
+
+    rows = [
+        (0, " ".join(["t"] * 50), "en", "srcA", 1),
+        (1, " ".join(["t"] * 150), "en", "srcB", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r.source: r
+        for r in mixture_reallocate(
+            docs, {"srcA": 0.9, "srcB": 0.1}, budget_tokens=1000
+        ).collect()
+    }
+    a, b = out["srcA"], out["srcB"]
+    # targets proportional to U: 250 / 750, both at 5 epochs
+    assert a.realloc_target == 250.0 and b.realloc_target == 750.0
+    assert a.epochs == b.epochs == 5.0
+    assert a.realloc_target + b.realloc_target == 1000.0
+    # naive slams 900 into the 50-token source (18 epochs, heavy
+    # decay); equal epochs strictly beats it
+    assert a.effective_tokens + b.effective_tokens > (
+        a.naive_effective + b.naive_effective
+    )

@@ -936,3 +936,36 @@ def test_hilbert_layout_single_agg_exchange(spark, sf_dir):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1  # file_id agg only
+
+
+def test_cms_join_size_operating_form_sketch_only(spark, sf_dir):
+    # audit=False is the operating form: the plan must contain the two
+    # O(d*w) sketch aggregates and NOTHING exact — no per-key count
+    # tables (which would add 2 more aggregate exchanges + a
+    # key-cardinality join) and no broadcast of a true-size row
+    from flink_helloworld_spark.operators.rollups import cms_join_size
+
+    li = load_tables(spark, sf_dir).lineitem
+    lean = explain_str(
+        cms_join_size(li, "l_partkey", li, "l_partkey", audit=False),
+        "simple",
+    )
+    audit = explain_str(
+        cms_join_size(li, "l_partkey", li, "l_partkey", audit=True),
+        "simple",
+    )
+    assert "BatchEvalPython" not in lean and "ArrowEvalPython" not in lean
+    # the exact side exists only in the audit plan
+    assert "true_join_size" not in lean
+    assert "true_join_size" in audit
+    # lean exchanges: 2 sketch aggs + inner-product row agg (+ the
+    # final 1-row min) — strictly fewer than the audit plan, which
+    # adds the per-key count aggregates and their join
+    assert lean.count("Exchange hashpartitioning") < audit.count(
+        "Exchange hashpartitioning"
+    )
+    # the lineitem scans in the lean plan feed sketches only: each
+    # reads the single join-key column
+    for line in lean.splitlines():
+        if "FileScan" in line and "lineitem" in line:
+            assert "l_partkey" in line and "l_quantity" not in line

@@ -890,3 +890,64 @@ def test_route_frozen_np_equals_batch_routing_any_vectors(spark, vecs):
     )
     index.unpersist()
     assert got == expected
+
+
+@st.composite
+def _mixture_corpus(draw):
+    n = draw(st.integers(min_value=2, max_value=5))
+    rows, weights = [], {}
+    for i in range(n):
+        u = draw(st.integers(min_value=0, max_value=120))
+        rows.append((i, " ".join(["t"] * u), f"s{i}"))
+        weights[f"s{i}"] = draw(
+            st.sampled_from([0.0, 0.05, 0.1, 0.25, 0.5, 1.0])
+        )
+    if all(w == 0.0 for w in weights.values()):
+        weights[f"s{n - 1}"] = 0.5
+    # normalize to a true mixture (sum 1): the >=-naive guarantee
+    # assumes the naive plan is FEASIBLE, i.e. sum(w)*B <= B
+    tot = sum(weights.values())
+    weights = {k: v / tot for k, v in weights.items()}
+    budget = draw(st.integers(min_value=1, max_value=2000))
+    return rows, weights, budget
+
+
+@given(cfg=_mixture_corpus())
+@_settings
+def test_mixture_reallocate_conserves_budget_and_beats_naive(spark, cfg):
+    """For ANY per-source capacities, weights, and budget: the
+    reallocated targets conserve the budget exactly (up to the 9-dp
+    per-row rounding, n·5e-10 absolute) whenever capacity can absorb
+    it (min(B, sum U over weighted sources)), never exceed capacity in
+    the down-case, and total effective tokens are >= the naive w*B
+    split's (the naive split is feasible for the same concave
+    program)."""
+    rows, weights, budget = cfg
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    from flink_helloworld_spark.operators.sampling import mixture_reallocate
+
+    out = mixture_reallocate(docs, weights, budget).collect()
+    u = {r.source: r.unique_tokens for r in out}
+    tot_u = sum(
+        r.unique_tokens for r in out if weights.get(r.source, 0.0) > 0
+    )
+    got_total = sum(r.realloc_target for r in out)
+    want_total = float(min(budget, tot_u)) if budget < tot_u else float(
+        budget if tot_u > 0 else 0
+    )
+    n = len(out)
+    assert abs(got_total - want_total) <= n * 1e-8 + 1e-9 * want_total
+    if budget < tot_u:  # down-case: all fresh, capacity respected
+        for r in out:
+            assert r.realloc_target <= u[r.source] + 1e-9
+            assert r.effective_tokens == r.realloc_target
+    # optimality vs the naive split (>= with float/9dp slack)
+    eff = sum(r.effective_tokens for r in out)
+    naive = sum(r.naive_effective for r in out)
+    assert eff >= naive - n * 1e-8
+    # unweighted sources never receive budget
+    for r in out:
+        if weights.get(r.source, 0.0) == 0.0:
+            assert r.realloc_target == 0.0

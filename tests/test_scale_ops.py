@@ -358,3 +358,13 @@ def test_cms_join_size_never_underestimates(spark):
     lean = cms_join_size(left, "k", right, "k", audit=False)
     assert lean.columns == ["est_join_size", "d_rows", "width"]
     assert lean.collect()[0].est_join_size >= 26
+    # fully disjoint key sets: a hash row with no colliding cells has
+    # inner product ZERO and must participate in the min — the
+    # estimate is a number (0 unless every row collides), never NULL
+    dl = spark.createDataFrame([("p",)] * 3, "k string")
+    dr = spark.createDataFrame([("q",)] * 4, "k string")
+    r3 = cms_join_size(dl, "k", dr, "k").collect()[0]
+    assert r3.true_join_size == 0
+    assert r3.est_join_size is not None
+    assert r3.est_join_size >= r3.true_join_size
+    assert r3.overestimate_ratio is None  # 0/0: no defined ratio

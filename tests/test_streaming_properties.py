@@ -1900,6 +1900,73 @@ def test_streaming_rate_anomaly_matches_batch_any_split(spark):
             ), (key, n_frames)
 
 
+def test_streaming_rate_anomaly_late_and_overflow_channels(spark):
+    """Out-of-contract arrivals are SURFACED, never silently dropped:
+    an event for an already-closed bucket lands on channel='late', an
+    arrival beyond the max_gap_buckets dense-fill horizon lands on
+    channel='overflow' (and does not advance the kernel) — while the
+    main-channel verdicts stay byte-identical to a run without the
+    out-of-contract events (the W11 sideOutputLateData contract)."""
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import streaming_rate_anomaly
+
+    kw = dict(
+        bucket_ms=1000, taps=4, threshold=4.0, min_count=2,
+        max_gap_buckets=5,
+    )
+    base0 = [("A", b * 1000 + j) for b in range(6) for j in range(3)]
+    base1 = [("A", 6_000), ("A", 6_001)]  # closes bucket 5
+    base2 = [("A", 7_000)]  # closes bucket 6
+    late = [("A", 1_500), ("A", 1_600)]  # bucket 1 closed in frame 0
+    overflow = [("A", 60_000)]  # gap 54 buckets > horizon 5
+
+    def run(frames, name):
+        feed = [pd.DataFrame(f, columns=["k", "ms"]) for f in frames]
+        stream = _hh_feed(spark, feed, schema="k string, ms long").select(
+            "k", F.timestamp_millis(F.col("ms")).alias("ts")
+        )
+        out = streaming_rate_anomaly(stream, "k", "ts", **kw)
+        return run_available_now(out, name)
+
+    clean = run([base0, base1, base2], "rate_chan_clean")
+    mixed = run(
+        [base0, late + base1 + overflow, base2], "rate_chan_mixed"
+    )
+
+    fields = ("k", "bucket", "cnt", "ewma_prev", "score", "is_anomaly")
+    main = sorted(
+        tuple(getattr(r, f) for f in fields)
+        for r in mixed if r.channel == "main"
+    )
+    clean_rows = sorted(
+        tuple(getattr(r, f) for f in fields) for r in clean
+    )
+    assert all(r.channel == "main" for r in clean)
+    assert main == clean_rows  # byte-identical main verdicts
+    # bucket 6 closed AFTER the overflow arrival: kernel not advanced
+    assert any(r.bucket == 6_000 and r.channel == "main" for r in mixed)
+
+    side = {
+        (r.channel, r.bucket): r for r in mixed if r.channel != "main"
+    }
+    assert set(side) == {("late", 1_000), ("overflow", 60_000)}
+    lr = side[("late", 1_000)]
+    assert lr.cnt == 2  # both late events, one row per (key, bucket)
+    assert lr.ewma_prev is None and lr.score is None
+    assert lr.is_anomaly is None
+    ov = side[("overflow", 60_000)]
+    assert ov.cnt == 1 and ov.ewma_prev is None
+
+
 def test_ivf_query_over_streamed_artifact_equals_batch(spark):
     """Closes the streaming-maintenance loop end-to-end: ivf_index_query
     over (base postings ∪ STREAMED appends) returns exactly the result
