@@ -1544,6 +1544,24 @@ def _q_similarity_ivf_indexed_sq_topk(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _q_ivf_index_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the FAISS remove_ids() seam (VERDICT r9 item 4): tombstone every
+    # vec_id % 7 == 3 member in the posting artifact, compact (only
+    # tombstoned cells are touched), then the standard indexed query —
+    # deleted members vanish as neighbors while still allowed to QUERY
+    # (10 % 7 == 3 and 10 % 10 == 0, so one probe IS a deleted id)
+    emb = load_tables(spark, sf_dir).embeddings
+    index, postings = S.build_ivf_index(emb)
+    tombstoned = S.ivf_index_delete(
+        postings, emb.where(F.col("vec_id") % 7 == 3)
+    )
+    compacted, _ = S.ivf_index_compact(tombstoned)
+    return S.ivf_index_query(
+        index, compacted, emb.where(F.col("vec_id") % 10 == 0),
+        k=5, n_probe=2, n_super_probe=2,
+    )
+
+
 def _q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-unigram mean -log p(word) per doc — the model-free CCNet
     # quality filter; decimal-exact mean so the oracle hash matches
@@ -2929,6 +2947,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full) gate; verified via the local full-registry sweep, they
         # rotate into the official gate FIRST next round
         "similarity_ivf_append_topk": _q_similarity_ivf_append_topk,
+        "ivf_index_delete_query": _q_ivf_index_delete_query,
         "similarity_ivf_indexed_sq_topk": _q_similarity_ivf_indexed_sq_topk,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
@@ -4039,6 +4058,7 @@ def _ivf2k_sql(
     query_filter: str | None = None,
     quantizer_filter: str | None = None,
     sq_members: bool = False,
+    member_filter: str | None = None,
 ) -> str:
     """Replicates similarity.ivf2k_cosine_topk (and, with
     ``query_filter``, the indexed query path ``ivf_index_query`` over a
@@ -4054,14 +4074,20 @@ def _ivf2k_sql(
     trains on only the matching subset while ALL vectors route into
     posting lists. ``sq_members=True`` replays the codes-only artifact
     (``sq_encode_postings`` + query): the member side of every scored
-    pair is its SQ8 reconstruction, queries stay full-precision."""
+    pair is its SQ8 reconstruction, queries stay full-precision.
+    ``member_filter`` replays ``ivf_index_delete`` + compaction: a
+    tombstoned member's posting row is gone from the member side
+    (routing is per-row independent, so filtered members IS the
+    compacted artifact) while the probe side — including deleted ids
+    querying — is untouched."""
     qf = f" AND ({query_filter})" if query_filter else ""
+    mf = f" WHERE ({member_filter})" if member_filter else ""
     sq_cte = (
         f"""{_sq_recon_ctes()},
             i2mem AS (SELECT c.id, r.embedding AS vec, c.centroid_id
-                      FROM i2cells c JOIN sqrecon r ON c.id = r.vec_id),"""
+                      FROM i2cells c JOIN sqrecon r ON c.id = r.vec_id{mf}),"""
         if sq_members
-        else "i2mem AS (SELECT id, vec, centroid_id FROM i2cells),"
+        else f"i2mem AS (SELECT id, vec, centroid_id FROM i2cells{mf}),"
     )
     return f"""
             WITH {_ivf2k_routing_ctes(n_probe, n_super_probe, n_iter, quantizer_filter=quantizer_filter)},
@@ -6470,6 +6496,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_indexed_recall": _ivf_indexed_recall_sql(),
         "similarity_ivf_append_topk": _ivf2k_sql(
             query_filter="p.id % 10 = 0", quantizer_filter="id % 2 = 0"
+        ),
+        "ivf_index_delete_query": _ivf2k_sql(
+            query_filter="p.id % 10 = 0", member_filter="id % 7 <> 3"
         ),
         "similarity_ivf_indexed_sq_topk": _ivf2k_sql(
             query_filter="p.id % 10 = 0", sq_members=True

@@ -2102,6 +2102,172 @@ def ivf_index_append(
     return postings.unionByName(new_posts)
 
 
+def ivf_index_delete(
+    postings: DataFrame,
+    delete_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Index DELETION — the FAISS ``remove_ids()`` analog for the
+    persisted posting artifact, lake-style (VERDICT r9 item 4): a
+    maintained index needs removals (dedup retractions, GDPR deletes)
+    without a rebuild. Deletes are TOMBSTONE rows appended to the
+    posting table — same schema, ``mvec IS NULL`` marks the tombstone
+    for its ``(centroid_id, member_id)`` — so the artifact stays one
+    plain bucketed parquet table (the Iceberg position-delete /
+    merge-on-read shape) and every downstream op keeps composing.
+
+    Locating each member's cell is ONE pass over the posting table (a
+    left-semi join against the delta-sized delete set — exactly the
+    scan FAISS ``remove_ids`` makes over its inverted lists); the
+    tombstone rows land in the SAME ``centroid_id`` bucket as the rows
+    they kill, which is what makes both the merge-on-read view and the
+    touched-bucket compaction bucket-local.
+
+    Contract: a tombstone DOMINATES every posting row for its
+    ``(centroid_id, member_id)`` — re-adding a deleted member requires
+    compacting first (the artifact carries no version column; keeping
+    it that way keeps append/query/stream-ingest byte-compatible).
+    Deleting an absent id is a no-op (no posting row → no tombstone);
+    deleting twice adds no second tombstone (tombstones derive from
+    the ``live_postings`` view, which already excludes dominated
+    rows)."""
+    mvec_t = postings.schema["mvec"].dataType
+    ids = delete_ids.select(
+        F.col(id_col).cast("long").alias("member_id")
+    ).distinct()
+    tombs = (
+        live_postings(postings)
+        .join(ids, "member_id", "left_semi")
+        .select(
+            "centroid_id",
+            "member_id",
+            F.lit(None).cast(mvec_t).alias("mvec"),
+        )
+    )
+    return postings.unionByName(tombs)
+
+
+def live_postings(postings: DataFrame) -> DataFrame:
+    """MERGE-ON-READ view of a tombstoned posting artifact: the live
+    rows with every tombstoned ``(centroid_id, member_id)`` removed —
+    what ``ivf_index_query`` scans between compactions (query parity
+    with the compacted artifact is test-pinned).
+
+    Scale shape: the tombstone side is DELTA-sized (deletes since the
+    last compaction), so the anti-join broadcasts it and the posting
+    side never crosses an exchange; ``centroid_id`` leads the join key,
+    so a bucketed posting table also satisfies the clustering in-place
+    (the ``cogroup`` scan's distribution argument)."""
+    tomb = postings.where(F.col("mvec").isNull()).select(
+        "centroid_id", "member_id"
+    )
+    return postings.where(F.col("mvec").isNotNull()).join(
+        F.broadcast(tomb), ["centroid_id", "member_id"], "left_anti"
+    )
+
+
+def ivf_index_compact(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """MERGE-ON-WRITE: fold tombstones into the posting artifact,
+    touching ONLY the cells that hold one (the KeyedUpsertSink
+    touched-shards contract, ``streaming/sinks.py``, applied to the
+    index). Returns ``(compacted, touched)``: the clean posting table
+    (no tombstones, dominated rows gone) and the touched
+    ``centroid_id`` list (audit/manifest hook; also what the store-
+    level ``ivf_store_compact`` rewrites).
+
+    Rows in UNTOUCHED cells pass through with zero resolution work —
+    the touched-cell set is tombstone-cardinality-bounded, so both the
+    pass-through anti-join and the touched-subset semi-join broadcast
+    it and the posting table never shuffles. Query-over-compacted
+    equals query-over-``live_postings`` equals query-over-freshly-
+    routed-remainder (routing is per-row independent, so removing a
+    member's posting IS the index built without it — test-pinned).
+    """
+    touched = (
+        postings.where(F.col("mvec").isNull())
+        .select("centroid_id")
+        .distinct()
+    )
+    untouched_rows = postings.join(
+        F.broadcast(touched), "centroid_id", "left_anti"
+    )
+    touched_rows = postings.join(
+        F.broadcast(touched), "centroid_id", "left_semi"
+    )
+    return untouched_rows.unionByName(live_postings(touched_rows)), touched
+
+
+def ivf_store_write(
+    postings: DataFrame, path: str, num_buckets: int = 16
+) -> None:
+    """Persist a posting table (or a tombstone delta from
+    ``ivf_index_delete`` — pass ``mode='append'`` semantics by calling
+    again) as a ``cell_bucket``-partitioned parquet store:
+    ``cell_bucket = pmod(centroid_id, num_buckets)`` directories, the
+    on-disk layout whose partition pruning makes ``ivf_store_compact``
+    read and rewrite ONLY touched buckets. First write creates, later
+    writes append (tombstones/new postings)."""
+    postings.withColumn(
+        "cell_bucket", F.pmod(F.col("centroid_id"), F.lit(int(num_buckets)))
+    ).write.partitionBy("cell_bucket").mode("append").parquet(path)
+
+
+def ivf_store_compact(spark, path: str) -> list[int]:
+    """Compact a tombstoned on-disk posting store IN PLACE, rewriting
+    only the ``cell_bucket`` partitions that contain a tombstone —
+    write amplification is O(store/num_buckets × touched_buckets),
+    never O(index) (the KeyedUpsertSink shard contract via Spark's own
+    dynamic partition overwrite instead of hand-rolled renames; in
+    production the same statement is a ``MERGE INTO`` on Delta/Iceberg
+    with ``replaceWhere``). Untouched partitions are neither read
+    (partition pruning on the ``isin`` filter) nor written (dynamic
+    mode overwrites only partitions present in the output). Returns
+    the touched bucket ids (bounded by ``num_buckets`` — a metadata
+    collect, the ``sinks.py`` shard-id pattern)."""
+    store = spark.read.parquet(path)
+    touched = sorted(
+        r[0]
+        for r in store.where(F.col("mvec").isNull())
+        .select("cell_bucket")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return []
+    sub = store.where(F.col("cell_bucket").isin(touched))
+    tomb = sub.where(F.col("mvec").isNull()).select(
+        "centroid_id", "member_id"
+    )
+    resolved = (
+        sub.where(F.col("mvec").isNotNull())
+        .join(F.broadcast(tomb), ["centroid_id", "member_id"], "left_anti")
+        # sever the file-source lineage: Spark refuses to overwrite a
+        # path its own plan reads; the resolved subset is touched-
+        # bucket-sized, not index-sized
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        resolved.write.partitionBy("cell_bucket").mode("overwrite").parquet(
+            path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return touched
+
+
+def ivf_store_read(spark, path: str) -> DataFrame:
+    """Load a posting store back to the ``(centroid_id, member_id,
+    mvec)`` layout every index op consumes (drops the layout-only
+    ``cell_bucket`` partition column)."""
+    return spark.read.parquet(path).select(
+        "centroid_id", "member_id", "mvec"
+    )
+
+
 def sq_encode_postings(
     postings: DataFrame, dims: int = 64
 ) -> tuple[DataFrame, DataFrame]:

@@ -2931,3 +2931,115 @@ def test_mixture_reallocate_up_case_equal_epochs(spark):
     assert a.effective_tokens + b.effective_tokens > (
         a.naive_effective + b.naive_effective
     )
+
+
+def test_ivf_index_delete_tombstones_and_query_parity(spark):
+    """The remove_ids() seam: tombstones dominate their posting rows,
+    query-over-compacted == query-over-merge-on-read view == query
+    over the index built by routing only the remaining members through
+    the same frozen quantizer (per-row-independent routing makes the
+    three artifacts identical); deleted members vanish as neighbors
+    but still query; absent-id deletes are no-ops and double deletes
+    add no second tombstone."""
+    emb = _ids_only_emb(spark, 192)
+    planted = S.planted_embeddings(emb).select("vec_id", "embedding")
+    index, postings = S.build_ivf_index(planted)
+    dead = planted.where("vec_id % 7 = 3")
+    keep = planted.where("vec_id % 7 <> 3")
+
+    tombstoned = S.ivf_index_delete(postings, dead)
+    n_dead = dead.count()
+    assert tombstoned.where("mvec IS NULL").count() == n_dead
+    # absent ids: no-op; double delete: no second tombstone
+    again = S.ivf_index_delete(
+        S.ivf_index_delete(tombstoned, dead),
+        spark.range(10_000, 10_005).selectExpr("id AS vec_id"),
+    )
+    assert again.where("mvec IS NULL").count() == n_dead
+
+    compacted, touched = S.ivf_index_compact(tombstoned)
+    assert compacted.where("mvec IS NULL").count() == 0
+    live_keys = sorted(
+        (r.centroid_id, r.member_id) for r in compacted.collect()
+    )
+    # merge-on-read view == merge-on-write result
+    assert live_keys == sorted(
+        (r.centroid_id, r.member_id)
+        for r in S.live_postings(tombstoned).collect()
+    )
+    # == routing only the remainder through the frozen quantizer
+    rerouted = S.ivf_index_append(index, postings.limit(0), keep)
+    assert live_keys == sorted(
+        (r.centroid_id, r.member_id) for r in rerouted.collect()
+    )
+    # touched = exactly the cells that held a tombstone
+    assert sorted(r.centroid_id for r in touched.collect()) == sorted(
+        {r.centroid_id for r in tombstoned.where("mvec IS NULL").collect()}
+    )
+
+    q = planted.where("vec_id % 10 = 0")  # includes deleted id 10
+    res_c = sorted(
+        map(tuple, S.ivf_index_query(index, compacted, q, k=5).collect())
+    )
+    res_v = sorted(
+        map(
+            tuple,
+            S.ivf_index_query(
+                index, S.live_postings(tombstoned), q, k=5
+            ).collect(),
+        )
+    )
+    res_r = sorted(
+        map(tuple, S.ivf_index_query(index, rerouted, q, k=5).collect())
+    )
+    assert res_c == res_v == res_r
+    dead_ids = {r.vec_id for r in dead.collect()}
+    assert not {r[2] for r in res_c} & dead_ids  # no deleted neighbors
+    assert 10 in {r[0] for r in res_c}  # a deleted id still queries
+
+
+def test_ivf_store_compact_rewrites_only_touched_buckets(spark, tmp_path):
+    """The on-disk half of the deletion seam: tombstones append into
+    their cell buckets, compaction rewrites ONLY the touched
+    cell_bucket partitions (untouched partitions keep their exact
+    files — neither read nor written), and the compacted store read
+    back equals the DataFrame-level compaction."""
+    import os
+
+    emb = _ids_only_emb(spark, 192)
+    planted = S.planted_embeddings(emb).select("vec_id", "embedding")
+    index, postings = S.build_ivf_index(planted)
+    path = str(tmp_path / "ivf_store")
+    S.ivf_store_write(postings, path, num_buckets=8)
+
+    # delete members from ONE cell only -> exactly one touched bucket
+    one_cell = postings.limit(1).collect()[0]
+    dead = postings.where(
+        F.col("centroid_id") == one_cell.centroid_id
+    ).select(F.col("member_id").alias("vec_id")).limit(3)
+    tombs = S.ivf_index_delete(postings, dead).where("mvec IS NULL")
+    S.ivf_store_write(tombs, path, num_buckets=8)
+
+    def listing(bucket: int) -> list[str]:
+        d = os.path.join(path, f"cell_bucket={bucket}")
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    before = {b: listing(b) for b in range(8)}
+    touched = S.ivf_store_compact(spark, path)
+    assert touched == [int(one_cell.centroid_id) % 8]
+    after = {b: listing(b) for b in range(8)}
+    for b in range(8):
+        if b in touched:
+            assert after[b] != before[b]  # rewritten
+        else:
+            assert after[b] == before[b]  # byte-listing untouched
+    # idempotent: nothing left to compact
+    assert S.ivf_store_compact(spark, path) == []
+
+    compacted_df, _ = S.ivf_index_compact(
+        S.ivf_index_delete(postings, dead)
+    )
+    key = lambda r: (r.centroid_id, r.member_id)  # noqa: E731
+    assert sorted(
+        map(key, S.ivf_store_read(spark, path).collect())
+    ) == sorted(map(key, compacted_df.collect()))
