@@ -173,18 +173,26 @@ def main() -> None:
     # "the session aged" from "this query regressed" when reading the
     # regressions_vs_prev list.
     canary: list[list[float]] = []
+    # second series (VERDICT r9 item 8): the tiny wordcount canary
+    # under-captures CODEGEN-heavy drift (JIT/code-cache aging shows
+    # up in big generated methods first) — hilbert_layout is the
+    # house codegen-heavy fixed query (staged bit-walk projections),
+    # so its tick lets normalization excuse what wordcount can't see.
+    canary_cg: list[list[float]] = []
 
     def tick_canary(pos: int) -> None:
-        t0 = time.time()
-        try:
-            qs["wordcount"](spark, SF_DIR).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            canary.append([pos, round(time.time() - t0, 3)])
-        except Exception:  # noqa: BLE001
-            pass
-        finally:
-            release_shared_caches()
+        for series, qname in ((canary, "wordcount"),
+                              (canary_cg, "hilbert_layout")):
+            t0 = time.time()
+            try:
+                qs[qname](spark, SF_DIR).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                series.append([pos, round(time.time() - t0, 3)])
+            except Exception:  # noqa: BLE001
+                pass
+            finally:
+                release_shared_caches()
 
     # OPTIONAL in-session-aging mitigation (default OFF = methodology
     # unchanged): restart the SparkSession every N queries, re-paying
@@ -244,7 +252,7 @@ def main() -> None:
     # medians, so every comparison from r7 on is median-to-median.)
     positions = {name: i for i, name in enumerate(run_order)}
     regressions = _flag_regressions(
-        timings, positions, canary, _load_prev_record()
+        timings, positions, canary, _load_prev_record(), canary_cg=canary_cg
     )
     payload = {
         "metric": "headline_queries_total",
@@ -257,6 +265,8 @@ def main() -> None:
         "failed": failed,
         "regressions_vs_prev": regressions,
         "aging_canary": canary,  # [position, wordcount_sec] series
+        # [position, hilbert_layout_sec]: codegen-heavy twin series
+        "aging_canary_codegen": canary_cg,
     }
     print(json.dumps(payload))
     # the driver's BENCH_r{N}.json captures only the stdout TAIL, which a
@@ -368,6 +378,7 @@ def _flag_regressions(
     canary: list,
     prev_rec: dict,
     threshold: float = 1.3,
+    canary_cg: list | None = None,
 ) -> dict:
     """Canary-normalized regression list: {name: [prev_median, cur_median,
     normalized_ratio]}. A query is flagged only when BOTH the raw
@@ -386,17 +397,25 @@ def _flag_regressions(
     if not prev_det:
         return {}
     prev_canary = prev_rec.get("aging_canary") or []
+    prev_canary_cg = prev_rec.get("aging_canary_codegen") or []
+    canary_cg = canary_cg or []
     prev_pos = {name: i for i, name in enumerate(prev_det)}
     # cross-round MACHINE drift: the canary is the same fixed query, so
     # the ratio of steady levels measures how much slower this round's
     # environment is than last round's (shared box — other tenants,
     # thermal state). Clamped at >= 1.0: a faster machine must never
     # hide a real regression, only a slower one may excuse inflation.
-    cur_steady, prev_steady = _canary_steady(canary), _canary_steady(prev_canary)
-    machine = (
-        cur_steady / prev_steady
-        if cur_steady > 0 and prev_steady > 0
-        else 1.0
+    def _machine_drift(cur: list, prev: list) -> float:
+        cs, ps = _canary_steady(cur), _canary_steady(prev)
+        return cs / ps if cs > 0 and ps > 0 else 1.0
+
+    # take the LARGER drift of the two series (excuse-only direction:
+    # a codegen-heavy slowdown the wordcount canary can't see may
+    # still clear flags; both clamped >= 1.0 below). Old records
+    # without the codegen series contribute factor 1.0.
+    machine = max(
+        _machine_drift(canary, prev_canary),
+        _machine_drift(canary_cg, prev_canary_cg),
     )
     # dead-band at 1.07 (the steady level is a median of ~6 ticks, so
     # its noise is ~1/sqrt(6) of the single-tick 15% band): drift below
@@ -419,8 +438,16 @@ def _flag_regressions(
         raw = sec / p_med
         if raw <= threshold:
             continue
-        cur_n = sec / _canary_factor(positions.get(name, 0), canary)
-        prev_n = p_med / _canary_factor(prev_pos.get(name, 0), prev_canary)
+        cur_f = max(
+            _canary_factor(positions.get(name, 0), canary),
+            _canary_factor(positions.get(name, 0), canary_cg),
+        )
+        prev_f = max(
+            _canary_factor(prev_pos.get(name, 0), prev_canary),
+            _canary_factor(prev_pos.get(name, 0), prev_canary_cg),
+        )
+        cur_n = sec / cur_f
+        prev_n = p_med / prev_f
         norm = cur_n / prev_n if prev_n > 0 else raw
         # flag-clearing direction ONLY: the effective ratio is the
         # smaller of raw and within-run-normalized, deflated by the

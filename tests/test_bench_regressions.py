@@ -206,3 +206,41 @@ def test_noise_floor_and_missing_prev(bench):
     assert bench._flag_regressions({"tiny": 0.5}, {"tiny": 0}, FLAT, prev) == {}
     assert bench._flag_regressions({"new_q": 9.9}, {"new_q": 0}, FLAT, prev) == {}
     assert bench._flag_regressions({"q": 9.9}, {"q": 0}, FLAT, {}) == {}
+
+
+def test_codegen_canary_series_can_clear_what_wordcount_misses():
+    """The second (codegen-heavy) canary series participates in both
+    the within-run factor and the cross-round machine drift via MAX:
+    a flag raw-ratio 1.5 on a session whose codegen canary steady
+    level doubled (wordcount flat) is cleared; records without the
+    codegen series behave exactly as before (factor 1.0)."""
+    import bench
+
+    prev = {
+        "detail": {"q": {"median": 1.0}},
+        "aging_canary": [[0, 0.25], [30, 0.25], [60, 0.25]],
+        "aging_canary_codegen": [[0, 1.0], [30, 1.0], [60, 1.0]],
+    }
+    timings = {"q": 1.5}
+    positions = {"q": 30}
+    flat = [[0, 0.25], [30, 0.25], [60, 0.25]]
+    # wordcount flat, codegen steady doubled -> machine drift 2x
+    slow_cg = [[0, 2.0], [30, 2.0], [60, 2.0]]
+    out = bench._flag_regressions(
+        timings, positions, flat, prev, canary_cg=slow_cg
+    )
+    assert out == {}  # cleared by the codegen machine factor
+    # without the codegen series the same numbers flag
+    out2 = bench._flag_regressions(timings, positions, flat, prev)
+    assert "q" in out2
+    # prev record WITHOUT a codegen series: a flat current codegen
+    # series carries no cross-round information (no baseline to drift
+    # from), so the flag correctly stands — conservative direction
+    prev_old = {
+        "detail": {"q": {"median": 1.0}},
+        "aging_canary": [[0, 0.25], [30, 0.25], [60, 0.25]],
+    }
+    out3 = bench._flag_regressions(
+        timings, positions, flat, prev_old, canary_cg=slow_cg
+    )
+    assert "q" in out3

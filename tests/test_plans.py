@@ -969,3 +969,29 @@ def test_cms_join_size_operating_form_sketch_only(spark, sf_dir):
     for line in lean.splitlines():
         if "FileScan" in line and "lineitem" in line:
             assert "l_partkey" in line and "l_quantity" not in line
+
+
+def test_live_postings_and_compact_broadcast_only(spark, sf_dir):
+    # the deletion seam's scale contract: the merge-on-read view and
+    # the compaction resolution broadcast the delta-sized tombstone /
+    # touched-cell sides — the posting table itself never crosses a
+    # hash exchange for resolution (its only exchanges downstream are
+    # the query's own)
+    from flink_helloworld_spark.operators import similarity as S
+
+    planted = S.planted_embeddings(
+        load_tables(spark, sf_dir).embeddings
+    ).select("vec_id", "embedding")
+    idx, post = S.build_ivf_index(planted)
+    tombstoned = S.ivf_index_delete(
+        post, planted.where("vec_id % 7 = 3")
+    )
+    live_plan = explain_str(S.live_postings(tombstoned), "simple")
+    # the anti-join is broadcast: no hashpartitioning exchange for it
+    assert "BroadcastHashJoin" in live_plan
+    assert "LeftAnti" in live_plan
+    compacted, _ = S.ivf_index_compact(tombstoned)
+    cplan = explain_str(compacted, "simple")
+    # pass-through anti + touched semi + resolution anti: ALL broadcast
+    assert cplan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in cplan
