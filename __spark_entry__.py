@@ -920,6 +920,21 @@ def _q_mixture_reallocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_reallocate_saturated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the allocator's UP-case in the official gate: _REPETITION_BUDGET
+    # exceeds every source's unique tokens at sf0.01 AND sf0.1, so all
+    # weighted sources saturate and the optimum equalizes marginals —
+    # equal epochs, targets proportional to U regardless of w (the
+    # closed form the down-case query never reaches)
+    from flink_helloworld_spark.operators.sampling import mixture_reallocate
+
+    return mixture_reallocate(
+        load_tables(spark, sf_dir).documents,
+        _MIXTURE_WEIGHTS,
+        _REPETITION_BUDGET,
+    )
+
+
 def _q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EWMA rate-spike monitor: per event_type hourly counts vs the
     # dyadic-kernel baseline — flags >=4x jumps over a warm 16-tap
@@ -3006,6 +3021,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_anomaly": _q_rate_anomaly,
         "epoch_repetition_plan": _q_epoch_repetition_plan,
         "mixture_reallocate": _q_mixture_reallocate,
+        "mixture_reallocate_saturated": _q_mixture_reallocate_saturated,
         "phrase_search": _q_phrase_search,
         "fuzzy_term_search": _q_fuzzy_term_search,
         "cms_join_size": _q_cms_join_size,
@@ -7567,6 +7583,8 @@ def oracle_sql() -> dict[str, str]:
         "rate_anomaly": _rate_anomaly_sql(),
         "epoch_repetition_plan": _epoch_repetition_sql(_REPETITION_BUDGET),
         "mixture_reallocate": _mixture_reallocate_sql(_MIXTURE_BUDGET),
+        "mixture_reallocate_saturated":
+            _mixture_reallocate_sql(_REPETITION_BUDGET),
         # CMS inner-product join-size estimate, self-join on l_partkey;
         # mirrors rollups.cms_join_size (d=4, w=256, same md5 cells as
         # the cms_heavy_hitters oracle)

@@ -2197,6 +2197,38 @@ def ivf_index_compact(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
     return untouched_rows.unionByName(live_postings(touched_rows)), touched
 
 
+def ivf_index_upsert(
+    index: DataFrame,
+    postings: DataFrame,
+    new_emb: DataFrame,
+    n_super_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """UPSERT — refresh or (re-)add members in one step: because a
+    tombstone DOMINATES every posting row for its key (the
+    ``ivf_index_delete`` contract), a bare append of an updated vector
+    would be killed by its own member's old tombstone, and an old live
+    row would shadow nothing but still double the member. So upsert =
+    delete the incoming ids (tombstones into their cells), compact —
+    which touches ONLY the incoming members' cells (and opportunistically
+    folds any older tombstones living there) — then append the fresh
+    routing through the frozen quantizer. Exactly one live row per
+    incoming member afterwards; untouched members never move; a
+    previously deleted member is revived with its new vector.
+
+    Composition of the three existing seams — same plan shapes, same
+    broadcast-only resolution, nothing new to scale-audit."""
+    ids = new_emb.select(id_col)
+    cleaned, _ = ivf_index_compact(
+        ivf_index_delete(postings, ids, id_col=id_col)
+    )
+    return ivf_index_append(
+        index, cleaned, new_emb, n_super_probe, id_col, vec_col, round_dp
+    )
+
+
 def ivf_store_write(
     postings: DataFrame, path: str, num_buckets: int = 16
 ) -> None:

@@ -1932,6 +1932,57 @@ def streaming_ivf_ingest(
     )
 
 
+def streaming_ivf_delete(
+    stream: DataFrame,
+    postings: DataFrame,
+    id_col: str = "vec_id",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming index DELETION — the live twin of
+    ``similarity.ivf_index_delete``, completing the streaming
+    maintenance pair (ingest grows the artifact, this one retracts
+    from it): delete requests (ids) arriving on an unbounded stream
+    emit TOMBSTONE posting rows ``(centroid_id, member_id, mvec=NULL)``
+    exactly once per (cell, member) — append them to the same lake
+    artifact and ``live_postings`` / ``ivf_store_compact`` consume
+    them with no other change.
+
+    Each id finds its home cell through a STREAM-STATIC equi-join
+    against the live posting keys (the artifact is the static side —
+    re-read per micro-batch, which is the documented cost of id-only
+    deletes; a 100 TB deployment joins the member→cell manifest or a
+    ``bucketBy(member_id)`` projection instead, same plan shape).
+    Absent ids drop at the join (deleting nothing is a no-op, the
+    batch contract).
+
+    Exactly-once under at-least-once redelivery rides the SAME
+    ``PostingAppendProcessor`` the ingest twin uses — first-arrival
+    commit per (cell, member) on MapState, one long per distinct
+    deleted member forever (``state_ttl_ms`` bounds the horizon; a
+    post-expiry re-delete re-emits a tombstone, and compaction folds
+    duplicates away)."""
+    from pyspark.sql import functions as F
+
+    mvec_t = postings.schema["mvec"].dataType
+    ids = stream.select(F.col(id_col).cast("long").alias("member_id"))
+    lookup = (
+        postings.where(F.col("mvec").isNotNull())
+        .select("centroid_id", "member_id")
+        .distinct()
+    )
+    tomb = ids.join(lookup, "member_id").select(
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.col("member_id").cast("long").alias("member_id"),
+        F.lit(None).cast(mvec_t).alias("mvec"),
+    )
+    return tomb.groupBy("centroid_id").transformWithStateInPandas(
+        PostingAppendProcessor(state_ttl_ms),
+        outputStructType=IVF_POSTING_OUTPUT,
+        outputMode="append",
+        timeMode="none" if state_ttl_ms is None else "processingTime",
+    )
+
+
 RATE_ANOMALY_OUTPUT = StructType(
     [
         StructField("k", StringType()),

@@ -3043,3 +3043,52 @@ def test_ivf_store_compact_rewrites_only_touched_buckets(spark, tmp_path):
     assert sorted(
         map(key, S.ivf_store_read(spark, path).collect())
     ) == sorted(map(key, compacted_df.collect()))
+
+
+def test_ivf_index_upsert_refresh_readd_and_new(spark):
+    """Upsert = delete + targeted compact + frozen-quantizer append:
+    an updated vector replaces its member's old posting (exactly one
+    live row, rerouted to the new vector's cell), a previously deleted
+    member is revived, a brand-new id is a plain append, and untouched
+    members never move."""
+    import numpy as np
+
+    emb = _ids_only_emb(spark, 128)
+    planted = S.planted_embeddings(emb).select("vec_id", "embedding")
+    index, postings = S.build_ivf_index(planted)
+    before = {
+        r.member_id: (r.centroid_id, list(r.mvec))
+        for r in postings.collect()
+    }
+
+    # refresh ids 0..4 with vectors moved to id 100's neighborhood,
+    # revive a deleted id 7, add a brand-new id 5000
+    tombstoned = S.ivf_index_delete(
+        postings, spark.range(7, 8).selectExpr("id AS vec_id")
+    )
+    donor = {r.vec_id: list(r.embedding) for r in planted.collect()}
+    upd = spark.createDataFrame(
+        [(i, donor[100]) for i in range(5)]
+        + [(7, donor[100]), (5000, donor[100])],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.ivf_index_upsert(index, tombstoned, upd)
+    rows = out.collect()
+    assert all(r.mvec is not None for r in rows)  # no tombstones left
+    per_member: dict[int, list] = {}
+    for r in rows:
+        per_member.setdefault(r.member_id, []).append(r)
+    assert all(len(v) == 1 for v in per_member.values())
+    # incoming members carry the new vector and id-100's routing cell
+    cell_100 = before[100][0]
+    for mid in [0, 1, 2, 3, 4, 7, 5000]:
+        (row,) = per_member[mid]
+        assert list(row.mvec) == donor[100]
+        assert row.centroid_id == cell_100
+    # untouched members keep their exact row
+    for mid, (cell, vec) in before.items():
+        if mid in {0, 1, 2, 3, 4, 7}:
+            continue
+        (row,) = per_member[mid]
+        assert (row.centroid_id, list(row.mvec)) == (cell, vec)
+    assert len(per_member) == 128 + 1  # 128 members + the new id

@@ -2025,3 +2025,81 @@ def test_ivf_query_over_streamed_artifact_equals_batch(spark):
     ).collect()))
     assert got == want and len(got) > 0
     index.unpersist()
+
+
+def test_streaming_ivf_delete_exactly_once_and_composes(spark):
+    """The streaming retraction twin: delete ids arriving in ANY
+    micro-batch split WITH redelivery emit exactly one tombstone per
+    (cell, member), equal to the batch ivf_index_delete tombstone set;
+    absent ids are no-ops; and the streamed tombstones compose — the
+    union artifact queried through live_postings equals the batch
+    compacted index, closing the grow/retract maintenance loop."""
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators import similarity as S
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import streaming_ivf_delete
+
+    emb = S.planted_embeddings(
+        spark.range(120).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+        )
+    ).select("vec_id", "embedding")
+    index, postings = S.build_ivf_index(emb)
+    index = index.cache()
+    postings = postings.persist()
+    postings.count()
+
+    dead_ids = [i for i in range(120) if i % 7 == 3]
+    expected = sorted(
+        (r.centroid_id, r.member_id)
+        for r in S.ivf_index_delete(
+            postings, spark.range(120).selectExpr("id AS vec_id")
+            .where("vec_id % 7 = 3")
+        ).where("mvec IS NULL").collect()
+    )
+
+    # 3 frames, frame 1 redelivered inside frame 2, plus absent ids
+    frames = [
+        pd.DataFrame({"vec_id": dead_ids[:6]}),
+        pd.DataFrame({"vec_id": dead_ids[6:] + dead_ids[:3] + [9999]}),
+        pd.DataFrame({"vec_id": dead_ids + [10_000]}),  # full replay
+    ]
+    stream = _hh_feed(spark, frames, schema="vec_id long")
+    out = streaming_ivf_delete(stream, postings)
+    got_rows = run_available_now(out, "ivf_delete_stream")
+    assert all(r.mvec is None for r in got_rows)
+    got = sorted((r.centroid_id, r.member_id) for r in got_rows)
+    assert got == expected  # exactly once, absent ids dropped
+
+    # compose: base ∪ streamed tombstones → live view == batch compact
+    streamed = spark.createDataFrame(
+        [(c, m) for c, m in got], "centroid_id long, member_id long"
+    ).select(
+        "centroid_id", "member_id",
+        F.lit(None).cast(postings.schema["mvec"].dataType).alias("mvec"),
+    )
+    union_art = postings.unionByName(streamed)
+    compacted, _ = S.ivf_index_compact(
+        S.ivf_index_delete(
+            postings,
+            spark.range(120).selectExpr("id AS vec_id")
+            .where("vec_id % 7 = 3"),
+        )
+    )
+    q = emb.where("vec_id % 10 = 0")
+    res_stream = sorted(map(tuple, S.ivf_index_query(
+        index, S.live_postings(union_art), q, k=5).collect()))
+    res_batch = sorted(map(tuple, S.ivf_index_query(
+        index, compacted, q, k=5).collect()))
+    assert res_stream == res_batch
+    postings.unpersist()
+    index.unpersist()
