@@ -870,6 +870,35 @@ def _q_fuzzy_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 100 TB form of match_phrase the scan-path docstring promises:
+    # positional-postings intersection — m-1 equi-joins over
+    # term-selective posting subsets instead of sliding a window over
+    # every document; output-identical to phrase_search, so the two
+    # share one oracle and pin each other
+    from flink_helloworld_spark.operators.ranking import (
+        phrase_search_indexed,
+    )
+
+    return phrase_search_indexed(
+        load_tables(spark, sf_dir).documents, phrase=("the", "data")
+    )
+
+
+def _q_fuzzy_term_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the dictionary form of fuzziness:1: Levenshtein against the
+    # DISTINCT-token vocabulary (Heaps-law-sized DP work), surviving
+    # variants broadcast back through the token stream; shares the
+    # scan path's oracle
+    from flink_helloworld_spark.operators.ranking import (
+        fuzzy_term_search_indexed,
+    )
+
+    return fuzzy_term_search_indexed(
+        load_tables(spark, sf_dir).documents, term="data", max_edits=1
+    )
+
+
 def _q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join-size estimation WITHOUT the join (CMS inner product): the
     # co-purchase self-join |lineitem x lineitem on l_partkey| -- the
@@ -3022,6 +3051,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_repetition_plan": _q_epoch_repetition_plan,
         "mixture_reallocate": _q_mixture_reallocate,
         "mixture_reallocate_saturated": _q_mixture_reallocate_saturated,
+        "phrase_search_indexed": _q_phrase_search_indexed,
+        "fuzzy_term_search_indexed": _q_fuzzy_term_search_indexed,
         "phrase_search": _q_phrase_search,
         "fuzzy_term_search": _q_fuzzy_term_search,
         "cms_join_size": _q_cms_join_size,
@@ -8258,6 +8289,11 @@ def oracle_sql() -> dict[str, str]:
             " / (CAST(deg.d AS DOUBLE) * (deg.d - 1))"
         ),
     )
+    # the indexed search twins are OUTPUT-IDENTICAL to the scan
+    # paths by construction (parity test-pinned), so they share
+    # the scan paths' oracle SQL verbatim
+    d["phrase_search_indexed"] = d["phrase_search"]
+    d["fuzzy_term_search_indexed"] = d["fuzzy_term_search"]
     return d
 
 

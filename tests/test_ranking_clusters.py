@@ -892,3 +892,56 @@ def test_fuzzy_term_search_edit_distance_one(spark):
     assert out[1].n_hits == 3 and out[1].variants == "dada,data,date"
     assert out[2].n_hits == 3 and out[2].variants == "adata,dat,datas"
     assert out[4].n_hits == 2 and out[4].variants == "data"
+
+
+def test_indexed_search_twins_equal_scan_paths(spark):
+    """phrase_search_indexed / fuzzy_term_search_indexed are
+    OUTPUT-IDENTICAL to their scan-path siblings on any corpus —
+    including overlapping matches of a repeated-token phrase, docs
+    shorter than the phrase, and a prebuilt postings artifact."""
+    from flink_helloworld_spark.operators.ranking import (
+        fuzzy_term_search,
+        fuzzy_term_search_indexed,
+        phrase_search,
+        phrase_search_indexed,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),        # overlapping ('a','a') matches
+            (2, "x a y data"),
+            (3, "the data is the data"),
+            (4, "the"),            # shorter than the phrase
+            (5, "dada date data daze"),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    for phrase in (("the", "data"), ("a", "a"), ("data",)):
+        a = sorted(map(tuple, phrase_search(docs, phrase).collect()))
+        b = sorted(
+            map(tuple, phrase_search_indexed(docs, phrase).collect())
+        )
+        assert a == b, phrase
+    # prebuilt artifact path (build once / query many)
+    post = positional_postings(docs)
+    b2 = sorted(
+        map(
+            tuple,
+            phrase_search_indexed(
+                docs, ("the", "data"), postings=post
+            ).collect(),
+        )
+    )
+    assert b2 == sorted(
+        map(tuple, phrase_search(docs, ("the", "data")).collect())
+    )
+    for term, k in (("data", 1), ("data", 2), ("zzz", 1)):
+        c = sorted(map(tuple, fuzzy_term_search(docs, term, k).collect()))
+        d = sorted(
+            map(
+                tuple, fuzzy_term_search_indexed(docs, term, k).collect()
+            )
+        )
+        assert c == d, (term, k)
