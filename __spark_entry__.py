@@ -899,6 +899,18 @@ def _q_fuzzy_term_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the positional-index ARTIFACT itself (term, doc_id, pos) gated
+    # row-for-row — a green row certifies the persisted table
+    # phrase_search_indexed probes, not a lookalike (the
+    # ivf_index_build manifest pattern applied to the text index)
+    from flink_helloworld_spark.operators.ranking import (
+        positional_postings,
+    )
+
+    return positional_postings(load_tables(spark, sf_dir).documents)
+
+
 def _q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join-size estimation WITHOUT the join (CMS inner product): the
     # co-purchase self-join |lineitem x lineitem on l_partkey| -- the
@@ -3053,6 +3065,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_reallocate_saturated": _q_mixture_reallocate_saturated,
         "phrase_search_indexed": _q_phrase_search_indexed,
         "fuzzy_term_search_indexed": _q_fuzzy_term_search_indexed,
+        "positional_postings": _q_positional_postings,
         "phrase_search": _q_phrase_search,
         "fuzzy_term_search": _q_fuzzy_term_search,
         "cms_join_size": _q_cms_join_size,
@@ -8292,6 +8305,17 @@ def oracle_sql() -> dict[str, str]:
     # the indexed search twins are OUTPUT-IDENTICAL to the scan
     # paths by construction (parity test-pinned), so they share
     # the scan paths' oracle SQL verbatim
+    # positional-postings artifact: DuckDB zips parallel unnests of
+    # equal-length lists, giving the (term, pos) pairs directly
+    d["positional_postings"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents)
+        SELECT unnest(ws) AS term, doc_id,
+               CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS pos
+        FROM t
+    """
     d["phrase_search_indexed"] = d["phrase_search"]
     d["fuzzy_term_search_indexed"] = d["fuzzy_term_search"]
     return d

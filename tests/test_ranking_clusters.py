@@ -945,3 +945,34 @@ def test_indexed_search_twins_equal_scan_paths(spark):
             )
         )
         assert c == d, (term, k)
+
+
+def test_layout_masks_negative_inputs_nonnegative(spark):
+    """The pmod contract (ADVICE r9): negative coordinates map into
+    [0, 2^bits) before the bit walks, so zorder/hilbert keys for a
+    negative input equal the keys of its pmod image — no sign leak
+    into shifts/bitwiseAND."""
+    from flink_helloworld_spark.operators.layout import (
+        hilbert_layout_stats,
+        zorder_layout_stats,
+    )
+
+    bits = 5
+    neg = spark.createDataFrame(
+        [(-1, -33), (-32, 7), (3, -4)], "x long, y long"
+    )
+    pos = spark.createDataFrame(
+        [((-1) % 32, (-33) % 32), ((-32) % 32, 7), (3, (-4) % 32)],
+        "x long, y long",
+    )
+
+    def keys(df, fn):
+        # file_bits = 2*bits => file_id IS the full curve key
+        return sorted(
+            r.file_id
+            for r in fn(df, "x", "y", bits=bits, file_bits=2 * bits)
+            .collect()
+        )
+
+    for fn in (hilbert_layout_stats, zorder_layout_stats):
+        assert keys(neg, fn) == keys(pos, fn), fn.__name__
