@@ -2918,9 +2918,16 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything rotated OUT is re-verified locally this round via
 # tools/check_oracle.py (full-registry sweep) beside the pytest run.
 #
-# ROUND-11 ROTATION QUEUE (to compute at r10 close): any r10-late
-# never-official queries first, then the 20 r6-stale rows left
-# after this rotation, then oldest-first from the r7 cohort.
+# ROUND-11 ROTATION QUEUE (computed at r10 close): the 6 r10-late
+# queries that have never held an official row fill the r11 gate
+# FIRST — fuzzy_term_search_indexed, ivf_index_delete_query,
+# mixture_reallocate, mixture_reallocate_saturated,
+# phrase_search_indexed, positional_postings (all green under this
+# round's local sweeps: 0 failures/225 full sweep + the last query
+# checked singly) — then the 20 r6-stale rows left after this
+# rotation (semantic_dedup .. vocab_coverage, alphabetical), then
+# the 24 alphabetically-first r7 rows. 6 + 20 + 24 = 50. After r11
+# no registry query's newest official row is older than r7.
 _GATE_R10 = [
     # --- the 6 never-official r9-late queries ---
     "cms_join_size",
@@ -3447,9 +3454,8 @@ def _zorder_sql(bits: int = 16, file_bits: int = 8) -> str:
         WITH keyed AS (
           SELECT user_id AS x,
                  CAST(floor(epoch(ts)) AS BIGINT) AS y,
-                 ((user_id % {1 << bits}) + {1 << bits}) % {1 << bits} AS xm,
-                 ((CAST(floor(epoch(ts)) AS BIGINT) % {1 << bits})
-                  + {1 << bits}) % {1 << bits} AS ym
+                 user_id & {(1 << bits) - 1} AS xm,
+                 CAST(floor(epoch(ts)) AS BIGINT) & {(1 << bits) - 1} AS ym
           FROM events),
         z AS (SELECT x, y, ({interleave}) AS zkey FROM keyed)
         SELECT CAST(zkey >> {2 * bits - file_bits} AS INT) AS file_id,
@@ -3679,8 +3685,8 @@ def _hilbert_sql(bits: int = 12, file_bits: int = 8) -> str:
         f"""keyed AS (
           SELECT user_id AS x,
                  CAST(floor(epoch(ts)) AS BIGINT) AS y,
-                 ((user_id % {n}) + {n}) % {n} AS hx,
-                 ((CAST(floor(epoch(ts)) AS BIGINT) % {n}) + {n}) % {n} AS hy,
+                 user_id & {n - 1} AS hx,
+                 CAST(floor(epoch(ts)) AS BIGINT) & {n - 1} AS hy,
                  CAST(0 AS BIGINT) AS hd
           FROM events)"""
     ]

@@ -25,12 +25,14 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
 
     The expression is a balanced sum of 2*bits shift/mask terms —
     constant-folded into one codegen stage, no UDF."""
-    # pmod, not %: Spark's % follows the dividend's sign, so a negative
-    # input would leak a negative masked value into the shift walk and
-    # silently diverge from the non-negative contract (and from DuckDB
-    # oracles written with ((v % n) + n) % n)
-    x = F.pmod(x.cast("long"), F.lit(1 << bits).cast("long"))
-    y = F.pmod(y.cast("long"), F.lit(1 << bits).cast("long"))
+    # bitwiseAND(n-1), not %: Spark's % follows the dividend's sign, so
+    # a negative input would leak a negative masked value into the
+    # shift walk. For the power-of-two modulus, & keeps the result in
+    # [0, 2^bits) for ANY sign (two's complement — identical in Spark,
+    # DuckDB, and Python), at one cheap op where pmod's
+    # ((a%b)+b)%b form measurably taxed the 2·bits-term codegen stage
+    x = x.cast("long").bitwiseAND(F.lit((1 << bits) - 1).cast("long"))
+    y = y.cast("long").bitwiseAND(F.lit((1 << bits) - 1).cast("long"))
     terms = []
     for j in range(bits):
         terms.append(F.shiftleft(F.shiftright(x, j) % 2, 2 * j))
@@ -283,11 +285,17 @@ def hilbert_layout_stats(
     cur = df.select(
         F.col(x_col).alias("x"),
         F.col(y_col).alias("y"),
-        # pmod keeps the docstring's [0, 2^bits) contract for negative
-        # inputs too — Spark's sign-following % would let a negative
-        # hx/hy slip into the bitwiseAND/reflection walk
-        F.pmod(F.col(x_col).cast("long"), F.lit(n).cast("long")).alias("hx"),
-        F.pmod(F.col(y_col).cast("long"), F.lit(n).cast("long")).alias("hy"),
+        # bitwiseAND(n-1) keeps the docstring's [0, 2^bits) contract for
+        # negative inputs too (two's complement: engine-portable,
+        # Python-reference-identical) — Spark's sign-following % would
+        # let a negative hx/hy slip into the reflection walk, and pmod
+        # costs a double modulo per reference in codegen
+        F.col(x_col).cast("long").bitwiseAND(
+            F.lit(n - 1).cast("long")
+        ).alias("hx"),
+        F.col(y_col).cast("long").bitwiseAND(
+            F.lit(n - 1).cast("long")
+        ).alias("hy"),
         F.lit(0).cast("long").alias("hd"),
     )
     one, two, three = (F.lit(v).cast("long") for v in (1, 2, 3))
