@@ -976,6 +976,22 @@ def _q_mixture_reallocate_saturated(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _q_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the step after the allocator prices the plan: the actual
+    # (doc, epoch) training stream — floor(epochs) full passes per
+    # weighted source plus a deterministic md5-ranked token-prefix
+    # fractional pass; _REPETITION_BUDGET exceeds every source's
+    # capacity at sf0.01/sf0.1, so full multi-epoch repetition and
+    # the fractional tail are both exercised
+    from flink_helloworld_spark.operators.sampling import epoch_materialize
+
+    return epoch_materialize(
+        load_tables(spark, sf_dir).documents,
+        _MIXTURE_WEIGHTS,
+        _REPETITION_BUDGET,
+    )
+
+
 def _q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EWMA rate-spike monitor: per event_type hourly counts vs the
     # dyadic-kernel baseline — flags >=4x jumps over a warm 16-tap
@@ -3073,6 +3089,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_indexed": _q_phrase_search_indexed,
         "fuzzy_term_search_indexed": _q_fuzzy_term_search_indexed,
         "positional_postings": _q_positional_postings,
+        "epoch_materialize": _q_epoch_materialize,
         "phrase_search": _q_phrase_search,
         "fuzzy_term_search": _q_fuzzy_term_search,
         "cms_join_size": _q_cms_join_size,
@@ -3623,6 +3640,49 @@ def _mixture_reallocate_sql(budget: int, r_star: float = 15.39) -> str:
                realloc_target, naive_effective, epochs,
                effective_tokens, {gain} AS gain_tokens
         FROM f
+    """
+
+
+def _epoch_materialize_sql(budget: int, r_star: float = 15.39) -> str:
+    # mirrors sampling.epoch_materialize: the mixture_reallocate plan
+    # (nested verbatim as a subquery) joined back to the corpus —
+    # floor(epochs) full passes via a range unnest, then the
+    # fractional pass as a per-source md5-ranked token-prefix cumsum
+    # (exclusive window, strict < against the leftover double target)
+    plan = _mixture_reallocate_sql(budget, r_star)
+    return f"""
+        WITH plan AS (SELECT * FROM ({plan})),
+        tok AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w <> '')) AS BIGINT) AS n_tok,
+                 ('0x' || substr(md5('em:' || doc_id::VARCHAR), 1, 15))
+                   ::BIGINT AS h
+          FROM documents),
+        j AS (
+          SELECT t.doc_id, t.source, t.n_tok, t.h,
+                 p.unique_tokens, p.realloc_target,
+                 CAST(floor(coalesce(p.epochs, 0.0)) AS BIGINT) AS k
+          FROM tok t JOIN plan p USING (source)),
+        m_full AS (
+          SELECT doc_id, source,
+                 CAST(unnest(range(0, k)) AS BIGINT) AS epoch
+          FROM j WHERE k > 0),
+        ranked AS (
+          SELECT *,
+                 coalesce(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cum
+          FROM j),
+        m_part AS (
+          SELECT doc_id, source, k AS epoch
+          FROM ranked
+          WHERE cum::DOUBLE
+                < (realloc_target - k * unique_tokens::DOUBLE))
+        SELECT doc_id, source, epoch FROM m_full
+        UNION ALL
+        SELECT doc_id, source, epoch FROM m_part
     """
 
 
@@ -7635,6 +7695,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_reallocate": _mixture_reallocate_sql(_MIXTURE_BUDGET),
         "mixture_reallocate_saturated":
             _mixture_reallocate_sql(_REPETITION_BUDGET),
+        "epoch_materialize": _epoch_materialize_sql(_REPETITION_BUDGET),
         # CMS inner-product join-size estimate, self-join on l_partkey;
         # mirrors rollups.cms_join_size (d=4, w=256, same md5 cells as
         # the cms_heavy_hitters oracle)

@@ -659,3 +659,74 @@ def mixture_reallocate(
             ),
         )
     )
+
+
+def epoch_materialize(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    r_star: float = 15.39,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """MATERIALIZE the data-constrained plan — the step after
+    ``mixture_reallocate`` prices it: emit the actual (doc, epoch)
+    training stream the reallocated budget prescribes. Every weighted
+    source runs ``floor(epochs)`` FULL passes over its documents
+    (epoch 0..k−1), then a FRACTIONAL pass (epoch k) over a
+    deterministic md5-ranked token-prefix of the source sized to the
+    leftover target ``realloc_target − k·U`` — so the materialized
+    token count tracks the plan per source to one document's
+    granularity, and reruns/engines agree row-for-row (the
+    'kmt:'-seed doctrine, salt ``'em:'``).
+
+    Output: ``(doc_id, source, epoch)`` — feed it to
+    ``training_order``/``pack_sequences`` for the final stream; the
+    row count is Σ_s (⌈epochs_s⌉ × |docs_s|)-bounded, budget-sized by
+    construction.
+
+    Scale shape: the plan join broadcasts (≤ sources rows); full
+    epochs are one bounded ``sequence`` explode; the fractional pass
+    is a per-source token cumsum window — the quota-sampler pattern
+    (a source IS a stratum; at extreme per-source cardinality the
+    two-pass threshold estimate replaces the window, same rows out).
+    """
+    from pyspark.sql import Window
+
+    from flink_helloworld_spark.functions import md5_prefix_long
+    from flink_helloworld_spark.operators.text import _words
+
+    plan = mixture_reallocate(
+        docs, weights, budget_tokens, r_star, strata_col, text_col
+    ).select(strata_col, "unique_tokens", "realloc_target", "epochs")
+    tok = docs.select(
+        strata_col,
+        "doc_id",
+        F.size(_words(F.col(text_col))).cast("long").alias("_tok"),
+        md5_prefix_long(F.col("doc_id").cast("string"), "em:").alias("_h"),
+    )
+    j = tok.join(F.broadcast(plan), strata_col)
+    k = F.floor(F.coalesce(F.col("epochs"), F.lit(0.0))).cast("long")
+    full = j.where(k > 0).select(
+        "doc_id",
+        strata_col,
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), k - F.lit(1).cast("long"))
+        ).alias("epoch"),
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t_part = F.col("realloc_target") - k.cast("double") * F.col(
+        "unique_tokens"
+    ).cast("double")
+    partial = (
+        j.withColumn(
+            "_cum", F.coalesce(F.sum("_tok").over(w), F.lit(0))
+        )
+        .where(F.col("_cum").cast("double") < t_part)
+        .select("doc_id", strata_col, k.alias("epoch"))
+    )
+    return full.unionByName(partial)

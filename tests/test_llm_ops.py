@@ -3092,3 +3092,68 @@ def test_ivf_index_upsert_refresh_readd_and_new(spark):
         (row,) = per_member[mid]
         assert (row.centroid_id, list(row.mvec)) == (cell, vec)
     assert len(per_member) == 128 + 1  # 128 members + the new id
+
+
+def test_epoch_materialize_token_accounting_both_regimes(spark):
+    """The materialized (doc, epoch) stream tracks the reallocated plan
+    per source to one document's granularity: floor(epochs) full
+    passes cover every doc, the fractional pass is the deterministic
+    md5-ranked token-prefix sized to the leftover, unweighted sources
+    emit nothing, and the down-case (epochs < 1) degenerates to a
+    single partial pass."""
+    from flink_helloworld_spark.operators.sampling import (
+        epoch_materialize,
+        mixture_reallocate,
+    )
+
+    rows = []
+    rows += [(i, " ".join(["t"] * 10), "en", "srcA", 1) for i in range(4)]
+    rows += [(10 + i, " ".join(["t"] * 25), "en", "srcB", 1) for i in range(4)]
+    rows.append((20, "x y", "en", "srcZ", 1))  # unweighted
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    W = {"srcA": 0.7, "srcB": 0.3}
+    # up-case: budget 420 > sum U (140): targets prop. to U (A 120, B 300)
+    plan = {
+        r.source: r
+        for r in mixture_reallocate(docs, W, 420).collect()
+    }
+    out = epoch_materialize(docs, W, 420).collect()
+    toks = {r[0]: len(r[1].split()) for r in rows}
+    per_src: dict[str, list] = {}
+    for r in out:
+        per_src.setdefault(r.source, []).append(r)
+    assert "srcZ" not in per_src  # unweighted: nothing materialized
+    for s in ("srcA", "srcB"):
+        p = plan[s]
+        got_tokens = sum(toks[r.doc_id] for r in per_src[s])
+        max_doc = max(
+            toks[i] for i, _, _, src, _ in rows if src == s
+        )
+        # one-document granularity around the reallocated target
+        assert p.realloc_target - max_doc <= got_tokens
+        assert got_tokens < p.realloc_target + max_doc
+        k = int(p.epochs)
+        for e in range(k):  # full passes cover every doc
+            ids = sorted(r.doc_id for r in per_src[s] if r.epoch == e)
+            assert ids == sorted(
+                i for i, _, _, src, _ in rows if src == s
+            ), (s, e)
+        assert all(r.epoch <= k for r in per_src[s])
+    # determinism: byte-identical on rerun
+    again = epoch_materialize(docs, W, 420).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    # down-case: budget 70 < sum U: all fresh, single partial pass
+    out2 = epoch_materialize(docs, W, 70).collect()
+    assert all(r.epoch == 0 for r in out2)
+    plan2 = {
+        r.source: r for r in mixture_reallocate(docs, W, 70).collect()
+    }
+    for s in ("srcA", "srcB"):
+        got = sum(toks[r.doc_id] for r in out2 if r.source == s)
+        tgt = plan2[s].realloc_target
+        max_doc = max(toks[i] for i, _, _, src, _ in rows if src == s)
+        assert tgt - max_doc <= got < tgt + max_doc, s
