@@ -995,3 +995,34 @@ def test_live_postings_and_compact_broadcast_only(spark, sf_dir):
     # pass-through anti + touched semi + resolution anti: ALL broadcast
     assert cplan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in cplan
+
+
+def test_phrase_indexed_probe_pushes_term_filter(spark, sf_dir):
+    # the indexed phrase probe's scale contract: over a PERSISTED
+    # postings artifact the m phrase-term filters reach the parquet
+    # scan (PushedFilters carries term, plus the matching partition/
+    # row-group pruning once the artifact is laid out by term) and
+    # only the 3 artifact columns are read
+    import tempfile
+
+    from flink_helloworld_spark.operators.ranking import (
+        phrase_search_indexed,
+        positional_postings,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+    d = tempfile.mkdtemp(prefix="pospost-")
+    positional_postings(docs).write.parquet(f"{d}/postings")
+    post = spark.read.parquet(f"{d}/postings")
+    plan = explain_str(
+        phrase_search_indexed(docs, ("the", "data"), postings=post)
+    )
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ]
+    # both probe sides: the In(term, [...]) reaches the parquet scan,
+    # plus the per-side EqualTo — row groups prune on term stats
+    assert len(pushed) >= 2, plan
+    assert all("In(term" in ln or "EqualTo(term" in ln for ln in pushed)
+    assert "ReadSchema: struct<term:string,doc_id:bigint,pos:bigint>" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
