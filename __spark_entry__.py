@@ -3562,8 +3562,16 @@ def _mixture_reallocate_sql(budget: int, r_star: float = 15.39) -> str:
         )
         return f"CASE WHEN {epochs} <= 1.0 THEN {tgt} ELSE {decayed} END"
 
-    naive_target = r9(f"(CASE {w_case} ELSE 0.0 END)::DOUBLE * {B}")
-    lam = f"(({B} - _sat_u::DOUBLE) / ((_tot_w - _sat_w)::DOUBLE))"
+    # mirrors the engine's entry-point weight quantization
+    # (sampling.mixture_reallocate): weights land on the 9-dp ladder
+    # BEFORE the ratio and the w*B target, so the decimal prefix sums
+    # and the per-row doubles agree to ulps
+    wq = r9(f"(CASE {w_case} ELSE 0.0 END)::DOUBLE")
+    naive_target = r9(f"{wq} * {B}")
+    # cast each decimal operand to double BEFORE subtracting (mirrors
+    # the engine: a decimal(38,9) subtraction would lose the 9th
+    # digit of the denominator to the precision-loss rule)
+    lam = f"(({B} - _sat_u::DOUBLE) / (_tot_w::DOUBLE - _sat_w::DOUBLE))"
     realloc = r9(f"least(unique_tokens::DOUBLE, weight * {lam})")
     up = r9(f"unique_tokens::DOUBLE * {B} / _tot_u::DOUBLE")
     ep_n = r9("naive_target / unique_tokens::DOUBLE")
@@ -3580,7 +3588,7 @@ def _mixture_reallocate_sql(budget: int, r_star: float = 15.39) -> str:
           FROM documents GROUP BY source),
         p AS (
           SELECT source, unique_tokens,
-                 (CASE {w_case} ELSE 0.0 END)::DOUBLE AS weight,
+                 {wq} AS weight,
                  {naive_target} AS naive_target
           FROM t),
         act AS (
@@ -3603,8 +3611,8 @@ def _mixture_reallocate_sql(budget: int, r_star: float = 15.39) -> str:
                                    AND 1 PRECEDING)),
         sat AS (
           SELECT *,
-                 (_cu::DOUBLE + _ratio * (_tot_w - _cw)::DOUBLE) <= {B}
-                   AS _sat
+                 (_cu::DOUBLE + _ratio * (_tot_w::DOUBLE - _cw::DOUBLE))
+                   <= {B} AS _sat
           FROM scanned),
         cut AS (
           SELECT CAST(coalesce(sum(CASE WHEN _sat THEN unique_tokens END),

@@ -517,6 +517,17 @@ def mixture_reallocate(
     w = F.lit(0.0)
     for value, wt in weights.items():
         w = F.when(F.col(strata_col) == value, F.lit(float(wt))).otherwise(w)
+    # Quantize every weight to the 9-dp ladder ONCE at entry. The
+    # weight prefix sums below are DECIMAL(28,9) (9-dp-quantized) but
+    # the per-row w·λ target would otherwise use the full double — so
+    # the water level λ = (B−ΣU_sat)/(W−W_sat) would be computed
+    # against quantized weights while targets use unquantized ones,
+    # and the ~5e-10 quantization error is amplified by λ (21× for
+    # w = 1/21): budget conservation then misses the property's own
+    # n·1e-8 ladder bound (hypothesis counterexample
+    # {s0: 1/21, s1: 20/21}, budget 1). With w on the ladder, the
+    # decimal cast is exact and w·λ conserves to ulps.
+    w = _r9(w)
     per = (
         docs.select(
             F.col(strata_col),
@@ -581,7 +592,19 @@ def mixture_reallocate(
             (
                 F.col("_cu").cast("double")
                 + F.col("_ratio")
-                * (F.col("_tot_w") - F.col("_cw")).cast("double")
+                # cast EACH decimal operand to double BEFORE the
+                # subtraction: the sums widen decimal(28,9) →
+                # decimal(38,9), and a decimal(38,9)−decimal(38,9)
+                # needs precision 39, so Spark's precision-loss rule
+                # silently drops the result to scale 8 — one lost
+                # digit that λ amplifies (the 4.2e-8 budget miss in
+                # the hypothesis counterexample). The operands are
+                # exact 9-dp ladder sums, so cast-then-subtract is
+                # correctly rounded IEEE on both engine and oracle.
+                * (
+                    F.col("_tot_w").cast("double")
+                    - F.col("_cw").cast("double")
+                )
             )
             <= F.lit(B),
         )
@@ -599,9 +622,11 @@ def mixture_reallocate(
             F.lit(0).cast("decimal(28,9)"),
         ).alias("_sat_w"),
     )
+    # same cast-before-subtract as _sat: decimal(38,9) subtraction
+    # would lose the 9th digit of the water-level denominator
     lam = (F.lit(B) - F.col("_sat_u").cast("double")) / (
-        F.col("_tot_w") - F.col("_sat_w")
-    ).cast("double")
+        F.col("_tot_w").cast("double") - F.col("_sat_w").cast("double")
+    )
     realloc = (
         scanned.crossJoin(F.broadcast(cut))
         .withColumn(
