@@ -438,13 +438,26 @@ def _flag_regressions(
         raw = sec / p_med
         if raw <= threshold:
             continue
+        # symmetric definitions only: when the PREVIOUS record lacks
+        # the codegen canary series, the current side must not use it
+        # either — otherwise cur_f can pick the larger codegen factor
+        # while prev_f is wordcount-only, deflating just the current
+        # timing and excusing a genuine regression for the one
+        # transition round. The codegen series still influences the
+        # cross-round `machine` factor, whose missing-baseline case
+        # already degrades to 1.0.
+        use_cg = bool(prev_canary_cg) and bool(canary_cg)
         cur_f = max(
             _canary_factor(positions.get(name, 0), canary),
-            _canary_factor(positions.get(name, 0), canary_cg),
+            _canary_factor(positions.get(name, 0), canary_cg)
+            if use_cg
+            else 0.0,
         )
         prev_f = max(
             _canary_factor(prev_pos.get(name, 0), prev_canary),
-            _canary_factor(prev_pos.get(name, 0), prev_canary_cg),
+            _canary_factor(prev_pos.get(name, 0), prev_canary_cg)
+            if use_cg
+            else 0.0,
         )
         cur_n = sec / cur_f
         prev_n = p_med / prev_f

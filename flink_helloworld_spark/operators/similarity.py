@@ -2288,6 +2288,27 @@ def ivf_store_compact(spark, path: str) -> list[int]:
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Dynamic overwrite only replaces partitions PRESENT in the
+    # output: a touched bucket whose every live row is tombstoned
+    # contributes zero resolved rows, so its old files (tombstones +
+    # dominated rows) would survive the overwrite — the store would
+    # read deleted members back as live and a second compact would
+    # find the same tombstones again (idempotency broken). Explicitly
+    # drop touched partitions absent from the resolved output (the
+    # ``replaceWhere``-on-empty case Delta handles natively; both
+    # lists are <= num_buckets, a metadata collect).
+    kept = {
+        r[0] for r in resolved.select("cell_bucket").distinct().collect()
+    }
+    emptied = [b for b in touched if b not in kept]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for b in emptied:
+            part = jvm.org.apache.hadoop.fs.Path(
+                f"{path}/cell_bucket={b}"
+            )
+            part.getFileSystem(hconf).delete(part, True)
     return touched
 
 
@@ -2298,6 +2319,45 @@ def ivf_store_read(spark, path: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "centroid_id", "member_id", "mvec"
     )
+
+
+def ivf_member_manifest(postings: DataFrame) -> DataFrame:
+    """The member→cell MANIFEST projection of a posting artifact:
+    ``(member_id, centroid_id)`` for every LIVE member (tombstoned
+    keys resolved away through ``live_postings``, so an
+    already-deleted member is simply absent — the lookup-side twin of
+    the ``ivf_index_delete`` no-op contract). This is what id-only
+    maintenance (``streaming_ivf_delete``) probes instead of the full
+    posting table: two longs per member vs the member vector payload,
+    pre-deduped, no per-probe tombstone resolution."""
+    return (
+        live_postings(postings)
+        .select("member_id", "centroid_id")
+        .distinct()
+    )
+
+
+def ivf_manifest_write(
+    postings: DataFrame, path: str, num_buckets: int = 16
+) -> None:
+    """Persist the member→cell manifest ``member_bucket``-partitioned
+    (``pmod(member_id, num_buckets)`` — the ``ivf_store_write`` layout
+    doctrine applied to the member key): a per-member probe prunes to
+    its bucket directory, and the artifact re-read per streaming
+    micro-batch is manifest-sized (2 long columns), never
+    posting-payload-sized. Rebuild after compaction (overwrite) —
+    the manifest is a derived projection, not a second source of
+    truth."""
+    ivf_member_manifest(postings).withColumn(
+        "member_bucket", F.pmod(F.col("member_id"), F.lit(int(num_buckets)))
+    ).write.partitionBy("member_bucket").mode("overwrite").parquet(path)
+
+
+def ivf_manifest_read(spark, path: str) -> DataFrame:
+    """Load a persisted member→cell manifest back to the
+    ``(member_id, centroid_id)`` lookup layout (drops the layout-only
+    ``member_bucket`` partition column)."""
+    return spark.read.parquet(path).select("member_id", "centroid_id")
 
 
 def sq_encode_postings(

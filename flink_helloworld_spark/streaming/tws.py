@@ -1937,6 +1937,7 @@ def streaming_ivf_delete(
     postings: DataFrame,
     id_col: str = "vec_id",
     state_ttl_ms: int | None = None,
+    manifest: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming index DELETION — the live twin of
     ``similarity.ivf_index_delete``, completing the streaming
@@ -1948,12 +1949,20 @@ def streaming_ivf_delete(
     them with no other change.
 
     Each id finds its home cell through a STREAM-STATIC equi-join
-    against the live posting keys (the artifact is the static side —
-    re-read per micro-batch, which is the documented cost of id-only
-    deletes; a 100 TB deployment joins the member→cell manifest or a
-    ``bucketBy(member_id)`` projection instead, same plan shape).
-    Absent ids drop at the join (deleting nothing is a no-op, the
-    batch contract).
+    against the LIVE member keys. Pass ``manifest`` (the persisted
+    ``ivf_manifest_read`` member→cell projection,
+    ``member_bucket``-partitioned two-long rows) and the per-trigger
+    static-side read is manifest-sized — it no longer scales with the
+    posting payload (vectors) and does no per-batch tombstone
+    resolution; this is the operating form at scale. Without it the
+    lookup derives from ``live_postings(postings)`` inline (the
+    self-contained form — full-artifact read per micro-batch, the
+    documented cost of id-only deletes at sandbox scale). Either way
+    the lookup side excludes already-tombstoned members, so a member
+    deleted in the artifact resolves like an absent id and emits NO
+    second tombstone (the batch ``ivf_index_delete`` 'deleting twice'
+    contract). Absent ids drop at the join (deleting nothing is a
+    no-op, the batch contract).
 
     Exactly-once under at-least-once redelivery rides the SAME
     ``PostingAppendProcessor`` the ingest twin uses — first-arrival
@@ -1963,13 +1972,18 @@ def streaming_ivf_delete(
     duplicates away)."""
     from pyspark.sql import functions as F
 
+    from flink_helloworld_spark.operators.similarity import live_postings
+
     mvec_t = postings.schema["mvec"].dataType
     ids = stream.select(F.col(id_col).cast("long").alias("member_id"))
-    lookup = (
-        postings.where(F.col("mvec").isNotNull())
-        .select("centroid_id", "member_id")
-        .distinct()
-    )
+    if manifest is not None:
+        lookup = manifest.select("centroid_id", "member_id")
+    else:
+        lookup = (
+            live_postings(postings)
+            .select("centroid_id", "member_id")
+            .distinct()
+        )
     tomb = ids.join(lookup, "member_id").select(
         F.col("centroid_id").cast("long").alias("centroid_id"),
         F.col("member_id").cast("long").alias("member_id"),
@@ -2040,7 +2054,16 @@ class RateAnomalyProcessor(StatefulProcessor):
       the query or balloon memory. Such events do not advance the
       kernel; they surface on the overflow channel (cnt = event
       count, kernel columns NULL). A deployment with real gaps above
-      the horizon raises ``max_gap_buckets`` consciously.
+      the horizon raises ``max_gap_buckets`` consciously. The horizon
+      also guards the FIRST arrival in reverse: a key whose first-ever
+      event carries a corrupt far-future timestamp becomes the open
+      bucket blind (no earlier state to check against), but as soon as
+      a legitimate event lands more than ``max_gap_buckets`` BELOW an
+      open bucket that has produced no verdict yet, the anchor is
+      recognized as the corrupt one — it is surfaced on the overflow
+      channel and the key re-anchors to the legitimate bucket (no
+      shipped verdict is rewritten; in-order streams never take the
+      branch).
 
     The key's final open bucket is never emitted (nothing closes it)
     — the batch twin's last row per key.
@@ -2120,6 +2143,26 @@ class RateAnomalyProcessor(StatefulProcessor):
                 cur_c += n
                 continue
             if bucket < cur_b:  # late into a closed bucket: side-output
+                if (
+                    rn == 0
+                    and (cur_b - bucket) // self._bucket_ms > self._max_gap
+                ):
+                    # the open bucket never closed into a verdict and
+                    # sits beyond the gap horizon ABOVE this arrival:
+                    # the anchor itself is the corrupt far-future
+                    # timestamp (a first-ever event the cur_b-is-None
+                    # branch had to accept blind — there is no earlier
+                    # state to check against). Without this, every
+                    # legitimate event would route to 'late' forever
+                    # with no main-channel verdicts. Re-anchor to the
+                    # arriving bucket and surface the corrupt one on
+                    # the overflow channel; rn == 0 guarantees no
+                    # shipped verdict is rewritten, and an in-order
+                    # stream never takes this branch (batch parity
+                    # untouched).
+                    out.append(self._side(key[0], cur_b, cur_c, "overflow"))
+                    cur_b, cur_c = bucket, n
+                    continue
                 out.append(self._side(key[0], bucket, n, "late"))
                 continue
             if (bucket - cur_b) // self._bucket_ms > self._max_gap:

@@ -3045,6 +3045,53 @@ def test_ivf_store_compact_rewrites_only_touched_buckets(spark, tmp_path):
     ) == sorted(map(key, compacted_df.collect()))
 
 
+def test_ivf_store_compact_drops_fully_tombstoned_bucket(spark, tmp_path):
+    """Dynamic partition overwrite only replaces partitions present in
+    the compacted output — a bucket whose EVERY live row is tombstoned
+    would otherwise keep its old files on disk (deleted members read
+    back as live, second compact re-finds the tombstones). The compact
+    must explicitly drop such partitions: read-back excludes the
+    cell's members entirely and a second compact is a no-op."""
+    import os
+
+    emb = _ids_only_emb(spark, 192)
+    planted = S.planted_embeddings(emb).select("vec_id", "embedding")
+    index, postings = S.build_ivf_index(planted)
+    path = str(tmp_path / "ivf_store_empty")
+    S.ivf_store_write(postings, path, num_buckets=64)
+
+    # pick a cell whose bucket holds ONLY that cell's rows, then
+    # delete every one of its members -> the bucket compacts to empty
+    cells = [
+        r.centroid_id
+        for r in postings.select("centroid_id").distinct().collect()
+    ]
+    target = None
+    for c in cells:
+        if sum(1 for d in cells if d % 64 == c % 8) == 1:
+            target = int(c)
+            break
+    assert target is not None, "need a cell alone in its bucket"
+    dead = postings.where(F.col("centroid_id") == target).select(
+        F.col("member_id").alias("vec_id")
+    )
+    dead_ids = {r.vec_id for r in dead.collect()}
+    tombs = S.ivf_index_delete(postings, dead).where("mvec IS NULL")
+    S.ivf_store_write(tombs, path, num_buckets=64)
+
+    touched = S.ivf_store_compact(spark, path)
+    assert touched == [target % 64]
+    # the emptied partition directory is gone from disk
+    assert not os.path.isdir(os.path.join(path, f"cell_bucket={target % 64}"))
+    back = S.ivf_store_read(spark, path)
+    assert back.where(F.col("centroid_id") == target).count() == 0
+    assert not {
+        r.member_id for r in back.collect()
+    } & dead_ids  # no deleted member resurfaces as live
+    # idempotent: a second compact finds nothing
+    assert S.ivf_store_compact(spark, path) == []
+
+
 def test_ivf_index_upsert_refresh_readd_and_new(spark):
     """Upsert = delete + targeted compact + frozen-quantizer append:
     an updated vector replaces its member's old posting (exactly one

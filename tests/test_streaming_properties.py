@@ -1967,6 +1967,62 @@ def test_streaming_rate_anomaly_late_and_overflow_channels(spark):
     assert ov.cnt == 1 and ov.ewma_prev is None
 
 
+def test_streaming_rate_anomaly_corrupt_first_arrival_reanchors(spark):
+    """A key whose FIRST-ever event carries a corrupt far-future
+    timestamp must not stall the key forever (every legitimate event
+    routing to 'late' with no main-channel verdicts): once a
+    legitimate event lands more than max_gap_buckets BELOW an open
+    bucket that has produced no verdict, the anchor is surfaced on
+    the overflow channel and the key re-anchors — main verdicts are
+    then byte-identical to a run without the corrupt event."""
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import streaming_rate_anomaly
+
+    kw = dict(
+        bucket_ms=1000, taps=4, threshold=4.0, min_count=2,
+        max_gap_buckets=5,
+    )
+    corrupt = [("A", 60_000_000)]  # first arrival, 60k buckets ahead
+    base0 = [("A", b * 1000 + j) for b in range(6) for j in range(3)]
+    base1 = [("A", 6_000), ("A", 6_001)]  # closes bucket 5
+
+    def run(frames, name):
+        feed = [pd.DataFrame(f, columns=["k", "ms"]) for f in frames]
+        stream = _hh_feed(spark, feed, schema="k string, ms long").select(
+            "k", F.timestamp_millis(F.col("ms")).alias("ts")
+        )
+        out = streaming_rate_anomaly(stream, "k", "ts", **kw)
+        return run_available_now(out, name)
+
+    clean = run([base0, base1], "rate_anchor_clean")
+    poisoned = run([corrupt, base0, base1], "rate_anchor_poisoned")
+
+    fields = ("k", "bucket", "cnt", "ewma_prev", "score", "is_anomaly")
+    main = sorted(
+        tuple(getattr(r, f) for f in fields)
+        for r in poisoned if r.channel == "main"
+    )
+    clean_rows = sorted(
+        tuple(getattr(r, f) for f in fields) for r in clean
+    )
+    assert all(r.channel == "main" for r in clean)
+    assert len(clean_rows) == 6  # buckets 0..5 closed
+    assert main == clean_rows  # the key recovered, verdicts identical
+    side = [r for r in poisoned if r.channel != "main"]
+    assert [(r.channel, r.bucket, r.cnt) for r in side] == [
+        ("overflow", 60_000_000, 1)
+    ]
+
+
 def test_ivf_query_over_streamed_artifact_equals_batch(spark):
     """Closes the streaming-maintenance loop end-to-end: ivf_index_query
     over (base postings ∪ STREAMED appends) returns exactly the result
@@ -2103,3 +2159,85 @@ def test_streaming_ivf_delete_exactly_once_and_composes(spark):
     assert res_stream == res_batch
     postings.unpersist()
     index.unpersist()
+
+
+def test_streaming_ivf_delete_manifest_parity_and_tombstone_noop(
+    spark, tmp_path
+):
+    """The manifest operating form: probing the persisted member→cell
+    manifest (ivf_manifest_write/read — two-long rows, no per-batch
+    tombstone resolution) yields the EXACT tombstone set of the
+    inline live_postings form; and a member already tombstoned in the
+    artifact resolves like an absent id on BOTH paths — no duplicate
+    tombstone, the batch ivf_index_delete 'deleting twice' contract."""
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators import similarity as S
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import streaming_ivf_delete
+
+    emb = S.planted_embeddings(
+        spark.range(90).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(0.0)).cast("array<float>").alias("embedding"),
+        )
+    ).select("vec_id", "embedding")
+    index, postings = S.build_ivf_index(emb)
+    # pre-tombstone ids 0..9 in the artifact itself
+    pre_dead = spark.range(10).selectExpr("id AS vec_id")
+    art = S.ivf_index_delete(postings, pre_dead).persist()
+    art.count()
+
+    # the delete stream asks for some already-dead ids (0..4) and
+    # some live ones (30..39)
+    frames = [
+        pd.DataFrame({"vec_id": [0, 1, 2, 30, 31]}),
+        pd.DataFrame({"vec_id": [3, 4, 32, 33, 34, 35]}),
+        pd.DataFrame({"vec_id": [36, 37, 38, 39, 0, 30]}),
+    ]
+    expected = sorted(
+        (r.centroid_id, r.member_id)
+        for r in S.ivf_index_delete(
+            art, spark.range(30, 40).selectExpr("id AS vec_id")
+        )
+        .where("mvec IS NULL")
+        .join(
+            spark.range(30, 40).selectExpr("id AS member_id"),
+            "member_id",
+            "left_semi",
+        )
+        .collect()
+    )
+    assert len(expected) == 10  # the live ids, once each
+
+    # inline live_postings form
+    stream = _hh_feed(spark, frames, schema="vec_id long")
+    got_inline = sorted(
+        (r.centroid_id, r.member_id)
+        for r in run_available_now(
+            streaming_ivf_delete(stream, art), "ivf_del_inline"
+        )
+    )
+    # manifest form: persist + read back the member→cell projection
+    mpath = str(tmp_path / "member_manifest")
+    S.ivf_manifest_write(art, mpath, num_buckets=8)
+    manifest = S.ivf_manifest_read(spark, mpath)
+    stream2 = _hh_feed(spark, frames, schema="vec_id long")
+    got_manifest = sorted(
+        (r.centroid_id, r.member_id)
+        for r in run_available_now(
+            streaming_ivf_delete(stream2, art, manifest=manifest),
+            "ivf_del_manifest",
+        )
+    )
+    assert got_inline == got_manifest == expected
+    # no pre-dead member re-tombstoned on either path
+    assert not {m for _, m in got_inline} & set(range(10))
+    art.unpersist()
