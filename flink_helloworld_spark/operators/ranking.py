@@ -521,6 +521,7 @@ def fuzzy_term_search_indexed(
     term: str = "data",
     max_edits: int = 1,
     text_col: str = "text",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """``fuzziness: 1`` via the DICTIONARY — the indexed 100 TB form
     the scan-path ``fuzzy_term_search`` docstring promises (same
@@ -529,10 +530,21 @@ def fuzzy_term_search_indexed(
     says ~√corpus — instead of corpus-token-sized), then semi-join the
     few surviving variants back through the token stream. The variant
     set is edit-ball-bounded (tiny), so the join broadcasts and the
-    token stream never shuffles."""
-    toks = docs.select(
-        "doc_id", F.explode(_words(F.col(text_col))).alias("w")
-    )
+    token stream never shuffles.
+
+    ``postings``: pass a prebuilt ``positional_postings`` artifact
+    (``postings_store_read``/``postings_store_probe`` is not
+    applicable here — the edit-ball terms aren't known until the DP
+    runs — but the vocabulary and count-back derive from the
+    artifact's dictionary-encoded ``term`` column alone, never
+    re-tokenizing text). Omitted, the token stream is derived inline
+    from ``docs``."""
+    if postings is not None:
+        toks = postings.select("doc_id", F.col("term").alias("w"))
+    else:
+        toks = docs.select(
+            "doc_id", F.explode(_words(F.col(text_col))).alias("w")
+        )
     vocab = (
         toks.select("w")
         .distinct()
@@ -544,4 +556,75 @@ def fuzzy_term_search_indexed(
         F.array_join(F.array_sort(F.collect_set("w")), ",").alias(
             "variants"
         ),
+    )
+
+
+def term_bucket_of(term: str, num_buckets: int = 64) -> int:
+    """Driver-side twin of the store's ``pmod(crc32(term), B)`` layout
+    key: CRC-32 is the same public checksum in Spark (``F.crc32``) and
+    Python (``zlib.crc32``), so a probe can compute its terms' bucket
+    ids WITHOUT a Spark job and hand Catalyst literal partition
+    filters — the zero-lookup analog of ``ivf_store_compact``'s
+    touched-bucket collect."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % int(num_buckets)
+
+
+def postings_store_write(
+    postings: DataFrame, path: str, num_buckets: int = 64
+) -> None:
+    """Persist a ``positional_postings`` artifact as a
+    ``term_bucket``-partitioned parquet store — the text-index twin of
+    ``ivf_store_write`` (build once, probe many): ``term_bucket =
+    pmod(crc32(term), num_buckets)`` directories, so a phrase probe
+    prunes to its m terms' buckets at PARTITION granularity before the
+    per-term ``EqualTo``/``In`` filters prune row groups on the sorted
+    ``term`` stats. First write creates, later writes append (new
+    documents' postings — the ``ivf_index_append`` shape; rebuild
+    bucket-in-place after deletions with the same dynamic-overwrite
+    pattern as ``ivf_store_compact``).
+
+    ``sortWithinPartitions(term, doc_id)`` keeps each file's row
+    groups term-clustered — the min/max stats a probe's term filter
+    skips on — and doc-ordered within a term (the posting-list layout
+    ES/Lucene keeps on disk, reference §2.10's index surface)."""
+    postings.withColumn(
+        "term_bucket",
+        F.pmod(
+            F.crc32(F.col("term").cast("binary")), F.lit(int(num_buckets))
+        ).cast("int"),
+    ).sortWithinPartitions("term", "doc_id").write.partitionBy(
+        "term_bucket"
+    ).mode("append").parquet(path)
+
+
+def postings_store_read(spark, path: str) -> DataFrame:
+    """Load a postings store back to the ``(term, doc_id, pos)``
+    layout every text-index op consumes (drops the layout-only
+    ``term_bucket`` partition column)."""
+    return spark.read.parquet(path).select("term", "doc_id", "pos")
+
+
+def postings_store_probe(
+    spark, path: str, terms: tuple[str, ...], num_buckets: int = 64
+) -> DataFrame:
+    """Open a postings store pruned to ``terms``: the driver computes
+    the terms' bucket ids (``term_bucket_of`` — no Spark job) and
+    hands Catalyst LITERAL partition filters plus the term predicate,
+    so the scan touches only the probed terms' directories and, inside
+    them, only the row groups whose term stats overlap. This is what
+    ``phrase_search_indexed`` should receive as ``postings`` at a
+    persisted deployment — the probe cost is the m terms' posting
+    lists, independent of corpus size and of vocabulary size.
+
+    ``num_buckets`` must match the store's write layout (the caller
+    owns the artifact, the ``ivf_store_write`` contract)."""
+    tset = sorted(set(terms))
+    buckets = sorted({term_bucket_of(t, num_buckets) for t in tset})
+    return (
+        spark.read.parquet(path)
+        .where(F.col("term_bucket").isin(buckets))
+        .where(F.col("term").isin(tset))
+        .select("term", "doc_id", "pos")
     )

@@ -1026,3 +1026,65 @@ def test_phrase_indexed_probe_pushes_term_filter(spark, sf_dir):
     assert all("In(term" in ln or "EqualTo(term" in ln for ln in pushed)
     assert "ReadSchema: struct<term:string,doc_id:bigint,pos:bigint>" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_postings_store_probe_partition_prunes(spark, sf_dir):
+    # the PERSISTED store's scale contract (the build/probe split):
+    # postings_store_probe hands Catalyst LITERAL partition filters
+    # (term_bucket ids computed driver-side via the crc32 twin — no
+    # lookup job), so both probe-side scans read ONLY the phrase
+    # terms' bucket directories; inside them the per-term filters
+    # prune row groups; the position-arithmetic intersection
+    # BROADCASTs the term-selective next-term side — the postings
+    # table never crosses a hash exchange before the final per-doc agg
+    import tempfile
+
+    from flink_helloworld_spark.operators.ranking import (
+        phrase_search_indexed,
+        positional_postings,
+        postings_store_probe,
+        postings_store_write,
+        term_bucket_of,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+    path = tempfile.mkdtemp(prefix="ppstore-") + "/postings"
+    postings_store_write(positional_postings(docs), path)
+    probe = postings_store_probe(spark, path, ("the", "data"))
+    plan = explain_str(
+        phrase_search_indexed(docs, ("the", "data"), postings=probe),
+        "formatted",
+    )
+    want = sorted({term_bucket_of(t) for t in ("the", "data")})
+    blist = ",".join(str(b) for b in want)
+    part_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    # both probe sides prune to exactly the phrase terms' buckets
+    assert len(part_lines) == 2, plan
+    assert all(f"IN ({blist})" in ln for ln in part_lines), part_lines
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert all("In(term" in ln for ln in pushed)
+    # the intersection broadcasts; the only hash exchange is the
+    # final per-doc aggregate
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # layout-key twin: Spark's crc32 agrees with the driver-side one
+    import zlib
+
+    got = {
+        r.term: r.b
+        for r in spark.createDataFrame(
+            [("the",), ("data",), ("ünïcode",)], "term string"
+        )
+        .select(
+            "term",
+            F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(64))
+            .cast("int")
+            .alias("b"),
+        )
+        .collect()
+    }
+    for t, b in got.items():
+        assert b == zlib.crc32(t.encode("utf-8")) % 64

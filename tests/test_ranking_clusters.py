@@ -947,6 +947,81 @@ def test_indexed_search_twins_equal_scan_paths(spark):
         assert c == d, (term, k)
 
 
+def test_postings_store_roundtrip_and_probe_parity(spark, tmp_path):
+    """The persisted text-index store: write/read round-trips the
+    exact posting set, appends compose (new documents' postings land
+    beside the old — the ivf_index_append shape), a pruned probe
+    yields the same rows as filtering the full artifact, and BOTH
+    search twins resolved through the store equal their scan paths —
+    including a phrase term whose store bucket holds other terms
+    (hash-collision safety: the term filter still applies after
+    partition pruning)."""
+    from flink_helloworld_spark.operators.ranking import (
+        fuzzy_term_search,
+        fuzzy_term_search_indexed,
+        phrase_search,
+        phrase_search_indexed,
+        positional_postings,
+        postings_store_probe,
+        postings_store_read,
+        postings_store_write,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the data is the data"),
+            (2, "x a y data"),
+            (3, "dada date data daze"),
+            (4, "the"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    more = spark.createDataFrame(
+        [(6, "the data returns"), (7, "no match")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "postings")
+    postings_store_write(positional_postings(docs), path, num_buckets=4)
+    postings_store_write(positional_postings(more), path, num_buckets=4)
+    both = docs.unionByName(more)
+
+    key = lambda r: (r.term, r.doc_id, r.pos)  # noqa: E731
+    assert sorted(
+        map(key, postings_store_read(spark, path).collect())
+    ) == sorted(map(key, positional_postings(both).collect()))
+    # probe == filtered full artifact (4 buckets force collisions)
+    probe = postings_store_probe(
+        spark, path, ("the", "data"), num_buckets=4
+    )
+    assert sorted(map(key, probe.collect())) == sorted(
+        map(
+            key,
+            positional_postings(both)
+            .where(F.col("term").isin(["the", "data"]))
+            .collect(),
+        )
+    )
+    # store-resolved twins == scan paths
+    assert sorted(
+        map(
+            tuple,
+            phrase_search_indexed(
+                both, ("the", "data"), postings=probe
+            ).collect(),
+        )
+    ) == sorted(map(tuple, phrase_search(both, ("the", "data")).collect()))
+    store_post = postings_store_read(spark, path)
+    assert sorted(
+        map(
+            tuple,
+            fuzzy_term_search_indexed(
+                both, "data", 1, postings=store_post
+            ).collect(),
+        )
+    ) == sorted(map(tuple, fuzzy_term_search(both, "data", 1).collect()))
+
+
 def test_layout_masks_negative_inputs_nonnegative(spark):
     """The pmod contract (ADVICE r9): negative coordinates map into
     [0, 2^bits) before the bit walks, so zorder/hilbert keys for a
