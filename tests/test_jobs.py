@@ -839,3 +839,170 @@ class TestKmvSetOps:
         row = kmv_set_ops(a, a, "g", "val", k=32).collect()[0]
         assert row.rho == 32 and row.jaccard_est == 1.0
         assert row.union_est == row.intersect_est
+
+    def test_empty_side_is_exact_not_null(self, spark):
+        # the cms_join_size bug-class (r10): an agg over a join with an
+        # EMPTY side must produce zeros, not NULLs or dropped rows —
+        # B empty => union == |A| exact, rho/jaccard/intersect == 0
+        from flink_helloworld_spark.operators.rollups import kmv_set_ops
+
+        a = self._snap(spark, range(0, 10)).withColumn("g", F.lit("x"))
+        b = self._snap(spark, []).withColumn("g", F.lit("x"))
+        row = kmv_set_ops(a, b, "g", "val", k=32).collect()[0]
+        assert row.n_l == 10 and row.rho == 0
+        assert row.union_est == 10.0
+        assert row.jaccard_est == 0.0 and row.intersect_est == 0.0
+        # and a group present only in B still reports (symmetry)
+        b2 = self._snap(spark, range(5)).withColumn("g", F.lit("y"))
+        rows = {
+            r.g: r
+            for r in kmv_set_ops(
+                a, b2.unionByName(b), "g", "val", k=32
+            ).collect()
+        }
+        assert rows["x"].union_est == 10.0 and rows["x"].rho == 0
+        assert rows["y"].union_est == 5.0 and rows["y"].rho == 0
+
+
+class TestSketchDegenerateInputs:
+    """The cms_join_size bug-class sweep (VERDICT r10 item 4): every
+    sketch/estimator whose aggregate consumes a join that can be empty
+    or partial on adversarial inputs must produce ZEROS/False — never
+    NULL, never a silently dropped row — and the contracts around
+    NULL-only inputs are pinned explicitly."""
+
+    def test_cms_point_estimates_absent_probes_are_zero(self, spark):
+        # probes whose d cells are ALL empty in the sparse sketch: the
+        # left join + coalesce must yield est 0 per probe (an inner
+        # join would drop the probe row entirely)
+        from flink_helloworld_spark.operators.rollups import (
+            cms_point_estimates,
+        )
+
+        corpus = spark.createDataFrame(
+            [(f"user-{i}",) for i in range(20)], "user_id string"
+        )
+        probes = spark.createDataFrame(
+            [("ghost-1",), ("ghost-2",), ("user-3",)], "user_id string"
+        )
+        got = {
+            r.user_id: r.cms_est
+            for r in cms_point_estimates(
+                corpus, "user_id", probes
+            ).collect()
+        }
+        assert set(got) == {"ghost-1", "ghost-2", "user-3"}
+        # CMS never undercounts: absent keys may collide upward, but a
+        # tiny corpus in a 4x256 sketch leaves the ghosts' cells clean
+        assert got["user-3"] >= 1
+        assert got["ghost-1"] >= 0 and got["ghost-2"] >= 0
+
+    def test_cms_point_estimates_empty_corpus(self, spark):
+        # fully empty sketch: every probe row survives with est 0
+        from flink_helloworld_spark.operators.rollups import (
+            cms_point_estimates,
+        )
+
+        corpus = spark.createDataFrame([], "user_id string")
+        probes = spark.createDataFrame(
+            [("a",), ("b",)], "user_id string"
+        )
+        got = cms_point_estimates(corpus, "user_id", probes).collect()
+        assert sorted((r.user_id, r.cms_est) for r in got) == [
+            ("a", 0),
+            ("b", 0),
+        ]
+
+    def test_bloom_probe_without_filter_is_false(self, spark):
+        # a probe group with no built filter is DEFINITELY absent —
+        # the row must survive the left join as might_contain=False
+        from flink_helloworld_spark.operators.rollups import (
+            bloom_filter_build,
+            bloom_might_contain,
+        )
+
+        data = spark.createDataFrame(
+            [("g1", "a"), ("g1", "b")], "g string, v string"
+        )
+        filters = bloom_filter_build(data, "g", "v")
+        probes = spark.createDataFrame(
+            [("g1", "a"), ("g1", "zzz"), ("g-absent", "a")],
+            "g string, v string",
+        )
+        got = {
+            (r.g, r.v): r.might_contain
+            for r in bloom_might_contain(
+                filters, probes, "g", "v"
+            ).collect()
+        }
+        assert got[("g1", "a")] is True
+        assert got[("g-absent", "a")] is False  # no filter -> False
+        assert got[("g1", "zzz")] is False  # clean miss in-filter
+
+    def test_bloom_empty_filter_table(self, spark):
+        from flink_helloworld_spark.operators.rollups import (
+            bloom_filter_build,
+            bloom_might_contain,
+        )
+
+        filters = bloom_filter_build(
+            spark.createDataFrame([], "g string, v string"), "g", "v"
+        )
+        probes = spark.createDataFrame(
+            [("g1", "a")], "g string, v string"
+        )
+        got = bloom_might_contain(filters, probes, "g", "v").collect()
+        assert [(r.g, r.v, r.might_contain) for r in got] == [
+            ("g1", "a", False)
+        ]
+
+    def test_psi_disjoint_buckets_and_empty_snapshot(self, spark):
+        # snapshots whose (lang, band) buckets are fully DISJOINT:
+        # the full-outer join + Laplace smoothing keeps every bucket
+        # with finite psi terms (no NULL counts, no log(0)); an EMPTY
+        # snapshot degenerates the same way
+        from flink_helloworld_spark.operators.text import (
+            corpus_drift_psi,
+        )
+
+        a = spark.createDataFrame(
+            [(1, "one two three four five six seven eight nine ten", "en")],
+            "doc_id long, text string, lang string",
+        )
+        b = spark.createDataFrame(
+            [(2, "uno dos tres cuatro cinco seis siete ocho nueve x", "es")],
+            "doc_id long, text string, lang string",
+        )
+        rows = corpus_drift_psi(a, b).collect()
+        assert len(rows) == 2  # both buckets present
+        for r in rows:
+            assert r.n_a is not None and r.n_b is not None
+            assert 0 in (r.n_a, r.n_b)  # disjoint
+            assert r.psi_term is not None and r.psi_term > 0
+        empty = spark.createDataFrame(
+            [], "doc_id long, text string, lang string"
+        )
+        rows2 = corpus_drift_psi(a, empty).collect()
+        assert len(rows2) == 1
+        assert rows2[0].n_b == 0 and rows2[0].psi_term is not None
+
+    def test_hll_and_kmv_null_only_group_contract(self, spark):
+        # pinned CONTRACT: a group whose values are all NULL carries no
+        # distinct values and is ABSENT from the sketch output (exactly
+        # like a group with no rows) — it is not a NULL estimate, and
+        # groups with >=1 real value are unaffected by NULL siblings
+        from flink_helloworld_spark.operators.rollups import (
+            hll_distinct,
+            kmv_distinct,
+        )
+
+        df = spark.createDataFrame(
+            [("g1", "a"), ("g1", None), ("g2", None), ("g2", None)],
+            "g string, v string",
+        )
+        hll = {r.g: r for r in hll_distinct(df, "g", "v").collect()}
+        assert set(hll) == {"g1"}
+        assert hll["g1"].distinct_estimate is not None
+        kmv = {r.g: r for r in kmv_distinct(df, "g", "v").collect()}
+        assert set(kmv) == {"g1"}
+        assert kmv["g1"].distinct_estimate == 1.0  # exact under k
