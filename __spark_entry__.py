@@ -1030,6 +1030,24 @@ def _q_mixture_reallocate_saturated(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _q_epoch_pack_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the selection loop CLOSED in one oracle-gated query (VERDICT r10
+    # item 6): mixture_reallocate prices the budget,
+    # epoch_materialize emits the (doc, epoch) instances, and
+    # pack_sequences chunks them into 2048-token bins — the allocator's
+    # plan AS the actual packed, ordered training stream (each
+    # repetition epoch a distinct md5-shuffled unit)
+    from flink_helloworld_spark.operators.sampling import epoch_pack_stream
+
+    return epoch_pack_stream(
+        load_tables(spark, sf_dir).documents,
+        _MIXTURE_WEIGHTS,
+        _REPETITION_BUDGET,
+        capacity=2048,
+        shards=8,
+    )
+
+
 def _q_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the step after the allocator prices the plan: the actual
     # (doc, epoch) training stream — floor(epochs) full passes per
@@ -3139,6 +3157,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_term_search_indexed": _q_fuzzy_term_search_indexed,
         "positional_postings": _q_positional_postings,
         "epoch_materialize": _q_epoch_materialize,
+        "epoch_pack_stream": _q_epoch_pack_stream,
         "phrase_search": _q_phrase_search,
         "phrase_search_store": _q_phrase_search_store,
         "fuzzy_term_search_store": _q_fuzzy_term_search_store,
@@ -3742,6 +3761,50 @@ def _epoch_materialize_sql(budget: int, r_star: float = 15.39) -> str:
         SELECT doc_id, source, epoch FROM m_full
         UNION ALL
         SELECT doc_id, source, epoch FROM m_part
+    """
+
+
+def _epoch_pack_stream_sql(
+    budget: int,
+    r_star: float = 15.39,
+    capacity: int = 2048,
+    shards: int = 8,
+) -> str:
+    # mirrors sampling.epoch_pack_stream: the epoch_materialize plan
+    # (nested verbatim) joined to per-doc token counts, each
+    # (doc, epoch) instance packed as its own unit (unit_id =
+    # epoch:doc_id) through the pack_sequences md5-shard window with
+    # salt 'empack' — one composed chained-CTE oracle for the whole
+    # selection loop
+    mat = _epoch_materialize_sql(budget, r_star)
+    return f"""
+        WITH mat AS (SELECT * FROM ({mat})),
+        tok AS (
+          SELECT doc_id, CAST(len({_WS}) AS BIGINT) AS n_tokens
+          FROM documents),
+        u AS (
+          SELECT m.doc_id, m.source, m.epoch, t.n_tokens,
+                 (m.epoch::VARCHAR || ':' || m.doc_id::VARCHAR)
+                   AS unit_id
+          FROM mat m JOIN tok t USING (doc_id)),
+        h AS (
+          SELECT *, ('0x' || substr(md5('empack' || unit_id), 1, 15))
+                      ::BIGINT % 10000 AS hb
+          FROM u),
+        s AS (
+          SELECT doc_id, source, epoch, n_tokens,
+                 CAST(hb % {shards} AS INT) AS shard,
+                 CAST(coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY hb % {shards} ORDER BY hb, unit_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS start_offset
+          FROM h)
+        SELECT doc_id, source, epoch, n_tokens, shard, start_offset,
+               start_offset // {capacity} AS chunk_id,
+               n_tokens > 0 AND
+                 (start_offset + n_tokens - 1) // {capacity}
+                   <> start_offset // {capacity} AS spans_boundary
+        FROM s
     """
 
 
@@ -7755,6 +7818,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_reallocate_saturated":
             _mixture_reallocate_sql(_REPETITION_BUDGET),
         "epoch_materialize": _epoch_materialize_sql(_REPETITION_BUDGET),
+        "epoch_pack_stream": _epoch_pack_stream_sql(_REPETITION_BUDGET),
         # CMS inner-product join-size estimate, self-join on l_partkey;
         # mirrors rollups.cms_join_size (d=4, w=256, same md5 cells as
         # the cms_heavy_hitters oracle)

@@ -115,6 +115,11 @@ def pack_sequences(
     shard key, ~uniform by md5): at 100 TB each shard packs
     independently — the global-concatenation order no executor could
     hold is never materialized.
+
+    Extra input columns PASS THROUGH unchanged (so a composed caller —
+    ``epoch_pack_stream`` — carries its labels through the pack window
+    instead of re-deriving its whole upstream plan for a join-back);
+    ``token_count_col`` is normalized to ``n_tokens`` in the output.
     """
     from pyspark.sql import Window
 
@@ -127,9 +132,10 @@ def pack_sequences(
     )
     toks = F.col(token_count_col).cast("long")
     start = F.coalesce(F.sum(toks).over(w), F.lit(0).cast("long"))
+    keep = [c for c in df.columns if c != token_count_col]
     out = (
         df.select(
-            F.col(id_col),
+            *keep,
             toks.alias("n_tokens"),
             h.alias("h"),
             shard.cast("int").alias("shard"),
@@ -755,3 +761,77 @@ def epoch_materialize(
         .select("doc_id", strata_col, k.alias("epoch"))
     )
     return full.unionByName(partial)
+
+
+def epoch_pack_stream(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    r_star: float = 15.39,
+    capacity: int = 2048,
+    shards: int = 8,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The selection loop CLOSED end-to-end — allocator to trainer
+    stream in one composed plan (the ``corpus_manifest`` fusion
+    pattern): ``mixture_reallocate`` prices the budget,
+    ``epoch_materialize`` emits the (doc, epoch) instances it
+    prescribes, and ``pack_sequences`` concat-and-chunks those
+    instances into ``capacity``-token bins — so what comes out is the
+    actual packed, ordered training stream the reallocated budget
+    buys, not three artifacts a user must re-join.
+
+    Each (doc, epoch) instance packs as its own unit (``unit_id =
+    epoch:doc_id`` — the repetition epochs of a data-constrained run
+    are distinct training units, shuffled apart by the md5 order so an
+    epoch's copies don't pack adjacently).
+
+    Output per instance: (doc_id, source, epoch, n_tokens, shard,
+    start_offset, chunk_id, spans_boundary). Token accounting is
+    inherited: per source, Σ n_tokens tracks ``realloc_target`` to one
+    document's granularity (test-pinned), and per shard the offsets
+    are gapless cumulative sums.
+
+    Scale shape: the three stages compose without a new hot spot —
+    one corpus token-count agg (the allocator), the bounded epoch
+    explode, then ONE md5-shard pack window over the labeled units
+    (``pack_sequences`` passes (doc_id, source, epoch) through, so the
+    upstream plan is evaluated once — no join-back)."""
+    from flink_helloworld_spark.operators.text import _words
+
+    mat = epoch_materialize(
+        docs, weights, budget_tokens, r_star, strata_col, text_col
+    )
+    tok = docs.select(
+        "doc_id",
+        F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    units = mat.join(tok, "doc_id").select(
+        F.concat(
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        ).alias("unit_id"),
+        "doc_id",
+        strata_col,
+        "epoch",
+        "n_tokens",
+    )
+    return pack_sequences(
+        units,
+        "unit_id",
+        "n_tokens",
+        capacity=capacity,
+        shards=shards,
+        salt="empack",
+    ).select(
+        "doc_id",
+        strata_col,
+        "epoch",
+        "n_tokens",
+        "shard",
+        "start_offset",
+        "chunk_id",
+        "spans_boundary",
+    )

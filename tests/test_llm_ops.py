@@ -3204,3 +3204,63 @@ def test_epoch_materialize_token_accounting_both_regimes(spark):
         tgt = plan2[s].realloc_target
         max_doc = max(toks[i] for i, _, _, src, _ in rows if src == s)
         assert tgt - max_doc <= got < tgt + max_doc, s
+
+
+def test_epoch_pack_stream_composes_plan_into_packed_stream(spark):
+    """The composed selection loop (allocator → materialize → pack)
+    in one plan: the packed stream's units are EXACTLY the
+    epoch_materialize instances with their true token counts (so the
+    per-source token accounting of the plan carries through), pack
+    offsets are gapless per shard, chunk ids follow the capacity
+    arithmetic, and the whole composite is deterministic."""
+    from flink_helloworld_spark.operators.sampling import (
+        epoch_materialize,
+        epoch_pack_stream,
+        mixture_reallocate,
+    )
+
+    rows = []
+    rows += [(i, " ".join(["t"] * 10), "en", "srcA", 1) for i in range(4)]
+    rows += [(10 + i, " ".join(["t"] * 25), "en", "srcB", 1) for i in range(4)]
+    rows.append((20, "x y", "en", "srcZ", 1))  # unweighted
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    W = {"srcA": 0.7, "srcB": 0.3}
+    out = epoch_pack_stream(docs, W, 420, capacity=32, shards=2).collect()
+    toks = {r[0]: len(r[1].split()) for r in rows}
+
+    # units == the materialized instances, with true token counts
+    mat = sorted(
+        (r.doc_id, r.source, r.epoch)
+        for r in epoch_materialize(docs, W, 420).collect()
+    )
+    assert sorted((r.doc_id, r.source, r.epoch) for r in out) == mat
+    assert all(r.n_tokens == toks[r.doc_id] for r in out)
+    # plan accounting carries through the composite unchanged
+    plan = {r.source: r for r in mixture_reallocate(docs, W, 420).collect()}
+    for s in ("srcA", "srcB"):
+        got = sum(r.n_tokens for r in out if r.source == s)
+        max_doc = max(toks[i] for i, _, _, src, _ in rows if src == s)
+        assert plan[s].realloc_target - max_doc <= got
+        assert got < plan[s].realloc_target + max_doc
+    # pack invariants: per shard, offsets are a gapless running sum in
+    # (md5, unit) order and chunk ids follow the capacity arithmetic
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= {0, 1}
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: r.start_offset)
+        run = 0
+        for r in rs:
+            assert r.start_offset == run, shard
+            assert r.chunk_id == r.start_offset // 32
+            assert r.spans_boundary == (
+                r.n_tokens > 0
+                and (r.start_offset + r.n_tokens - 1) // 32 != r.chunk_id
+            )
+            run += r.n_tokens
+    again = epoch_pack_stream(docs, W, 420, capacity=32, shards=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
