@@ -116,6 +116,33 @@ HEADLINE = [
 # historical order so round-over-round comparisons stay aligned; every
 # remaining queries() entry is appended in registry order.
 
+# AUDIT-class queries (VERDICT r10 item 7): these are N²-by-contract
+# or composite build+maintain+query AUDITS — their cost is the
+# contract (an exact recall baseline, a full lifecycle replay), not an
+# operating path a deployment would run per request. The bench payload
+# tags them so the headline total and the regressions_vs_prev list can
+# be read per class: a slow audit is a thorough audit, a slow
+# OPERATING query is a regression.
+AUDIT_QUERIES = {
+    # exact-N² recall baselines / planted-mixture recall audits
+    "similarity_ann_recall",
+    "similarity_ann_recall_sampled",
+    "similarity_recall_curve",
+    "ivf_indexed_recall",
+    "embedding_gate_recall_curve",
+    "embedding_gate_verified_recall_curve",
+    "embedding_gate_verified_sq_recall_curve",
+    "embedding_dim_ablation",
+    # quantizer-error audit (reconstructs + re-scores the corpus)
+    "sq_reconstruction_error",
+    # composite lifecycle audits (build + maintain + query in one run
+    # by contract; the operating query path alone is the pure scan)
+    "ivf_index_delete_query",
+    # registry form runs audit=True (exact true-join side beside the
+    # sketch estimate; the operating form is sketch-only, plan-pinned)
+    "cms_join_size",
+}
+
 
 def _warm_session(app_name: str = "fhs-bench"):
     """Build (or rebuild) the bench session and pay the warmup costs —
@@ -264,6 +291,17 @@ def main() -> None:
         "iters_per_query": iters,
         "failed": failed,
         "regressions_vs_prev": regressions,
+        # the same flag list split by query CLASS (audit = N²/composite
+        # by contract; operating = everything a deployment runs per
+        # request): read operating flags as candidate regressions,
+        # audit flags as contract-cost drift
+        "regressions_operating": {
+            k: v for k, v in regressions.items() if k not in AUDIT_QUERIES
+        },
+        "regressions_audit": {
+            k: v for k, v in regressions.items() if k in AUDIT_QUERIES
+        },
+        "audit_queries": sorted(AUDIT_QUERIES & set(timings)),
         "aging_canary": canary,  # [position, wordcount_sec] series
         # [position, hilbert_layout_sec]: codegen-heavy twin series
         "aging_canary_codegen": canary_cg,
