@@ -965,6 +965,41 @@ def _q_fuzzy_term_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_search_store_scrubbed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # the deletion half of the text-index lifecycle in one gated
+    # query: build the store, delete doc_id % 10 == 3 (the Lucene
+    # deleted-docs set), COMPACT (touched term buckets only), then
+    # probe the phrase — result must equal the scan path over the
+    # surviving corpus (the independent-oracle formulation of
+    # ivf_index_delete_query: the oracle filters documents, the
+    # engine deletes + compacts + probes the artifact)
+    import tempfile
+
+    from flink_helloworld_spark.operators.ranking import (
+        phrase_search_indexed,
+        positional_postings,
+        postings_store_compact,
+        postings_store_delete,
+        postings_store_probe,
+        postings_store_write,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+    path = tempfile.mkdtemp(prefix="postings_store-") + "/postings"
+    postings_store_write(positional_postings(docs), path)
+    postings_store_delete(
+        spark, path, docs.where(F.col("doc_id") % 10 == 3)
+    )
+    postings_store_compact(spark, path)
+    survivors = docs.where(F.col("doc_id") % 10 != 3)
+    probe = postings_store_probe(spark, path, ("the", "data"))
+    return phrase_search_indexed(
+        survivors, ("the", "data"), postings=probe
+    )
+
+
 def _q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join-size estimation WITHOUT the join (CMS inner product): the
     # co-purchase self-join |lineitem x lineitem on l_partkey| -- the
@@ -3007,9 +3042,13 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round via tools/check_oracle.py (full-registry sweep) beside the
 # pytest run.
 #
-# ROUND-12 ROTATION QUEUE (computed at r11 close): the 27 remaining
+# ROUND-12 ROTATION QUEUE (computed at r11 close): the FOUR r11-late
+# queries that will have never held an official row
+# (epoch_pack_stream, fuzzy_term_search_store, phrase_search_store,
+# phrase_search_store_scrubbed — all oracle-green under this round's
+# local sweeps) fill the r12 gate FIRST, then the 27 remaining
 # r7-stale rows (alphabetical tail after similarity_ivf2_topk), then
-# the 23 alphabetically-first r8 rows. 27 + 23 = 50. After r12 no
+# the 19 alphabetically-first r8 rows. 4 + 27 + 19 = 50. After r12 no
 # registry query's newest official row is older than r8.
 _GATE_R11 = [
     # --- the 7 never-official r10-late queries ---
@@ -3161,6 +3200,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "phrase_search_store": _q_phrase_search_store,
         "fuzzy_term_search_store": _q_fuzzy_term_search_store,
+        "phrase_search_store_scrubbed": _q_phrase_search_store_scrubbed,
         "fuzzy_term_search": _q_fuzzy_term_search,
         "cms_join_size": _q_cms_join_size,
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
@@ -8510,6 +8550,12 @@ def oracle_sql() -> dict[str, str]:
     d["fuzzy_term_search_indexed"] = d["fuzzy_term_search"]
     # the persisted-store probes are output-identical again
     d["phrase_search_store"] = d["phrase_search"]
+    # the scrubbed-store probe answers over the SURVIVING corpus — the
+    # independent-oracle formulation (oracle filters documents; engine
+    # deletes + compacts + probes the persisted artifact)
+    d["phrase_search_store_scrubbed"] = d["phrase_search"].replace(
+        "FROM documents", "FROM documents WHERE doc_id % 10 <> 3"
+    )
     d["fuzzy_term_search_store"] = d["fuzzy_term_search"]
     return d
 

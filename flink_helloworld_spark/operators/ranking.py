@@ -602,8 +602,118 @@ def postings_store_write(
 def postings_store_read(spark, path: str) -> DataFrame:
     """Load a postings store back to the ``(term, doc_id, pos)``
     layout every text-index op consumes (drops the layout-only
-    ``term_bucket`` partition column)."""
-    return spark.read.parquet(path).select("term", "doc_id", "pos")
+    ``term_bucket`` partition column). MERGE-ON-READ: documents in the
+    store's deleted-docs set (``postings_store_delete``) are resolved
+    away through a broadcast delta-sized anti-join — the read is
+    always the live view, compacted or not."""
+    df = spark.read.parquet(path).select("term", "doc_id", "pos")
+    dels = _store_deletes(spark, path)
+    if dels is not None:
+        df = df.join(F.broadcast(dels), "doc_id", "left_anti")
+    return df
+
+
+def _store_deletes(spark, path: str):
+    """The store's deleted-docs set, or None when no delete has ever
+    been recorded. Lives at ``{path}/_deletes`` — the leading
+    underscore keeps it INVISIBLE to the parquet reader scanning the
+    store itself (the ``_SUCCESS``/``_metadata`` convention), so the
+    side table rides inside the artifact directory without a second
+    path to manage."""
+    import os
+
+    d = os.path.join(path, "_deletes")
+    if not os.path.isdir(d):
+        return None
+    return spark.read.parquet(d).select("doc_id").distinct()
+
+
+def postings_store_delete(
+    spark, path: str, doc_ids: DataFrame, id_col: str = "doc_id"
+) -> None:
+    """Document DELETION for the persisted text index — the LUCENE
+    deleted-docs-set pattern, not the ivf tombstone-row pattern, and
+    deliberately so: a document's postings spray across EVERY term
+    bucket its terms hash to, so per-posting tombstones would have to
+    be routed into all of them (a write amplified by the doc's
+    distinct-term count), while one doc id in a side set kills every
+    posting at read time for free. Deletes APPEND ids to
+    ``{path}/_deletes``; ``postings_store_read``/``_probe`` resolve
+    merge-on-read (broadcast delta-sized anti-join — the
+    ``live_postings`` shape); ``postings_store_compact`` folds the set
+    into the store rewriting only touched buckets. Deleting an absent
+    or already-deleted id is a no-op at every read (the
+    ``ivf_index_delete`` contract)."""
+    doc_ids.select(
+        F.col(id_col).cast("long").alias("doc_id")
+    ).distinct().write.mode("append").parquet(f"{path}/_deletes")
+
+
+def postings_store_compact(
+    spark, path: str, num_buckets: int = 64
+) -> list[int]:
+    """Fold the deleted-docs set into the store IN PLACE, rewriting
+    only the ``term_bucket`` partitions that actually hold a deleted
+    document's postings — the ``ivf_store_compact`` contract on the
+    text index. One column-pruned scan finds the touched buckets
+    (``(doc_id, term_bucket)`` only), dynamic partition overwrite
+    rewrites them, partitions left EMPTY by the rewrite are dropped
+    explicitly (the r10 ADVICE fix, same code shape), and the deletes
+    set is cleared — a second compact is a no-op. Returns the touched
+    bucket ids (``<= num_buckets``, a metadata collect)."""
+    dels = _store_deletes(spark, path)
+    if dels is None:
+        return []
+    dels = dels.localCheckpoint(eager=True)
+    store = spark.read.parquet(path)
+    touched = sorted(
+        r[0]
+        for r in store.join(F.broadcast(dels), "doc_id", "left_semi")
+        .select("term_bucket")
+        .distinct()
+        .collect()
+    )
+    if touched:
+        sub = store.where(F.col("term_bucket").isin(touched))
+        resolved = (
+            sub.join(F.broadcast(dels), "doc_id", "left_anti")
+            # sever the file-source lineage before overwriting the
+            # path the plan reads (the ivf_store_compact note); the
+            # resolved subset is touched-bucket-sized
+            .localCheckpoint(eager=True)
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            resolved.write.partitionBy("term_bucket").mode(
+                "overwrite"
+            ).parquet(path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+        kept = {
+            r[0]
+            for r in resolved.select("term_bucket").distinct().collect()
+        }
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for b in touched:
+            if b not in kept:
+                part = jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/term_bucket={b}"
+                )
+                part.getFileSystem(hconf).delete(part, True)
+    # the deletes are folded (or referenced no stored posting): clear
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    dpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_deletes")
+    dpath.getFileSystem(hconf).delete(dpath, True)
+    return touched
 
 
 def postings_store_probe(
@@ -622,9 +732,13 @@ def postings_store_probe(
     owns the artifact, the ``ivf_store_write`` contract)."""
     tset = sorted(set(terms))
     buckets = sorted({term_bucket_of(t, num_buckets) for t in tset})
-    return (
+    df = (
         spark.read.parquet(path)
         .where(F.col("term_bucket").isin(buckets))
         .where(F.col("term").isin(tset))
         .select("term", "doc_id", "pos")
     )
+    dels = _store_deletes(spark, path)
+    if dels is not None:
+        df = df.join(F.broadcast(dels), "doc_id", "left_anti")
+    return df

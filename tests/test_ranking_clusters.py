@@ -1022,6 +1022,106 @@ def test_postings_store_roundtrip_and_probe_parity(spark, tmp_path):
     ) == sorted(map(tuple, fuzzy_term_search(both, "data", 1).collect()))
 
 
+def test_postings_store_delete_compact_lifecycle(spark, tmp_path):
+    """The text-index deletion seam (Lucene deleted-docs set): after
+    postings_store_delete, every read/probe is the live view
+    (merge-on-read anti-join) BEFORE compaction; compaction rewrites
+    ONLY buckets holding a deleted doc's postings (untouched partition
+    listings byte-identical), drops partitions it empties, clears the
+    deletes set (second compact = no-op), and the compacted store
+    equals the store built WITHOUT the deleted documents. Deleting
+    absent ids is a no-op; search through the scrubbed store equals
+    the scan path over the surviving corpus."""
+    import os
+
+    from flink_helloworld_spark.operators.ranking import (
+        phrase_search,
+        phrase_search_indexed,
+        positional_postings,
+        postings_store_compact,
+        postings_store_delete,
+        postings_store_probe,
+        postings_store_read,
+        postings_store_write,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the data is the data"),
+            (2, "x a y data"),
+            (3, "unique3only here"),
+            (4, "the data returns"),
+            (5, "no match"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "postings")
+    postings_store_write(positional_postings(docs), path, num_buckets=8)
+
+    dead = spark.createDataFrame([(3,), (4,), (999,)], "doc_id long")
+    postings_store_delete(spark, path, dead)
+    survivors = docs.where(~F.col("doc_id").isin([3, 4]))
+    key = lambda r: (r.term, r.doc_id, r.pos)  # noqa: E731
+    want_live = sorted(map(key, positional_postings(survivors).collect()))
+
+    # merge-on-read BEFORE compaction: read and probe are both live
+    assert sorted(
+        map(key, postings_store_read(spark, path).collect())
+    ) == want_live
+    probe = postings_store_probe(
+        spark, path, ("the", "data"), num_buckets=8
+    )
+    assert sorted(
+        map(
+            tuple,
+            phrase_search_indexed(
+                survivors, ("the", "data"), postings=probe
+            ).collect(),
+        )
+    ) == sorted(
+        map(tuple, phrase_search(survivors, ("the", "data")).collect())
+    )
+
+    def listing(bucket: int) -> list[str]:
+        d = os.path.join(path, f"term_bucket={bucket}")
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    before = {b: listing(b) for b in range(8)}
+    # which buckets SHOULD be touched: those holding docs 3/4 postings
+    want_touched = sorted(
+        r[0]
+        for r in spark.read.parquet(path)
+        .where(F.col("doc_id").isin([3, 4]))
+        .select("term_bucket")
+        .distinct()
+        .collect()
+    )
+    touched = postings_store_compact(spark, path, num_buckets=8)
+    assert touched == want_touched and touched
+    after = {b: listing(b) for b in range(8)}
+    for b in range(8):
+        if b not in touched:
+            assert after[b] == before[b]  # byte-listing untouched
+    # the deletes set is gone and a second compact is a no-op
+    assert not os.path.isdir(os.path.join(path, "_deletes"))
+    assert postings_store_compact(spark, path, num_buckets=8) == []
+    # compacted store == store built without the deleted docs
+    assert sorted(
+        map(key, postings_store_read(spark, path).collect())
+    ) == want_live
+    # doc 3's vocabulary ('unique3only') left its bucket entirely:
+    # if that bucket held nothing else it must be dropped from disk
+    remaining = {
+        r[0]
+        for r in spark.read.parquet(path)
+        .select("term_bucket")
+        .distinct()
+        .collect()
+    }
+    for b in touched:
+        assert (b in remaining) == bool(after[b])
+
+
 def test_layout_masks_negative_inputs_nonnegative(spark):
     """The pmod contract (ADVICE r9): negative coordinates map into
     [0, 2^bits) before the bit walks, so zorder/hilbert keys for a
