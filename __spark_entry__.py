@@ -1000,6 +1000,35 @@ def _q_phrase_search_store_scrubbed(
     )
 
 
+def _q_bm25_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the ES match query resolved ENTIRELY from the persisted Lucene
+    # layout — bucket-pruned postings probe for tf/df + the (doc_id,
+    # dl) norms sidecar for N/avgdl/dl (zero-token docs counted, text
+    # never re-read); output-identical to bm25_search, shares its
+    # oracle
+    import tempfile
+
+    from flink_helloworld_spark.operators.ranking import (
+        bm25_search,
+        positional_postings,
+        postings_store_norms,
+        postings_store_probe,
+        postings_store_write,
+        postings_store_write_norms,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+    path = tempfile.mkdtemp(prefix="postings_store-") + "/postings"
+    postings_store_write(positional_postings(docs), path)
+    postings_store_write_norms(docs, path)
+    return bm25_search(
+        docs,
+        _BM25_TERMS,
+        postings=postings_store_probe(spark, path, _BM25_TERMS),
+        norms=postings_store_norms(spark, path),
+    )
+
+
 def _q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join-size estimation WITHOUT the join (CMS inner product): the
     # co-purchase self-join |lineitem x lineitem on l_partkey| -- the
@@ -3042,14 +3071,15 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round via tools/check_oracle.py (full-registry sweep) beside the
 # pytest run.
 #
-# ROUND-12 ROTATION QUEUE (computed at r11 close): the FOUR r11-late
+# ROUND-12 ROTATION QUEUE (computed at r11 close): the FIVE r11-late
 # queries that will have never held an official row
-# (epoch_pack_stream, fuzzy_term_search_store, phrase_search_store,
-# phrase_search_store_scrubbed — all oracle-green under this round's
-# local sweeps) fill the r12 gate FIRST, then the 27 remaining
-# r7-stale rows (alphabetical tail after similarity_ivf2_topk), then
-# the 19 alphabetically-first r8 rows. 4 + 27 + 19 = 50. After r12 no
-# registry query's newest official row is older than r8.
+# (bm25_search_store, epoch_pack_stream, fuzzy_term_search_store,
+# phrase_search_store, phrase_search_store_scrubbed — all
+# oracle-green under this round's local sweeps) fill the r12 gate
+# FIRST, then the 27 remaining r7-stale rows (alphabetical tail after
+# similarity_ivf2_topk), then the 18 alphabetically-first r8 rows.
+# 5 + 27 + 18 = 50. After r12 no registry query's newest official row
+# is older than r8.
 _GATE_R11 = [
     # --- the 7 never-official r10-late queries ---
     "epoch_materialize",
@@ -3201,6 +3231,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_store": _q_phrase_search_store,
         "fuzzy_term_search_store": _q_fuzzy_term_search_store,
         "phrase_search_store_scrubbed": _q_phrase_search_store_scrubbed,
+        "bm25_search_store": _q_bm25_search_store,
         "fuzzy_term_search": _q_fuzzy_term_search,
         "cms_join_size": _q_cms_join_size,
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
@@ -8557,6 +8588,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents", "FROM documents WHERE doc_id % 10 <> 3"
     )
     d["fuzzy_term_search_store"] = d["fuzzy_term_search"]
+    d["bm25_search_store"] = d["bm25_search"]
     return d
 
 

@@ -95,6 +95,8 @@ def bm25_search(
     k1: float = BM25_K1,
     b: float = BM25_B,
     text_col: str = "text",
+    postings: DataFrame | None = None,
+    norms: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 score of every matching document against ``query_terms``,
     top-n by (score desc, doc_id) — the ES ``match`` query, batch-side.
@@ -106,11 +108,23 @@ def bm25_search(
     The per-term tf columns come from one conditional aggregation over the
     exploded words (one shuffle on doc_id); df and the N/avgdl scalars are
     broadcast. Scores are rounded to 6 dp before ranking.
-    """
+
+    INDEXED form (the Lucene postings+norms layout): pass ``postings``
+    (a ``positional_postings`` artifact or, at a persisted deployment,
+    the ``postings_store_probe`` of the query terms — tf/df then come
+    from a bucket-pruned scan of the m terms' posting lists) and
+    ``norms`` (the ``(doc_id, dl)`` sidecar ``postings_store_norms``
+    reads — N/avgdl/dl without touching text; N counts EVERY live doc,
+    including zero-token ones the posting table can't see). With both,
+    the corpus text is never re-read; output is identical to the scan
+    form, so the two share one oracle."""
     terms = list(query_terms)
-    words = docs.select(
-        "doc_id", F.explode(_words(F.col(text_col))).alias("term")
-    )
+    if postings is not None:
+        words = postings.select("doc_id", "term")
+    else:
+        words = docs.select(
+            "doc_id", F.explode(_words(F.col(text_col))).alias("term")
+        )
     # one pass: per-doc tf for each query term (conditional agg, map-side
     # combinable) — only docs containing >=1 query term survive
     tf_cols = [
@@ -129,11 +143,24 @@ def bm25_search(
         .agg(F.countDistinct("doc_id").alias("df"))
     )
     # corpus scalars: N = all docs, avgdl over all docs (dl = word count)
-    stats = docs.select(F.size(_words(F.col(text_col))).alias("dl")).agg(
-        F.count("*").alias("n"),
-        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
-    )
-    dl = docs.select("doc_id", F.size(_words(F.col(text_col))).alias("dl"))
+    if norms is not None:
+        dl = norms.select("doc_id", F.col("dl").cast("int").alias("dl"))
+        stats = dl.agg(
+            F.count("*").alias("n"),
+            (F.sum("dl").cast("double") / F.count("*").cast("double"))
+            .alias("avgdl"),
+        )
+    else:
+        stats = docs.select(
+            F.size(_words(F.col(text_col))).alias("dl")
+        ).agg(
+            F.count("*").alias("n"),
+            (F.sum("dl").cast("double") / F.count("*").cast("double"))
+            .alias("avgdl"),
+        )
+        dl = docs.select(
+            "doc_id", F.size(_words(F.col(text_col))).alias("dl")
+        )
 
     base = (
         tfs.join(dl, "doc_id")
@@ -628,6 +655,35 @@ def _store_deletes(spark, path: str):
     return spark.read.parquet(d).select("doc_id").distinct()
 
 
+def postings_store_write_norms(
+    docs: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Write the store's NORMS sidecar — the Lucene per-document norms
+    file: ``(doc_id, dl)`` with ``dl`` the token count, at
+    ``{path}/_norms`` (underscore-hidden from the main store reader,
+    like ``_deletes``). BM25's N/avgdl/dl then come from this
+    doc-count-sized table instead of re-tokenizing text — and N stays
+    correct for zero-token documents, which the posting table cannot
+    represent. Overwrite semantics: the sidecar is a derived
+    projection of the corpus snapshot, rebuilt with the store."""
+    docs.select(
+        "doc_id",
+        F.size(_words(F.col(text_col))).alias("dl"),
+    ).write.mode("overwrite").parquet(f"{path}/_norms")
+
+
+def postings_store_norms(spark, path: str) -> DataFrame:
+    """Read the norms sidecar as the LIVE ``(doc_id, dl)`` view —
+    documents in the store's deleted-docs set are resolved away with
+    the same broadcast anti-join as the posting reads, so BM25 over a
+    scrubbed store scores exactly the surviving corpus."""
+    df = spark.read.parquet(f"{path}/_norms").select("doc_id", "dl")
+    dels = _store_deletes(spark, path)
+    if dels is not None:
+        df = df.join(F.broadcast(dels), "doc_id", "left_anti")
+    return df
+
+
 def postings_store_delete(
     spark, path: str, doc_ids: DataFrame, id_col: str = "doc_id"
 ) -> None:
@@ -708,6 +764,19 @@ def postings_store_compact(
                     f"{path}/term_bucket={b}"
                 )
                 part.getFileSystem(hconf).delete(part, True)
+    # the norms sidecar (if present) must fold the same deletes BEFORE
+    # the set is cleared, or a scrubbed store would keep scoring with
+    # the dead docs' N/avgdl (doc-count-sized rewrite: 2 long columns)
+    import os
+
+    if os.path.isdir(os.path.join(path, "_norms")):
+        live_norms = (
+            spark.read.parquet(f"{path}/_norms")
+            .select("doc_id", "dl")
+            .join(F.broadcast(dels), "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        live_norms.write.mode("overwrite").parquet(f"{path}/_norms")
     # the deletes are folded (or referenced no stored posting): clear
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()

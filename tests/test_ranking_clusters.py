@@ -1122,6 +1122,70 @@ def test_postings_store_delete_compact_lifecycle(spark, tmp_path):
         assert (b in remaining) == bool(after[b])
 
 
+def test_bm25_store_form_equals_scan_and_survives_scrub(spark, tmp_path):
+    """BM25 resolved from the persisted postings + norms sidecar (the
+    Lucene layout) is output-identical to the text-scan form —
+    including a zero-token document, which only the norms can
+    represent in N/avgdl — and after delete+compact the store form
+    scores exactly the surviving corpus."""
+    from flink_helloworld_spark.operators.ranking import (
+        bm25_search,
+        positional_postings,
+        postings_store_compact,
+        postings_store_delete,
+        postings_store_norms,
+        postings_store_probe,
+        postings_store_write,
+        postings_store_write_norms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the data is the data"),
+            (2, "x a y data"),
+            (3, "the quick fox"),
+            (4, ""),  # zero-token doc: counted in N, never in postings
+            (5, "data data data pipeline"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "postings")
+    postings_store_write(positional_postings(docs), path, num_buckets=8)
+    postings_store_write_norms(docs, path)
+    terms = ("the", "data")
+
+    def store_rows():
+        return sorted(
+            map(
+                tuple,
+                bm25_search(
+                    docs,
+                    terms,
+                    postings=postings_store_probe(
+                        spark, path, terms, num_buckets=8
+                    ),
+                    norms=postings_store_norms(spark, path),
+                ).collect(),
+            )
+        )
+
+    assert store_rows() == sorted(
+        map(tuple, bm25_search(docs, terms).collect())
+    )
+
+    # scrub doc 1 (the top hit) and doc 4 (norms-only): the store form
+    # must rescore to the scan form over the survivors — merge-on-read
+    # first, compacted after
+    postings_store_delete(
+        spark, path, spark.createDataFrame([(1,), (4,)], "doc_id long")
+    )
+    survivors = docs.where(~F.col("doc_id").isin([1, 4]))
+    want = sorted(map(tuple, bm25_search(survivors, terms).collect()))
+    assert store_rows() == want  # merge-on-read
+    postings_store_compact(spark, path, num_buckets=8)
+    assert store_rows() == want  # compacted (norms folded too)
+
+
 def test_layout_masks_negative_inputs_nonnegative(spark):
     """The pmod contract (ADVICE r9): negative coordinates map into
     [0, 2^bits) before the bit walks, so zorder/hilbert keys for a
