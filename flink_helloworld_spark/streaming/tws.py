@@ -1997,6 +1997,134 @@ def streaming_ivf_delete(
     )
 
 
+TEXT_POSTING_OUTPUT = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("pos", LongType()),
+    ]
+)
+TEXT_DELETE_OUTPUT = StructType([StructField("doc_id", LongType())])
+_DOC_SEEN_STATE = StructType([StructField("one", LongType())])
+
+
+class DocFirstArrivalProcessor(StatefulProcessor):
+    """First-arrival commit keyed by ``doc_id`` — the exactly-once seam
+    for the TEXT index's streaming maintenance, the
+    ``PostingAppendProcessor`` contract applied to documents: the first
+    time a doc id is ever seen, its payload is emitted; redeliveries
+    (same trigger or later) emit nothing. State is ONE ValueState flag
+    per distinct doc forever (``ttl_ms`` bounds the horizon; after
+    expiry a re-arrival re-emits and the store-side set/compaction
+    semantics absorb the duplicate).
+
+    ``emit='postings'`` tokenizes the doc's text EXACTLY like the
+    engine-wide ``_words`` split (``split(' ')``, empty tokens
+    dropped — the BM25/term_postings contract) and emits the
+    ``positional_postings`` rows ``(term, doc_id, pos)``;
+    ``emit='delete'`` emits the single ``(doc_id,)`` row a
+    ``postings_store_delete`` set append consumes."""
+
+    def __init__(self, emit: str, ttl_ms: int | None = None) -> None:
+        assert emit in ("postings", "delete")
+        self._emit = emit
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        if self._ttl_ms is not None:
+            self._seen = handle.getValueState(
+                "seen", _DOC_SEEN_STATE, self._ttl_ms
+            )
+        else:
+            self._seen = handle.getValueState("seen", _DOC_SEEN_STATE)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        if self._seen.exists():
+            return
+        first = None
+        for pdf in rows:
+            if pdf is not None and len(pdf):
+                first = pdf.iloc[0]
+                break
+        if first is None:
+            return
+        self._seen.update((1,))
+        doc_id = int(key[0])
+        if self._emit == "delete":
+            yield pd.DataFrame({"doc_id": [doc_id]})
+            return
+        text = first["text"]
+        words = [
+            w for w in (text.split(" ") if isinstance(text, str) else [])
+            if w != ""
+        ]
+        if words:
+            yield pd.DataFrame(
+                {
+                    "term": words,
+                    "doc_id": [doc_id] * len(words),
+                    "pos": list(range(1, len(words) + 1)),
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_postings_ingest(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming TEXT-INDEX ingest — the live twin of
+    ``ranking.positional_postings`` (the text seam's analog of
+    ``streaming_ivf_ingest``): documents arriving on an unbounded
+    stream emit their positional posting rows exactly once per doc
+    under at-least-once redelivery; append the output to the
+    ``postings_store_write`` artifact and every probe/BM25/phrase
+    consumer composes with no other change. State: one flag per
+    distinct doc (TTL-bounded); the postings themselves ride the
+    emitted rows, never state."""
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).cast("string").alias("text"),
+    )
+    return src.groupBy("doc_id").transformWithStateInPandas(
+        DocFirstArrivalProcessor("postings", state_ttl_ms),
+        outputStructType=TEXT_POSTING_OUTPUT,
+        outputMode="append",
+        timeMode="none" if state_ttl_ms is None else "processingTime",
+    )
+
+
+def streaming_postings_delete(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming TEXT-INDEX deletion — the live twin of
+    ``ranking.postings_store_delete``: doc ids arriving on a stream
+    emit one ``(doc_id,)`` row each, first-arrival-committed, for the
+    store's ``_deletes`` set. The set is distinct-on-read, so
+    exactly-once here is a SIZE guarantee (the side table stays
+    delta-sized under redelivery), not a correctness requirement —
+    the same division of labor as the ivf tombstone/compaction pair."""
+    from pyspark.sql import functions as F
+
+    src = stream.select(F.col(id_col).cast("long").alias("doc_id"))
+    return src.groupBy("doc_id").transformWithStateInPandas(
+        DocFirstArrivalProcessor("delete", state_ttl_ms),
+        outputStructType=TEXT_DELETE_OUTPUT,
+        outputMode="append",
+        timeMode="none" if state_ttl_ms is None else "processingTime",
+    )
+
+
 RATE_ANOMALY_OUTPUT = StructType(
     [
         StructField("k", StringType()),

@@ -2023,6 +2023,109 @@ def test_streaming_rate_anomaly_corrupt_first_arrival_reanchors(spark):
     ]
 
 
+def test_streaming_postings_ingest_delete_compose_with_store(
+    spark, tmp_path
+):
+    """The TEXT index's streaming maintenance pair: documents arriving
+    in any micro-batch split WITH redelivery emit their positional
+    postings exactly once per doc (equal to the batch
+    positional_postings rows, _words-tokenization parity pinned by a
+    multi-space text); streamed delete ids emit one row each; and the
+    two COMPOSE — appending the streamed postings to a persisted store
+    and appending the streamed deletes to its set makes a probe equal
+    the scan path over (base + streamed − deleted) documents."""
+    import pandas as pd
+    import pytest
+
+    from flink_helloworld_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from flink_helloworld_spark.operators.ranking import (
+        phrase_search,
+        phrase_search_indexed,
+        positional_postings,
+        postings_store_probe,
+        postings_store_write,
+    )
+    from flink_helloworld_spark.streaming.replay import run_available_now
+    from flink_helloworld_spark.streaming.tws import (
+        streaming_postings_delete,
+        streaming_postings_ingest,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "the data is the data"), (2, "x a y data")],
+        "doc_id long, text string",
+    )
+    new_rows = [
+        (3, "the data  returns"),  # double space: _words parity
+        (4, "no match"),
+        (5, ""),  # zero-token doc: emits nothing
+    ]
+    new_docs = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    # ingest with redelivery across frames
+    frames = [
+        pd.DataFrame(new_rows[:2], columns=["doc_id", "text"]),
+        pd.DataFrame(
+            new_rows[1:] + new_rows[:1], columns=["doc_id", "text"]
+        ),
+    ]
+    stream = _hh_feed(spark, frames, schema="doc_id long, text string")
+    got = run_available_now(
+        streaming_postings_ingest(stream), "postings_ingest"
+    )
+    key = lambda r: (r.term, r.doc_id, r.pos)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(
+        map(key, positional_postings(new_docs).collect())
+    )
+
+    # delete stream: ids 2 and 3, redelivered, plus an absent id —
+    # absent ids still emit (the set absorbs them; deleting nothing
+    # is a no-op at read, the batch contract)
+    dframes = [
+        pd.DataFrame({"doc_id": [2, 9999]}),
+        pd.DataFrame({"doc_id": [3, 2]}),
+    ]
+    dstream = _hh_feed(spark, dframes, schema="doc_id long")
+    dgot = run_available_now(
+        streaming_postings_delete(dstream), "postings_delete"
+    )
+    assert sorted(r.doc_id for r in dgot) == [2, 3, 9999]  # once each
+
+    # compose through the persisted store
+    path = str(tmp_path / "postings")
+    postings_store_write(positional_postings(base), path, num_buckets=8)
+    streamed_posts = spark.createDataFrame(
+        [(r.term, r.doc_id, r.pos) for r in got],
+        "term string, doc_id long, pos long",
+    )
+    postings_store_write(streamed_posts, path, num_buckets=8)
+    spark.createDataFrame(
+        [(r.doc_id,) for r in dgot], "doc_id long"
+    ).write.mode("append").parquet(f"{path}/_deletes")
+
+    survivors = base.unionByName(new_docs).where(
+        ~F.col("doc_id").isin([2, 3])
+    )
+    probe = postings_store_probe(
+        spark, path, ("the", "data"), num_buckets=8
+    )
+    assert sorted(
+        map(
+            tuple,
+            phrase_search_indexed(
+                survivors, ("the", "data"), postings=probe
+            ).collect(),
+        )
+    ) == sorted(
+        map(tuple, phrase_search(survivors, ("the", "data")).collect())
+    )
+
+
 def test_ivf_query_over_streamed_artifact_equals_batch(spark):
     """Closes the streaming-maintenance loop end-to-end: ivf_index_query
     over (base postings ∪ STREAMED appends) returns exactly the result
