@@ -1088,3 +1088,40 @@ def test_postings_store_probe_partition_prunes(spark, sf_dir):
     }
     for t, b in got.items():
         assert b == zlib.crc32(t.encode("utf-8")) % 64
+
+
+def test_bm25_store_form_never_rereads_text(spark, sf_dir):
+    # the Lucene-layout contract: with postings + norms artifacts
+    # supplied, BM25's plan contains NO scan of the documents table —
+    # tf/df come from the term-pruned store probe (partition filters on
+    # both scans), N/avgdl/dl from the 2-column norms sidecar
+    import tempfile
+
+    from flink_helloworld_spark.operators.ranking import (
+        bm25_search,
+        positional_postings,
+        postings_store_norms,
+        postings_store_probe,
+        postings_store_write,
+        postings_store_write_norms,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+    path = tempfile.mkdtemp(prefix="bm25store-") + "/postings"
+    postings_store_write(positional_postings(docs), path)
+    postings_store_write_norms(docs, path)
+    plan = explain_str(
+        bm25_search(
+            docs,
+            ("hash", "join"),
+            postings=postings_store_probe(spark, path, ("hash", "join")),
+            norms=postings_store_norms(spark, path),
+        ),
+        "formatted",
+    )
+    assert "documents" not in plan  # text is never re-read
+    part_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert len(part_lines) == 2 and all("IN (" in ln for ln in part_lines)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
