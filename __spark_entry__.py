@@ -1000,6 +1000,17 @@ def _q_phrase_search_store_scrubbed(
     )
 
 
+def _q_ivf_member_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the member→cell manifest projection streaming_ivf_delete probes
+    # at scale (r11 — ivf_manifest_write/read's content): one
+    # (member_id, centroid_id) row per LIVE member, gated row-for-row
+    # so the persisted lookup artifact itself is certified (the
+    # positional_postings pattern applied to the ANN side)
+    emb = load_tables(spark, sf_dir).embeddings
+    index, postings = S.build_ivf_index(emb)
+    return S.ivf_member_manifest(postings)
+
+
 def _q_bm25_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ES match query resolved ENTIRELY from the persisted Lucene
     # layout — bucket-pruned postings probe for tf/df + the (doc_id,
@@ -3071,15 +3082,15 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round via tools/check_oracle.py (full-registry sweep) beside the
 # pytest run.
 #
-# ROUND-12 ROTATION QUEUE (computed at r11 close): the FIVE r11-late
+# ROUND-12 ROTATION QUEUE (computed at r11 close): the SIX r11-late
 # queries that will have never held an official row
 # (bm25_search_store, epoch_pack_stream, fuzzy_term_search_store,
-# phrase_search_store, phrase_search_store_scrubbed — all
-# oracle-green under this round's local sweeps) fill the r12 gate
-# FIRST, then the 27 remaining r7-stale rows (alphabetical tail after
-# similarity_ivf2_topk), then the 18 alphabetically-first r8 rows.
-# 5 + 27 + 18 = 50. After r12 no registry query's newest official row
-# is older than r8.
+# ivf_member_manifest, phrase_search_store,
+# phrase_search_store_scrubbed — all oracle-green under this round's
+# local sweeps) fill the r12 gate FIRST, then the 27 remaining
+# r7-stale rows (alphabetical tail after similarity_ivf2_topk), then
+# the 17 alphabetically-first r8 rows. 6 + 27 + 17 = 50. After r12 no
+# registry query's newest official row is older than r8.
 _GATE_R11 = [
     # --- the 7 never-official r10-late queries ---
     "epoch_materialize",
@@ -3232,6 +3243,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_term_search_store": _q_fuzzy_term_search_store,
         "phrase_search_store_scrubbed": _q_phrase_search_store_scrubbed,
         "bm25_search_store": _q_bm25_search_store,
+        "ivf_member_manifest": _q_ivf_member_manifest,
         "fuzzy_term_search": _q_fuzzy_term_search,
         "cms_join_size": _q_cms_join_size,
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
@@ -6809,6 +6821,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_gate_banded": _banded_gate_sql(planes=8, bands=4),
         "similarity_ivf2k_topk": _ivf2k_sql(),
         "ivf_index_build": _ivf_index_build_sql(),
+        # the member→cell manifest: routing rank-1 rows of the same
+        # frozen construction (live view == postings on a fresh build)
+        "ivf_member_manifest": f"""
+            WITH {_ivf2k_routing_ctes(1, 2, 2)}
+            SELECT id AS member_id, centroid_id::BIGINT AS centroid_id
+            FROM i2ranked WHERE _crn = 1
+        """,
         "similarity_ivf_indexed_topk": _ivf2k_sql(
             query_filter="p.id % 10 = 0"
         ),
