@@ -1011,6 +1011,18 @@ def _q_ivf_member_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_member_manifest(postings)
 
 
+def _q_phrase_search_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES match_phrase with slop=2 (ordered proximity): position tuples
+    # in phrase order with total interleaved-token budget <= slop,
+    # chain-joined over term-selective postings; slop=0 degenerates to
+    # the exact phrase (cross-pinned in tests)
+    from flink_helloworld_spark.operators.ranking import phrase_search_slop
+
+    return phrase_search_slop(
+        load_tables(spark, sf_dir).documents, ("the", "data"), slop=2
+    )
+
+
 def _q_bm25_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ES match query resolved ENTIRELY from the persisted Lucene
     # layout — bucket-pruned postings probe for tf/df + the (doc_id,
@@ -3082,14 +3094,14 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round via tools/check_oracle.py (full-registry sweep) beside the
 # pytest run.
 #
-# ROUND-12 ROTATION QUEUE (computed at r11 close): the SIX r11-late
+# ROUND-12 ROTATION QUEUE (computed at r11 close): the SEVEN r11-late
 # queries that will have never held an official row
 # (bm25_search_store, epoch_pack_stream, fuzzy_term_search_store,
-# ivf_member_manifest, phrase_search_store,
+# ivf_member_manifest, phrase_search_slop, phrase_search_store,
 # phrase_search_store_scrubbed — all oracle-green under this round's
 # local sweeps) fill the r12 gate FIRST, then the 27 remaining
 # r7-stale rows (alphabetical tail after similarity_ivf2_topk), then
-# the 17 alphabetically-first r8 rows. 6 + 27 + 17 = 50. After r12 no
+# the 16 alphabetically-first r8 rows. 7 + 27 + 16 = 50. After r12 no
 # registry query's newest official row is older than r8.
 _GATE_R11 = [
     # --- the 7 never-official r10-late queries ---
@@ -3244,6 +3256,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_store_scrubbed": _q_phrase_search_store_scrubbed,
         "bm25_search_store": _q_bm25_search_store,
         "ivf_member_manifest": _q_ivf_member_manifest,
+        "phrase_search_slop": _q_phrase_search_slop,
         "fuzzy_term_search": _q_fuzzy_term_search,
         "cms_join_size": _q_cms_join_size,
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
@@ -3844,6 +3857,43 @@ def _epoch_materialize_sql(budget: int, r_star: float = 15.39) -> str:
         SELECT doc_id, source, epoch FROM m_full
         UNION ALL
         SELECT doc_id, source, epoch FROM m_part
+    """
+
+
+def _phrase_slop_sql(
+    phrase: tuple[str, ...] = ("the", "data"), slop: int = 2
+) -> str:
+    # mirrors ranking.phrase_search_slop: positions table, one CTE per
+    # phrase term, then the m-1 chain joins carrying (p, used, st) with
+    # the ordered total-gap predicate — tuple counts + min start
+    ctes = [
+        f"t AS (SELECT doc_id, {_WS} AS ws FROM documents)",
+        "e AS (SELECT doc_id, unnest(ws) AS term,"
+        " CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS pos FROM t)",
+    ]
+    for i, term in enumerate(phrase):
+        lit = term.replace("'", "''")
+        ctes.append(
+            f"c{i} AS (SELECT doc_id, pos FROM e WHERE term = '{lit}')"
+        )
+    ctes.append(
+        "s0 AS (SELECT doc_id, pos AS p, CAST(0 AS BIGINT) AS used,"
+        " pos AS st FROM c0)"
+    )
+    for i in range(1, len(phrase)):
+        ctes.append(
+            f"s{i} AS (SELECT s.doc_id, c.pos AS p,"
+            f" s.used + (c.pos - s.p - 1) AS used, s.st"
+            f" FROM s{i - 1} s JOIN c{i} c USING (doc_id)"
+            f" WHERE c.pos > s.p"
+            f" AND s.used + (c.pos - s.p - 1) <= {int(slop)})"
+        )
+    last = len(phrase) - 1
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(st) AS BIGINT) AS first_pos
+        FROM s{last} GROUP BY doc_id
     """
 
 
@@ -8608,6 +8658,7 @@ def oracle_sql() -> dict[str, str]:
     )
     d["fuzzy_term_search_store"] = d["fuzzy_term_search"]
     d["bm25_search_store"] = d["bm25_search"]
+    d["phrase_search_slop"] = _phrase_slop_sql(("the", "data"), 2)
     return d
 
 

@@ -543,6 +543,70 @@ def phrase_search_indexed(
     )
 
 
+def phrase_search_slop(
+    docs: DataFrame,
+    phrase: tuple[str, ...] = ("the", "data"),
+    slop: int = 2,
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """ES ``match_phrase`` with ``slop`` — ORDERED proximity search
+    over the positional postings: a match is a position tuple
+    p1 < p2 < … < pm with term i at p_i and TOTAL gap
+    Σ(p_{i+1} − p_i − 1) ≤ slop (terms in phrase order, up to ``slop``
+    interleaved tokens across all gaps — the deterministic ordered
+    subset of Lucene's sloppy matcher, exact and engine-portable;
+    reordering costs, which Lucene prices as edit distance, are out of
+    scope and documented so).
+
+    At ``slop=0`` this IS the exact phrase: output equals
+    ``phrase_search``/``phrase_search_indexed`` row-for-row, so the
+    three forms cross-pin on one oracle.
+
+    Plan shape: m−1 chain joins on ``doc_id`` with position-window
+    predicates over TERM-SELECTIVE posting subsets (each side one
+    term's postings; the per-gap fan-out is slop-bounded, so the
+    tuple count cannot blow up combinatorially); with a persisted
+    store the probes are bucket-pruned scans
+    (``postings_store_probe``).
+
+    Output: (doc_id, n_matches, first_pos) — n_matches counts
+    qualifying position TUPLES, first_pos the smallest p1.
+    """
+    m = len(phrase)
+    if postings is None:
+        postings = positional_postings(docs, text_col)
+    base = postings.where(F.col("term").isin(list(set(phrase))))
+    cur = base.where(F.col("term") == phrase[0]).select(
+        "doc_id",
+        F.col("pos").alias("_p"),
+        F.lit(0).cast("long").alias("_used"),
+        F.col("pos").alias("_start"),
+    )
+    for t in phrase[1:]:
+        nxt = base.where(F.col("term") == t).select(
+            F.col("doc_id"), F.col("pos").alias("_q")
+        )
+        gap = F.col("_q") - F.col("_p") - F.lit(1)
+        cur = (
+            cur.join(nxt, "doc_id")
+            .where(
+                (F.col("_q") > F.col("_p"))
+                & (F.col("_used") + gap <= F.lit(int(slop)))
+            )
+            .select(
+                "doc_id",
+                F.col("_q").alias("_p"),
+                (F.col("_used") + gap).alias("_used"),
+                "_start",
+            )
+        )
+    return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("_start").cast("long").alias("first_pos"),
+    )
+
+
 def fuzzy_term_search_indexed(
     docs: DataFrame,
     term: str = "data",

@@ -947,6 +947,76 @@ def test_indexed_search_twins_equal_scan_paths(spark):
         assert c == d, (term, k)
 
 
+def test_phrase_search_slop_semantics(spark):
+    """Ordered sloppy phrase: slop=0 IS the exact phrase (row-for-row
+    equal to phrase_search on any corpus — the cross-pin), the gap
+    budget is TOTAL across gaps, order is required (reversed terms
+    never match), tuple counting is slop-bounded, and the store probe
+    resolves it identically."""
+    from flink_helloworld_spark.operators.ranking import (
+        phrase_search,
+        phrase_search_slop,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the data is the data"),     # exact x2
+            (2, "the big data"),             # gap 1
+            (3, "the very big data"),        # gap 2
+            (4, "the way too big data"),     # gap 3 (out at slop=2)
+            (5, "data the"),                 # reversed: never matches
+            (6, "the a data b the data"),    # mixed gaps
+            (7, "a a a b"),
+        ],
+        "doc_id long, text string",
+    )
+    # slop=0 == exact phrase, including overlapping repeated tokens
+    for phrase in (("the", "data"), ("a", "a")):
+        assert sorted(
+            map(tuple, phrase_search_slop(docs, phrase, slop=0).collect())
+        ) == sorted(map(tuple, phrase_search(docs, phrase).collect()))
+
+    got = {
+        r.doc_id: r
+        for r in phrase_search_slop(
+            docs, ("the", "data"), slop=2
+        ).collect()
+    }
+    assert 4 not in got and 5 not in got
+    # (p1=1,p2=2) gap 0; (p1=1,p2=5) gap 3 -> OUT; (p1=4,p2=5) gap 0
+    assert got[1].n_matches == 2 and got[1].first_pos == 1
+    assert got[2].n_matches == 1 and got[2].first_pos == 1
+    assert got[3].n_matches == 1
+    # doc 6: 'the'@1, data@3 (gap 1 ok), 'the'@5, data@6 (gap 0),
+    # the@1→data@6 gap 4 out, the@5→data@3 reversed out -> 2 tuples
+    assert got[6].n_matches == 2 and got[6].first_pos == 1
+
+    # three-term phrase with a TOTAL budget: 'x a y b z c' vs (a, b, c)
+    docs3 = spark.createDataFrame(
+        [(1, "a y b z c"), (2, "a y y b z z c")],
+        "doc_id long, text string",
+    )
+    s2 = {
+        r.doc_id: r.n_matches
+        for r in phrase_search_slop(docs3, ("a", "b", "c"), slop=2).collect()
+    }
+    assert s2 == {1: 1}  # doc2 needs total gap 4 > 2
+
+    # prebuilt-postings path identical
+    post = positional_postings(docs)
+    assert sorted(
+        map(
+            tuple,
+            phrase_search_slop(
+                docs, ("the", "data"), slop=2, postings=post
+            ).collect(),
+        )
+    ) == sorted(
+        map(tuple, phrase_search_slop(docs, ("the", "data"), slop=2).collect())
+    )
+
+
 def test_postings_store_roundtrip_and_probe_parity(spark, tmp_path):
     """The persisted text-index store: write/read round-trips the
     exact posting set, appends compose (new documents' postings land
