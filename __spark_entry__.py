@@ -1023,6 +1023,35 @@ def _q_phrase_search_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_term_search_symspell(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # fuzziness:1 with EVERY scan pruned (SymSpell symmetric-delete,
+    # public Garbe algorithm): candidate variants via bucket-pruned
+    # exact key lookups on the deletion-neighborhood index +
+    # Levenshtein verify, count-back via the postings store probed on
+    # exactly those variants; output-identical to fuzzy_term_search,
+    # shares its oracle
+    import tempfile
+
+    from flink_helloworld_spark.operators.ranking import (
+        fuzzy_term_search_symspell,
+        positional_postings,
+        postings_store_write,
+        symspell_write,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+    base = tempfile.mkdtemp(prefix="postings_store-")
+    ppath, spath = base + "/postings", base + "/symspell"
+    posts = positional_postings(docs)
+    postings_store_write(posts, ppath)
+    symspell_write(posts, spath)
+    return fuzzy_term_search_symspell(
+        spark, ppath, spath, term="data", max_edits=1
+    )
+
+
 def _q_bm25_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ES match query resolved ENTIRELY from the persisted Lucene
     # layout — bucket-pruned postings probe for tf/df + the (doc_id,
@@ -3094,15 +3123,16 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round via tools/check_oracle.py (full-registry sweep) beside the
 # pytest run.
 #
-# ROUND-12 ROTATION QUEUE (computed at r11 close): the SEVEN r11-late
+# ROUND-12 ROTATION QUEUE (computed at r11 close): the EIGHT r11-late
 # queries that will have never held an official row
 # (bm25_search_store, epoch_pack_stream, fuzzy_term_search_store,
-# ivf_member_manifest, phrase_search_slop, phrase_search_store,
-# phrase_search_store_scrubbed — all oracle-green under this round's
-# local sweeps) fill the r12 gate FIRST, then the 27 remaining
-# r7-stale rows (alphabetical tail after similarity_ivf2_topk), then
-# the 16 alphabetically-first r8 rows. 7 + 27 + 16 = 50. After r12 no
-# registry query's newest official row is older than r8.
+# fuzzy_term_search_symspell, ivf_member_manifest, phrase_search_slop,
+# phrase_search_store, phrase_search_store_scrubbed — all
+# oracle-green under this round's local sweeps) fill the r12 gate
+# FIRST, then the 27 remaining r7-stale rows (alphabetical tail after
+# similarity_ivf2_topk), then the 15 alphabetically-first r8 rows.
+# 8 + 27 + 15 = 50. After r12 no registry query's newest official row
+# is older than r8.
 _GATE_R11 = [
     # --- the 7 never-official r10-late queries ---
     "epoch_materialize",
@@ -3257,6 +3287,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_store": _q_bm25_search_store,
         "ivf_member_manifest": _q_ivf_member_manifest,
         "phrase_search_slop": _q_phrase_search_slop,
+        "fuzzy_term_search_symspell": _q_fuzzy_term_search_symspell,
         "fuzzy_term_search": _q_fuzzy_term_search,
         "cms_join_size": _q_cms_join_size,
         "similarity_ivf2_topk": _q_similarity_ivf2_topk,
@@ -8657,6 +8688,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents", "FROM documents WHERE doc_id % 10 <> 3"
     )
     d["fuzzy_term_search_store"] = d["fuzzy_term_search"]
+    d["fuzzy_term_search_symspell"] = d["fuzzy_term_search"]
     d["bm25_search_store"] = d["bm25_search"]
     d["phrase_search_slop"] = _phrase_slop_sql(("the", "data"), 2)
     return d

@@ -1017,6 +1017,69 @@ def test_phrase_search_slop_semantics(spark):
     )
 
 
+def test_symspell_fuzzy_matches_scan_and_prunes(spark, tmp_path):
+    """The symmetric-delete fuzzy index: candidates cover EXACTLY the
+    Levenshtein<=1 edit ball (substitution / insertion / deletion all
+    reachable through intersecting deletion neighborhoods; 2-edit
+    terms verified away), the full artifact path equals the scan form
+    on every probe, an empty edit ball returns an empty frame, and
+    the candidate scan partition-prunes on driver-computed keys."""
+    from flink_helloworld_spark.operators.ranking import (
+        fuzzy_term_search,
+        fuzzy_term_search_symspell,
+        positional_postings,
+        postings_store_write,
+        symspell_candidates,
+        symspell_write,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data dada datum date"),
+            (2, "dat datas adata"),
+            (3, "nothing matches here"),
+            (4, "data data"),
+        ],
+        "doc_id long, text string",
+    )
+    base = str(tmp_path)
+    ppath, spath = base + "/postings", base + "/symspell"
+    posts = positional_postings(docs)
+    postings_store_write(posts, ppath, num_buckets=8)
+    symspell_write(posts, spath, num_buckets=8)
+
+    # candidate set == the true edit ball over the vocabulary
+    got_cand = sorted(
+        r.w
+        for r in symspell_candidates(
+            spark, spath, "data", 1, num_buckets=8
+        ).collect()
+    )
+    assert got_cand == ["adata", "dada", "dat", "data", "datas", "date"]
+    # full artifact path == scan form, on hit and miss probes
+    for term in ("data", "zzz"):
+        assert sorted(
+            map(
+                tuple,
+                fuzzy_term_search_symspell(
+                    spark, ppath, spath, term, 1, num_buckets=8
+                ).collect(),
+            )
+        ) == sorted(
+            map(tuple, fuzzy_term_search(docs, term, 1).collect())
+        ), term
+    # the candidate scan partition-prunes on the driver-computed keys
+    plan = symspell_candidates(
+        spark, spath, "data", 1, num_buckets=8
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters: [dkey_bucket" in plan
+    assert "In(dkey" in plan
+
+
 def test_postings_store_roundtrip_and_probe_parity(spark, tmp_path):
     """The persisted text-index store: write/read round-trips the
     exact posting set, appends compose (new documents' postings land
