@@ -23,6 +23,8 @@ float mean and give up bit-reproducibility — documented tradeoff).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -126,26 +128,113 @@ def kmeans_assign(
     )
 
 
+_KMEANS_LOCAL_MAX = int(os.environ.get("SPARK_GRAFT_KMEANS_LOCAL_MAX", "32768"))
+
+
+def _kmeans_centroids_local(rows, k: int, n_iter: int):
+    """Driver-side EXACT twin of the distributed Lloyd loop, used when
+    the training table is metadata-sized (``rows`` = the full input as
+    ``(id, vec, _h)`` tuples). Quantizer training over a bounded sample
+    is index-metadata work — the same bounded-collect contract under
+    which ``_kmeans_assign_blas`` already collects the ≤k centroid table
+    EVERY iteration — so for small inputs the whole refinement loop runs
+    in one process instead of paying 2 shuffles + one Python-boundary
+    stage + a collect sync PER iteration (guide §1.2: remove passes
+    first). Replays the distributed math op-for-op:
+
+    - seed = k lowest (_h, id) rows, cid = 0-based rank (``seed_topk``);
+    - assignment = the ``_kmeans_assign_blas`` kernel verbatim (same
+      1024-row chunking, same einsum, same ``pack_scaled_int(sq)*k+cid``
+      argmin ties);
+    - means = per-cid sequential float64 fold in ascending-id order
+      (``np.cumsum`` accumulates sequentially, exactly the
+      ``aggregate(array_sort(collect_list(...)))`` fold), divided by
+      the count as double/double.
+
+    Bit-identical output is pinned by ``test_kmeans_local_parity``; the
+    oracle gate re-proves it on every query that consumes centroids.
+    """
+    import numpy as np
+
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat64 = np.array([r[1] for r in rows], dtype=np.float64)
+    hs = np.array([r[2] for r in rows], dtype=np.int64)
+    seed = np.lexsort((ids, hs))[:k]
+    cids = np.arange(len(seed), dtype=np.int64)
+    cmat = mat64[seed]
+    id_order = np.argsort(ids)
+    # the distributed assignment declares its output `vec array<float>`,
+    # so the means fold sees float32-funneled values (exact for float32
+    # inputs; truncating for double inputs like the supers level) while
+    # the assignment itself reads the original vectors — replicate both
+    fold_mat = mat64.astype(np.float32).astype(np.float64)
+    for _ in range(n_iter):
+        best_packed = np.empty(len(mat64), dtype=np.int64)
+        for lo in range(0, len(mat64), 1024):  # the kernel's chunk bound
+            chunk = mat64[lo : lo + 1024]
+            diff = chunk[:, None, :] - cmat[None, :, :]
+            sq = np.einsum("ijk,ijk->ij", diff, diff)
+            packed = pack_scaled_int(sq) * k + cids
+            best_packed[lo : lo + 1024] = packed[
+                np.arange(len(chunk)), packed.argmin(axis=1)
+            ]
+        assigned = best_packed % k
+        new_cids, new_cmat = [], []
+        for cid in np.unique(assigned):  # ascending; empty clusters drop
+            sel = id_order[assigned[id_order] == cid]
+            folded = np.cumsum(fold_mat[sel], axis=0)[-1]
+            new_cids.append(cid)
+            new_cmat.append(folded / float(len(sel)))
+        cids = np.asarray(new_cids, dtype=np.int64)
+        cmat = np.asarray(new_cmat, dtype=np.float64)
+    return cids, cmat
+
+
 def kmeans_centroids(
     emb: DataFrame,
     k: int = 8,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    local_max_rows: int | None = None,
 ) -> DataFrame:
     """The Lloyd refinement loop of ``kmeans_assign``, factored so other
     index builders (IVF's coarse quantizer) can consume the FINAL
     centroid table ``(cid, cvec)`` directly. Seeds are the md5-rank
     sample (seed 'km:'); each iteration is one BLAS assignment (packed-
     min contract) + id-sorted sequential-fold means, exactly the
-    construction the chained-CTE oracle (`_kmeans_ctes`) replays."""
+    construction the chained-CTE oracle (`_kmeans_ctes`) replays.
+
+    SIZE-GATED LOCAL PATH (r11 optimization): when the training input
+    fits under ``local_max_rows`` (default ``SPARK_GRAFT_KMEANS_LOCAL_MAX``
+    = 32768; the probe is one bounded ``limit(cap+1)`` collect), the
+    whole loop runs driver-side via ``_kmeans_centroids_local`` —
+    bit-identical by construction and by test — instead of paying
+    ~3 Spark jobs / ~8 stages of fixed overhead per call on a
+    metadata-sized problem. Larger inputs take the distributed loop
+    unchanged, so the gate is scale-adaptive, not a local-mode tune:
+    a 100 TB corpus trains its quantizer on a bounded sample either
+    way (``build_ivf_index`` caps the trainset), and production sets
+    the cap by driver memory (~40 MB at the default)."""
     from flink_helloworld_spark.functions import md5_prefix_long, seed_topk
 
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    h_expr = md5_prefix_long(F.concat(F.lit("km:"), F.col("id").cast("string")))
+    cap = _KMEANS_LOCAL_MAX if local_max_rows is None else local_max_rows
+    if n_iter >= 1 and cap > 0:
+        probe = v.withColumn("_h", h_expr).limit(cap + 1).collect()
+        if len(probe) <= cap:
+            cids, cmat = _kmeans_centroids_local(probe, k, n_iter)
+            spark = emb.sparkSession
+            return spark.createDataFrame(
+                [
+                    (int(c), [float(x) for x in vec])
+                    for c, vec in zip(cids, cmat)
+                ],
+                "cid int, cvec array<double>",
+            )
     cent = seed_topk(
-        v.withColumn(
-            "_h", md5_prefix_long(F.concat(F.lit("km:"), F.col("id").cast("string")))
-        ),
+        v.withColumn("_h", h_expr),
         k,
     ).select((F.col("_rn") - 1).alias("cid"), F.col("vec").alias("cvec"))
 

@@ -370,10 +370,23 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Output: (node, deg, tri_cnt, lcc) for every node, where
     lcc = 2·tri / (deg·(deg−1)) on the 9-dp ladder (0.0 for deg ≤ 1).
     """
+    # the edge list is a DERIVED table for every registry caller
+    # (copurchase_edges = distinct + self-join + support agg); it feeds
+    # the degree agg, the orientation join AND the final degree join —
+    # materialize it once instead of replaying the derivation per
+    # consumer (guide §3.3/§5; the posture pagerank's edges.persist()
+    # already takes). deg is node-sized and read three times (du, dv,
+    # final join) — checkpointing it keeps the last job from deriving
+    # the whole edge list again just to recount degrees (r11).
+    edges = edges.localCheckpoint(eager=True)
     both = edges.select(F.col("u").alias("node")).unionByName(
         edges.select(F.col("v").alias("node"))
     )
-    deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        both.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
 
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -497,11 +510,22 @@ def adamic_adar_topk(
     """
     from pyspark.sql import Window
 
+    # same materialization doctrine as triangle_counts (r11): the edge
+    # list is derived (distinct + self-join + support agg at every
+    # registry call site) and feeds sym twice + the known-edges
+    # anti-join; the capped adjacency wz feeds BOTH sides of the wedge
+    # self-join. Checkpoint each once instead of replaying the
+    # derivation per consumer (guide §3.3/§5).
+    edges = edges.localCheckpoint(eager=True)
     sym = edges.select(F.col("u").alias("z"), F.col("v").alias("nbr")).unionByName(
         edges.select(F.col("v").alias("z"), F.col("u").alias("nbr"))
     )
     deg = sym.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
-    wz = sym.join(deg, "z").where(F.col("d") <= F.lit(int(max_hub_degree)))
+    wz = (
+        sym.join(deg, "z")
+        .where(F.col("d") <= F.lit(int(max_hub_degree)))
+        .localCheckpoint(eager=True)
+    )
 
     a, b = wz.alias("a"), wz.alias("b")
     wedges = a.join(

@@ -722,6 +722,26 @@ def epoch_materialize(
     (a source IS a stratum; at extreme per-source cardinality the
     two-pass threshold estimate replaces the window, same rows out).
     """
+    return _epoch_materialize_tok(
+        docs, weights, budget_tokens, r_star, strata_col, text_col
+    ).select("doc_id", strata_col, "epoch")
+
+
+def _epoch_materialize_tok(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    r_star: float = 15.39,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """``epoch_materialize`` with the per-doc token count CARRIED
+    THROUGH (``_tok``): the materialize pass already tokenizes every
+    document to place the fractional-epoch cutoff, so composites that
+    need instance sizes downstream (``epoch_pack_stream``) read them
+    here instead of re-scanning + re-tokenizing the corpus and paying
+    a doc_id join-back (guide §2.3 'don't recompute what you throw
+    away' / §2.4 — one fewer scan, one fewer shuffle; r11)."""
     from pyspark.sql import Window
 
     from flink_helloworld_spark.functions import md5_prefix_long
@@ -736,7 +756,12 @@ def epoch_materialize(
         F.size(_words(F.col(text_col))).cast("long").alias("_tok"),
         md5_prefix_long(F.col("doc_id").cast("string"), "em:").alias("_h"),
     )
-    j = tok.join(F.broadcast(plan), strata_col)
+    # j feeds BOTH output branches (full epochs + fractional pass);
+    # persisting it runs the docs scan + tokenize + allocator join once
+    # instead of once per branch (intra-plan reuse, guide §2.4/§5)
+    from flink_helloworld_spark.operators._cache import share
+
+    j = share(tok.join(F.broadcast(plan), strata_col))
     k = F.floor(F.coalesce(F.col("epochs"), F.lit(0.0))).cast("long")
     full = j.where(k > 0).select(
         "doc_id",
@@ -744,6 +769,7 @@ def epoch_materialize(
         F.explode(
             F.sequence(F.lit(0).cast("long"), k - F.lit(1).cast("long"))
         ).alias("epoch"),
+        "_tok",
     )
     w = (
         Window.partitionBy(strata_col)
@@ -758,7 +784,7 @@ def epoch_materialize(
             "_cum", F.coalesce(F.sum("_tok").over(w), F.lit(0))
         )
         .where(F.col("_cum").cast("double") < t_part)
-        .select("doc_id", strata_col, k.alias("epoch"))
+        .select("doc_id", strata_col, k.alias("epoch"), "_tok")
     )
     return full.unionByName(partial)
 
@@ -797,17 +823,16 @@ def epoch_pack_stream(
     one corpus token-count agg (the allocator), the bounded epoch
     explode, then ONE md5-shard pack window over the labeled units
     (``pack_sequences`` passes (doc_id, source, epoch) through, so the
-    upstream plan is evaluated once — no join-back)."""
-    from flink_helloworld_spark.operators.text import _words
-
-    mat = epoch_materialize(
+    upstream plan is evaluated once — no join-back). Instance sizes
+    ride out of the materialize pass itself (``_epoch_materialize_tok``
+    carries the per-doc token count it already computes), so the corpus
+    is tokenized TWICE total (allocator agg + materialize), not three
+    times, and the former doc_id join-back shuffle is gone (r11,
+    guide §2.3/§2.4)."""
+    mat = _epoch_materialize_tok(
         docs, weights, budget_tokens, r_star, strata_col, text_col
-    )
-    tok = docs.select(
-        "doc_id",
-        F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"),
-    )
-    units = mat.join(tok, "doc_id").select(
+    ).withColumnRenamed("_tok", "n_tokens")
+    units = mat.select(
         F.concat(
             F.col("epoch").cast("string"),
             F.lit(":"),

@@ -1951,6 +1951,14 @@ def _ivf2_scan(
     )
 
 
+# The routed posting table is the one build output every consumer
+# rescans (delete/compact reference it ~12x in one composite plan);
+# persisting it for intra-plan reuse is the artifact-materialization
+# shape a deployment has anyway. Module flag so the A/B harness can
+# toggle it without editing code.
+_SHARE_POSTINGS = True
+
+
 def build_ivf_index(
     emb: DataFrame,
     n_centroids: int | None = None,
@@ -2049,16 +2057,15 @@ def build_ivf_index(
             "cvec",
         )
     )
-    postings = (
-        _route_cells(v, cent_home, sup, n_super_probe, n_probe=1,
-                     round_dp=round_dp)
-        .join(v, "id")
-        .select(
-            F.col("centroid_id").cast("long").alias("centroid_id"),
-            F.col("id").cast("long").alias("member_id"),
-            F.col("vec").alias("mvec"),
-        )
+    postings = _route_cells(
+        v, cent_home, sup, n_super_probe, n_probe=1, round_dp=round_dp
+    ).join(v, "id").select(
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.col("id").cast("long").alias("member_id"),
+        F.col("vec").alias("mvec"),
     )
+    if _SHARE_POSTINGS:
+        postings = share(postings)
     return index, postings
 
 

@@ -981,6 +981,60 @@ def test_kmeans_assignment_deterministic(spark, sf_dir):
     assert all(0 <= cid < 8 and d >= 0 for (_, cid, d) in one)
 
 
+def test_kmeans_local_parity(spark, sf_dir):
+    """The size-gated driver-local kmeans twin (r11 optimization) is
+    BIT-identical to the distributed Lloyd loop — on the float32 corpus
+    level AND on the double centroid level (the ``build_ivf_index``
+    supers call, whose ``array<float>`` means-funnel the local fold
+    must replicate), and a cap below the input size falls back to the
+    distributed path unchanged."""
+    from flink_helloworld_spark.operators import clustering as C
+    from flink_helloworld_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir).embeddings
+    dist = sorted(
+        (r.cid, tuple(r.cvec))
+        for r in C.kmeans_centroids(
+            emb, k=8, n_iter=2, local_max_rows=0
+        ).collect()
+    )
+    loc = sorted(
+        (r.cid, tuple(r.cvec))
+        for r in C.kmeans_centroids(
+            emb, k=8, n_iter=2, local_max_rows=1 << 20
+        ).collect()
+    )
+    assert loc == dist  # exact float equality, not approx
+
+    # supers level: DOUBLE input vectors (a centroid table as trainset)
+    cent = C.kmeans_centroids(emb, k=8, n_iter=2, local_max_rows=0)
+    dist2 = sorted(
+        (r.cid, tuple(r.cvec))
+        for r in C.kmeans_centroids(
+            cent, k=3, n_iter=2, id_col="cid", vec_col="cvec",
+            local_max_rows=0,
+        ).collect()
+    )
+    loc2 = sorted(
+        (r.cid, tuple(r.cvec))
+        for r in C.kmeans_centroids(
+            cent, k=3, n_iter=2, id_col="cid", vec_col="cvec",
+            local_max_rows=1 << 20,
+        ).collect()
+    )
+    assert loc2 == dist2
+
+    # gate: a cap below the input size takes the distributed path
+    # (same result either way — pinned so the fallback stays wired)
+    capped = sorted(
+        (r.cid, tuple(r.cvec))
+        for r in C.kmeans_centroids(
+            emb, k=8, n_iter=2, local_max_rows=4
+        ).collect()
+    )
+    assert capped == dist
+
+
 def test_semantic_dedup_drops_duplicate_keeps_unique(spark):
     """An exact duplicate pair (cosine 1) must lose its higher id;
     an orthogonal singleton must survive."""
