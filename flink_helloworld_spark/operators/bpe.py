@@ -79,6 +79,14 @@ def bpe_train(
     The per-round argmax uses ``orderBy(...).limit(1)`` (distributed
     TakeOrdered, 1-row driver sync); the vocabulary table is
     localCheckpointed per round to truncate the growing fold lineage.
+
+    The checkpoints are LAZY (eager=False): round i's merge fold then
+    materializes inside round i+1's argmax job instead of in a
+    dedicated job of its own — one job per merge round instead of two,
+    and the final round's fold (which ``bpe_train`` never consumes —
+    only the merge list leaves this function) is never computed at all.
+    Lineage is still cut at every round: each argmax plan folds exactly
+    one merge over the previous round's materialized partitions.
     """
     from flink_helloworld_spark.functions import words_of
 
@@ -88,7 +96,7 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(_chars(F.col("w")).alias("syms"), "cnt")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple[int, str, str, str, int]] = []
     for step_i in range(n_merges):
@@ -114,7 +122,7 @@ def bpe_train(
         merges.append((step_i, left, right, left + right, n))
         vocab = vocab.select(
             _merge_fold(F.col("syms"), left, right).alias("syms"), "cnt"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count long"

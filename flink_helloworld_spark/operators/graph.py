@@ -101,20 +101,38 @@ def copurchase_edges(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
     """Part co-purchase edges (u < v): two parts are adjacent when they
     appear together in at least ``min_support`` distinct orders.
 
-    The self-join key is l_orderkey — bounded fan-out (orders hold a
-    handful of lines), so pair generation is linear in lineitem, and
-    the support threshold keeps the projection sparse (the unthresholded
-    projection of a popular-item basket graph densifies quadratically).
+    One ``collect_set`` pass per order replaces the older
+    distinct + self-join derivation: the basket (distinct parts of one
+    order) is assembled map-side-combinable in a single exchange on
+    l_orderkey, and the u<v pairs are expanded from the sorted basket
+    array with higher-order functions — no shuffle between basket and
+    pair. The old shape paid a distinct exchange on (l_orderkey,
+    l_partkey) plus a self-join on l_orderkey before the support
+    aggregate; this shape's only exchanges are the basket aggregate and
+    the support aggregate. Pair fan-out is unchanged (k(k-1)/2 per
+    k-part basket — orders hold a handful of lines), and the support
+    threshold keeps the projection sparse either way.
     """
-    li = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    baskets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts") >= 2)
     )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("parts"), i + F.lit(2), F.size(F.col("parts"))
+                        ),
+                        lambda y: F.struct(x.alias("u"), y.alias("v")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     return (
         pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("support"))

@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -679,20 +680,19 @@ def attach_wav_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("_nf") * 4,
         ).alias("_stream"),
     )
+    # one regex pass swaps every sample's hex byte pair ((c1c2)(c3c4) →
+    # (c3c4)(c1c2)); the stream is exactly _nf·4 hex chars, so the
+    # non-overlapping 4-char matches tile it completely. Replaces a
+    # per-sample transform (sequence + 2 substrings + concat + array_join
+    # per element) that dominated the whole wav query (~2.8s of ~3.0s at
+    # sf0.1, measured) with one linear scan of the string.
     data = stream.select(
         "doc_id",
         "_rate",
         "_nf",
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), F.col("_nf")),
-                lambda i: F.concat(
-                    F.substring(F.col("_stream"), (i - 1) * 4 + 3, 2),
-                    F.substring(F.col("_stream"), (i - 1) * 4 + 1, 2),
-                ),
-            ),
-            "",
-        ).alias("_data_hex"),
+        F.regexp_replace(F.col("_stream"), "(..)(..)", "$2$1").alias(
+            "_data_hex"
+        ),
     )
     final = data.select(
         "doc_id",
@@ -728,7 +728,6 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int] | None:
     is engine-portable for the oracle."""
     import io
     import math
-    import struct
     import wave
 
     try:
@@ -747,12 +746,14 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int] | None:
         # raise struct.error OUTSIDE the except above and poison the
         # whole Arrow batch) — corrupt, same contract as a bad header
         return None
-    vals = struct.unpack(f"<{len(frames) // 2}h", frames)
+    # vectorized Σv² (guide §4.2): int64 dot product is exact (each term
+    # < 2^31, payloads are ≤ 250 frames, far under int64), replacing a
+    # per-sample Python loop; the float steps (mean, sqrt, floor) are
+    # unchanged, so rms_q is bit-identical to the loop form
+    vals = np.frombuffer(frames, dtype="<i2").astype(np.int64)
     duration_ms = nf * 1000 // rate if rate else 0
-    if vals:
-        sum_sq = 0
-        for v in vals:
-            sum_sq += v * v
+    if len(vals):
+        sum_sq = int(np.dot(vals, vals))
         rms_q = int(math.floor(math.sqrt(sum_sq / len(vals))))
     else:
         rms_q = 0
@@ -807,12 +808,14 @@ WAV_PITCH_SCHEMA = StructType(
 _MAX_LAG = 32
 
 
-def _wav_samples(payload: bytes) -> tuple[int, list[int]] | None:
-    """Decode a RIFF/WAVE PCM payload to (rate, int16 sample list) with
-    the stdlib ``wave`` module; same corrupt-payload contract as
-    ``_decode_wav`` (None, never an exception that poisons the batch)."""
+def _wav_samples(payload: bytes):
+    """Decode a RIFF/WAVE PCM payload to (rate, int64 sample ndarray)
+    with the stdlib ``wave`` module; same corrupt-payload contract as
+    ``_decode_wav`` (None, never an exception that poisons the batch).
+    Samples come back as an int64 NumPy array (exact — int16 values
+    widened) so the pitch kernel consumes them without a per-sample
+    Python list round-trip."""
     import io
-    import struct
     import wave
 
     try:
@@ -828,7 +831,7 @@ def _wav_samples(payload: bytes) -> tuple[int, list[int]] | None:
         return None
     if len(frames) % 2 or len(frames) != nf * 2:
         return None
-    return rate, list(struct.unpack(f"<{len(frames) // 2}h", frames))
+    return rate, np.frombuffer(frames, dtype="<i2").astype(np.int64)
 
 
 def wav_autocorr_pitch(media: DataFrame, max_lag: int = _MAX_LAG) -> DataFrame:
@@ -870,8 +873,7 @@ def wav_autocorr_pitch(media: DataFrame, max_lag: int = _MAX_LAG) -> DataFrame:
                     out["zero_crossings"].append(0)
                     out["decode_ok"].append(False)
                     continue
-                rate, vals = r
-                v = np.asarray(vals, dtype=np.int64)
+                rate, v = r
                 n = len(v)
                 best_lag, ac_peak = 0, 0
                 if n >= 2:
@@ -931,6 +933,14 @@ def mulaw_expand(b: int) -> int:
     u = ~b & 0xFF
     t = (((u & 0x0F) << 3) + _MULAW_BIAS) << ((u >> 4) & 0x07)
     return (_MULAW_BIAS - t) if (u & 0x80) else (t - _MULAW_BIAS)
+
+
+# 256-entry squared-expansion table: the decode loop only ever needs
+# v² per companded byte, so Σv² becomes one vectorized table gather +
+# sum instead of a Python mulaw_expand call per sample (guide §4.2).
+# Derived from mulaw_expand itself — a change to the formula cannot
+# desynchronize the table.
+_MULAW_SQ = np.asarray([mulaw_expand(b) ** 2 for b in range(256)], dtype=np.int64)
 
 
 def attach_mulaw_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1031,10 +1041,10 @@ def _decode_mulaw(payload: bytes) -> tuple[int, int, int, int] | None:
     nf = len(data)
     duration_ms = nf * 1000 // rate if rate else 0
     if nf:
-        sum_sq = 0
-        for b in data:
-            v = mulaw_expand(b)
-            sum_sq += v * v
+        # exact: table holds v² ≤ 32124² as int64, ≤ 250 terms per payload
+        sum_sq = int(
+            np.take(_MULAW_SQ, np.frombuffer(data, dtype=np.uint8)).sum()
+        )
         rms_q = int(math.floor(math.sqrt(sum_sq / nf)))
     else:
         rms_q = 0
