@@ -42,6 +42,15 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # guide §3.1/§9: let the planner pick shuffled-hash join when its
+        # size conditions hold (SMJ pays a sort on both sides that a
+        # hash build avoids; SHJ is only chosen when the build side fits
+        # per-partition, so the posture is scale-safe). Env-overridable
+        # so the A/B and any deployment can flip it without code.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet scans: vectorized reader + pushdown are defaults; pin them
         # so the plan contract (PushedFilters / ReadSchema) is stable.
