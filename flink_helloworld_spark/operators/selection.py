@@ -59,12 +59,16 @@ def dsir_weights(
     then logw(doc) = Σ_tokens ln(p_t[b]/p_r[b]) — high means
     "looks like the target".
 
-    Scale shape: one token explode feeding two map-side-combinable
-    bucket-count aggs (output ≤ N_BUCKETS rows each), a full outer join
-    of those two TINY tables into a broadcast weight table, then ONE
-    hash-probe join of the exploded raw pool against it and a per-doc
-    agg. The corpus-sized side shuffles once (the per-doc agg); the
-    model never exceeds N_BUCKETS rows no matter the corpus size.
+    Scale shape: ONE token explode feeding ONE map-side-combinable
+    bucket agg with conditional target/raw sums (output ≤ N_BUCKETS
+    rows — by construction the same bucket set as the old
+    full-outer-join of two per-class aggs, with absent-class counts 0
+    where the coalesce used to put them), the two token totals derived
+    from that TINY table (Σct / Σcr ≡ the old corpus-sized count aggs),
+    then ONE hash-probe join of the exploded raw pool against the
+    broadcast model and a per-doc agg. The corpus tokenizes twice
+    (model + scoring) instead of the previous five times; the model
+    never exceeds N_BUCKETS rows no matter the corpus size.
 
     Determinism: per-bucket log-ratio rounded to 9 dp (ln on a ≤1024-row
     table), per-doc sum as DECIMAL(28,9), final logw one double cast
@@ -76,26 +80,19 @@ def dsir_weights(
         F.explode(_words(F.col(text_col))).alias("w"),
     ).withColumn("b", _bucket_expr(F.col("w")))
 
-    tgt = toks.where("is_target").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    raw = toks.where(~F.col("is_target")).groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr")
+    bucket_counts = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cr"),
     )
-    tot_t = toks.where("is_target").agg(F.count(F.lit(1)).cast("double").alias("tt"))
-    tot_r = toks.where(~F.col("is_target")).agg(
-        F.count(F.lit(1)).cast("double").alias("tr")
+    tots = bucket_counts.agg(
+        F.sum("ct").cast("double").alias("tt"),
+        F.sum("cr").cast("double").alias("tr"),
     )
 
     a = F.lit(float(alpha))
     denom_pad = F.lit(float(alpha) * N_BUCKETS)
     model = (
-        tgt.join(raw, "b", "full_outer")
-        .select(
-            "b",
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-            F.coalesce("cr", F.lit(0)).alias("cr"),
-        )
-        .crossJoin(F.broadcast(tot_t))
-        .crossJoin(F.broadcast(tot_r))
+        bucket_counts.crossJoin(F.broadcast(tots))
         .select(
             "b",
             F.round(
@@ -176,6 +173,7 @@ def perplexity_buckets(
     Determinism: tercile thresholds are exact linear-interpolation
     percentiles over the 6 dp-rounded scores, themselves rounded to
     9 dp; bucket assignment compares identical doubles in both engines.
+
     """
     scored = unigram_logppl(docs, text_col).join(
         docs.select("doc_id", "lang"), "doc_id"

@@ -476,11 +476,11 @@ def unigram_logppl(
     words = docs.select(
         "doc_id", F.explode(_words(F.col(text_col))).alias("w")
     )
-    # corpus token count rides as a broadcast 1-row aggregate (the
-    # bm25_search stats pattern) instead of an eager .count() — no
-    # duplicate full-corpus scan before the real query
-    total = words.agg(F.count(F.lit(1)).cast("double").alias("_t"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # corpus token count = Σ vocab counts: a vocab-sized aggregate over
+    # the SAME subtree the scoring join builds (runtime exchange reuse
+    # dedups the shared build) instead of a third corpus-wide explode
+    total = vocab.agg(F.sum("cnt").cast("double").alias("_t"))
     scored = (
         words.join(vocab, "w")
         .crossJoin(F.broadcast(total))
