@@ -3318,3 +3318,75 @@ def test_epoch_pack_stream_composes_plan_into_packed_stream(spark):
             run += r.n_tokens
     again = epoch_pack_stream(docs, W, 420, capacity=32, shards=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_attach_wav_regex_byteswap_matches_pure_python_reference(spark):
+    # r11 optimization pin: the one-regexp byte-swap construction must
+    # produce byte-identical payloads to an independent pure-Python
+    # replay of the documented construction (rate table, md5 stream,
+    # per-sample little-endian swap, fixed header)
+    import hashlib
+    import struct
+
+    from flink_helloworld_spark.operators.multimodal import _WAV_RATES
+
+    texts = ["", "a", "hello world", "x" * 37, "data " * 61, "y" * 251]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: bytes(r.payload)
+           for r in MM.attach_wav_binary(docs).collect()}
+    for i, t in enumerate(texts):
+        rate = _WAV_RATES[len(t) % 4]
+        nf = 1 + len(t) % 250
+        h = hashlib.md5(t.encode()).hexdigest()
+        stream = (h * (nf * 4 // 32 + 1))[: nf * 4]
+        data_hex = "".join(
+            stream[4 * j + 2 : 4 * j + 4] + stream[4 * j : 4 * j + 2]
+            for j in range(nf)
+        )
+        expected = (
+            b"RIFF"
+            + struct.pack("<I", 36 + nf * 2)
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data"
+            + struct.pack("<I", nf * 2)
+            + bytes.fromhex(data_hex)
+        )
+        assert got[i] == expected, f"payload mismatch for doc {i}"
+
+
+def test_mulaw_squared_table_and_vectorized_rms_match_scalar_forms(spark):
+    # r11 optimization pin: the 256-entry squared-expansion table equals
+    # mulaw_expand(b)^2 for every byte, and the vectorized int64 RMS in
+    # _decode_wav equals the per-sample Python loop on real payloads
+    import math
+
+    from flink_helloworld_spark.operators.multimodal import (
+        _MULAW_SQ,
+        _decode_wav,
+        _wav_samples,
+        mulaw_expand,
+    )
+
+    for b in range(256):
+        assert int(_MULAW_SQ[b]) == mulaw_expand(b) ** 2
+
+    docs = spark.createDataFrame(
+        [(i, "sample text " * (i + 1), "en", "s", 1) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    for row in MM.attach_wav_binary(docs).collect():
+        payload = bytes(row.payload)
+        decoded = _decode_wav(payload)
+        assert decoded is not None
+        rate, vals = _wav_samples(payload)
+        sum_sq = 0
+        for v in vals.tolist():
+            sum_sq += v * v
+        expect_rms = (
+            int(math.floor(math.sqrt(sum_sq / len(vals)))) if len(vals) else 0
+        )
+        assert decoded[4] == expect_rms
