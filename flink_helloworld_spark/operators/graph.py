@@ -76,25 +76,33 @@ def interaction_edges(
     joined = orders.join(
         lineitem, orders.o_orderkey == lineitem.l_orderkey
     ).select(
-        F.concat(F.lit("C"), F.col("o_custkey")).alias("c"),
-        F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"),
+        F.col("o_custkey").alias("ck"),
+        F.col("l_suppkey").alias("sk"),
         F.col("o_orderkey").alias("ok"),
     )
+    # distinct/agg on the INTEGER keys (guide §2.3: narrower shuffle
+    # bytes + cheaper hashing than pre-concatenated strings), labels
+    # concatenated AFTER the aggregate; both directions expand from the
+    # ONE aggregated pair table via explode — the old fwd/rev
+    # unionByName duplicated the whole join+distinct derivation as two
+    # plan subtrees (guide §2.4: one exchange, not two).
     if weighted:
-        base = joined.groupBy("c", "s").agg(
+        base = joined.groupBy("ck", "sk").agg(
             F.countDistinct("ok").alias("w")
         )
-        fwd = base.select(
-            F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    else:
+        base = joined.select("ck", "sk").distinct()
+    c = F.concat(F.lit("C"), F.col("ck"))
+    s = F.concat(F.lit("S"), F.col("sk"))
+    both = F.explode(
+        F.array(
+            F.struct(c.alias("src"), s.alias("dst")),
+            F.struct(s.alias("src"), c.alias("dst")),
         )
-        rev = base.select(
-            F.col("s").alias("src"), F.col("c").alias("dst"), "w"
-        )
-        return fwd.unionByName(rev)
-    base = joined.select("c", "s").distinct()
-    fwd = base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    rev = base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    return fwd.unionByName(rev)
+    ).alias("e")
+    if weighted:
+        return base.select(both, "w").select("e.src", "e.dst", "w")
+    return base.select(both).select("e.src", "e.dst")
 
 
 def copurchase_edges(lineitem: DataFrame, min_support: int = 2) -> DataFrame:

@@ -643,7 +643,8 @@ def attach_wav_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     concatenation over hex, staged per the CollapseProject rule (stream
     and data hex bind to columns before reuse). Sample VALUES read
     big-endian from the hex stream; the payload stores each as the
-    little-endian byte pair WAV requires (swap via substring)."""
+    little-endian byte pair WAV requires (swap via one regexp_replace
+    pass over the 4-hex-char sample tiles)."""
 
     def be_hex(col, width_chars: int):
         return F.lpad(F.hex(col), width_chars, "0")

@@ -84,9 +84,11 @@ def dsir_weights(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cr"),
     )
+    # coalesce keeps the empty-corpus contract of the pre-fusion form
+    # (count() over no rows was 0, not NULL — ADVICE r11)
     tots = bucket_counts.agg(
-        F.sum("ct").cast("double").alias("tt"),
-        F.sum("cr").cast("double").alias("tr"),
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("tt"),
+        F.coalesce(F.sum("cr"), F.lit(0)).cast("double").alias("tr"),
     )
 
     a = F.lit(float(alpha))
@@ -173,7 +175,6 @@ def perplexity_buckets(
     Determinism: tercile thresholds are exact linear-interpolation
     percentiles over the 6 dp-rounded scores, themselves rounded to
     9 dp; bucket assignment compares identical doubles in both engines.
-
     """
     scored = unigram_logppl(docs, text_col).join(
         docs.select("doc_id", "lang"), "doc_id"

@@ -2034,15 +2034,24 @@ def build_ivf_index(
             cent, n_super, n_iter, id_col="centroid_id", vec_col="cvec"
         ).select(F.col("cid").alias("centroid_id"), F.col("cvec"))
     )
-    c_as_v = cent.select(
-        F.col("centroid_id").alias("id"), F.col("cvec").alias("vec")
+    # Frozen-quantizer routing (r12, guide §2.4/§8): the quantizer is
+    # bounded index metadata (C cells + ceil(sqrt C) supers — the very
+    # collect `_assign_cells_blas` already performs on the centroid
+    # table), so cell home-supers compute driver-side with the
+    # identical stable-argsort BLAS, and member routing runs as ONE
+    # mapInPandas pass against the broadcast quantizer instead of the
+    # assign → exchange → rank window → join-back pipeline.
+    quant = _frozen_quantizer(cent, sup, round_dp)
+    spark = emb.sparkSession
+    homes = spark.createDataFrame(
+        [
+            (int(c), int(s))
+            for c, s in zip(quant["cell_ids"], quant["cell_super"])
+        ],
+        "cent_id long, super_id long",
     )
-    cent_home = (
-        _assign_cells_blas(c_as_v, sup, n_probe=1, round_dp=round_dp)
-        .select(
-            F.col("id").alias("cent_id"), F.col("centroid_id").alias("super_id")
-        )
-        .join(cent.select(F.col("centroid_id").alias("cent_id"), "cvec"), "cent_id")
+    cent_home = homes.join(
+        cent.select(F.col("centroid_id").alias("cent_id"), "cvec"), "cent_id"
     )
     index = sup.select(
         F.lit(2).alias("level"),
@@ -2057,13 +2066,7 @@ def build_ivf_index(
             "cvec",
         )
     )
-    postings = _route_cells(
-        v, cent_home, sup, n_super_probe, n_probe=1, round_dp=round_dp
-    ).join(v, "id").select(
-        F.col("centroid_id").cast("long").alias("centroid_id"),
-        F.col("id").cast("long").alias("member_id"),
-        F.col("vec").alias("mvec"),
-    )
+    postings = _route_frozen_postings(v, quant, n_super_probe, round_dp)
     if _SHARE_POSTINGS:
         postings = share(postings)
     return index, postings
@@ -2092,20 +2095,13 @@ def ivf_index_append(
     Same artifact pattern as ``dedup.incremental_near_dedup``'s
     reusable LSH index, applied to the vector side."""
     v = new_emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    sup = index.where(F.col("level") == 2).select("centroid_id", "cvec")
-    cent_home = index.where(F.col("level") == 1).select(
-        F.col("centroid_id").alias("cent_id"), "super_id", "cvec"
-    )
-    new_posts = (
-        _route_cells(v, cent_home, sup, n_super_probe, n_probe=1,
-                     round_dp=round_dp)
-        .join(v, "id")
-        .select(
-            F.col("centroid_id").cast("long").alias("centroid_id"),
-            F.col("id").cast("long").alias("member_id"),
-            F.col("vec").alias("mvec"),
-        )
-    )
+    # frozen-quantizer routing (r12): one mapInPandas pass against the
+    # collected artifact quantizer — the exact kernel the streaming
+    # ingest runs, whose byte-parity with the old batch `_route_cells`
+    # path is test-pinned (test_route_frozen_np_matches_batch_append_
+    # routing); zero exchanges for the new members' payload.
+    quant = collect_ivf_quantizer(index)
+    new_posts = _route_frozen_postings(v, quant, n_super_probe, round_dp)
     return postings.unionByName(new_posts)
 
 
@@ -2507,6 +2503,81 @@ def route_frozen_np(mat, quant: dict, n_super_probe: int = 2,
         # matching the batch window's (csim DESC, centroid_id ASC)
         out[sel] = c_ids[np.argmax(sims, axis=1)]
     return out
+
+
+def _frozen_quantizer(cent: DataFrame, sup: DataFrame, round_dp: int = 6) -> dict:
+    """Collect (cells, supers) into the ``route_frozen_np`` quantizer
+    dict, computing each cell's home super DRIVER-SIDE with the
+    identical stable-argsort rounded-cosine BLAS ``_assign_cells_blas``
+    runs at ``n_probe=1`` (ascending-id tie order, zero-norm rows
+    zeroed). Bounded by the index-metadata contract: C + ceil(sqrt C)
+    rows — the same collect ``_assign_cells_blas`` already performs on
+    the centroid table every call."""
+    import numpy as np
+
+    def _pull(rows):
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = np.inf
+        return ids, mat / norms[:, None]
+
+    sup_ids, sup_nmat = _pull(sup.select("centroid_id", "cvec").collect())
+    cell_ids, cell_nmat = _pull(cent.select("centroid_id", "cvec").collect())
+    sims = round_half_away(cell_nmat @ sup_nmat.T, round_dp)
+    # stable argsort on -sims: ties keep ascending super id — the
+    # _assign_cells_blas kernel's exact top-1 contract
+    top = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+    return {
+        "sup_ids": sup_ids,
+        "sup_nmat": sup_nmat,
+        "cell_ids": cell_ids,
+        "cell_nmat": cell_nmat,
+        "cell_super": sup_ids[top],
+    }
+
+
+def _route_frozen_postings(
+    v: DataFrame, quant: dict, n_super_probe: int, round_dp: int = 6
+) -> DataFrame:
+    """ONE-pass member routing against the broadcast frozen quantizer
+    (``route_frozen_np`` — byte-identical to the batch ``_route_cells``
+    at ``n_probe=1``, the pinned streaming-ingest parity kernel): emits
+    the ``(centroid_id, member_id, mvec)`` posting rows directly from
+    each Arrow batch. Replaces the 4-stage assign → exchange → rank
+    window → vector join-back pipeline with zero exchanges (guide
+    §2.4), and the member payload never leaves its scan task (§8:
+    decide with broadcast metadata, move heavy bytes once). Rows whose
+    probed supers home no cell route to -1 and drop, exactly as the
+    batch path drops them."""
+    import numpy as np
+    import pandas as pd
+
+    vec_t = v.schema["vec"].dataType.simpleString()
+    b_quant = v.sparkSession.sparkContext.broadcast(quant)
+    nsp = int(n_super_probe)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            cells = route_frozen_np(mat, b_quant.value, nsp, round_dp)
+            keep = cells >= 0
+            yield pd.DataFrame(
+                {
+                    "centroid_id": cells[keep],
+                    "member_id": ids[keep],
+                    "mvec": pdf["vec"].to_numpy()[keep],
+                }
+            )
+
+    return v.select("id", "vec").mapInPandas(
+        fn, f"centroid_id long, member_id long, mvec {vec_t}"
+    )
 
 
 def ivf_index_query(

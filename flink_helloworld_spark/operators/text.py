@@ -479,8 +479,12 @@ def unigram_logppl(
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     # corpus token count = Σ vocab counts: a vocab-sized aggregate over
     # the SAME subtree the scoring join builds (runtime exchange reuse
-    # dedups the shared build) instead of a third corpus-wide explode
-    total = vocab.agg(F.sum("cnt").cast("double").alias("_t"))
+    # dedups the shared build) instead of a third corpus-wide explode.
+    # coalesce keeps the empty-corpus contract identical to the old
+    # count() form (0, not NULL — ADVICE r11).
+    total = vocab.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("double").alias("_t")
+    )
     scored = (
         words.join(vocab, "w")
         .crossJoin(F.broadcast(total))

@@ -3390,3 +3390,57 @@ def test_mulaw_squared_table_and_vectorized_rms_match_scalar_forms(spark):
             int(math.floor(math.sqrt(sum_sq / len(vals)))) if len(vals) else 0
         )
         assert decoded[4] == expect_rms
+
+
+def test_build_postings_frozen_route_matches_route_cells(spark):
+    """r12: `build_ivf_index` routes members through the broadcast
+    frozen quantizer (`_route_frozen_postings`) instead of the
+    distributed `_route_cells` + join-back pipeline. Pin the swap:
+    the posting SET (cell, member, vector) and the index's level-1
+    home assignment are byte-identical to the old construction,
+    replayed here explicitly via `_route_cells`/`_assign_cells_blas`
+    over the same quantizer tables."""
+    emb = S.planted_embeddings(_ids_only_emb(spark, 192)).select(
+        "vec_id", "embedding"
+    )
+    index, postings = S.build_ivf_index(emb)
+    got = sorted(
+        (r.centroid_id, r.member_id, tuple(r.mvec))
+        for r in postings.collect()
+    )
+    cent = index.where("level = 1").select(
+        F.col("centroid_id"), F.col("cvec")
+    )
+    sup = index.where("level = 2").select("centroid_id", "cvec")
+    cent_home = index.where("level = 1").select(
+        F.col("centroid_id").alias("cent_id"), "super_id", "cvec"
+    )
+    v = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    old = (
+        S._route_cells(v, cent_home, sup, n_super_probe=2, n_probe=1)
+        .join(v, "id")
+        .select(
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.col("id").cast("long").alias("member_id"),
+            F.col("vec").alias("mvec"),
+        )
+    )
+    expected = sorted(
+        (r.centroid_id, r.member_id, tuple(r.mvec)) for r in old.collect()
+    )
+    assert got == expected and len(got) == 192
+    # level-1 home supers: driver BLAS == distributed _assign_cells_blas
+    c_as_v = cent.select(
+        F.col("centroid_id").alias("id"), F.col("cvec").alias("vec")
+    )
+    homes_dist = {
+        (r.id, r.centroid_id)
+        for r in S._assign_cells_blas(c_as_v, sup, n_probe=1).collect()
+    }
+    homes_idx = {
+        (r.centroid_id, r.super_id)
+        for r in index.where("level = 1").collect()
+    }
+    assert homes_idx == homes_dist

@@ -2,8 +2,9 @@
 
 Usage: python tools/capture_plans.py <out_suffix> <query> [query ...]
 
-Writes plans/r11/<query>_<out_suffix>.txt for each named query (the
-round-11 optimization evidence files: _before / _after). Building a
+Writes plans/$SPARK_GRAFT_PLANS_DIR (default r12)/<query>_<out_suffix>.txt
+for each named query (the optimization evidence files: _before /
+_after). Building a
 query's DataFrame may itself run eager jobs (index builds, iterative
 loops) — that cost is paid here, not avoided, so the captured plan is
 exactly the one the bench's noop sink executes.
@@ -21,7 +22,9 @@ from flink_helloworld_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_DIR", "r12"),
 )
 
 
