@@ -1893,23 +1893,15 @@ def _ivf2_scan(
         StructType,
     )
 
-    from ._cache import share
-
-    # (2) centroid → its one super-cell (BLAS against the broadcast
-    # super matrix); (3)+(4) are the shared two-level routing
-    c_as_v = cent.select(F.col("centroid_id").alias("id"), F.col("cvec").alias("vec"))
-    cent_home = (
-        _assign_cells_blas(c_as_v, sup, n_probe=1, round_dp=round_dp)
-        .select(
-            F.col("id").alias("cent_id"), F.col("centroid_id").alias("super_id")
-        )
-        .join(cent.select(F.col("centroid_id").alias("cent_id"), "cvec"), "cent_id")
-    )
-    ranked = share(
-        _route_cells(v, cent_home, sup, n_super_probe, n_probe, round_dp).join(
-            v, "id"
-        )
-    )
+    # (2)-(4) as ONE frozen-quantizer pass (r12, guide §2.4/§8): the
+    # cell→super home assignment runs driver-side over the collected
+    # bounded quantizer (the same C-row collect `_assign_cells_blas`
+    # performed), and each vector's n_probe cells emit from a single
+    # mapInPandas — no assignment exchange, no rank window, no vector
+    # join-back. Output contract identical to the old
+    # `_route_cells(...).join(v)` (parity test-pinned).
+    quant = _frozen_quantizer(cent, sup, round_dp)
+    ranked = _route_probes_frozen(v, quant, n_super_probe, n_probe, round_dp)
 
     # (5) per-cell scan — identical to flat IVF's scoring stage
     out_schema = StructType(
@@ -2505,6 +2497,92 @@ def route_frozen_np(mat, quant: dict, n_super_probe: int = 2,
     return out
 
 
+def route_frozen_topn(mat, quant: dict, n_super_probe: int = 2,
+                      n_probe: int = 1, round_dp: int = 6):
+    """Top-``n_probe`` generalization of ``route_frozen_np``: for each
+    row of ``mat`` return its ``n_probe`` best cells over the union of
+    cells homed in its ``n_super_probe`` nearest supers, as three
+    parallel arrays ``(row_idx, cell_id, crn)`` with ``crn`` = 1-based
+    rank. Twin of the batch ``_route_cells`` window's
+    (rounded csim DESC, centroid_id ASC) row_number — stable argsort
+    over ascending cell ids reproduces the tie order; rows whose probed
+    supers home no cell emit nothing, exactly as ``per_super`` does
+    (parity test-pinned)."""
+    import numpy as np
+
+    q = np.asarray(mat, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0.0] = np.inf
+    q = q / qn[:, None]
+    sims_s = round_half_away(q @ quant["sup_nmat"].T, round_dp)
+    nsp = min(n_super_probe, len(quant["sup_ids"]))
+    top = np.argsort(-sims_s, axis=1, kind="stable")[:, :nsp]
+    probed = np.sort(quant["sup_ids"][top], axis=1)
+    rows_out, cells_out, crn_out = [], [], []
+    combos, inv = np.unique(probed, axis=0, return_inverse=True)
+    for ci in range(len(combos)):
+        sel = np.nonzero(inv == ci)[0]
+        cand = np.isin(quant["cell_super"], combos[ci])
+        if not cand.any():
+            continue
+        c_ids = quant["cell_ids"][cand]  # ascending (collect contract)
+        sims = round_half_away(q[sel] @ quant["cell_nmat"][cand].T, round_dp)
+        n = min(int(n_probe), len(c_ids))
+        topc = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        rows_out.append(np.repeat(sel, n))
+        cells_out.append(c_ids[topc].ravel())
+        crn_out.append(np.tile(np.arange(1, n + 1, dtype=np.int64), len(sel)))
+    if not rows_out:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy()
+    return (
+        np.concatenate(rows_out),
+        np.concatenate(cells_out),
+        np.concatenate(crn_out),
+    )
+
+
+def _route_probes_frozen(
+    v: DataFrame, quant: dict, n_super_probe: int, n_probe: int,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Probe routing against the broadcast frozen quantizer: one
+    mapInPandas pass emitting ``(id, centroid_id, _crn, vec)`` — the
+    exact column contract of ``_route_cells(...).join(v, "id")`` that
+    every IVF scan consumes, produced with zero exchanges, no rank
+    window, and no vector join-back (the query payload rides its own
+    batch). Replaces the distributed probe pipeline in the fused and
+    indexed scans (r12, guide §2.4/§8)."""
+    import numpy as np
+    import pandas as pd
+
+    vec_t = v.schema["vec"].dataType.simpleString()
+    b_quant = v.sparkSession.sparkContext.broadcast(quant)
+    nsp, npr = int(n_super_probe), int(n_probe)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            ridx, cells, crn = route_frozen_topn(
+                mat, b_quant.value, nsp, npr, round_dp
+            )
+            yield pd.DataFrame(
+                {
+                    "id": ids[ridx],
+                    "centroid_id": cells,
+                    "_crn": crn.astype(np.int32),
+                    "vec": pdf["vec"].to_numpy()[ridx],
+                }
+            )
+
+    return v.select("id", "vec").mapInPandas(
+        fn, f"id long, centroid_id long, _crn int, vec {vec_t}"
+    )
+
+
 def _frozen_quantizer(cent: DataFrame, sup: DataFrame, round_dp: int = 6) -> dict:
     """Collect (cells, supers) into the ``route_frozen_np`` quantizer
     dict, computing each cell's home super DRIVER-SIDE with the
@@ -2665,13 +2743,12 @@ def _indexed_pairs(
     )
 
     q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    sup = index.where(F.col("level") == 2).select("centroid_id", "cvec")
-    cent_home = index.where(F.col("level") == 1).select(
-        F.col("centroid_id").alias("cent_id"), "super_id", "cvec"
+    # probe routing against the collected artifact quantizer (stored
+    # cell homes — the query path never re-assigns cells): one
+    # mapInPandas, no exchange/window/join-back (r12, guide §2.4)
+    probes = _route_probes_frozen(
+        q, collect_ivf_quantizer(index), n_super_probe, n_probe, round_dp
     )
-    probes = _route_cells(
-        q, cent_home, sup, n_super_probe, n_probe, round_dp
-    ).join(q, "id")
 
     mixed = probes.select(
         "centroid_id",
@@ -2751,13 +2828,10 @@ def _indexed_pairs_cogroup(
     )
 
     q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    sup = index.where(F.col("level") == 2).select("centroid_id", "cvec")
-    cent_home = index.where(F.col("level") == 1).select(
-        F.col("centroid_id").alias("cent_id"), "super_id", "cvec"
+    # same frozen-quantizer probe routing as `_indexed_pairs` (r12)
+    probes = _route_probes_frozen(
+        q, collect_ivf_quantizer(index), n_super_probe, n_probe, round_dp
     )
-    probes = _route_cells(
-        q, cent_home, sup, n_super_probe, n_probe, round_dp
-    ).join(q, "id")
 
     out_schema = StructType(
         [

@@ -3444,3 +3444,45 @@ def test_build_postings_frozen_route_matches_route_cells(spark):
         for r in index.where("level = 1").collect()
     }
     assert homes_idx == homes_dist
+
+
+def test_route_probes_frozen_matches_route_cells_topn(spark):
+    """r12: the query-side probe routing (`_route_probes_frozen` over
+    the collected quantizer) must reproduce the distributed
+    `_route_cells(...).join(v)` rows EXACTLY at n_probe > 1 — same
+    (id, cell, rank) triples, same vectors riding along — including a
+    zero-norm query row (all-zero sims → ascending-cell-id ranks)."""
+    import numpy as np
+
+    emb = S.planted_embeddings(_ids_only_emb(spark, 192)).select(
+        "vec_id", "embedding"
+    )
+    zero = spark.createDataFrame(
+        [(100000, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    emb = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(zero)
+    index, _ = S.build_ivf_index(emb)
+    v = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    sup = index.where("level = 2").select("centroid_id", "cvec")
+    cent_home = index.where("level = 1").select(
+        F.col("centroid_id").alias("cent_id"), "super_id", "cvec"
+    )
+    for n_probe in (1, 2, 3):
+        expected = sorted(
+            (r.id, r.centroid_id, r._crn, tuple(r.vec))
+            for r in S._route_cells(
+                v, cent_home, sup, n_super_probe=2, n_probe=n_probe
+            ).join(v, "id").collect()
+        )
+        got = sorted(
+            (r.id, r.centroid_id, r._crn, tuple(r.vec))
+            for r in S._route_probes_frozen(
+                v, S.collect_ivf_quantizer(index), 2, n_probe
+            ).collect()
+        )
+        assert got == expected, f"n_probe={n_probe}: probe sets differ"
+        assert len(got) > 0

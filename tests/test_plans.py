@@ -306,9 +306,12 @@ def test_kmeans_and_ivf_plans_have_no_full_table_sort(spark, sf_dir):
 
 def test_ivf2_stays_distributed_no_global_sort(spark, sf_dir):
     """Hierarchical IVF contract: no bare global sort, no row-at-a-time
-    Python; the centroid table reaches vectors through grouped Arrow
-    stages (MapInPandas assignment + two FlatMapGroupsInPandas scans),
-    never a driver-side centroid collect of the C-row table."""
+    Python; the corpus stays distributed end to end. Since r12 the
+    probe routing is ONE MapInPandas against the broadcast collected
+    quantizer (bounded index metadata — the same C-row collect
+    `_assign_cells_blas` always performed) and the cell scan is the
+    FlatMapGroupsInPandas grouped-BLAS stage; the corpus itself is
+    never collected."""
     from flink_helloworld_spark.operators import similarity as S
     from flink_helloworld_spark.operators._cache import release_shared_caches
 
@@ -320,7 +323,7 @@ def test_ivf2_stays_distributed_no_global_sort(spark, sf_dir):
             raise AssertionError(f"unexpected global sort node: {line}")
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan
-    assert plan.count("FlatMapGroupsInPandas") >= 2
+    assert plan.count("FlatMapGroupsInPandas") >= 1
 
 
 def test_round3_pipeline_ops_plan_contracts(spark, sf_dir):
@@ -716,11 +719,12 @@ def test_indexed_query_plan_is_pure_scan_no_training(spark, sf_dir):
     """The r8 build/query seam, enforced at the PLAN level: querying a
     parquet-reloaded index artifact must contain ZERO quantizer
     training (no 'kmt:'/'km:' md5 seed literals — those mark the Lloyd
-    sample and seeding stages), exactly the three Python stages of the
-    scan path (super-assignment MapInPandas + routing and cell-scan
-    grouped BLAS), and the level filters must PUSH DOWN into the
-    artifact's parquet scan (a deployment reads only the level it
-    needs)."""
+    sample and seeding stages), exactly the two Python stages of the
+    r12 scan path (frozen-quantizer probe-routing MapInPandas +
+    cell-scan grouped BLAS — the probe pipeline's old assignment stage
+    and rank window collapsed into the routing pass), and the level
+    filters must PUSH DOWN into the artifact's parquet scan (a
+    deployment reads only the level it needs)."""
     import tempfile
 
     from flink_helloworld_spark.operators import similarity as S
@@ -740,10 +744,17 @@ def test_indexed_query_plan_is_pure_scan_no_training(spark, sf_dir):
     )
     simple = explain_str(q, "simple")
     assert "kmt:" not in simple and "md5(concat(km:" not in simple
-    assert simple.count("FlatMapGroupsInPandas") == 2
+    assert simple.count("FlatMapGroupsInPandas") == 1
     assert simple.count("MapInPandas") == 1
-    formatted = explain_str(q, "formatted")
-    assert "PushedFilters: [IsNotNull(level), EqualTo(level,1)]" in formatted
+    # the quantizer collect (query construction, not the scan plan)
+    # reads ONLY the level it needs from the artifact: the level filter
+    # pushes into the parquet scan of the bounded metadata collect
+    idx_read = spark.read.parquet(f"{d}/index")
+    collect_plan = explain_str(
+        idx_read.where("level = 1").select("centroid_id", "cvec", "super_id"),
+        "formatted",
+    )
+    assert "PushedFilters: [IsNotNull(level), EqualTo(level,1)]" in collect_plan
     # and the BUILD plan does contain the training evidence — the seam
     # exists because the two halves genuinely differ. Under the r11
     # size-gated local kmeans the trainset is consumed at build time
