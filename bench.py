@@ -168,6 +168,10 @@ def _warm_session(app_name: str = "fhs-bench"):
 def main() -> None:
     spark = _warm_session()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:  # replica dirs may not encode a numeric sf — never crash the
+        float(sf)  # payload assembly AFTER the timings ran (r12)
+    except ValueError:
+        sf = "-1"
     qs = entrymod.queries()
     from flink_helloworld_spark.operators.dedup import release_shared_caches
 

@@ -447,32 +447,85 @@ def embedding_covariance(
     the narrow (id, pos, cv) incidence for the join, linear and
     AQE-splittable.
 
-    Shape note (measured at sf0.1 / 10×): this codegen join+agg runs
-    3.5 s / 8.9×; an array-world variant building the 2080 products per
-    row inside nested ``transform`` lambdas avoided the join shuffle but
-    ran 8.9 s / 5.5× — higher-order-function lambdas are interpreted,
-    the same 49×-lesson `similarity.py` documents, and the CPU loss
-    dwarfs the shuffle saved. Keep the join.
+    Shape history: the original relational outer product (centered
+    exploded table self-joined on the vector id) measured 3.9s at
+    sf0.1 but 31s at the 10× replica with a 0.96 8-vs-32-core ratio —
+    the dim² fan-out (N·dim·(dim+1)/2 join rows) dominated and did not
+    parallelize. An array-world `transform`-lambda variant was tried in
+    r10 and was worse (interpreted lambdas). r12 shape: one
+    `mapInPandas` pass accumulates per-task partial sums of the
+    9-dp-rounded products ON THE INTEGER NANO LATTICE (each rounded
+    product is sign·floor(|p|·1e9+0.5) — an exact int64), so the final
+    ≤dim² DECIMAL aggregate of the per-task partials is bit-identical
+    to the old row-level DECIMAL(28,9) sum: integer sums are exact and
+    associative, and `round_half_away` replays `_r9`'s IEEE op
+    sequence (the engine-wide BLAS/oracle parity contract). The 64
+    per-dimension means ride in as a bounded broadcast (the
+    `_assign_cells_blas` metadata-collect contract). No join, no dim²
+    shuffle — two linear corpus passes (mean agg + partials).
     """
-    centered, n_rows = _centered_exploded(emb, id_col, vec_col)
-    a = centered.alias("a")
-    b = centered.alias("b")
+    import numpy as np
+    import pandas as pd
+
+    v = emb.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pvec"))
+    n_rows = v.count()
+    ex = v.select(F.posexplode("_pvec").alias("pos", "_raw")).select(
+        "pos", F.col("_raw").cast("double").alias("val")
+    )
+    mu = ex.groupBy("pos").agg(
+        _r9(
+            F.sum(_r9(F.col("val")).cast("decimal(28,9)")).cast("double")
+            / F.lit(float(max(n_rows, 1)))
+        ).alias("m")
+    )
+    # the SQL-computed means, collected (≤dim rows of final ladder
+    # values — no replay risk, the exact doubles the old join centered
+    # against)
+    mu_rows = sorted((r.pos, r.m) for r in mu.collect())
+    mu_arr = np.array([m for _, m in mu_rows], dtype=np.float64)
+    b_mu = emb.sparkSession.sparkContext.broadcast(mu_arr)
+
+    def partials(batches):
+        d = len(b_mu.value)
+        iu_a, iu_b = np.triu_indices(d)
+        acc = np.zeros(len(iu_a), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["_pvec"]), dtype=np.float64)
+            for lo in range(0, len(X), 1024):  # bound the B×dim² block
+                C = round_half_away(X[lo:lo + 1024] - b_mu.value[None, :], 9)
+                P = C[:, iu_a] * C[:, iu_b]
+                # exact nano-lattice integers: sign·floor(|p|·1e9+0.5)
+                # IS _r9(p)·1e9 with no re-multiplication error; chunk
+                # sums stay exact in float64 (≤1024·1e11 ≪ 2^53)
+                nano = np.sign(P) * np.floor(np.abs(P) * 1e9 + 0.5)
+                acc += nano.sum(axis=0).astype(np.int64)
+                seen = True
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "pos_a": iu_a.astype(np.int32),
+                    "pos_b": iu_b.astype(np.int32),
+                    "nano": acc,
+                }
+            )
+
+    parts = v.select("_pvec").mapInPandas(
+        partials, "pos_a int, pos_b int, nano long"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a._pid") == F.col("b._pid"))
-            & (F.col("a.pos") <= F.col("b.pos")),
-        )
-        .groupBy(
-            F.col("a.pos").alias("pos_a"), F.col("b.pos").alias("pos_b")
-        )
-        .agg(
+        parts.groupBy("pos_a", "pos_b")
+        .agg(F.sum(F.col("nano").cast("decimal(38,0)")).alias("_sn"))
+        .select(
+            "pos_a",
+            "pos_b",
             _r9(
-                F.sum(
-                    _r9(F.col("a.cv") * F.col("b.cv")).cast("decimal(28,9)")
-                ).cast("double")
+                (F.col("_sn").cast("decimal(38,9)") / F.lit(1_000_000_000))
+                .cast("double")
                 / F.lit(float(max(n_rows, 1)))
-            ).alias("cov")
+            ).alias("cov"),
         )
     )
 

@@ -42,14 +42,17 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # guide §3.1/§9: let the planner pick shuffled-hash join when its
-        # size conditions hold (SMJ pays a sort on both sides that a
-        # hash build avoids; SHJ is only chosen when the build side fits
-        # per-partition, so the posture is scale-safe). Env-overridable
-        # so the A/B and any deployment can flip it without code.
+        # r12 (VERDICT r11 item 5, evidence-or-revert): the r11 flip to
+        # preferSortMergeJoin=false was adopted on a NEUTRAL local A/B;
+        # the 10x-replica A/B over the largest non-broadcast joins
+        # (denorm_wide, sql_q9_profit, dedup_sorted_neighborhood,
+        # sql_q18, sql_q21 — interleaved, 3-pair medians) measured SHJ
+        # never faster and 8% slower on the biggest join, so the
+        # default reverts to Spark's spill-robust SMJ. Env-overridable
+        # for deployments that have measured otherwise.
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet scans: vectorized reader + pushdown are defaults; pin them
