@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_helloworld_spark.operators.dedup import duplicate_clusters
@@ -392,6 +394,7 @@ def test_twostar_raises_rather_than_emitting_unconverged_state(spark):
     assert len(out) == 51
 
 
+@pytest.mark.slow
 def test_auto_cc_dispatches_by_measured_diameter(spark):
     """VERDICT r7 item 7: cc='auto' must (a) resolve a shallow graph
     via min-label WITHOUT ever invoking two-star (the common-case
@@ -446,6 +449,7 @@ def test_auto_cc_dispatches_by_measured_diameter(spark):
     assert pruned[0].dups_removed == 40
 
 
+@pytest.mark.slow
 def test_cluster_consumers_label_identical_under_twostar(spark):
     """VERDICT r6 item 4: the three cluster-consuming operators
     (soft_dedup_weights, leakage_safe_split, cluster_prune) must produce

@@ -355,6 +355,7 @@ def test_partitioned_lake_sink(spark):
     assert any(d.startswith("k=") for d in os.listdir(out_dir))  # hive dirs
 
 
+@pytest.mark.slow
 def test_co_flat_map_state_ttl_expires(spark):
     """T8 state TTL: with a processing-time TTL, idle keys are dropped —
     a fact arriving after expiry must re-buffer (its dimension state was

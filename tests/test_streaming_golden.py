@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
+
 from flink_helloworld_spark.streaming import event_windows as EW
 from flink_helloworld_spark.streaming.replay import (
     Step,
@@ -93,6 +95,7 @@ def test_allowed_lateness_reference_script(spark):
     assert final == ALLOWED_LATE_EXPECTED
 
 
+@pytest.mark.slow
 def test_late_side_output_reference_script(spark):
     # This script's data outpaces the scripted watermark by up to 2 s
     # (t6 at ts 13000 while the Flink watermark is still unset) — Flink

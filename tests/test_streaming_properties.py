@@ -139,6 +139,7 @@ def _model_tumbling(steps: list[Step]) -> dict[tuple[int, str], int]:
     return sums
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [11, 22, 33])
 def test_tumbling_sum_matches_model_on_random_scripts(spark, seed):
     """3 seeds × 18 keys = 54 random per-key scripts through the
@@ -183,6 +184,7 @@ def _model_late_flags(
     return out
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed,lateness", [(7, 0), (8, 2000)])
 def test_late_rows_classifier_matches_model_on_random_scripts(spark, seed, lateness):
     """Randomized W11 side-output classification, with and without
@@ -203,6 +205,7 @@ def test_late_rows_classifier_matches_model_on_random_scripts(spark, seed, laten
 GAP_MS = 5_000
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [3, 14])
 def test_timer_sessions_match_model_on_random_scripts(spark, seed):
     """Timer-based session flush (SessionFlushProcessor) fuzz: random
@@ -631,6 +634,7 @@ def test_pretrain_front_classifier_gate_fuzz_matches_batch_scores(spark, seed):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_streaming_manifest_equals_batch_for_random_docs_and_splits(spark):
     """PROPERTY: for random documents (including empty/whitespace text
     and skewed ids) under a random partition into micro-batches, the
@@ -1232,6 +1236,7 @@ def test_lsh_gate_bucket_state_resumes_from_checkpoint(spark):
     assert run_once() == [(1, True), (2, True), (3, False), (4, True)]
 
 
+@pytest.mark.slow
 def test_verified_gate_state_ttl_bounds_the_dedup_horizon(spark):
     """`state_ttl_ms` on the VERIFIED embedding gate (ADVICE r7: the
     heaviest-state gate previously had no bounded horizon): an expired
@@ -1306,6 +1311,7 @@ def test_verified_gate_state_ttl_bounds_the_dedup_horizon(spark):
         assert got == [(1, True), (2, dup_kept)], (ttl_ms, got)
 
 
+@pytest.mark.slow
 def test_lsh_gate_state_ttl_bounds_the_dedup_horizon(spark):
     """`state_ttl_ms` on the LSH gate: an EXPIRED bucket claim forgets
     its first arrival, so the same near-dup text is admitted again after
@@ -1361,6 +1367,7 @@ def test_lsh_gate_state_ttl_bounds_the_dedup_horizon(spark):
         assert got == [(1, True), (2, dup_kept)], (ttl_ms, got)
 
 
+@pytest.mark.slow
 def test_lsh_gate_ttl_expiry_and_reclaim_survive_checkpoint_recovery(spark):
     """The full TTL'd-claim lifecycle ACROSS restarts (VERDICT r5 item
     5) — the exact path a long-running ingest hits weekly:
@@ -1434,6 +1441,7 @@ def test_lsh_gate_ttl_expiry_and_reclaim_survive_checkpoint_recovery(spark):
     assert got == [(1, True), (2, True), (3, False)], got
 
 
+@pytest.mark.slow
 def test_banded_gate_ttl_expiry_and_reclaim_survive_checkpoint_recovery(spark):
     """The same TTL'd-claim lifecycle across restarts for the BANDED
     embedding gate: a vector's claims live in ``bands`` independent
@@ -1553,6 +1561,7 @@ def test_streaming_heavy_hitters_exact_under_capacity(spark):
     assert all(r.err_total == 0 for r in rows)
 
 
+@pytest.mark.slow
 def test_streaming_heavy_hitters_mg_bounds_over_capacity(spark):
     """Over capacity the deterministic MG guarantees hold for any
     batch split: weight <= true <= weight + err_total, and every item
@@ -1692,6 +1701,7 @@ def test_heavy_hitters_state_resumes_from_checkpoint(spark):
     assert got == {"a": 7, "b": 2, "c": 1} and n == 10
 
 
+@pytest.mark.slow
 def test_streaming_kmv_matches_batch_exactly_any_split(spark):
     """KMV is order-independent: the streaming sketch after ANY batch
     split is BIT-IDENTICAL to batch kmv_distinct over the same rows —
@@ -1767,6 +1777,7 @@ def test_streaming_heavy_hitters_ignores_null_items(spark):
     assert all(r.n_seen == 3 and r.err_total == 0 for r in rows)
 
 
+@pytest.mark.slow
 def test_streaming_ivf_ingest_matches_batch_append_any_split(spark):
     """Streaming index MAINTENANCE parity (the streaming twin of the
     r8 build/query seam): vectors arriving in ANY micro-batch split —
@@ -1834,6 +1845,7 @@ def test_streaming_ivf_ingest_matches_batch_append_any_split(spark):
     index.unpersist()
 
 
+@pytest.mark.slow
 def test_streaming_rate_anomaly_matches_batch_any_split(spark):
     """The live rate monitor equals batch rollups.rate_anomaly
     row-for-row (every closed bucket: same cnt, same exact-dyadic
@@ -1900,6 +1912,7 @@ def test_streaming_rate_anomaly_matches_batch_any_split(spark):
             ), (key, n_frames)
 
 
+@pytest.mark.slow
 def test_streaming_rate_anomaly_late_and_overflow_channels(spark):
     """Out-of-contract arrivals are SURFACED, never silently dropped:
     an event for an already-closed bucket lands on channel='late', an
@@ -1967,6 +1980,7 @@ def test_streaming_rate_anomaly_late_and_overflow_channels(spark):
     assert ov.cnt == 1 and ov.ewma_prev is None
 
 
+@pytest.mark.slow
 def test_streaming_rate_anomaly_corrupt_first_arrival_reanchors(spark):
     """A key whose FIRST-ever event carries a corrupt far-future
     timestamp must not stall the key forever (every legitimate event
@@ -2023,6 +2037,7 @@ def test_streaming_rate_anomaly_corrupt_first_arrival_reanchors(spark):
     ]
 
 
+@pytest.mark.slow
 def test_streaming_postings_ingest_delete_compose_with_store(
     spark, tmp_path
 ):
@@ -2126,6 +2141,7 @@ def test_streaming_postings_ingest_delete_compose_with_store(
     )
 
 
+@pytest.mark.slow
 def test_ivf_query_over_streamed_artifact_equals_batch(spark):
     """Closes the streaming-maintenance loop end-to-end: ivf_index_query
     over (base postings ∪ STREAMED appends) returns exactly the result
@@ -2186,6 +2202,7 @@ def test_ivf_query_over_streamed_artifact_equals_batch(spark):
     index.unpersist()
 
 
+@pytest.mark.slow
 def test_streaming_ivf_delete_exactly_once_and_composes(spark):
     """The streaming retraction twin: delete ids arriving in ANY
     micro-batch split WITH redelivery emit exactly one tombstone per
@@ -2264,6 +2281,7 @@ def test_streaming_ivf_delete_exactly_once_and_composes(spark):
     index.unpersist()
 
 
+@pytest.mark.slow
 def test_streaming_ivf_delete_manifest_parity_and_tombstone_noop(
     spark, tmp_path
 ):
